@@ -1,0 +1,346 @@
+"""The annotate pipeline (SURVEY.md §3.1) — Spark-first design.
+
+Reference lifecycle: Annotate.java → SpotlightInterface → tokenizer →
+FSASpotter → DBCandidateSearcher → DBTwoStepDisambiguator.bestK →
+CombineAllAnnotationFilters → serializer (SURVEY §3.1 [U]).
+
+Spark design decision (scale rationale): entity linking is
+**embarrassingly parallel per document** — nothing in
+spot→candidates→disambiguate→filter crosses document boundaries. The
+reference exploits this with request threads; the idiomatic Spark
+equivalent is a *single mapInPandas pass* with the model broadcast:
+
+    read parquet/iceberg (url, html[, lang])     ← column-pruned scan
+      → filter(lang = 'en')                      ← pushed to the scan
+      → mapInPandas(annotate_batch)              ← ONE JVM↔Python crossing
+      → write triples
+
+Zero shuffles, no skewed groupBy: a 100 TB corpus maps straight through.
+Mega-host url skew is irrelevant (work ∝ bytes per partition, set by
+``spark.sql.files.maxPartitionBytes``); stopword-like surface-form skew is
+killed *inside* the UDF by the annotationProbability spot gate and
+candidate top-K pruning before scoring (north_star: "candidate-list
+pruning before the disambiguation shuffle" — here the shuffle is removed
+entirely, which is strictly better).
+
+A relational path (explode → broadcast join → window) is kept for
+transparency and as the oracle cross-check (§3.1's DAG); tests assert the
+two paths agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from dbpedia_spotlight_spark.functions.extraction import strip_html
+from dbpedia_spotlight_spark.functions.tokenizer import tokenize
+from dbpedia_spotlight_spark.functions.automaton import resolve_overlaps
+from dbpedia_spotlight_spark.model import SpotlightModel, context_loglik, tficf_scores
+
+
+@dataclass
+class PipelineConfig:
+    """The reference's REST parameter surface as config (SURVEY §2.12)."""
+
+    confidence: float = 0.0          # F1
+    support: int = 0                 # F2
+    types: tuple[str, ...] = ()      # F3 whitelist/blacklist
+    policy: str = "whitelist"        # 'whitelist' | 'blacklist'
+    disambiguator: str = "generative"  # 'prior' (D8) | 'generative' (D2) | 'tficf' (D3)
+    k: int = 1                       # D6 bestK
+    max_candidates: int = 20         # C2 pruning before scoring
+    lang: str | None = "en"
+    coreference: bool = False        # F5
+
+
+ANNOTATION_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("begin", IntegerType()),
+    StructField("end", IntegerType()),
+    StructField("surface_form", StringType()),
+    StructField("uri", StringType()),
+    StructField("rank", IntegerType()),
+    StructField("similarity_score", DoubleType()),
+    StructField("percentage_of_second_rank", DoubleType()),
+    StructField("support", LongType()),
+    StructField("types", ArrayType(StringType())),
+])
+
+SPOT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("begin", IntegerType()),
+    StructField("end", IntegerType()),
+    StructField("surface_form", StringType()),
+    StructField("sf_id", IntegerType()),
+    StructField("annotation_probability", DoubleType()),
+])
+
+# per-worker broadcast-deserialization cache (SURVEY §3.1: each Python
+# worker materializes the model once, not once per task)
+_MODEL_CACHE: dict[int, SpotlightModel] = {}
+
+
+def _get_model(bc) -> SpotlightModel:
+    key = id(bc)
+    m = _MODEL_CACHE.get(key)
+    if m is None:
+        m = bc.value
+        _MODEL_CACHE.clear()
+        _MODEL_CACHE[key] = m
+    return m
+
+
+def _doc_spots(model: SpotlightModel, text: str):
+    """Tokenize (T1/T5) + FSA spot (P1) + gate (P2) + overlap resolve (P4)
+    + context bag (D1 step 1). Returns (spots, q_tokens, q_counts) where
+    spots = [(begin, end, sf_id)] in char coords."""
+    toks = tokenize(text)
+    ids = [model.token_index.get(t, -1) for (_, _, t) in toks]
+    matches = model.automaton.find_all(ids)
+    # spot gate BEFORE overlap resolution: below-gate spots must not block
+    # legitimate overlapping spots (DBSpotter threshold gating [U])
+    gated = [m for m in matches if model.sf_ann_prob[m[2]] >= model.spot_threshold]
+    kept = resolve_overlaps(gated)
+    spots = [(toks[s][0], toks[e - 1][1], sf_id) for (s, e, sf_id) in kept]
+
+    # context query: doc bag-of-words minus stopwords (two-step step 1)
+    stop_ids = model.stop_ids if hasattr(model, "stop_ids") else None
+    counts: dict[int, int] = {}
+    for (_, _, t), tid in zip(toks, ids):
+        if tid >= 0 and t not in model.stopwords:
+            counts[tid] = counts.get(tid, 0) + 1
+    if counts:
+        q_tokens = np.fromiter(sorted(counts), dtype=np.int64)
+        q_counts = np.array([counts[t] for t in q_tokens], dtype=np.float64)
+    else:
+        q_tokens = np.zeros(0, dtype=np.int64)
+        q_counts = np.zeros(0, dtype=np.float64)
+    return spots, q_tokens, q_counts
+
+
+def _score_doc(model: SpotlightModel, cfg: PipelineConfig, spots,
+               q_tokens, q_counts):
+    """Disambiguate all spots of one document (D1–D7). Yields rows
+    (begin, end, sf_id, entity_id, rank, similarity, pct_second)."""
+    out = []
+    for (begin, end, sf_id) in spots:
+        lo, hi = model.cand_indptr[sf_id], model.cand_indptr[sf_id + 1]
+        if hi <= lo:
+            continue  # NIL: sf with no candidates (C3) — dropped
+        hi = min(hi, lo + cfg.max_candidates)  # C2 top-K by prior (rows are prior-desc)
+        ents = model.cand_entity[lo:hi].astype(np.int64)
+        ln_prior = np.log(np.maximum(model.cand_prior[lo:hi], 1e-300))
+        if cfg.disambiguator == "prior":
+            scores = ln_prior
+        elif cfg.disambiguator == "tficf":
+            ctx = tficf_scores(model, [ents], q_tokens, q_counts)[0]
+            scores = ln_prior + ctx
+        else:  # generative (default model, Daiber 2013)
+            ctx = context_loglik(model, ents, q_tokens, q_counts)
+            scores = ln_prior + ctx
+        order = np.argsort(-scores, kind="stable")
+        s_sorted = scores[order]
+        # D5 softmax (log-sum-exp stable)
+        m = s_sorted[0]
+        exp_s = np.exp(s_sorted - m)
+        sim = exp_s / exp_s.sum()
+        for r in range(min(cfg.k, len(order))):
+            pct2 = float(np.exp(s_sorted[r + 1] - s_sorted[r])) if r + 1 < len(order) else 0.0
+            out.append((begin, end, sf_id, int(ents[order[r]]), r + 1,
+                        float(sim[r]), pct2))
+    return out
+
+
+def _passes_filters(model: SpotlightModel, cfg: PipelineConfig,
+                    eid: int, sim: float, pct2: float) -> bool:
+    """F1 confidence + F2 support + F3 type filters (SURVEY §2.6).
+
+    Composite confidence rule (PIN-AT-IMPLEMENTATION, frozen as spec):
+    similarity_score >= confidence AND percentage_of_second_rank <=
+    (1 - confidence) — ConfidenceFilter + PercentageOfSecondFilter [U].
+    """
+    if sim < cfg.confidence or pct2 > 1.0 - cfg.confidence + 1e-12:
+        return False
+    if model.ent_support[eid] < cfg.support:
+        return False
+    if cfg.types:
+        hit = bool(set(model.ent_types[eid]) & set(cfg.types))
+        if cfg.policy == "whitelist" and not hit:
+            return False
+        if cfg.policy == "blacklist" and hit:
+            return False
+    return True
+
+
+def _annotate_pdf(model: SpotlightModel, cfg: PipelineConfig,
+                  pdf: pd.DataFrame, apply_filters: bool) -> pd.DataFrame:
+    rows = []
+    htmls = pdf["html"].tolist() if "html" in pdf.columns else None
+    texts = pdf["text"].tolist() if htmls is None else None
+    urls = pdf["url"].tolist()
+    for i, url in enumerate(urls):
+        text = strip_html(htmls[i]) if htmls is not None else texts[i]
+        spots, q_tokens, q_counts = _doc_spots(model, text)
+        for (begin, end, sf_id, eid, rank, sim, pct2) in _score_doc(
+            model, cfg, spots, q_tokens, q_counts
+        ):
+            if apply_filters and not _passes_filters(model, cfg, eid, sim, pct2):
+                continue
+            rows.append((url, begin, end, model.sf_names[sf_id],
+                         model.ent_uris[eid], rank, sim, pct2,
+                         int(model.ent_support[eid]),
+                         list(model.ent_types[eid])))
+    return pd.DataFrame(rows, columns=[f.name for f in ANNOTATION_SCHEMA.fields])
+
+
+def _lang_filtered(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    # native column filter → Catalyst pushes it into the parquet scan
+    return web_pages.filter(F.col("lang") == cfg.lang) if cfg.lang else web_pages
+
+
+def annotate(spark: SparkSession, web_pages: DataFrame, model_bc,
+             cfg: PipelineConfig | None = None) -> DataFrame:
+    """/annotate (SURVEY §3.1): fused, shuffle-free mapInPandas DAG.
+
+    ``model_bc`` is a ``spark.sparkContext.broadcast(SpotlightModel)``.
+    Input needs (url, html, lang) or (url, text, lang).
+    """
+    cfg = cfg or PipelineConfig()
+    src = _lang_filtered(web_pages, cfg)
+    has_html = "html" in src.columns
+    cols = ["url", "html"] if has_html else ["url", "text"]
+    src = src.select(*cols)  # column pruning reaches the scan
+
+    def run(batches):
+        model = _get_model(model_bc)
+        for pdf in batches:
+            if len(pdf):
+                yield _annotate_pdf(model, cfg, pdf, apply_filters=True)
+
+    return src.mapInPandas(run, schema=ANNOTATION_SCHEMA)
+
+
+def candidates(spark: SparkSession, web_pages: DataFrame, model_bc,
+               cfg: PipelineConfig | None = None) -> DataFrame:
+    """/candidates (SURVEY §3.2): bestK ranked, unfiltered."""
+    cfg = cfg or PipelineConfig()
+    src = _lang_filtered(web_pages, cfg).select(
+        "url", "html" if "html" in web_pages.columns else "text"
+    )
+
+    def run(batches):
+        model = _get_model(model_bc)
+        for pdf in batches:
+            if len(pdf):
+                yield _annotate_pdf(model, cfg, pdf, apply_filters=False)
+
+    return src.mapInPandas(run, schema=ANNOTATION_SCHEMA)
+
+
+def spot(spark: SparkSession, web_pages: DataFrame, model_bc,
+         cfg: PipelineConfig | None = None) -> DataFrame:
+    """/spot (SURVEY §2.12): stop after P1–P4."""
+    cfg = cfg or PipelineConfig()
+    src = _lang_filtered(web_pages, cfg)
+    has_html = "html" in src.columns
+    src = src.select("url", "html" if has_html else "text")
+
+    def run(batches):
+        model = _get_model(model_bc)
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                url = pdf["url"].iat[i]
+                text = strip_html(pdf["html"].iat[i]) if has_html else pdf["text"].iat[i]
+                spots, _, _ = _doc_spots(model, text)
+                for (b, e, sf_id) in spots:
+                    rows.append((url, b, e, model.sf_names[sf_id], int(sf_id),
+                                 float(model.sf_ann_prob[sf_id])))
+            yield pd.DataFrame(rows, columns=[f.name for f in SPOT_SCHEMA.fields])
+
+    return src.mapInPandas(run, schema=SPOT_SCHEMA)
+
+
+def extract_text(web_pages: DataFrame) -> DataFrame:
+    """S1 standalone: html → text pandas UDF (byte-identical gate)."""
+    @F.pandas_udf(StringType())
+    def strip_udf(html: pd.Series) -> pd.Series:
+        return html.map(strip_html)
+
+    return web_pages.withColumn("extracted_text", strip_udf(F.col("html")))
+
+
+# ---------------------------------------------------------------------------
+# Relational path (SURVEY §3.1 DAG with explicit explode/join/window) —
+# prior-only disambiguation (D8), used to cross-check the fused path.
+# ---------------------------------------------------------------------------
+
+def annotate_relational_prior(
+    spark: SparkSession,
+    web_pages: DataFrame,
+    model_bc,
+    candidates_df: DataFrame,
+    entities_df: DataFrame,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """spots → explode → broadcast join pair_counts → window argmax by
+    prior → filters. Every dimension join is an explicit broadcast hash
+    join (SURVEY §2.10); the only shuffle is the per-mention window.
+
+    candidates_df: (sf_id, entity_id, prior) — prior = P(e|s)
+    entities_df:   (entity_id, uri, support, types)
+    """
+    from pyspark.sql import Window
+
+    cfg = cfg or PipelineConfig()
+    spots_df = spot(spark, web_pages, model_bc, cfg)
+
+    cand = F.broadcast(candidates_df.select("sf_id", "entity_id", "prior"))
+    ent = F.broadcast(
+        entities_df.select("entity_id", "uri", "support", "types")
+    )
+    w = Window.partitionBy("url", "begin").orderBy(
+        F.desc("prior"), F.asc("entity_id")
+    )
+    joined = (
+        spots_df.join(cand, "sf_id")
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("ln_score", F.log(F.greatest(F.col("prior"), F.lit(1e-300))))
+        .withColumn(
+            "sum_exp",
+            F.sum(F.exp(F.col("ln_score") - F.max("ln_score").over(
+                Window.partitionBy("url", "begin")))).over(
+                Window.partitionBy("url", "begin")),
+        )
+        .withColumn(
+            "similarity_score",
+            F.exp(F.col("ln_score") - F.max("ln_score").over(
+                Window.partitionBy("url", "begin"))) / F.col("sum_exp"),
+        )
+        .withColumn(
+            "percentage_of_second_rank",
+            F.coalesce(
+                F.exp(F.lead("ln_score").over(w) - F.col("ln_score")), F.lit(0.0)
+            ),
+        )
+        .filter(F.col("rank") <= cfg.k)
+        .join(ent, "entity_id")
+    )
+    out = joined.filter(
+        (F.col("similarity_score") >= cfg.confidence)
+        & (F.col("percentage_of_second_rank") <= 1.0 - cfg.confidence + 1e-12)
+        & (F.col("support") >= cfg.support)
+    )
+    return out.select(
+        "url", "begin", "end", "surface_form", "uri", "rank",
+        "similarity_score", "percentage_of_second_rank", "support", "types",
+    )

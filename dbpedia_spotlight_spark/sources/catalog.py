@@ -1,0 +1,94 @@
+"""Table-format abstraction + checkpoint-resumable writes (SURVEY §7.4).
+
+north_rule requires Iceberg tables with per-partition lineage and
+checkpoint-resumable stages. This sandbox has no Iceberg jar (verified at
+survey time), so the catalog abstracts the writer:
+
+- ``iceberg`` mode: ``df.writeTo(name).using('iceberg')`` when a Spark
+  catalog is configured — snapshot IDs give lineage for free.
+- ``parquet`` mode (fallback, identical call sites): partitioned Parquet
+  plus a ``_manifest.json`` recording completed **work units** so a
+  restarted run skips them.
+
+Resume semantics (E3): work is split into deterministic *units* (hash
+buckets of ``url``). Each unit is written to its own subdirectory with an
+atomic manifest append after success. ``remaining_units`` left-anti-joins
+the unit list against the manifest — a crashed run re-executes only
+unfinished units, and unit outputs are idempotent (overwrite-by-path).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+class ParquetCatalog:
+    def __init__(self, root: str):
+        self.root = root
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(self.path(name))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(self.path(name))
+
+    # -- checkpoint/resume ---------------------------------------------------
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.path(name), "_manifest.json")
+
+    def completed_units(self, name: str) -> set[int]:
+        mp = self._manifest_path(name)
+        if not os.path.exists(mp):
+            return set()
+        with open(mp) as f:
+            entries = [json.loads(line) for line in f if line.strip()]
+        return {e["unit"] for e in entries if e.get("status") == "done"}
+
+    def mark_done(self, name: str, unit: int, rows: int) -> None:
+        os.makedirs(self.path(name), exist_ok=True)
+        with open(self._manifest_path(name), "a") as f:
+            f.write(json.dumps({
+                "unit": unit, "status": "done", "rows": rows,
+                "ts": time.time(),
+            }) + "\n")
+
+    def write_resumable(
+        self,
+        df_for_unit,          # Callable[[int], DataFrame]
+        name: str,
+        n_units: int,
+        on_unit_done=None,
+    ) -> list[int]:
+        """Run unit-at-a-time with manifest checkpoints; returns the list
+        of units executed this run (skipped ones excluded)."""
+        done = self.completed_units(name)
+        ran = []
+        for unit in range(n_units):
+            if unit in done:
+                continue
+            out = df_for_unit(unit)
+            unit_path = os.path.join(self.path(name), f"unit={unit}")
+            out.write.mode("overwrite").parquet(unit_path)
+            rows = out.sparkSession.read.parquet(unit_path).count()
+            self.mark_done(name, unit, rows)
+            if on_unit_done:
+                on_unit_done(unit, rows)
+            ran.append(unit)
+        return ran
+
+    def read_units(self, spark: SparkSession, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path(name), "unit=*"))
+
+
+def unit_of(url_col, n_units: int):
+    """Deterministic work-unit assignment: stable hash bucket of url.
+    ``pmod(xxhash64(url))`` — uniform, reproducible across runs/restarts."""
+    return F.pmod(F.xxhash64(url_col), F.lit(n_units)).cast("int")

@@ -1,0 +1,80 @@
+"""S1 extraction: byte-identical gate + determinism/idempotence
+(SURVEY §5.2 item 1)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from dbpedia_spotlight_spark.functions.extraction import strip_html
+
+
+def test_basic_strip():
+    html = b"<html><body><p>Hello &amp; goodbye</p><p>Second  line</p></body></html>"
+    assert strip_html(html) == "Hello & goodbye\nSecond line"
+
+
+def test_script_style_dropped():
+    html = "<p>keep</p><script>var x = '<p>no</p>';</script><style>p{}</style><p>tail</p>"
+    assert strip_html(html) == "keep\ntail"
+
+
+def test_nested_skip_tags():
+    html = "<p>a</p><script>x<script>y</script>z</script><p>b</p>"
+    out = strip_html(html)
+    assert "a" in out and "b" in out and "x" not in out
+
+
+def test_inline_tags_preserve_spacing():
+    html = "<p>one <b>two</b> <i>three</i> four</p>"
+    assert strip_html(html) == "one two three four"
+
+
+def test_entities_unescaped():
+    assert strip_html("<p>a &lt; b &amp;&amp; c &gt; d</p>") == "a < b && c > d"
+
+
+def test_malformed_total():
+    assert isinstance(strip_html("<p>open<div <<< &bogus; <b"), str)
+    assert strip_html(b"\xff\xfe<p>x</p>")  # undecodable bytes degrade, not crash
+
+
+def test_bytes_and_str_agree():
+    h = "<p>héllo wörld</p>"
+    assert strip_html(h) == strip_html(h.encode("utf-8"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=500))
+def test_idempotent_when_no_markup_remains(s):
+    # True idempotence only holds when the first pass left no '<' (a
+    # stripped page can legitimately contain literal '<' from &lt;).
+    once = strip_html(s)
+    if "<" not in once and "&" not in once:
+        assert strip_html(once) == once
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_characters="<>&\x00"), max_size=300))
+def test_escaped_roundtrip(s):
+    """escape → wrap → strip reproduces the whitespace-normalized text."""
+    esc = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    out = strip_html(f"<p>{esc}</p>")
+    norm = "\n".join(
+        line for line in (" ".join(l.split()) for l in s.split("\n")) if line
+    )
+    assert out == norm
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_characters="<>&"), max_size=300))
+def test_deterministic(s):
+    html = f"<p>{s}</p>"
+    assert strip_html(html) == strip_html(html)
+
+
+def test_corpus_column_is_byte_identical(corpus):
+    """The generated corpus' text column equals strip_html(html) exactly —
+    the per-row invariant from BASELINE.json input_hint."""
+    web_pages, _ = corpus
+    for _, row in web_pages.iterrows():
+        assert strip_html(row["html"]) == row["text"]
