@@ -30,8 +30,8 @@ two paths agree row-for-row.
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+import bisect
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -99,10 +99,23 @@ def _get_model(bc) -> SpotlightModel:
     return m
 
 
+def _bag(counts: dict[int, int]) -> tuple[np.ndarray, np.ndarray]:
+    if counts:
+        q_tokens = np.fromiter(sorted(counts), dtype=np.int64)
+        q_counts = np.array([counts[t] for t in q_tokens], dtype=np.float64)
+        return q_tokens, q_counts
+    return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+
 def _doc_spots(model: SpotlightModel, text: str):
     """Tokenize (T1/T5) + FSA spot (P1) + gate (P2) + overlap resolve (P4)
-    + context bag (D1 step 1). Returns (spots, q_tokens, q_counts) where
-    spots = [(begin, end, sf_id)] in char coords."""
+    + per-paragraph context bags (D1 step 1 — the reference's two-step
+    disambiguator builds ONE context query per *paragraph*,
+    db/DBTwoStepDisambiguator.scala [U]; paragraphs are the '\\n'-separated
+    lines of the extracted text).
+
+    Returns (spots, bags): spots = [(begin, end, sf_id, para_idx)] in char
+    coords of ``text``; bags[para_idx] = (q_tokens sorted, q_counts)."""
     toks = tokenize(text)
     ids = [model.token_index.get(t, -1) for (_, _, t) in toks]
     matches = model.automaton.find_all(ids)
@@ -110,29 +123,40 @@ def _doc_spots(model: SpotlightModel, text: str):
     # legitimate overlapping spots (DBSpotter threshold gating [U])
     gated = [m for m in matches if model.sf_ann_prob[m[2]] >= model.spot_threshold]
     kept = resolve_overlaps(gated)
-    spots = [(toks[s][0], toks[e - 1][1], sf_id) for (s, e, sf_id) in kept]
 
-    # context query: doc bag-of-words minus stopwords (two-step step 1)
-    stop_ids = model.stop_ids if hasattr(model, "stop_ids") else None
-    counts: dict[int, int] = {}
-    for (_, _, t), tid in zip(toks, ids):
+    # paragraph boundaries: char offset of each '\n' in the text
+    bounds: list[int] = []
+    pos = text.find("\n")
+    while pos != -1:
+        bounds.append(pos)
+        pos = text.find("\n", pos + 1)
+
+    def para_of(char_begin: int) -> int:
+        return bisect.bisect_right(bounds, char_begin)
+
+    spots = [
+        (toks[s][0], toks[e - 1][1], sf_id, para_of(toks[s][0]))
+        for (s, e, sf_id) in kept
+    ]
+
+    # per-paragraph bag-of-words minus stopwords (two-step step 1)
+    n_paras = len(bounds) + 1
+    counts: list[dict[int, int]] = [dict() for _ in range(n_paras)]
+    for (b, _, t), tid in zip(toks, ids):
         if tid >= 0 and t not in model.stopwords:
-            counts[tid] = counts.get(tid, 0) + 1
-    if counts:
-        q_tokens = np.fromiter(sorted(counts), dtype=np.int64)
-        q_counts = np.array([counts[t] for t in q_tokens], dtype=np.float64)
-    else:
-        q_tokens = np.zeros(0, dtype=np.int64)
-        q_counts = np.zeros(0, dtype=np.float64)
-    return spots, q_tokens, q_counts
+            c = counts[para_of(b)]
+            c[tid] = c.get(tid, 0) + 1
+    bags = [_bag(c) for c in counts]
+    return spots, bags
 
 
-def _score_doc(model: SpotlightModel, cfg: PipelineConfig, spots,
-               q_tokens, q_counts):
-    """Disambiguate all spots of one document (D1–D7). Yields rows
+def _score_doc(model: SpotlightModel, cfg: PipelineConfig, spots, bags):
+    """Disambiguate all spots of one document (D1–D7), each against its
+    paragraph's context bag. Yields rows
     (begin, end, sf_id, entity_id, rank, similarity, pct_second)."""
     out = []
-    for (begin, end, sf_id) in spots:
+    for (begin, end, sf_id, para_idx) in spots:
+        q_tokens, q_counts = bags[para_idx]
         lo, hi = model.cand_indptr[sf_id], model.cand_indptr[sf_id + 1]
         if hi <= lo:
             continue  # NIL: sf with no candidates (C3) — dropped
@@ -189,9 +213,9 @@ def _annotate_pdf(model: SpotlightModel, cfg: PipelineConfig,
     urls = pdf["url"].tolist()
     for i, url in enumerate(urls):
         text = strip_html(htmls[i]) if htmls is not None else texts[i]
-        spots, q_tokens, q_counts = _doc_spots(model, text)
+        spots, bags = _doc_spots(model, text)
         for (begin, end, sf_id, eid, rank, sim, pct2) in _score_doc(
-            model, cfg, spots, q_tokens, q_counts
+            model, cfg, spots, bags
         ):
             if apply_filters and not _passes_filters(model, cfg, eid, sim, pct2):
                 continue
@@ -261,8 +285,8 @@ def spot(spark: SparkSession, web_pages: DataFrame, model_bc,
             for i in range(len(pdf)):
                 url = pdf["url"].iat[i]
                 text = strip_html(pdf["html"].iat[i]) if has_html else pdf["text"].iat[i]
-                spots, _, _ = _doc_spots(model, text)
-                for (b, e, sf_id) in spots:
+                spots, _ = _doc_spots(model, text)
+                for (b, e, sf_id, _p) in spots:
                     rows.append((url, b, e, model.sf_names[sf_id], int(sf_id),
                                  float(model.sf_ann_prob[sf_id])))
             yield pd.DataFrame(rows, columns=[f.name for f in SPOT_SCHEMA.fields])
