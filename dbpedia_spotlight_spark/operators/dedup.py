@@ -1,0 +1,248 @@
+"""Deduplication operators for web-scale corpora.
+
+Scale design (100 TB, 10^12 docs):
+
+- exact: one shuffle on a 128-bit content hash; map-side partial agg
+  makes the shuffle ≈ |unique| not |rows|.
+- MinHash+LSH: signatures are computed scan-side (native expressions, no
+  Python); banding turns near-dup search from O(n²) into a self-join on
+  (band, band_hash) whose bucket sizes are bounded; skewed buckets (boiler-
+  plate pages) can be salted or capped with a bucket-size filter.
+- SimHash: 16/32-bit signature via per-token hash bit voting — one explode
+  + one groupBy; near-dups = signatures at small Hamming distance.
+- n-gram Jaccard: exact verify step for LSH candidates (or small corpora).
+- embedding cosine: brute pairs for verify; hyperplane-LSH for scale.
+
+Every hash is derived from md5 so the DuckDB oracle can reproduce results
+exactly (no Spark-private hash functions in result-bearing columns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# deterministic affine hash family over a Mersenne prime — coefficients are
+# fixed odd constants so Spark and the DuckDB oracle agree exactly
+MERSENNE61 = (1 << 61) - 1
+
+
+def hash_family(n: int) -> list[tuple[int, int]]:
+    rnd = []
+    a, b = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    for i in range(n):
+        a = (a * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = (b * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        rnd.append((a | 1, b))
+    return rnd
+
+
+def md5_long(col) -> F.Column:
+    """First 60 bits of md5 as a non-negative bigint — reproducible in
+    DuckDB as ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _tokens(text_col) -> F.Column:
+    return F.split(F.lower(text_col), " ")
+
+
+def shingles(text_col, k: int = 3) -> F.Column:
+    """Word k-shingles as an array<string> — native expressions only
+    (transform over sequence), no UDF in the scan."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: content-hash groupBy. Returns one row per duplicate
+    *group* (n_docs >= 2) with the keeper (min id) — the standard
+    keep-first policy."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 16, k: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash signature per doc: sig[j] = min over shingles s of
+    (a_j * H(s) + b_j) mod M61, H = md5-prefix bigint.
+
+    Computed entirely with native expressions (explode-free: aggregate over
+    the shingle array), so the scan stays in whole-stage codegen."""
+    fam = hash_family(n_hashes)
+    sh = shingles(F.col(text_col), k)
+    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(20,0)"))
+    sig = F.array(*[
+        F.array_min(F.transform(
+            h, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE61)
+        )).cast("long").alias(f"h{j}")
+        for j, (a, b) in enumerate(fam)
+    ])
+    return docs.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_bands(signatures: DataFrame, bands: int = 4,
+              id_col: str = "doc_id") -> DataFrame:
+    """Split each signature into `bands` equal bands; band key = md5 of the
+    joined band values. Docs sharing any (band, band_hash) are candidates."""
+    n = bands
+    return (
+        signatures.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda b: F.md5(F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * (F.size("signature") / n).cast("int") + 1,
+                                (F.size("signature") / n).cast("int"),
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    )),
+                )
+            ).alias("band", "band_hash"),
+        )
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, n_hashes: int = 16,
+                            bands: int = 4, k: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """LSH candidate pairs (a < b) — self-join on band buckets. At scale,
+    cap pathological buckets (boilerplate) before the join."""
+    b = lsh_bands(minhash_signatures(docs, n_hashes, k, id_col, text_col),
+                  bands, id_col)
+    l = b.select(F.col(id_col).alias("a"), "band", "band_hash")
+    r = b.select(F.col(id_col).alias("b"), "band", "band_hash")
+    return (
+        l.join(r, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        candidates: DataFrame | None = None) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs. With `candidates`
+    (e.g. from MinHash-LSH) verifies only those; without, evaluates all
+    pairs sharing >=1 shingle (explode + self-join — test scale only).
+
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over *distinct* shingle sets."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("x").join(sh.alias("y"), "s")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("a", "b", "jaccard")
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """SimHash signature: per-token md5 bits vote ±1 per position; the
+    sign vector packs into an int. One explode + one groupBy (map-side
+    combinable); near-dup = small Hamming distance between signatures."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", md5_long(F.col("tok")))
+    votes = tok.groupBy(id_col).agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                   ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ])
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance. Scale path: block on
+    signature halves (a pair within distance d must agree exactly on at
+    least one of d+1 blocks) — here 2 blocks for d<=1 per block count."""
+    s = simhash(docs, bits, id_col, text_col)
+    half = bits // 2
+    blocked = s.select(
+        F.col(id_col).alias("id"), "simhash",
+        (F.col("simhash") % (1 << half)).alias("lo"),
+        (F.shiftright("simhash", half)).alias("hi"),
+    )
+    cand = (
+        blocked.alias("x").join(blocked.alias("y"),
+                                F.col("x.lo") == F.col("y.lo"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"))
+        .union(
+            blocked.alias("x").join(blocked.alias("y"),
+                                    F.col("x.hi") == F.col("y.hi"))
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                    F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"))
+        ).distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("a", "b", "hamming")
+
+
+def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicates (a < b, cosine >= threshold).
+
+    Brute pair form — the verify step. For the scale path use
+    ``similarity.hyperplane_lsh_pairs`` to generate candidates first."""
+    dot = F.aggregate(
+        F.zip_with(F.col("x.v"), F.col("y.v"), lambda p, q: p * q),
+        F.lit(0.0), lambda acc, z: acc + z,
+    )
+    norm = lambda side: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(F.col(f"{side}.v"), lambda p: p * p),
+        F.lit(0.0), lambda acc, z: acc + z,
+    ))
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return (
+        e.alias("x").crossJoin(e.alias("y"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            (dot / (norm("x") * norm("y"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  Queries are a small set → broadcast; one pass over the corpus side, then
+  a per-query window top-k. At 10^12 rows this is a scan + tiny shuffle
+  (k rows per query per partition after partial top-k via AQE).
+- ``hyperplane_lsh_topk``: the scale path — sign-bit bucketing on D fixed
+  pseudo-random hyperplanes; candidates share a bucket (multi-probe via
+  Hamming-adjacent buckets optional). Recall measured against brute force
+  in tests.
+
+Vector math is native Spark (zip_with/aggregate) — JVM codegen, no Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, z: acc + z)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, z: acc + z))
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine for each query id (excluding self-match).
+    Output: (query_id, vec_id, cosine, rank)."""
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", id_col,
+            (_dot(F.col("qv"), F.col("v"))
+             / (_norm(F.col("qv")) * _norm(F.col("v")))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure function of
+    (dim, n_planes) — no RNG state, reproducible everywhere)."""
+    planes = []
+    x = 0x243F6A8885A308D3
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            row.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        n = math.sqrt(sum(v * v for v in row)) or 1.0
+        planes.append([v / n for v in row])
+    return planes
+
+
+def lsh_bucket(embeddings: DataFrame, n_planes: int = 8,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Sign-bit bucket id per vector: bit p = [v · h_p >= 0]."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes)
+    v = F.col(vec_col).cast("array<double>")
+    bucket = None
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, z: acc + z,
+        )
+        bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return embeddings.select(F.col(id_col), F.col(vec_col),
+                             bucket.cast("int").alias("bucket"))
+
+
+def hyperplane_lsh_topk(embeddings: DataFrame, query_ids: list[int],
+                        k: int = 5, n_planes: int = 6,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: score only candidates in the query's bucket (plus
+    Hamming-1 probes to lift recall). Same output shape as cosine_topk."""
+    b = lsh_bucket(embeddings, n_planes, id_col, vec_col)
+    q = b.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # multi-probe: query bucket + all Hamming-1 neighbors
+    probes = F.array(
+        F.col("qbucket"),
+        *[F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+    )
+    q = q.withColumn("probe", F.explode(probes)).drop("qbucket")
+    cand = b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe")) & (F.col(id_col) != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id", id_col,
+        (_dot(F.col("qv").cast("array<double>"), F.col(vec_col).cast("array<double>"))
+         / (_norm(F.col("qv").cast("array<double>"))
+            * _norm(F.col(vec_col).cast("array<double>")))).alias("cosine"),
+    ).dropDuplicates(["query_id", id_col])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )

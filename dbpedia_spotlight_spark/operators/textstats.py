@@ -1,0 +1,138 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All result-bearing logic is native Spark SQL expressions (codegen'd,
+oracle-reproducible in DuckDB); the only UDF is the winnowing
+fingerprint (rolling hash), which is order-dependent imperative logic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es": ("el", "la", "los", "que", "de", "es", "una", "por", "con", "para"),
+}
+
+
+def _tokens(text_col) -> F.Column:
+    return F.split(F.lower(text_col), " ")
+
+
+def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit-ratio per language profile + argmax language guess.
+    score_L = |tokens ∩ profile_L| / |tokens|."""
+    toks = _tokens(F.col(text_col))
+    n = F.greatest(F.size(toks), F.lit(1))
+    cols = []
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.filter(
+            toks, lambda t: t.isin(*[F.lit(w) for w in words])
+        ))
+        cols.append((hits / n).alias(f"score_{lang}"))
+    out = docs.select("doc_id", *cols)
+    # argmax with deterministic tie-break on language name order
+    best = None
+    for lang in sorted(LANG_PROFILES):
+        c = F.col(f"score_{lang}")
+        if best is None:
+            best = F.struct(c.alias("s"), F.lit(lang).alias("l"))
+        else:
+            best = F.when(c > best["s"], F.struct(c.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+    return out.withColumn("lang_guess", best["l"])
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+    n_chars, n_tokens, mean token length, stopword ratio, digit ratio,
+    uppercase ratio. Composite = weighted bounded sum (documented spec,
+    not a learned model)."""
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.length(text)
+    stop_hits = F.size(F.filter(
+        toks, lambda t: t.isin(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    ))
+    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    uppers = F.length(F.regexp_replace(text, "[^A-Z]", ""))
+    mean_tok_len = (n_chars - (n_tok - 1)) / n_tok  # spaces removed
+    stop_ratio = stop_hits / n_tok
+    digit_ratio = digits / F.greatest(n_chars, F.lit(1))
+    upper_ratio = uppers / F.greatest(n_chars, F.lit(1))
+    quality = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.3
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+        + (F.lit(1.0) - F.least(upper_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        upper_ratio.alias("upper_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (word pieces = letter runs, digit runs, or single punctuation)."""
+    text = F.col(text_col)
+    ws = F.size(F.split(text, " "))
+    bpe = F.size(F.regexp_extract_all(
+        F.lower(text), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+    ))
+    return docs.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
+
+
+def content_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text — the cheap dedup key (oracle-reproducible)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    return docs.select("doc_id", F.md5(F.trim(norm)).alias("fingerprint"))
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 5, window: int = 4,
+                           text_col: str = "text") -> DataFrame:
+    """Winnowing (Schleimer et al.): rolling Karp-Rabin hash over k-grams,
+    keep the min hash of each window → robust partial-overlap fingerprint
+    set. Imperative/per-position → Arrow-batched pandas UDF."""
+    B, M = 131, (1 << 61) - 1
+
+    def fp(text: str) -> list[int]:
+        s = " ".join(text.lower().split())
+        if len(s) < k:
+            return []
+        hashes = []
+        h = 0
+        power = pow(B, k - 1, M)
+        for i, ch in enumerate(s):
+            h = (h * B + ord(ch)) % M
+            if i >= k:
+                h = (h - ord(s[i - k]) * power * B) % M
+            if i >= k - 1:
+                hashes.append(h)
+        out = []
+        prev = -1
+        for w in range(len(hashes) - window + 1):
+            m = min(range(w, w + window), key=lambda j: (hashes[j], j))
+            if m != prev:
+                out.append(hashes[m])
+                prev = m
+        return out if out else ([min(hashes)] if hashes else [])
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(fp)
+
+    return docs.select("doc_id", fp_udf(F.col(text_col)).alias("fingerprints"))

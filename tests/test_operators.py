@@ -1,0 +1,244 @@
+"""Training-data operators: dedup, similarity search, text stats,
+multimodal plumbing — exercised on /root/testdata/sf0.001 tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup --
+
+def test_exact_duplicates_finds_planted(spark, documents):
+    from dbpedia_spotlight_spark.operators.dedup import exact_duplicates
+
+    dup = documents.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    with_dups = documents.unionByName(dup)
+    out = exact_duplicates(with_dups)
+    assert out.count() == 5
+    assert out.agg(F.min("keeper_id")).first()[0] < 100000
+
+
+def test_minhash_identical_docs_same_signature(spark, documents):
+    from dbpedia_spotlight_spark.operators.dedup import minhash_signatures
+
+    d = documents.limit(3)
+    clone = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    sigs = minhash_signatures(d.unionByName(clone)).toPandas()
+    sigs["key"] = sigs["doc_id"] % 100000
+    for _, grp in sigs.groupby("key"):
+        assert len({tuple(s) for s in grp["signature"]}) == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, documents):
+    from dbpedia_spotlight_spark.operators.dedup import minhash_candidate_pairs
+
+    # near-dup: copy docs and perturb ONE word
+    base = documents.limit(10).toPandas()
+    pert = base.copy()
+    pert["doc_id"] += 100000
+    pert["text"] = pert["text"].str.replace(" ", " ", n=1).str.slice(0, 10**6)
+    pert["text"] = [t.rsplit(" ", 1)[0] + " perturbed" for t in pert["text"]]
+    both = spark.createDataFrame(pd.concat([base, pert]))
+    pairs = minhash_candidate_pairs(both, n_hashes=16, bands=8).toPandas()
+    found = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    hits = sum((i, i + 100000) in found for i in base["doc_id"])
+    assert hits >= 8  # banding is probabilistic; 8/10 at 1-word edits is safe
+
+
+def test_ngram_jaccard_exact_on_clones(spark, documents):
+    from dbpedia_spotlight_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = documents.limit(5)
+    clone = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = ngram_jaccard_pairs(d.unionByName(clone), threshold=0.999).toPandas()
+    exact = {(a, b) for a, b in zip(out["a"], out["b"])}
+    for i in range(5):
+        assert (i, i + 100000) in exact
+    assert (out["jaccard"] > 0.999).all()
+
+
+def test_simhash_clone_zero_hamming(spark, documents):
+    from dbpedia_spotlight_spark.operators.dedup import simhash_near_pairs
+
+    d = documents.limit(6)
+    clone = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = simhash_near_pairs(d.unionByName(clone), max_hamming=0).toPandas()
+    found = {(a, b) for a, b in zip(out["a"], out["b"])}
+    for i in range(6):
+        assert (i, i + 100000) in found
+
+
+def test_embedding_near_dup_self_clones(spark, embeddings):
+    from dbpedia_spotlight_spark.operators.dedup import embedding_near_dup
+
+    e = embeddings.limit(20)
+    clone = e.withColumn("vec_id", F.col("vec_id") + 100000)
+    out = embedding_near_dup(e.unionByName(clone), threshold=0.9999).toPandas()
+    found = {(a, b) for a, b in zip(out["a"], out["b"])}
+    for i in range(20):
+        assert (i, i + 100000) in found
+
+
+# ----------------------------------------------------------- similarity --
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    from dbpedia_spotlight_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(embeddings, query_ids=[0, 1], k=5).toPandas()
+    pdf = embeddings.toPandas()
+    vecs = np.stack(pdf["embedding"].map(np.asarray))
+    ids = pdf["vec_id"].to_numpy()
+    for q in (0, 1):
+        qv = vecs[ids == q][0]
+        sims = vecs @ qv / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(qv))
+        order = [i for i in np.argsort(-sims, kind="stable") if ids[i] != q][:5]
+        want = [int(ids[i]) for i in order]
+        got = out[out["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+        # ties broken differently are fine; compare cosine values instead
+        got_cos = out[out["query_id"] == q].sort_values("rank")["cosine"].to_numpy()
+        want_cos = np.sort(sims[[i for i in order]])[::-1]
+        assert np.allclose(got_cos, want_cos, atol=1e-9)
+        assert got[0] == want[0]
+
+
+def test_lsh_topk_recall_on_near_neighbors(spark, embeddings):
+    """LSH must retrieve *genuinely near* vectors (its job is near-dup
+    retrieval; on uniform random data no LSH has recall — the testdata
+    embeddings are unclustered, so we plant near neighbors)."""
+    from dbpedia_spotlight_spark.operators.similarity import hyperplane_lsh_topk
+
+    rng = np.random.default_rng(0)
+    pdf = embeddings.limit(200).toPandas()
+    base = np.stack(pdf["embedding"].map(np.asarray))
+    qids = [0, 5, 9]
+    planted = []
+    for j, q in enumerate(qids):
+        v = base[pdf["vec_id"] == q][0]
+        noisy = v + rng.normal(0, 0.02 * np.abs(v).mean(), size=v.shape)
+        planted.append((100000 + j, noisy.astype(np.float32).tolist(), 0))
+    both = spark.createDataFrame(
+        pd.concat([pdf, pd.DataFrame(planted, columns=["vec_id", "embedding", "label"])])
+    )
+    approx = hyperplane_lsh_topk(both, qids, k=3, n_planes=6).toPandas()
+    for j, q in enumerate(qids):
+        got = approx[approx["query_id"] == q].sort_values("rank")
+        assert got["vec_id"].iat[0] == 100000 + j, got
+        assert got["cosine"].iat[0] > 0.99
+
+
+def test_lsh_topk_subset_of_scored_is_ranked(spark, embeddings):
+    from dbpedia_spotlight_spark.operators.similarity import hyperplane_lsh_topk
+
+    out = hyperplane_lsh_topk(embeddings, [0, 1], k=5, n_planes=4).toPandas()
+    for q in (0, 1):
+        g = out[out["query_id"] == q].sort_values("rank")
+        assert (g["cosine"].diff().dropna() <= 1e-12).all()  # descending
+        assert len(g) <= 5 and q not in set(g["vec_id"])
+
+
+# ------------------------------------------------------------ textstats --
+
+def test_lang_scores_shape(spark, documents):
+    from dbpedia_spotlight_spark.operators.textstats import lang_scores
+
+    out = lang_scores(documents.limit(50))
+    assert {"doc_id", "score_en", "score_de", "score_fr", "score_es",
+            "lang_guess"} <= set(out.columns)
+    pdf = out.toPandas()
+    assert ((pdf[[c for c in pdf.columns if c.startswith("score_")]] >= 0).all().all())
+
+
+def test_quality_scores_bounded(spark, documents):
+    from dbpedia_spotlight_spark.operators.textstats import quality_scores
+
+    pdf = quality_scores(documents).toPandas()
+    assert ((pdf["quality"] >= 0) & (pdf["quality"] <= 1)).all()
+    assert (pdf["n_tokens"] > 0).all()
+
+
+def test_token_counts_consistency(spark, documents):
+    from dbpedia_spotlight_spark.operators.textstats import token_counts
+
+    pdf = token_counts(documents.limit(20)).toPandas()
+    texts = documents.limit(20).toPandas()["text"]
+    for i, t in enumerate(texts):
+        assert pdf["ws_tokens"].iat[i] == len(t.split(" "))
+
+
+def test_winnowing_overlap_detection(spark):
+    from dbpedia_spotlight_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [shared + " tail one here", "prefix text " + shared,
+                 "completely different words about spark engines"],
+    }))
+    out = {r.doc_id: set(r.fingerprints)
+           for r in winnowing_fingerprints(docs).collect()}
+    overlap_12 = len(out[1] & out[2]) / max(len(out[1] | out[2]), 1)
+    overlap_13 = len(out[1] & out[3]) / max(len(out[1] | out[3]), 1)
+    assert overlap_12 > 0.3 > overlap_13
+
+
+def test_content_fingerprint_normalizes_ws(spark):
+    from dbpedia_spotlight_spark.operators.textstats import content_fingerprint
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["Hello   World", "hello world"],
+    }))
+    fp = content_fingerprint(docs).toPandas()
+    assert fp["fingerprint"].iat[0] == fp["fingerprint"].iat[1]
+
+
+# ----------------------------------------------------------- multimodal --
+
+def test_image_features_deterministic(spark):
+    from dbpedia_spotlight_spark.operators.multimodal import (
+        image_features, make_fake_media,
+    )
+
+    media = make_fake_media(spark, n=30)
+    f1 = image_features(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    f2 = image_features(media).toPandas().sort_values("media_id").reset_index(drop=True)
+    assert f1.drop(columns=["embedding"]).equals(f2.drop(columns=["embedding"]))
+    assert (f1["n_bytes"] > 0).all()
+    assert len(f1["embedding"].iat[0]) == 8
+    assert f1["byte_entropy"].between(0, 8).all()
+
+
+def test_real_decode_raises(spark):
+    from dbpedia_spotlight_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01")
+
+
+def test_sample_frames_grid(spark):
+    from dbpedia_spotlight_spark.operators.multimodal import (
+        make_fake_media, sample_frames,
+    )
+
+    media = make_fake_media(spark, n=30)
+    out = sample_frames(media, every_ms=1000).toPandas()
+    assert set(out.columns) == {"media_id", "frame_idx", "offset_ms"}
+    assert (out["offset_ms"] == out["frame_idx"] * 1000).all()
+    # 5000ms videos at 1000ms → 5 frames each
+    per = out.groupby("media_id").size()
+    assert (per == 5).all()
