@@ -1,0 +1,873 @@
+"""Driver-contract query registry: Spark callables + DuckDB oracle SQL.
+
+Every SQL-expressible operator from SURVEY.md §2 is registered here as a
+(spark_query, oracle_sql) pair over the driver's parquet tables
+(``documents``, ``embeddings``, ``events``, TPC-H). The Spark side runs
+the engine's real operators; the oracle side is independent ANSI SQL that
+DuckDB evaluates on the same data — they can only agree if the operator
+semantics are right.
+
+Genuinely non-SQL ops (FSA spotting, generative disambiguation, winnowing,
+MinHash banding, multimodal decode) are registered without an oracle —
+the driver records a rows-only check and pytest covers their semantics
+against python oracles instead.
+
+Column-name parity rule: every computed column is aliased identically in
+the Spark code and the SQL (driver hashes after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from dbpedia_spotlight_spark import lexicon_static as LEX
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _cand_df(spark: SparkSession) -> DataFrame:
+    """Unigram candidate table (sf, uri, prior, pair_count, support) from
+    the static lexicon — the broadcast dimension of the relational path."""
+    return spark.createDataFrame(
+        LEX.unigram_prior_rows(),
+        schema="sf string, uri string, prior double, pair_count int, support int",
+    )
+
+
+def _token_offsets(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok, begin, end) — posexplode + prefix-sum window.
+
+    Char offsets are the triple-subject coordinate system (SURVEY §2.8);
+    begin = Σ (len+1) of preceding tokens (single-space-joined corpus)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return toks.withColumn(
+        "begin", F.coalesce(F.sum(F.length("tok") + 1).over(w), F.lit(0)).cast("int")
+    ).withColumn("end", (F.col("begin") + F.length("tok")).cast("int"))
+
+
+# DuckDB mirror of _token_offsets, as a reusable CTE body
+_SQL_TOKS = """
+  toks AS (
+    SELECT d.doc_id, u.pos - 1 AS pos, u.tok
+    FROM documents d, LATERAL (
+      SELECT UNNEST(string_split(d.text, ' ')) AS tok,
+             generate_subscripts(string_split(d.text, ' '), 1) AS pos
+    ) u
+  ),
+  offs AS (
+    SELECT doc_id, pos, tok,
+           CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+             AS "begin",
+           CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + length(tok) AS INTEGER) AS "end"
+    FROM toks
+  ),
+  cand AS (
+    SELECT * FROM (VALUES
+      {priors}
+    ) AS t(sf, uri, prior, pair_count, support)
+  )
+"""
+
+
+def _sql_toks() -> str:
+    return _SQL_TOKS.format(priors=LEX.sql_values_priors())
+
+
+def _spots(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """P1/P2 relational slice (unigram): token ⋈ broadcast(sf lexicon)."""
+    sfs = cand.select("sf").distinct()
+    return (
+        _token_offsets(docs)
+        .join(F.broadcast(sfs), F.col("tok") == F.col("sf"))
+        .select("doc_id", "begin", "end", F.col("sf").alias("surface_form"))
+    )
+
+
+_SQL_SPOTS = """
+  spots AS (
+    SELECT o.doc_id, o."begin", o."end", c.sf AS surface_form
+    FROM offs o JOIN (SELECT DISTINCT sf FROM cand) c ON o.tok = c.sf
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spotlight pipeline — relational (SQL-checkable) slice
+# ---------------------------------------------------------------------------
+
+
+def q_spot_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/T1: unigram spotting with char offsets (SURVEY §2.3)."""
+    return _spots(_docs(spark, sf_dir), _cand_df(spark))
+
+
+def sql_spot_unigram() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS +
+        ' SELECT doc_id, "begin", "end", surface_form FROM spots'
+    )
+
+
+def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spots ⋈ broadcast(candidates) + per-mention prior ranking — the
+    C1 broadcast join + D6 window + D8 prior disambiguation."""
+    cand = _cand_df(spark)
+    spots = _spots(_docs(spark, sf_dir), cand)
+    w = Window.partitionBy("doc_id", "begin").orderBy(
+        F.desc("prior"), F.asc("uri")
+    )
+    return (
+        spots.join(F.broadcast(cand), spots.surface_form == cand.sf)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+_SQL_RANKED = """
+  ranked AS (
+    SELECT s.doc_id, s."begin", s."end", s.surface_form,
+           c.uri, c.prior, c.support,
+           CAST(row_number() OVER (PARTITION BY s.doc_id, s."begin"
+                              ORDER BY c.prior DESC, c.uri ASC) AS INTEGER)
+             AS rank
+    FROM spots s JOIN cand c ON s.surface_form = c.sf
+  )
+"""
+
+
+def q_annotate_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 baseline disambiguator: per-mention argmax by prior
+    (db/DBBaselineDisambiguator.scala [U])."""
+    return (
+        _ranked(spark, sf_dir)
+        .filter(F.col("rank") == 1)
+        .select("doc_id", "begin", "end", "surface_form", "uri", "support")
+    )
+
+
+def sql_annotate_prior() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED +
+        ' SELECT doc_id, "begin", "end", surface_form, uri, support'
+        " FROM ranked WHERE rank = 1"
+    )
+
+
+def q_candidates_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/candidates endpoint, prior-ranked bestK=3 (SURVEY §3.2 D6)."""
+    return (
+        _ranked(spark, sf_dir)
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "begin", "end", "surface_form", "uri", "prior", "rank")
+    )
+
+
+def sql_candidates_topk() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED +
+        ' SELECT doc_id, "begin", "end", surface_form, uri, prior, rank'
+        " FROM ranked WHERE rank <= 3"
+    )
+
+
+def q_link_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E2 triple emission: subj = url#char=b,e; mention + link preds
+    (SURVEY §2.8). url is synthesized as source/doc_id."""
+    ann = q_annotate_prior(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    )
+    subj = F.concat_ws(
+        "", F.col("source"), F.lit("/"), F.col("doc_id"),
+        F.lit("#char="), F.col("begin"), F.lit(","), F.col("end"),
+    ).alias("subj")
+    links = ann.select(subj, F.lit("itsrdf:taIdentRef").alias("pred"),
+                       F.col("uri").alias("obj"))
+    mentions = ann.select(subj, F.lit("nif:anchorOf").alias("pred"),
+                          F.col("surface_form").alias("obj"))
+    return links.unionByName(mentions).dropDuplicates(["subj", "pred", "obj"])
+
+
+def sql_link_triples() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  ann AS (
+    SELECT r.*, d.source FROM ranked r
+    JOIN documents d ON r.doc_id = d.doc_id WHERE r.rank = 1
+  ),
+  trip AS (
+    SELECT source || '/' || CAST(doc_id AS VARCHAR) || '#char=' ||
+           CAST("begin" AS VARCHAR) || ',' || CAST("end" AS VARCHAR) AS subj,
+           'itsrdf:taIdentRef' AS pred, uri AS obj FROM ann
+    UNION ALL
+    SELECT source || '/' || CAST(doc_id AS VARCHAR) || '#char=' ||
+           CAST("begin" AS VARCHAR) || ',' || CAST("end" AS VARCHAR) AS subj,
+           'nif:anchorOf' AS pred, surface_form AS obj FROM ann
+  )
+  SELECT DISTINCT subj, pred, obj FROM trip"""
+    )
+
+
+# --- offline model-build aggregations (M1–M3, M6; SURVEY §2.13) ---
+
+
+def q_uri_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: c(e) over the emitted links (GROUP BY uri)."""
+    from dbpedia_spotlight_spark.plans.model_build import uri_counts
+    return uri_counts(q_annotate_prior(spark, sf_dir)).withColumnRenamed(
+        "count", "cnt"
+    )
+
+
+def sql_uri_counts() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED +
+        " SELECT uri, count(*) AS cnt FROM ranked WHERE rank = 1 GROUP BY uri"
+    )
+
+
+def q_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: c(s,e) (GROUP BY sf, uri)."""
+    from dbpedia_spotlight_spark.plans.model_build import pair_counts_from_links
+    links = q_annotate_prior(spark, sf_dir).withColumnRenamed(
+        "surface_form", "sf"
+    )
+    return pair_counts_from_links(links).withColumnRenamed("count", "cnt")
+
+
+def sql_pair_counts() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED +
+        " SELECT lower(surface_form) AS sf, uri, count(*) AS cnt"
+        " FROM ranked WHERE rank = 1 GROUP BY 1, 2"
+    )
+
+
+def q_sf_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 total side: raw-text occurrence count per surface form."""
+    return (
+        q_spot_unigram(spark, sf_dir)
+        .groupBy(F.col("surface_form").alias("sf"))
+        .agg(F.count("*").alias("total_count"))
+    )
+
+
+def sql_sf_totals() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS +
+        " SELECT surface_form AS sf, count(*) AS total_count"
+        " FROM spots GROUP BY 1"
+    )
+
+
+def q_quantized_uri_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: exponential count quantization (MemoryQuantizedCountStore [U])
+    applied to M1's output."""
+    from dbpedia_spotlight_spark.plans.model_build import quantize_counts
+    return quantize_counts(
+        q_uri_counts(spark, sf_dir), count_col="cnt"
+    ).select("uri", "cnt", F.col("count_q").cast("int").alias("count_q"))
+
+
+def sql_quantized_uri_counts() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  uc AS (SELECT uri, count(*) AS cnt FROM ranked WHERE rank = 1 GROUP BY uri)
+  SELECT uri, cnt,
+         CAST(CASE WHEN cnt <= 16 THEN cnt
+              ELSE 16 + round(ln(cnt / 16.0) / ln(1.1)) END AS INTEGER)
+           AS count_q
+  FROM uc"""
+    )
+
+
+def q_redirect_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: transitive redirect resolution incl. deterministic cycle-break
+    (WikipediaToDBpediaClosure [U]); golden-oracle over a fixed edge set
+    with a 3-hop chain, a mid-chain entry, and a 2-cycle."""
+    from dbpedia_spotlight_spark.plans.closure import redirect_closure
+    edges = spark.createDataFrame(
+        [
+            ("A", "B"), ("B", "C"), ("C", "D"), ("E", "C"),
+            ("Cycle_X", "Cycle_Y"), ("Cycle_Y", "Cycle_X"),
+        ],
+        schema="src_uri string, dst_uri string",
+    )
+    return redirect_closure(edges)
+
+
+def sql_redirect_closure() -> str:
+    # semantic expectation, stated independently of the implementation:
+    # chain members resolve to the sink; cycle members to the lexicographic
+    # min of the cycle.
+    return """
+  SELECT * FROM (VALUES
+    ('A', 'D'), ('B', 'D'), ('C', 'D'), ('E', 'D'),
+    ('Cycle_X', 'Cycle_X'), ('Cycle_Y', 'Cycle_X')
+  ) AS t(src_uri, final_uri)"""
+
+
+# ---------------------------------------------------------------------------
+# Spotlight pipeline — full fused path (rows-only; pytest covers semantics)
+# ---------------------------------------------------------------------------
+
+
+def _web_pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        F.concat_ws("/", "source", "doc_id").alias("url"), "text", "lang"
+    )
+
+
+_STATIC_BC = {}
+
+
+def _static_model_bc(spark: SparkSession):
+    key = id(spark)
+    if key not in _STATIC_BC:
+        _STATIC_BC.clear()
+        _STATIC_BC[key] = spark.sparkContext.broadcast(
+            LEX.compile_static_model()
+        )
+    return _STATIC_BC[key]
+
+
+def q_annotate_generative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full fused annotate (FSA spotting + generative
+    disambiguation + filters) as ONE mapInPandas pass (SURVEY §3.1)."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    return annotate(
+        spark, _web_pages_from_docs(spark, sf_dir), _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0, support=0),
+    )
+
+
+def q_spot_fsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 full FSA spotting (multi-token surface forms incl. 'hash join')."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, spot
+    return spot(spark, _web_pages_from_docs(spark, sf_dir),
+                _static_model_bc(spark), PipelineConfig())
+
+
+def q_candidates_generative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/candidates with generative scores, bestK=3 (rows-only check)."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, candidates
+    return candidates(spark, _web_pages_from_docs(spark, sf_dir),
+                      _static_model_bc(spark),
+                      PipelineConfig(disambiguator="generative", k=3))
+
+
+def q_model_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full offline model build M1–M5 over the corpus, using the emitted
+    prior links as training links; returns the surface_forms table."""
+    from dbpedia_spotlight_spark.plans.model_build import build_model_tables
+    corpus = _docs(spark, sf_dir).select(
+        F.concat_ws("/", "source", "doc_id").alias("url"), "text"
+    )
+    links = q_annotate_prior(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).select(
+        F.concat_ws("/", "source", "doc_id").alias("url"),
+        "begin", "end", F.col("surface_form").alias("sf"), "uri",
+    )
+    tables = build_model_tables(spark, corpus, links,
+                                stopwords=list(LEX.STOPWORDS))
+    return tables["surface_forms"]
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (dedup / similarity / text stats)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy; duplicates planted by
+    unioning doc_id<50 back in (testdata has no exact dups)."""
+    from dbpedia_spotlight_spark.operators.dedup import exact_duplicates
+    d = _docs(spark, sf_dir)
+    return exact_duplicates(d.unionByName(d.filter(F.col("doc_id") < 50)))
+
+
+def sql_dedup_exact() -> str:
+    return """
+  WITH all_docs AS (
+    SELECT * FROM documents
+    UNION ALL SELECT * FROM documents WHERE doc_id < 50
+  )
+  SELECT md5(text) AS text_hash, count(*) AS n_docs,
+         min(doc_id) AS keeper_id
+  FROM all_docs GROUP BY 1 HAVING count(*) >= 2"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbpedia_spotlight_spark.operators.textstats import content_fingerprint
+    return content_fingerprint(_docs(spark, sf_dir))
+
+
+def sql_fingerprint() -> str:
+    return ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+            " AS fingerprint FROM documents")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbpedia_spotlight_spark.operators.dedup import simhash
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+def sql_simhash() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(16)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+  WITH tok AS (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t
+    FROM documents
+  ),
+  hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+  ),
+  votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM hashed GROUP BY doc_id
+  )
+  SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.03 — the testdata
+    corpus shares shingles but has no true near-dups)."""
+    from dbpedia_spotlight_spark.operators.dedup import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.03)
+
+
+def sql_jaccard_pairs() -> str:
+    return """
+  WITH sh AS (
+    SELECT DISTINCT doc_id AS id, s FROM (
+      SELECT doc_id, UNNEST(
+        CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+          list_transform(range(0, len(string_split(lower(text), ' ')) - 2),
+            i -> array_to_string(list_slice(string_split(lower(text), ' '),
+                                            i + 1, i + 3), ' '))
+        ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END) AS s
+      FROM documents)
+  ),
+  sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+  inter AS (
+    SELECT x.id AS a, y.id AS b, count(*) AS i
+    FROM sh x JOIN sh y ON x.s = y.s AND x.id < y.id
+    GROUP BY 1, 2
+  )
+  SELECT a, b, i / (na.n + nb.n - i) AS jaccard
+  FROM inter JOIN sizes na ON inter.a = na.id
+             JOIN sizes nb ON inter.b = nb.id
+  WHERE i / (na.n + nb.n - i) >= 0.03"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (rows-only; pytest checks band
+    semantics and recall against exact Jaccard)."""
+    from dbpedia_spotlight_spark.operators.dedup import minhash_candidate_pairs
+    return minhash_candidate_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4)
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (imperative rolling hash — rows-only)."""
+    from dbpedia_spotlight_spark.operators.textstats import winnowing_fingerprints
+    return winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbpedia_spotlight_spark.operators.textstats import lang_scores
+    return lang_scores(_docs(spark, sf_dir))
+
+
+def sql_lang_id() -> str:
+    from dbpedia_spotlight_spark.operators.textstats import LANG_PROFILES
+    score_cols = []
+    for lang, words in LANG_PROFILES.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"t -> t IN ({inlist}))) "
+            f"/ greatest(len(string_split(lower(text), ' ')), 1) AS score_{lang}"
+        )
+    langs = sorted(LANG_PROFILES)
+    # argmax with '>' chain mirrors the Spark fold (ties → first in sorted order)
+    guess = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    expr_guess = guess
+    expr_best = best
+    for lang in langs[1:]:
+        expr_guess = (f"CASE WHEN score_{lang} > {expr_best} THEN '{lang}' "
+                      f"ELSE {expr_guess} END")
+        expr_best = f"greatest(score_{lang}, {expr_best})"
+    return f"""
+  WITH s AS (
+    SELECT doc_id, {', '.join(score_cols)} FROM documents
+  )
+  SELECT doc_id, score_de, score_en, score_es, score_fr,
+         {expr_guess} AS lang_guess
+  FROM s"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbpedia_spotlight_spark.operators.textstats import quality_scores
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def sql_quality() -> str:
+    from dbpedia_spotlight_spark.operators.textstats import LANG_PROFILES
+    stops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    return f"""
+  WITH b AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(lower(text), ' ')) AS n_tokens_raw,
+           greatest(len(string_split(lower(text), ' ')), 1) AS n_tok,
+           len(list_filter(string_split(lower(text), ' '),
+               t -> t IN ({stops}))) AS stop_hits,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) AS uppers
+    FROM documents
+  )
+  SELECT doc_id, CAST(n_chars AS INTEGER) AS n_chars,
+         CAST(n_tokens_raw AS INTEGER) AS n_tokens,
+         (n_chars - (n_tok - 1)) / n_tok AS mean_token_len,
+         stop_hits / n_tok AS stopword_ratio,
+         digits / greatest(n_chars, 1) AS digit_ratio,
+         uppers / greatest(n_chars, 1) AS upper_ratio,
+         least(n_tok / 100.0, 1.0) * 0.3
+           + least(stop_hits / n_tok * 5.0, 1.0) * 0.3
+           + (1.0 - least(digits / greatest(n_chars, 1) * 10.0, 1.0)) * 0.2
+           + (1.0 - least(uppers / greatest(n_chars, 1) * 10.0, 1.0)) * 0.2
+           AS quality
+  FROM b"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbpedia_spotlight_spark.operators.textstats import token_counts
+    return token_counts(_docs(spark, sf_dir))
+
+
+def sql_token_count() -> str:
+    return """
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+              AS INTEGER) AS bpe_tokens
+  FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for 5 query vectors; cosine rounded
+    to 9dp so cross-engine float noise can't flip ranks."""
+    from dbpedia_spotlight_spark.operators.similarity import _dot, _norm
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id").isin(_ANN_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "vec_id",
+        F.round(_dot(F.col("qv"), F.col("v"))
+                / (_norm(F.col("qv")) * _norm(F.col("v"))), 9).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def sql_ann_topk() -> str:
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    return f"""
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+  scored AS (
+    SELECT q.query_id, e.vec_id,
+           round(list_dot_product(q.qv, e.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(e.v, e.v))), 9) AS cosine
+    FROM e JOIN q ON e.vec_id <> q.query_id
+  )
+  SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= 10"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-10 (the scale path; rows-only — recall vs
+    brute force is asserted in pytest)."""
+    from dbpedia_spotlight_spark.operators.similarity import hyperplane_lsh_topk
+    return hyperplane_lsh_topk(_emb(spark, sf_dir), _ANN_QUERY_IDS,
+                               k=10, n_planes=6)
+
+
+def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.99)."""
+    from dbpedia_spotlight_spark.operators.dedup import embedding_near_dup
+    out = embedding_near_dup(_emb(spark, sf_dir), threshold=0.99)
+    return out.select("a", "b", F.round("cosine", 9).alias("cosine"))
+
+
+def sql_near_dup_embeddings() -> str:
+    return """
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 9) AS cosine
+  FROM e x JOIN e y ON x.vec_id < y.vec_id
+  WHERE list_dot_product(x.v, y.v)
+        / (sqrt(list_dot_product(x.v, x.v))
+           * sqrt(list_dot_product(y.v, y.v))) >= 0.99"""
+
+
+# ---------------------------------------------------------------------------
+# relational / agg plumbing over TPC-H-ish tables + events
+# ---------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary groupBy-agg (decimal-exact sums cast to double)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+             .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(14,2)"))
+             .cast("double").alias("sum_base_price"),
+            F.sum(F.col("l_discount").cast("decimal(12,6)"))
+             .cast("double").alias("sum_discount"),
+        )
+    )
+
+
+def sql_tpch_q1() -> str:
+    return """
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS count_order,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+           AS sum_base_price,
+         CAST(sum(CAST(l_discount AS DECIMAL(12,6))) AS DOUBLE)
+           AS sum_discount
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority 3-way join + agg (broadcast dims, decimal-exact)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(14,2)")
+                 * (F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(3,2)")))
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority", "revenue",
+        )
+    )
+
+
+def sql_tpch_q3() -> str:
+    return """
+  SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time hourly rollup (batch form of the streaming window agg)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+             .alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sql_events_hourly() -> str:
+    return """
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+  FROM events
+  GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (rows-only; deterministic synthetic media)
+# ---------------------------------------------------------------------------
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbpedia_spotlight_spark.operators.multimodal import (
+        image_features, make_fake_media,
+    )
+    return image_features(make_fake_media(spark), fake_decode=True)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbpedia_spotlight_spark.operators.multimodal import (
+        make_fake_media, sample_frames,
+    )
+    return sample_frames(make_fake_media(spark), every_ms=1000)
+
+
+def sql_frame_sample() -> str:
+    # golden expectation: media ids ≡ 2 (mod 3) are videos of 5000 ms →
+    # frames 0..4 at 1000 ms steps (deterministic make_fake_media grid)
+    rows = ", ".join(
+        f"({mid}, {fi}, {fi * 1000})"
+        for mid in range(2, 64, 3) for fi in range(5)
+    )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(frame_idx AS INTEGER) AS frame_idx,"
+        " CAST(offset_ms AS BIGINT) AS offset_ms"
+        f" FROM (VALUES {rows}) AS t(media_id, frame_idx, offset_ms)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        # Spotlight pipeline — relational slice (SQL-checked)
+        "spot_unigram": q_spot_unigram,
+        "annotate_prior": q_annotate_prior,
+        "candidates_topk": q_candidates_topk,
+        "link_triples": q_link_triples,
+        "uri_counts": q_uri_counts,
+        "pair_counts": q_pair_counts,
+        "sf_totals": q_sf_totals,
+        "quantized_uri_counts": q_quantized_uri_counts,
+        "redirect_closure": q_redirect_closure,
+        # full fused pipeline (rows-only)
+        "annotate_generative": q_annotate_generative,
+        "spot_fsa": q_spot_fsa,
+        "candidates_generative": q_candidates_generative,
+        "model_build": q_model_build,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "winnowing": q_winnowing,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_count": q_token_count,
+        # similarity search
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "near_dup_embeddings": q_near_dup_embeddings,
+        # relational/agg plumbing
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "events_hourly": q_events_hourly,
+        # multimodal plumbing
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "spot_unigram": sql_spot_unigram(),
+        "annotate_prior": sql_annotate_prior(),
+        "candidates_topk": sql_candidates_topk(),
+        "link_triples": sql_link_triples(),
+        "uri_counts": sql_uri_counts(),
+        "pair_counts": sql_pair_counts(),
+        "sf_totals": sql_sf_totals(),
+        "quantized_uri_counts": sql_quantized_uri_counts(),
+        "redirect_closure": sql_redirect_closure(),
+        "dedup_exact": sql_dedup_exact(),
+        "fingerprint": sql_fingerprint(),
+        "simhash": sql_simhash(),
+        "jaccard_pairs": sql_jaccard_pairs(),
+        "lang_id": sql_lang_id(),
+        "quality": sql_quality(),
+        "token_count": sql_token_count(),
+        "ann_topk": sql_ann_topk(),
+        "near_dup_embeddings": sql_near_dup_embeddings(),
+        "tpch_q1": sql_tpch_q1(),
+        "tpch_q3": sql_tpch_q3(),
+        "events_hourly": sql_events_hourly(),
+        "frame_sample": sql_frame_sample(),
+    }
