@@ -27,12 +27,17 @@ MERSENNE61 = (1 << 61) - 1
 
 
 def hash_family(n: int) -> list[tuple[int, int]]:
+    """Deterministic odd 31-bit (a, b) pairs. Coefficients are kept
+    within 31 bits so (a·h + b) with a 32-bit shingle hash fits in a
+    63-bit signed long — the whole MinHash stays in native long codegen
+    (BigDecimal math is ~20× slower in whole-stage codegen)."""
     rnd = []
     a, b = 0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F
+    mask31 = (1 << 31) - 1
     for i in range(n):
         a = (a * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         b = (b * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        rnd.append((a | 1, b))
+        rnd.append(((a & mask31) | 1, b & mask31))
     return rnd
 
 
@@ -75,17 +80,24 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 16, k: int = 3,
     (a_j * H(s) + b_j) mod M61, H = md5-prefix bigint.
 
     Computed entirely with native expressions (explode-free: aggregate over
-    the shingle array), so the scan stays in whole-stage codegen."""
+    the shingle array), so the scan stays in whole-stage codegen. The
+    shingle hash H is a 32-bit md5 prefix and (a, b) are 31-bit, keeping
+    a·H + b < 2^63 — pure long arithmetic, no decimal."""
     fam = hash_family(n_hashes)
     sh = shingles(F.col(text_col), k)
-    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(20,0)"))
+    h = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    # materialize the hashed-shingle array ONCE behind a projection
+    # boundary: referencing `h` directly inside all n_hashes transform
+    # lambdas would re-evaluate the md5+shingle tree per hash function
+    # (no CSE across lambda scopes) — n_hashes× the scan cost
+    hashed = docs.select(F.col(id_col), h.alias("h"))
     sig = F.array(*[
         F.array_min(F.transform(
-            h, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE61)
+            F.col("h"), lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE61)
         )).cast("long").alias(f"h{j}")
         for j, (a, b) in enumerate(fam)
     ])
-    return docs.select(F.col(id_col), sig.alias("signature"))
+    return hashed.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_bands(signatures: DataFrame, bands: int = 4,

@@ -205,6 +205,30 @@ def _passes_filters(model: SpotlightModel, cfg: PipelineConfig,
     return True
 
 
+def _coref_merge(model: SpotlightModel, scored: list) -> list:
+    """F5 coreference resolution (SURVEY §2.6): a later, shorter mention
+    whose token sequence is a suffix of an earlier longer mention's
+    surface form (e.g. "Obama" after "Barack Obama") inherits the earlier
+    mention's entity. Doc-local — runs inside the fused UDF, no shuffle.
+    Only rank-1 rows are retargeted; scores are kept (the reference
+    rewrites the resource on the occurrence, Annotate coreference param
+    [U])."""
+    out = []
+    seen: list[tuple[int, tuple[str, ...], int]] = []  # (begin, sf_tokens, eid)
+    for row in sorted(scored, key=lambda r: (r[0], r[4])):
+        (begin, end, sf_id, eid, rank, sim, pct2) = row
+        toks = tuple(model.sf_names[sf_id].split())
+        if rank == 1:
+            for (b0, toks0, eid0) in seen:
+                if b0 < begin and len(toks0) > len(toks) \
+                        and toks0[-len(toks):] == toks:
+                    eid = eid0
+                    break
+            seen.append((begin, toks, eid))
+        out.append((begin, end, sf_id, eid, rank, sim, pct2))
+    return out
+
+
 def _annotate_pdf(model: SpotlightModel, cfg: PipelineConfig,
                   pdf: pd.DataFrame, apply_filters: bool) -> pd.DataFrame:
     rows = []
@@ -214,9 +238,10 @@ def _annotate_pdf(model: SpotlightModel, cfg: PipelineConfig,
     for i, url in enumerate(urls):
         text = strip_html(htmls[i]) if htmls is not None else texts[i]
         spots, bags = _doc_spots(model, text)
-        for (begin, end, sf_id, eid, rank, sim, pct2) in _score_doc(
-            model, cfg, spots, bags
-        ):
+        scored = _score_doc(model, cfg, spots, bags)
+        if cfg.coreference:
+            scored = _coref_merge(model, scored)
+        for (begin, end, sf_id, eid, rank, sim, pct2) in scored:
             if apply_filters and not _passes_filters(model, cfg, eid, sim, pct2):
                 continue
             rows.append((url, begin, end, model.sf_names[sf_id],

@@ -29,12 +29,23 @@ from dbpedia_spotlight_spark import lexicon_static as LEX
 # ---------------------------------------------------------------------------
 
 
+def _balanced(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ONLY when the source under-splits (a single small
+    parquet file reads as 1 partition → CPU-bound UDF stages would run
+    single-threaded). At real scale the scan has ≥ cores splits via
+    ``spark.sql.files.maxPartitionBytes`` and this is a no-op."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _balanced(spark.read.parquet(f"{sf_dir}/documents.parquet"), spark)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _balanced(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), spark)
 
 
 def _cand_df(spark: SparkSession) -> DataFrame:
@@ -197,17 +208,27 @@ def q_link_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1+E2 triple emission: subj = url#char=b,e; mention + link preds
     (SURVEY §2.8). url is synthesized as source/doc_id."""
     ann = q_annotate_prior(spark, sf_dir).join(
-        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+        F.broadcast(_docs(spark, sf_dir).select("doc_id", "source")), "doc_id"
     )
     subj = F.concat_ws(
         "", F.col("source"), F.lit("/"), F.col("doc_id"),
         F.lit("#char="), F.col("begin"), F.lit(","), F.col("end"),
     ).alias("subj")
-    links = ann.select(subj, F.lit("itsrdf:taIdentRef").alias("pred"),
-                       F.col("uri").alias("obj"))
-    mentions = ann.select(subj, F.lit("nif:anchorOf").alias("pred"),
-                          F.col("surface_form").alias("obj"))
-    return links.unionByName(mentions).dropDuplicates(["subj", "pred", "obj"])
+    # ONE pass: explode a 2-element pred/obj array instead of a union of
+    # two branches (a union would recompute the whole upstream pipeline
+    # per branch — 2× the work at any scale)
+    pair = F.explode(F.array(
+        F.struct(F.lit("itsrdf:taIdentRef").alias("pred"),
+                 F.col("uri").alias("obj")),
+        F.struct(F.lit("nif:anchorOf").alias("pred"),
+                 F.col("surface_form").alias("obj")),
+    )).alias("po")
+    return (
+        ann.select(subj, pair)
+        .select("subj", F.col("po.pred").alias("pred"),
+                F.col("po.obj").alias("obj"))
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
 
 
 def sql_link_triples() -> str:
@@ -739,6 +760,18 @@ def sql_tpch_q3() -> str:
   GROUP BY o_orderkey, o_orderdate, o_orderpriority"""
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based event sessionization (window lag → running sum →
+    groupBy) — batch form of the stateful streaming operator."""
+    from dbpedia_spotlight_spark.operators.sessionize import sessionize
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def sql_sessionize() -> str:
+    from dbpedia_spotlight_spark.operators.sessionize import sql_sessionize
+    return sql_sessionize()
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time hourly rollup (batch form of the streaming window agg)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -840,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
         # multimodal plumbing
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
@@ -869,5 +903,6 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
         "events_hourly": sql_events_hourly(),
+        "sessionize": sql_sessionize(),
         "frame_sample": sql_frame_sample(),
     }
