@@ -84,6 +84,7 @@ def compile_model(
     stopwords,       # iterable[str]
     lam: float = DEFAULT_LAMBDA,
     spot_threshold: float = DEFAULT_SPOT_THRESHOLD,
+    quantize_context: bool = False,
 ) -> SpotlightModel:
     """Driver-side compile of lexicon tables → packed arrays + automaton.
 
@@ -140,6 +141,16 @@ def compile_model(
     ctx_indptr = np.cumsum(ctx_indptr)
     ctx_token = tc["token_id"].to_numpy(dtype=np.int32)
     ctx_count = tc["count"].to_numpy(dtype=np.float64)
+    if quantize_context:
+        # MemoryQuantizedCountStore semantics [U]: counts round-trip the
+        # exponentially-binned int16 codebook (≈2× context-store shrink in
+        # the broadcast blob; scores drift < half a bin, Daiber 2013)
+        from dbpedia_spotlight_spark.functions.quantize import (
+            dequantize, quantize_array,
+        )
+        codes = quantize_array(ctx_count)
+        ctx_count = np.array([dequantize(int(k)) for k in codes],
+                             dtype=np.float64)
     ctx_total = np.zeros(n_ent, dtype=np.float64)
     np.add.at(ctx_total, tc["entity_id"].to_numpy(dtype=np.int64), ctx_count)
 

@@ -1,0 +1,234 @@
+"""Physical-plan shape assertions (the .explain audit as tests), skew
+utilities, quantized context counts, and the spark-submit entrypoint.
+
+These lock in the scale properties SURVEY §4 promises: shuffle-free
+flagship, pushed-down scan filters, broadcast-only dimension joins, and
+semantics-preserving salting.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_fused_annotate_is_shuffle_free(spark, web_pages, model_bc):
+    plan = _plan(annotate(spark, web_pages, model_bc, PipelineConfig()))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+
+
+def test_lang_filter_and_pruning_reach_scan(spark, web_pages, model_bc):
+    """lang='en' must be pushed into the parquet scan and only (url, html)
+    read — Catalyst pushdown + column pruning through the UDF boundary."""
+    df = annotate(spark, web_pages, model_bc, PipelineConfig(lang="en"))
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
+    assert "PushedFilters" in scan[0] and "lang" in scan[0]
+    assert "ReadSchema" in scan[0]
+    read_schema = scan[0].split("ReadSchema:")[1]
+    assert "url" in read_schema and "html" in read_schema
+    assert "warc_ts" not in read_schema  # unused column pruned at the scan
+
+
+def test_relational_joins_are_broadcast(spark):
+    """Every dimension join in the relational path must be a broadcast
+    hash join — a sort-merge join on the lexicon would shuffle the corpus
+    (SURVEY §2.10)."""
+    from dbpedia_spotlight_spark import queries as Q
+    sf_dir = "/root/testdata/sf0.001"
+    plan = _plan(Q.q_annotate_prior(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    from dbpedia_spotlight_spark import queries as Q
+    plan = _plan(Q.q_tpch_q3(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_plan_has_no_python(spark):
+    """Signatures must stay JVM-side (no Python UDF in the scan)."""
+    from dbpedia_spotlight_spark.operators.dedup import minhash_signatures
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(minhash_signatures(docs))
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_textstats_stay_jvm_side(spark):
+    """Text-stat expressions must not drop to Python (higher-order
+    lambdas keep the project JVM-side even where codegen can't fuse it)."""
+    from dbpedia_spotlight_spark.operators.textstats import quality_scores
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(quality_scores(docs))
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_aggregations_partial_before_shuffle(spark):
+    """groupBy aggregations must map-side combine (partial_* before the
+    Exchange) — the shuffle carries |groups|, not |rows|."""
+    from dbpedia_spotlight_spark import queries as Q
+    plan = _plan(Q.q_tpch_q1(spark, "/root/testdata/sf0.001"))
+    assert "partial_sum" in plan and "Exchange" in plan
+    assert plan.index("partial_sum") > plan.index("Exchange")  # below it
+
+
+# ---------------------------------------------------------------------------
+# skew utilities — semantics preserved under salting
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """1 hot key with 5k rows + 50 cold keys with 10 rows each."""
+    hot = spark.range(5000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v"))
+    cold = spark.range(500).select(
+        F.concat(F.lit("c"), (F.col("id") % 50)).alias("k"),
+        (F.col("id") + 10_000).alias("v"))
+    return hot.unionByName(cold)
+
+
+def test_salted_topk_equals_plain_window(spark, skewed):
+    from dbpedia_spotlight_spark.operators.skew import salted_topk
+    from pyspark.sql import Window
+    w = Window.partitionBy("k").orderBy(F.desc("v"))
+    plain = (
+        skewed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    salted = salted_topk(skewed, ["k"], [F.desc("v")], k=3, n_salt=8)
+    a = {(r.k, r.v, r.rank) for r in plain.collect()}
+    b = {(r.k, r.v, r.rank) for r in salted.collect()}
+    assert a == b
+
+
+def test_salted_count_equals_plain(spark, skewed):
+    from dbpedia_spotlight_spark.operators.skew import salted_count
+    plain = {(r.k, r["count"]) for r in
+             skewed.groupBy("k").count().collect()}
+    salted = {(r.k, r.cnt) for r in
+              salted_count(skewed, ["k"], n_salt=8).collect()}
+    assert plain == salted
+
+
+def test_repartition_salted_spreads_hot_key(spark, skewed):
+    from dbpedia_spotlight_spark.operators.skew import repartition_salted
+    # AQE would coalesce this tiny test shuffle back to one partition;
+    # at real scale the partitions exceed the advisory size and stay split
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        parts = (
+            repartition_salted(skewed.filter(F.col("k") == "hot"), ["k"], 8)
+            .withColumn("p", F.spark_partition_id())
+            .select("p").distinct().count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    assert parts >= 4  # hot key spans multiple partitions
+
+
+# ---------------------------------------------------------------------------
+# quantized context counts in the broadcast model
+# ---------------------------------------------------------------------------
+
+
+def test_quantized_model_scores_within_tolerance(lexicon):
+    import numpy as np
+    from dbpedia_spotlight_spark.model import compile_model, context_loglik
+
+    def build(q):
+        return compile_model(
+            surface_forms=lexicon.surface_forms,
+            entities=lexicon.entities,
+            pair_counts=lexicon.pair_counts,
+            token_counts=lexicon.token_counts,
+            token_types=lexicon.token_types,
+            stopwords=lexicon.stopwords["token"].tolist(),
+            quantize_context=q,
+        )
+
+    raw, quant = build(False), build(True)
+    # quantization error of each stored count < half a bin (base 1.1)
+    assert np.all(quant.ctx_count > 0)
+    rel = np.abs(quant.ctx_count - raw.ctx_count) / raw.ctx_count
+    assert rel.max() <= 0.06  # half a base-1.1 bin (~4.9%) + int rounding
+    # scores drift, but by less than the bin width in log space
+    ents = np.arange(min(10, raw.n_entities()), dtype=np.int64)
+    q_tokens = raw.ctx_token[:5].astype(np.int64)
+    q_tokens = np.unique(q_tokens)
+    q_counts = np.ones(len(q_tokens))
+    s_raw = context_loglik(raw, ents, q_tokens, q_counts)
+    s_q = context_loglik(quant, ents, q_tokens, q_counts)
+    assert np.max(np.abs(s_raw - s_q)) < 0.1 * len(q_tokens)
+
+
+def test_quantized_model_preserves_pr(spark, web_pages, corpus, lexicon):
+    """P/R on planted fixtures must hold with the quantized store."""
+    from dbpedia_spotlight_spark.model import compile_model
+    model = compile_model(
+        surface_forms=lexicon.surface_forms,
+        entities=lexicon.entities,
+        pair_counts=lexicon.pair_counts,
+        token_counts=lexicon.token_counts,
+        token_types=lexicon.token_types,
+        stopwords=lexicon.stopwords["token"].tolist(),
+        quantize_context=True,
+    )
+    bc = spark.sparkContext.broadcast(model)
+    ann = annotate(spark, web_pages, bc,
+                   PipelineConfig(disambiguator="generative"))
+    got = {(r.url, r.begin, r.end, r.uri) for r in ann.collect()}
+    want = {(r.url, int(r.begin), int(r.end), r.uri)
+            for _, r in corpus[1].iterrows()}
+    tp = len(got & want)
+    assert tp / len(got) >= 0.95 and tp / len(want) >= 0.95
+
+
+# ---------------------------------------------------------------------------
+# spark-submit entrypoint
+# ---------------------------------------------------------------------------
+
+
+def test_run_pipeline_main(spark, web_pages, lexicon, tmp_path):
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.run_pipeline import main
+
+    corpus_dir = str(tmp_path / "corpus")
+    lex_dir = str(tmp_path / "lexicon")
+    out_dir = str(tmp_path / "out")
+    web_pages.write.mode("overwrite").parquet(corpus_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+
+    stats = main([
+        "--corpus", corpus_dir, "--lexicon", lex_dir, "--out", out_dir,
+        "--mode", "annotate", "--resume-units", "4",
+    ], spark=spark)
+    assert stats["rows"] > 0 and stats["units_total"] == 4
+
+    # idempotent restart: nothing re-executes, rows unchanged
+    stats2 = main([
+        "--corpus", corpus_dir, "--lexicon", lex_dir, "--out", out_dir,
+        "--mode", "annotate", "--resume-units", "4",
+    ], spark=spark)
+    assert stats2["units_executed_this_run"] == 0
+    assert stats2["rows"] == stats["rows"]
+
+    # spot mode, plain write
+    stats3 = main([
+        "--corpus", corpus_dir, "--lexicon", lex_dir,
+        "--out", str(tmp_path / "out2"), "--mode", "spot",
+    ], spark=spark)
+    assert stats3["rows"] > 0
