@@ -152,11 +152,18 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     (e.g. from MinHash-LSH) verifies only those; without, evaluates all
     pairs sharing >=1 shingle (explode + self-join — test scale only).
 
-    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over *distinct* shingle sets."""
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over *distinct* shingle sets.
+
+    The self-join key is a 60-bit md5 prefix of the shingle, not the
+    string: long hash-join keys shuffle ~8 bytes/row instead of the
+    shingle text and compare in one instruction (collision probability
+    ~2⁻⁶⁰ per pair — semantics-preserving in practice; the DuckDB oracle
+    joins on the raw string and the driver's value-hash would expose any
+    collision)."""
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s"),
-    )
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s_str"),
+    ).select("id", md5_long(F.col("s_str")).alias("s"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("x").join(sh.alias("y"), "s")

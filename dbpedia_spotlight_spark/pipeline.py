@@ -153,35 +153,60 @@ def _doc_spots(model: SpotlightModel, text: str):
 def _score_doc(model: SpotlightModel, cfg: PipelineConfig, spots, bags):
     """Disambiguate all spots of one document (D1–D7), each against its
     paragraph's context bag. Yields rows
-    (begin, end, sf_id, entity_id, rank, similarity, pct_second)."""
+    (begin, end, sf_id, entity_id, rank, similarity, pct_second).
+
+    Scores depend only on (paragraph, surface form) — repeated mentions
+    of the same sf in a paragraph (Zipf-frequent in real corpora) are
+    scored ONCE per doc via a memo (two-step disambiguation already
+    shares the paragraph context query; this shares the whole candidate
+    scoring with it)."""
     out = []
+    memo: dict[tuple[int, int], list] = {}
     for (begin, end, sf_id, para_idx) in spots:
-        q_tokens, q_counts = bags[para_idx]
-        lo, hi = model.cand_indptr[sf_id], model.cand_indptr[sf_id + 1]
-        if hi <= lo:
-            continue  # NIL: sf with no candidates (C3) — dropped
-        hi = min(hi, lo + cfg.max_candidates)  # C2 top-K by prior (rows are prior-desc)
-        ents = model.cand_entity[lo:hi].astype(np.int64)
-        ln_prior = np.log(np.maximum(model.cand_prior[lo:hi], 1e-300))
-        if cfg.disambiguator == "prior":
-            scores = ln_prior
-        elif cfg.disambiguator == "tficf":
-            ctx = tficf_scores(model, [ents], q_tokens, q_counts)[0]
-            scores = ln_prior + ctx
-        else:  # generative (default model, Daiber 2013)
-            ctx = context_loglik(model, ents, q_tokens, q_counts)
-            scores = ln_prior + ctx
-        order = np.argsort(-scores, kind="stable")
-        s_sorted = scores[order]
-        # D5 softmax (log-sum-exp stable)
-        m = s_sorted[0]
-        exp_s = np.exp(s_sorted - m)
-        sim = exp_s / exp_s.sum()
-        for r in range(min(cfg.k, len(order))):
-            pct2 = float(np.exp(s_sorted[r + 1] - s_sorted[r])) if r + 1 < len(order) else 0.0
-            out.append((begin, end, sf_id, int(ents[order[r]]), r + 1,
-                        float(sim[r]), pct2))
+        key = (para_idx, sf_id)
+        ranked = memo.get(key)
+        if ranked is None:
+            ranked = _score_mention(model, cfg, sf_id, bags[para_idx])
+            memo[key] = ranked
+        for (eid, rank, sim, pct2) in ranked:
+            out.append((begin, end, sf_id, eid, rank, sim, pct2))
     return out
+
+
+def _score_mention(model: SpotlightModel, cfg: PipelineConfig,
+                   sf_id: int, bag) -> list:
+    """Score one (sf, context-bag) instance → [(eid, rank, sim, pct2)]."""
+    q_tokens, q_counts = bag
+    lo, hi = model.cand_indptr[sf_id], model.cand_indptr[sf_id + 1]
+    if hi <= lo:
+        return []  # NIL: sf with no candidates (C3) — dropped
+    if hi - lo == 1:
+        # singleton candidate: softmax over one score is exactly 1.0 and
+        # there is no second rank — context scoring cannot change the
+        # output, so skip it (the bulk of mentions in a Zipf lexicon)
+        return [(int(model.cand_entity[lo]), 1, 1.0, 0.0)]
+    hi = min(hi, lo + cfg.max_candidates)  # C2 top-K by prior (rows are prior-desc)
+    ents = model.cand_entity[lo:hi].astype(np.int64)
+    ln_prior = np.log(np.maximum(model.cand_prior[lo:hi], 1e-300))
+    if cfg.disambiguator == "prior":
+        scores = ln_prior
+    elif cfg.disambiguator == "tficf":
+        ctx = tficf_scores(model, [ents], q_tokens, q_counts)[0]
+        scores = ln_prior + ctx
+    else:  # generative (default model, Daiber 2013)
+        ctx = context_loglik(model, ents, q_tokens, q_counts)
+        scores = ln_prior + ctx
+    order = np.argsort(-scores, kind="stable")
+    s_sorted = scores[order]
+    # D5 softmax (log-sum-exp stable)
+    m = s_sorted[0]
+    exp_s = np.exp(s_sorted - m)
+    sim = exp_s / exp_s.sum()
+    ranked = []
+    for r in range(min(cfg.k, len(order))):
+        pct2 = float(np.exp(s_sorted[r + 1] - s_sorted[r])) if r + 1 < len(order) else 0.0
+        ranked.append((int(ents[order[r]]), r + 1, float(sim[r]), pct2))
+    return ranked
 
 
 def _passes_filters(model: SpotlightModel, cfg: PipelineConfig,
@@ -231,7 +256,12 @@ def _coref_merge(model: SpotlightModel, scored: list) -> list:
 
 def _annotate_pdf(model: SpotlightModel, cfg: PipelineConfig,
                   pdf: pd.DataFrame, apply_filters: bool) -> pd.DataFrame:
-    rows = []
+    # columnar accumulation: one list per output column (a list-of-tuples
+    # DataFrame build transposes row-wise — ~2× the allocation traffic,
+    # which is what limits multi-worker scaling on a shared memory bus)
+    cols: tuple[list, ...] = tuple([] for _ in ANNOTATION_SCHEMA.fields)
+    (c_url, c_begin, c_end, c_sf, c_uri, c_rank, c_sim, c_pct2,
+     c_support, c_types) = cols
     htmls = pdf["html"].tolist() if "html" in pdf.columns else None
     texts = pdf["text"].tolist() if htmls is None else None
     urls = pdf["url"].tolist()
@@ -244,11 +274,23 @@ def _annotate_pdf(model: SpotlightModel, cfg: PipelineConfig,
         for (begin, end, sf_id, eid, rank, sim, pct2) in scored:
             if apply_filters and not _passes_filters(model, cfg, eid, sim, pct2):
                 continue
-            rows.append((url, begin, end, model.sf_names[sf_id],
-                         model.ent_uris[eid], rank, sim, pct2,
-                         int(model.ent_support[eid]),
-                         list(model.ent_types[eid])))
-    return pd.DataFrame(rows, columns=[f.name for f in ANNOTATION_SCHEMA.fields])
+            c_url.append(url)
+            c_begin.append(begin)
+            c_end.append(end)
+            c_sf.append(model.sf_names[sf_id])
+            c_uri.append(model.ent_uris[eid])
+            c_rank.append(rank)
+            c_sim.append(sim)
+            c_pct2.append(pct2)
+            c_support.append(int(model.ent_support[eid]))
+            c_types.append(list(model.ent_types[eid]))
+    # types must be an object Series: with uniform-length lists pandas
+    # would np.asarray the column into a 2-D ndarray, which Arrow cannot
+    # convert to list<string>
+    return pd.DataFrame({
+        f.name: (pd.Series(c, dtype=object) if f.name == "types" else c)
+        for f, c in zip(ANNOTATION_SCHEMA.fields, cols)
+    })
 
 
 def _lang_filtered(web_pages: DataFrame, cfg: PipelineConfig) -> DataFrame:

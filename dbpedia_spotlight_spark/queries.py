@@ -663,6 +663,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                k=10, n_planes=6)
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (coarse k-means quantizer + multi-probe; rows-only —
+    recall vs brute force asserted in pytest)."""
+    from dbpedia_spotlight_spark.operators.similarity import ivf_topk
+    return ivf_topk(_emb(spark, sf_dir), _ANN_QUERY_IDS, k=10,
+                    n_clusters=16, n_probe=4)
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.99)."""
     from dbpedia_spotlight_spark.operators.dedup import embedding_near_dup
@@ -868,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "near_dup_embeddings": q_near_dup_embeddings,
         # relational/agg plumbing
         "tpch_q1": q_tpch_q1,

@@ -1,0 +1,96 @@
+"""Watermarked streaming window ≡ batch rollup; IVF ANN recall vs brute
+force; jaccard long-key join equals string-key semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    from dbpedia_spotlight_spark.streaming.windowed import windowed_event_counts
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "events")
+    ev.write.mode("overwrite").parquet(src)
+
+    batch = windowed_event_counts(ev)
+    stream = windowed_event_counts(
+        spark.readStream.schema(ev.schema).parquet(src))
+    assert stream.isStreaming
+    q = (stream.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    # append mode emits a window only once the watermark passes its end:
+    # the final <threshold+window> of event time stays open and is
+    # (correctly) withheld when the stream drains
+    assert a <= b
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+    horizon = max_ts - datetime.timedelta(hours=3)  # 2h watermark + 1h window
+    for row in b - a:
+        start = datetime.datetime.strptime(row[0], "%Y-%m-%d %H:%M:%S")
+        assert start >= horizon, f"non-late window withheld: {row}"
+    assert len(a) >= 0.9 * len(b)
+
+
+def test_windowed_counts_match_events_hourly_oracle(spark):
+    """The window() form must agree with the date_trunc batch rollup."""
+    from dbpedia_spotlight_spark import queries as Q
+    from dbpedia_spotlight_spark.streaming.windowed import windowed_event_counts
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = {tuple(r) for r in windowed_event_counts(ev).collect()}
+    b = {tuple(r) for r in
+         Q.q_events_hourly(spark, "/root/testdata/sf0.001").collect()}
+    assert a == b
+
+
+def test_ivf_topk_recall(spark):
+    from dbpedia_spotlight_spark.operators.similarity import (
+        cosine_topk, ivf_topk,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = cosine_topk(emb, qids, k=5)
+    approx = ivf_topk(emb, qids, k=5, n_clusters=8, n_probe=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.6  # multi-probe recall floor
+    # ranks are consistent: every returned row has rank 1..5 per query
+    per_q = approx.groupBy("query_id").agg(F.max("rank").alias("m")).collect()
+    assert all(r.m <= 5 for r in per_q)
+
+
+def test_ivf_assign_partitions_all_vectors(spark):
+    from dbpedia_spotlight_spark.operators.similarity import (
+        ivf_assign, ivf_centroids,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = ivf_centroids(emb, n_clusters=8)
+    assigned = ivf_assign(emb, C)
+    assert assigned.filter(F.col("cluster").isNull()).count() == 0
+    n_used = assigned.select("cluster").distinct().count()
+    assert 2 <= n_used <= 8
+
+
+def test_jaccard_long_key_matches_string_key(spark):
+    """The md5-long join key must reproduce the string-key Jaccard
+    exactly (collision-free at test scale)."""
+    import duckdb
+    from dbpedia_spotlight_spark.operators.dedup import ngram_jaccard_pairs
+    from dbpedia_spotlight_spark import queries as Q
+    got = ngram_jaccard_pairs(
+        Q._docs(spark, "/root/testdata/sf0.001"), k=3, threshold=0.03
+    ).toPandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                "'/root/testdata/sf0.001/documents.parquet'")
+    want = con.execute(Q.sql_jaccard_pairs()).df()
+    key = lambda df: sorted(  # noqa: E731
+        (int(a), int(b), round(float(j), 9))
+        for a, b, j in zip(df["a"], df["b"], df["jaccard"]))
+    assert key(got) == key(want)
