@@ -131,17 +131,36 @@ def lsh_bands(signatures: DataFrame, bands: int = 4,
 def minhash_candidate_pairs(docs: DataFrame, n_hashes: int = 16,
                             bands: int = 4, k: int = 3,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
-    """LSH candidate pairs (a < b) — self-join on band buckets. At scale,
-    cap pathological buckets (boilerplate) before the join."""
+                            text_col: str = "text",
+                            max_bucket: int = 1000) -> DataFrame:
+    """LSH candidate pairs (a < b).
+
+    One groupBy on (band, band_hash) + in-bucket pair expansion — a
+    self-join would execute the whole signature pipeline once per side
+    (two full scans) and shuffle both; this shuffles doc-ids once and
+    expands C(bucket, 2) pairs with a higher-order expression.
+    ``max_bucket`` caps pathological buckets (boilerplate pages share a
+    band at scale → quadratic pair blowup); capped buckets are dropped,
+    exactly the standard LSH production guard."""
     b = lsh_bands(minhash_signatures(docs, n_hashes, k, id_col, text_col),
                   bands, id_col)
-    l = b.select(F.col(id_col).alias("a"), "band", "band_hash")
-    r = b.select(F.col(id_col).alias("b"), "band", "band_hash")
+    buckets = (
+        b.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    n = F.size("ids")
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, n - i - 1),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
     return (
-        l.join(r, ["band", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b").distinct()
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
     )
 
 

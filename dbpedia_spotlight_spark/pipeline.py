@@ -90,7 +90,11 @@ _MODEL_CACHE: dict[int, SpotlightModel] = {}
 
 
 def _get_model(bc) -> SpotlightModel:
-    key = id(bc)
+    # key by the broadcast's unique spill path (worker-side Broadcast
+    # carries no .id) — NOT id(bc): CPython reuses freed addresses, so a
+    # second broadcast in the same driver can collide with a stale cache
+    # entry in a reused worker and silently annotate with the WRONG model
+    key = getattr(bc, "_path", None) or id(bc)
     m = _MODEL_CACHE.get(key)
     if m is None:
         m = bc.value

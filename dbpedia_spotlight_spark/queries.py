@@ -780,6 +780,131 @@ def sql_sessionize() -> str:
     return sql_sessionize()
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier-volume 6-way join (region→nation→customer/supplier
+    →orders→lineitem) — the multi-hop broadcast-dim join pattern."""
+    t = {n: spark.read.parquet(f"{sf_dir}/{n}.parquet")
+         for n in ("region", "nation", "customer", "supplier",
+                   "orders", "lineitem")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(14,2)")
+                 * (F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(3,2)")))
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+def sql_tpch_q5() -> str:
+    return """
+  SELECT r_name, n_name, count(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))
+                  * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name"""
+
+
+def q_order_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics: per-customer running order total + order index
+    (frame-spec windows — the reference has none (§2.15); this checks the
+    engine plumbing used by D5–D7)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("order_idx"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(run)
+         .cast("double").alias("running_total"),
+        F.lag(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+         .cast("double").alias("prev_price"),
+    )
+
+
+def sql_order_running_totals() -> str:
+    return """
+  SELECT o_custkey, o_orderkey,
+         CAST(row_number() OVER w AS INTEGER) AS order_idx,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_total,
+         CAST(lag(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+           AS prev_price
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"""
+
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join + conditional agg over part/lineitem: per p_type,
+    parts ordered at least once vs never ordered."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ordered = part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+    never = part.join(li, part.p_partkey == li.l_partkey, "left_anti")
+    return (
+        ordered.groupBy("p_type").agg(
+            F.count("*").alias("n_ordered"),
+            F.sum(F.col("p_retailprice").cast("decimal(14,2)"))
+             .cast("double").alias("retail_sum"),
+        )
+        .join(
+            never.groupBy("p_type").agg(F.count("*").alias("n_never")),
+            "p_type", "full_outer",
+        )
+        .select(
+            "p_type",
+            F.coalesce("n_ordered", F.lit(0)).alias("n_ordered"),
+            F.coalesce("retail_sum", F.lit(0.0)).alias("retail_sum"),
+            F.coalesce("n_never", F.lit(0)).alias("n_never"),
+        )
+    )
+
+
+def sql_part_type_stats() -> str:
+    return """
+  WITH ordered AS (
+    SELECT * FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+  ),
+  never AS (
+    SELECT * FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+  ),
+  o AS (
+    SELECT p_type, count(*) AS n_ordered,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS retail_sum
+    FROM ordered GROUP BY p_type
+  ),
+  n AS (SELECT p_type, count(*) AS n_never FROM never GROUP BY p_type)
+  SELECT COALESCE(o.p_type, n.p_type) AS p_type,
+         COALESCE(n_ordered, 0) AS n_ordered,
+         COALESCE(retail_sum, 0.0) AS retail_sum,
+         COALESCE(n_never, 0) AS n_never
+  FROM o FULL OUTER JOIN n ON o.p_type = n.p_type"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time hourly rollup (batch form of the streaming window agg)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -881,6 +1006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational/agg plumbing
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "order_running_totals": q_order_running_totals,
+        "part_type_stats": q_part_type_stats,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         # multimodal plumbing
@@ -911,6 +1039,9 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_embeddings": sql_near_dup_embeddings(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
+        "tpch_q5": sql_tpch_q5(),
+        "order_running_totals": sql_order_running_totals(),
+        "part_type_stats": sql_part_type_stats(),
         "events_hourly": sql_events_hourly(),
         "sessionize": sql_sessionize(),
         "frame_sample": sql_frame_sample(),

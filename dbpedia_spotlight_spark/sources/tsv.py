@@ -133,8 +133,27 @@ def lexicon_from_tsv(
         .select("sf_id", "entity_id", "count")
     )
 
+    # vocabulary = context tokens ∪ surface-form tokens: the FSA patterns
+    # are sf-name token-id sequences, so sf words absent from every
+    # context vector would otherwise get no id and silently drop their
+    # pattern from the automaton (no spots at all)
+    import pandas as pd
+    from dbpedia_spotlight_spark.functions.tokenizer import tokenize
+
+    def sf_tokens(batches):
+        for pdf in batches:
+            toks = sorted({t for sf in pdf["sf"]
+                           for (_, _, t) in tokenize(sf)})
+            yield pd.DataFrame({"token": toks})
+
+    sf_tok_df = (
+        surface_forms.select("sf")
+        .mapInPandas(sf_tokens, "token string").distinct()
+        .withColumn("count", F.lit(0).cast("long"))
+    )
     token_types = (
-        tc.groupBy("token").agg(F.sum("count").alias("corpus_count"))
+        tc.select("token", "count").unionByName(sf_tok_df)
+        .groupBy("token").agg(F.sum("count").alias("corpus_count"))
         .withColumn("token_id",
                     (F.row_number().over(Window.orderBy("token")) - 1)
                     .cast("int"))

@@ -157,3 +157,22 @@ def test_lang_filter_excludes_non_en(spark, web_pages, model_bc):
               .select("url").collect()}
     got_urls = {r.url for r in ann.select("url").distinct().collect()}
     assert not (got_urls & non_en)
+
+
+def test_two_models_no_worker_cache_collision(spark, web_pages, model_bc,
+                                              lexicon):
+    """Two different broadcast models used interleaved must each produce
+    their own results — regression for the id(bc)-keyed worker cache,
+    where CPython address reuse let a later broadcast silently hit a
+    stale model in a reused Python worker."""
+    from dbpedia_spotlight_spark.lexicon_static import compile_static_model
+
+    cfg = PipelineConfig(disambiguator="generative")
+    n1a = annotate(spark, web_pages, model_bc, cfg).count()
+    other_bc = spark.sparkContext.broadcast(compile_static_model())
+    # the static lexicon shares no surface forms with the datagen corpus →
+    # expect zero, and its use must not poison the first model's cache
+    n2 = annotate(spark, web_pages, other_bc, cfg).count()
+    n1b = annotate(spark, web_pages, model_bc, cfg).count()
+    assert n1a == n1b and n1a > 0
+    assert n2 == 0 or n2 < n1a  # different model → different result set
