@@ -700,7 +700,11 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing-summary groupBy-agg (decimal-exact sums cast to double)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        # NTZ literal: a plain cast("timestamp") would parse in the
+        # session timezone and shift the boundary vs DuckDB's naive
+        # comparison when the driver session is not UTC
+        li.filter(F.col("l_shipdate")
+                  <= F.to_timestamp_ntz(F.lit("1998-09-02")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("count_order"),
