@@ -1,0 +1,104 @@
+"""Knowledge-graph materialization beyond raw triples (north_rule:
+"triple extraction, entity linking, canonicalization, graph
+materialize").
+
+From the annotation stream this builds the entity graph:
+
+- ``entity_nodes``: one row per entity with mention/document frequencies
+  (the node table of the KG).
+- ``cooccurrence_edges``: undirected edges weighted by the number of
+  documents in which two entities co-occur — groupBy + in-document pair
+  expansion (same single-pass pattern as MinHash bucket pairs: a
+  self-join would recompute the annotation pipeline per side).
+- ``pagerank``: entity salience over the co-occurrence graph — iterative
+  broadcast-join power iteration (deterministic, fixed iteration count).
+
+Scale notes: edges are bounded by Σ_doc C(entities_per_doc, 2); the
+``max_entities_per_doc`` cap bounds the quadratic term exactly like the
+LSH bucket cap. PageRank iterations shuffle on uri — key cardinality =
+|entities| ≪ corpus rows; at Wikipedia scale (~6M entities) each
+iteration is a small aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def entity_nodes(links: DataFrame, doc_col: str = "doc_id",
+                 uri_col: str = "uri") -> DataFrame:
+    """(uri, n_mentions, n_docs) — KG node table."""
+    return links.groupBy(uri_col).agg(
+        F.count("*").alias("n_mentions"),
+        F.countDistinct(doc_col).alias("n_docs"),
+    )
+
+
+def cooccurrence_edges(links: DataFrame, doc_col: str = "doc_id",
+                       uri_col: str = "uri",
+                       max_entities_per_doc: int = 1000) -> DataFrame:
+    """(uri_a, uri_b, n_docs) with uri_a < uri_b — undirected co-mention
+    edges. One groupBy per doc + pair expansion; docs exceeding
+    ``max_entities_per_doc`` distinct entities are dropped (quadratic
+    guard, like the LSH bucket cap)."""
+    per_doc = (
+        links.select(doc_col, uri_col).distinct()
+        .groupBy(doc_col)
+        .agg(F.sort_array(F.collect_list(uri_col)).alias("uris"))
+        .filter((F.size("uris") >= 2)
+                & (F.size("uris") <= max_entities_per_doc))
+    )
+    n = F.size("uris")
+    pairs = F.flatten(F.transform(
+        F.col("uris"),
+        lambda x, i: F.transform(
+            F.slice(F.col("uris"), i + 2, n - i - 1),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    return (
+        per_doc.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("uri_a"), F.col("p.b").alias("uri_b"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             n_iter: int = 10) -> DataFrame:
+    """PageRank over the undirected co-occurrence graph (each edge
+    contributes both directions), deterministic fixed-iteration power
+    method. Returns (uri, rank) with Σ rank = 1 (dangling mass
+    redistributed uniformly)."""
+    # directed edge list both ways, weighted by n_docs
+    fwd = edges.select(F.col("uri_a").alias("src"),
+                       F.col("uri_b").alias("dst"),
+                       F.col("n_docs").alias("w"))
+    rev = edges.select(F.col("uri_b").alias("src"),
+                       F.col("uri_a").alias("dst"),
+                       F.col("n_docs").alias("w"))
+    directed = fwd.unionByName(rev)
+    out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = (
+        directed.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .cache()
+    )
+    nodes = directed.select(F.col("src").alias("uri")).distinct().cache()
+    n_nodes = nodes.count()
+    ranks = nodes.select("uri", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            norm.join(ranks, norm.src == ranks.uri)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.uri == contrib.dst, "left")
+            .select(
+                "uri",
+                (F.lit((1.0 - damping) / n_nodes)
+                 + F.lit(damping) * F.coalesce("mass", F.lit(0.0)))
+                .alias("rank"),
+            )
+        )
+    return ranks

@@ -350,6 +350,51 @@ def sql_redirect_closure() -> str:
   ) AS t(src_uri, final_uri)"""
 
 
+# --- KG graph materialization (north_rule "graph materialize") ---
+
+
+def q_entity_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG node table from the emitted links: per-entity mention and
+    document frequencies."""
+    from dbpedia_spotlight_spark.operators.graph import entity_nodes
+    return entity_nodes(q_annotate_prior(spark, sf_dir))
+
+
+def sql_entity_graph_nodes() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED +
+        " SELECT uri, count(*) AS n_mentions,"
+        " count(DISTINCT doc_id) AS n_docs"
+        " FROM ranked WHERE rank = 1 GROUP BY uri"
+    )
+
+
+def q_entity_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges (doc-level co-mention, uri_a < uri_b)."""
+    from dbpedia_spotlight_spark.operators.graph import cooccurrence_edges
+    return cooccurrence_edges(q_annotate_prior(spark, sf_dir))
+
+
+def sql_entity_graph_edges() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1)
+  SELECT x.uri AS uri_a, y.uri AS uri_b, count(*) AS n_docs
+  FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+  GROUP BY 1, 2"""
+    )
+
+
+def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank salience over the entity co-occurrence graph (iterative —
+    rows-only; invariants + a hand-computed graph are pytest-checked)."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, pagerank,
+    )
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir))
+    return pagerank(edges, n_iter=10)
+
+
 # ---------------------------------------------------------------------------
 # Spotlight pipeline — full fused path (rows-only; pytest covers semantics)
 # ---------------------------------------------------------------------------
@@ -987,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sf_totals": q_sf_totals,
         "quantized_uri_counts": q_quantized_uri_counts,
         "redirect_closure": q_redirect_closure,
+        "entity_graph_nodes": q_entity_graph_nodes,
+        "entity_graph_edges": q_entity_graph_edges,
+        "entity_pagerank": q_entity_pagerank,
         # full fused pipeline (rows-only)
         "annotate_generative": q_annotate_generative,
         "spot_fsa": q_spot_fsa,
@@ -1032,6 +1080,8 @@ def oracle_sql() -> dict[str, str]:
         "sf_totals": sql_sf_totals(),
         "quantized_uri_counts": sql_quantized_uri_counts(),
         "redirect_closure": sql_redirect_closure(),
+        "entity_graph_nodes": sql_entity_graph_nodes(),
+        "entity_graph_edges": sql_entity_graph_edges(),
         "dedup_exact": sql_dedup_exact(),
         "fingerprint": sql_fingerprint(),
         "simhash": sql_simhash(),

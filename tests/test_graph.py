@@ -1,0 +1,82 @@
+"""KG graph materialization: nodes, co-occurrence edges, PageRank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def links(spark):
+    # doc 1: A,B,C ; doc 2: A,B ; doc 3: A (B mentioned twice in doc 1)
+    rows = [(1, "A"), (1, "B"), (1, "B"), (1, "C"),
+            (2, "A"), (2, "B"), (3, "A")]
+    return spark.createDataFrame(rows, "doc_id long, uri string")
+
+
+def test_entity_nodes(spark, links):
+    from dbpedia_spotlight_spark.operators.graph import entity_nodes
+    got = {(r.uri, r.n_mentions, r.n_docs)
+           for r in entity_nodes(links).collect()}
+    assert got == {("A", 3, 3), ("B", 3, 2), ("C", 1, 1)}
+
+
+def test_cooccurrence_edges(spark, links):
+    from dbpedia_spotlight_spark.operators.graph import cooccurrence_edges
+    got = {(r.uri_a, r.uri_b, r.n_docs)
+           for r in cooccurrence_edges(links).collect()}
+    assert got == {("A", "B", 2), ("A", "C", 1), ("B", "C", 1)}
+
+
+def test_cooccurrence_cap_drops_megadoc(spark, links):
+    from dbpedia_spotlight_spark.operators.graph import cooccurrence_edges
+    got = cooccurrence_edges(links, max_entities_per_doc=2).collect()
+    # doc 1 has 3 distinct entities → dropped; only doc 2's (A,B) remains
+    assert {(r.uri_a, r.uri_b, r.n_docs) for r in got} == {("A", "B", 1)}
+
+
+def test_pagerank_symmetric_pair(spark):
+    from dbpedia_spotlight_spark.operators.graph import pagerank
+    edges = spark.createDataFrame([("A", "B", 3)],
+                                  "uri_a string, uri_b string, n_docs long")
+    r = {row.uri: row.rank for row in pagerank(edges).collect()}
+    assert abs(r["A"] - 0.5) < 1e-9 and abs(r["B"] - 0.5) < 1e-9
+
+
+def test_pagerank_star_center_dominates_and_sums_to_one(spark):
+    from dbpedia_spotlight_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [("HUB", x, 1) for x in ("L1", "L2", "L3", "L4")],
+        "uri_a string, uri_b string, n_docs long")
+    rows = pagerank(edges, n_iter=15).collect()
+    r = {row.uri: row.rank for row in rows}
+    assert abs(sum(r.values()) - 1.0) < 1e-6
+    assert all(r["HUB"] > r[f"L{i}"] for i in range(1, 5))
+    # leaves are symmetric
+    leaves = [r[f"L{i}"] for i in range(1, 5)]
+    assert max(leaves) - min(leaves) < 1e-9
+
+
+def test_pagerank_matches_power_iteration_oracle(spark):
+    """Small weighted graph vs a plain-python power iteration."""
+    from dbpedia_spotlight_spark.operators.graph import pagerank
+    E = [("A", "B", 2), ("B", "C", 1), ("A", "C", 5), ("C", "D", 1)]
+    edges = spark.createDataFrame(E, "uri_a string, uri_b string, n_docs long")
+    got = {r.uri: r.rank for r in pagerank(edges, n_iter=12).collect()}
+
+    nodes = sorted({u for a, b, _ in E for u in (a, b)})
+    out = {u: 0.0 for u in nodes}
+    adj = []
+    for a, b, w in E:
+        adj += [(a, b, float(w)), (b, a, float(w))]
+    for s, _, w in adj:
+        out[s] += w
+    d, n = 0.85, len(nodes)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(12):
+        nxt = {u: (1 - d) / n for u in nodes}
+        for s, t, w in adj:
+            nxt[t] += d * rank[s] * (w / out[s])
+        rank = nxt
+    for u in nodes:
+        assert abs(got[u] - rank[u]) < 1e-9, (u, got[u], rank[u])
