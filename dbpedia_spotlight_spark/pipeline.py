@@ -56,10 +56,20 @@ class PipelineConfig:
     types: tuple[str, ...] = ()      # F3 whitelist/blacklist
     policy: str = "whitelist"        # 'whitelist' | 'blacklist'
     disambiguator: str = "generative"  # 'prior' (D8) | 'generative' (D2) | 'tficf' (D3)
+    spotter: str = "fsa"             # P1 (only FSA ships; 'wiki' input uses sources.wikimarkup)
     k: int = 1                       # D6 bestK
     max_candidates: int = 20         # C2 pruning before scoring
     lang: str | None = "en"
     coreference: bool = False        # F5
+
+    def __post_init__(self) -> None:
+        if self.disambiguator not in ("prior", "generative", "tficf"):
+            raise ValueError(f"unknown disambiguator: {self.disambiguator}")
+        if self.spotter != "fsa":
+            raise ValueError(
+                f"unknown spotter: {self.spotter} (FSA is the statistical-"
+                "backend spotter; wiki-markup input goes through "
+                "sources.wikimarkup, SURVEY §2.3 P3 is out of scope)")
 
 
 ANNOTATION_SCHEMA = StructType([
