@@ -64,11 +64,18 @@ def cooccurrence_edges(links: DataFrame, doc_col: str = "doc_id",
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
-             n_iter: int = 10) -> DataFrame:
+             n_iter: int = 10, driver_threshold: int = 100_000) -> DataFrame:
     """PageRank over the undirected co-occurrence graph (each edge
     contributes both directions), deterministic fixed-iteration power
     method. Returns (uri, rank) with Σ rank = 1 (dangling mass
-    redistributed uniformly)."""
+    redistributed uniformly).
+
+    Graphs with < ``driver_threshold`` edges solve driver-side in numpy
+    (10 distributed shuffle rounds cost seconds of fixed overhead that
+    dwarf a small graph's math — same broadcast-the-small-side logic as
+    dimension joins); larger graphs run the distributed join loop."""
+    if edges.limit(driver_threshold).count() < driver_threshold:
+        return _pagerank_driver(edges, damping, n_iter)
     # directed edge list both ways, weighted by n_docs
     fwd = edges.select(F.col("uri_a").alias("src"),
                        F.col("uri_b").alias("dst"),
@@ -100,5 +107,43 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                  + F.lit(damping) * F.coalesce("mass", F.lit(0.0)))
                 .alias("rank"),
             )
+            # cut lineage every iteration: without this the logical plan (and
+            # Catalyst re-analysis cost) grows with the iteration count —
+            # the standard iterative-DataFrame fix
+            .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def _pagerank_driver(edges: DataFrame, damping: float, n_iter: int) -> DataFrame:
+    """numpy power iteration for small graphs — identical math to the
+    distributed loop (tests pin both against a python oracle)."""
+    import numpy as np
+
+    rows = edges.select("uri_a", "uri_b", "n_docs").collect()
+    nodes = sorted({u for r in rows for u in (r.uri_a, r.uri_b)})
+    if not nodes:
+        return edges.sparkSession.createDataFrame([], "uri string, rank double")
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    src, dst, w = [], [], []
+    for r in rows:
+        a, b, ww = idx[r.uri_a], idx[r.uri_b], float(r.n_docs)
+        src += [a, b]
+        dst += [b, a]
+        w += [ww, ww]
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    w = np.asarray(w)
+    out_w = np.zeros(n)
+    np.add.at(out_w, src, w)
+    p = w / out_w[src]
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        mass = np.zeros(n)
+        np.add.at(mass, dst, p * rank[src])
+        rank = base + damping * mass
+    return edges.sparkSession.createDataFrame(
+        [(u, float(rank[idx[u]])) for u in nodes], "uri string, rank double"
+    )

@@ -57,12 +57,16 @@ def test_pagerank_star_center_dominates_and_sums_to_one(spark):
     assert max(leaves) - min(leaves) < 1e-9
 
 
-def test_pagerank_matches_power_iteration_oracle(spark):
-    """Small weighted graph vs a plain-python power iteration."""
+@pytest.mark.parametrize("threshold", [100_000, 0])
+def test_pagerank_matches_power_iteration_oracle(spark, threshold):
+    """Small weighted graph vs a plain-python power iteration — both the
+    driver-side fast path (threshold high) and the distributed join loop
+    (threshold 0) must match it."""
     from dbpedia_spotlight_spark.operators.graph import pagerank
     E = [("A", "B", 2), ("B", "C", 1), ("A", "C", 5), ("C", "D", 1)]
     edges = spark.createDataFrame(E, "uri_a string, uri_b string, n_docs long")
-    got = {r.uri: r.rank for r in pagerank(edges, n_iter=12).collect()}
+    got = {r.uri: r.rank for r in
+           pagerank(edges, n_iter=12, driver_threshold=threshold).collect()}
 
     nodes = sorted({u for a, b, _ in E for u in (a, b)})
     out = {u: 0.0 for u in nodes}
