@@ -184,10 +184,24 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s_str"),
     ).select("id", md5_long(F.col("s_str")).alias("s"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # single-pass intersection counting: group doc-ids per shingle and
+    # expand in-bucket pairs (a self-join would execute the shingle scan
+    # once per side and shuffle both)
+    buckets = (
+        sh.groupBy("s").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    bn = F.size("ids")
+    bpairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, bn - i - 1),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
     inter = (
-        sh.alias("x").join(sh.alias("y"), "s")
-        .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        buckets.select(F.explode(bpairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
     if candidates is not None:
