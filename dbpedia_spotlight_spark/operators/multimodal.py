@@ -89,8 +89,9 @@ def image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                     if bit:
                         phash |= (1 << i)
                 emb = img.mean(axis=1).astype(np.float32)
+                # two's-complement fold into signed int64 (LongType)
                 rows.append((int(mid), len(b), float(arr.mean()), ent,
-                             int(phash) - (1 << 63) if phash >= (1 << 63) else int(phash),
+                             int(phash) - (1 << 64) if phash >= (1 << 63) else int(phash),
                              emb.tolist()))
             yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
 

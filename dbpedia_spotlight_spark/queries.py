@@ -421,12 +421,17 @@ def _static_model_bc(spark: SparkSession):
 
 def q_annotate_generative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full fused annotate (FSA spotting + generative
-    disambiguation + filters) as ONE mapInPandas pass (SURVEY §3.1)."""
+    disambiguation + filters) as ONE mapInPandas pass (SURVEY §3.1).
+
+    Driver-facing shape: the API's ``types`` array<string> is flattened to
+    a comma-joined string — the driver's canonicalizer sorts-then-hashes
+    cell values and cannot order list cells (round-1 `err` row). The
+    array-typed API (``pipeline.annotate``) is unchanged."""
     from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
     return annotate(
         spark, _web_pages_from_docs(spark, sf_dir), _static_model_bc(spark),
         PipelineConfig(disambiguator="generative", confidence=0.0, support=0),
-    )
+    ).withColumn("types", F.concat_ws(",", "types"))
 
 
 def q_spot_fsa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -437,11 +442,13 @@ def q_spot_fsa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_candidates_generative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/candidates with generative scores, bestK=3 (rows-only check)."""
+    """/candidates with generative scores, bestK=3 (rows-only check;
+    ``types`` flattened to a scalar for the driver canonicalizer)."""
     from dbpedia_spotlight_spark.pipeline import PipelineConfig, candidates
     return candidates(spark, _web_pages_from_docs(spark, sf_dir),
                       _static_model_bc(spark),
-                      PipelineConfig(disambiguator="generative", k=3))
+                      PipelineConfig(disambiguator="generative", k=3)
+                      ).withColumn("types", F.concat_ws(",", "types"))
 
 
 def q_model_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,9 +571,64 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (imperative rolling hash — rows-only)."""
+    """Winnowing fingerprints, exploded to one (doc_id, fingerprint) row
+    per selected hash so the driver canonicalizer sees scalars only.
+    The Karp-Rabin + min-window selection is mirrored exactly in DuckDB
+    (``sql_winnowing``) — polynomial hash per k-gram in HUGEINT, argmin
+    per window with leftmost tie-break, consecutive-pick dedup."""
     from dbpedia_spotlight_spark.operators.textstats import winnowing_fingerprints
-    return winnowing_fingerprints(_docs(spark, sf_dir))
+    return winnowing_fingerprints(_docs(spark, sf_dir)).select(
+        "doc_id", F.explode("fingerprints").alias("fingerprint")
+    )
+
+
+def sql_winnowing(k: int = 5, window: int = 4) -> str:
+    """DuckDB mirror of winnowing_fingerprints (B=131, M=2^61-1).
+
+    The python rolling hash equals the direct polynomial hash of each
+    k-gram mod M; the window pick index is non-decreasing as the window
+    slides, so the 'emit when the pick changes' rule equals 'one row per
+    DISTINCT picked index'. The <window-hashes fallback emits min(h)."""
+    M = (1 << 61) - 1
+    h_expr = "CAST(ord(substr(s, u.i, 1)) AS HUGEINT)"
+    for j in range(1, k):
+        h_expr = f"((({h_expr}) * 131 + ord(substr(s, u.i + {j}, 1))) % {M})"
+    return f"""
+  WITH norm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+    FROM documents
+  ),
+  hpos AS (
+    SELECT doc_id, u.i AS idx, CAST({h_expr} AS BIGINT) AS h
+    FROM norm, LATERAL UNNEST(range(1, length(s) - {k} + 2)) AS u(i)
+    WHERE length(s) >= {k}
+  ),
+  wins AS (
+    SELECT doc_id, idx AS w,
+           min(h) OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+             AS mh,
+           count(*) OVER (PARTITION BY doc_id) AS nh
+    FROM hpos
+  ),
+  chosen AS (
+    SELECT s.doc_id, s.w, min(h2.idx) AS cidx
+    FROM wins s
+    JOIN hpos h2 ON h2.doc_id = s.doc_id
+               AND h2.idx BETWEEN s.w AND s.w + {window - 1}
+               AND h2.h = s.mh
+    WHERE s.w <= s.nh - {window - 1}
+    GROUP BY s.doc_id, s.w
+  ),
+  sel AS (SELECT DISTINCT doc_id, cidx FROM chosen),
+  fps AS (
+    SELECT sel.doc_id, h.h AS fingerprint
+    FROM sel JOIN hpos h ON h.doc_id = sel.doc_id AND h.idx = sel.cidx
+    UNION ALL
+    SELECT doc_id, min(h) AS fingerprint FROM hpos
+    GROUP BY doc_id HAVING count(*) <= {window - 1}
+  )
+  SELECT doc_id, fingerprint FROM fps"""
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,10 +1049,67 @@ def sql_events_hourly() -> str:
 
 
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over the deterministic fake-media table —
+    scalar columns only for the driver canonicalizer (the 8-dim embedding
+    array stays in the operator API and is pytest-checked). Paired with a
+    golden-expectation oracle (``sql_image_features``) computed driver-side
+    from the same deterministic payloads — it verifies the mapInPandas
+    plumbing (distribution, Arrow binary transfer, kind filter, schema)
+    end-to-end, like ``frame_sample``."""
     from dbpedia_spotlight_spark.operators.multimodal import (
         image_features, make_fake_media,
     )
-    return image_features(make_fake_media(spark), fake_decode=True)
+    return image_features(make_fake_media(spark), fake_decode=True).select(
+        "media_id", "n_bytes", "byte_mean", "byte_entropy", "phash"
+    )
+
+
+def sql_image_features() -> str:
+    """Golden VALUES for q_image_features: payloads reconstructed from the
+    documented make_fake_media recipe (seed=3, kind cycle image/audio/video,
+    payload len in [64,512)), features recomputed with the same numpy
+    expression trees so doubles are bit-identical (repr round-trips)."""
+    import random
+    import numpy as np
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(64):
+        kind = ("image", "audio", "video")[i % 3]
+        payload = bytes(rng.randrange(256) for _ in range(rng.randrange(64, 512)))
+        if kind != "image":
+            continue
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        counts = np.bincount(arr, minlength=256).astype(np.float64)
+        p = counts / counts.sum()
+        ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum())
+        pad = (-len(arr)) % 64
+        a2 = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)]) if pad else arr
+        img = a2.reshape(-1, 64).mean(axis=0).reshape(8, 8)
+        mean = img.mean()
+        bits = (img > mean).flatten()
+        phash = 0
+        for j, bit in enumerate(bits):
+            if bit:
+                phash |= (1 << j)
+        if phash >= (1 << 63):
+            phash -= (1 << 64)
+        rows.append((i, len(payload), float(arr.mean()), ent, phash))
+    # doubles go through VARCHAR→DOUBLE casts: a bare decimal literal is
+    # parsed as DECIMAL by DuckDB and re-rounded, losing the exact double
+    values = ",\n    ".join(
+        f"({mid}, {nb}, CAST('{bm!r}' AS DOUBLE), CAST('{be!r}' AS DOUBLE), {ph})"
+        for (mid, nb, bm, be, ph) in rows
+    )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id,"
+        " CAST(n_bytes AS BIGINT) AS n_bytes,"
+        " CAST(byte_mean AS DOUBLE) AS byte_mean,"
+        " CAST(byte_entropy AS DOUBLE) AS byte_entropy,"
+        " CAST(phash AS BIGINT) AS phash"
+        f" FROM (VALUES {values}) AS t(media_id, n_bytes, byte_mean,"
+        " byte_entropy, phash)"
+    )
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1086,6 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": sql_fingerprint(),
         "simhash": sql_simhash(),
         "jaccard_pairs": sql_jaccard_pairs(),
+        "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
         "quality": sql_quality(),
         "token_count": sql_token_count(),
@@ -1098,5 +1218,6 @@ def oracle_sql() -> dict[str, str]:
         "part_type_stats": sql_part_type_stats(),
         "events_hourly": sql_events_hourly(),
         "sessionize": sql_sessionize(),
+        "image_features": sql_image_features(),
         "frame_sample": sql_frame_sample(),
     }
