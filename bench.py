@@ -270,9 +270,24 @@ def main() -> None:
             json.dump({**result["scaling"], "measured_at": time.time()}, f)
     elif os.path.exists(cache):
         # surface the last measured N-vs-4N evidence in every bench JSON
-        # (the full protocol takes ~4 min; it is re-run via --scaling)
+        # (the full protocol takes ~4 min; it is re-run via --scaling).
+        # Only keys the CURRENT run_scaling produces are forwarded, plus
+        # explicit staleness, so stale evidence can't pass as fresh.
         with open(cache) as f:
-            result["scaling"] = {**json.load(f), "cached": True}
+            raw = json.load(f)
+        known = {
+            "n_docs", "cores_small", "cores_big", "efficiency",
+            "hardware_ceiling", "measured_at",
+            f"annotate_sec_local{SCALE_SMALL}",
+            f"annotate_sec_local{SCALE_BIG}",
+            f"samples_local{SCALE_SMALL}", f"samples_local{SCALE_BIG}",
+            f"docs_per_sec_local{SCALE_SMALL}",
+            f"docs_per_sec_local{SCALE_BIG}",
+        }
+        scaling = {k: v for k, v in raw.items() if k in known}
+        age_h = (time.time() - raw.get("measured_at", 0)) / 3600.0
+        result["scaling"] = {**scaling, "cached": True,
+                             "cache_age_hours": round(age_h, 2)}
     print(json.dumps(result))
 
 

@@ -166,7 +166,8 @@ def minhash_candidate_pairs(docs: DataFrame, n_hashes: int = 16,
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
-                        candidates: DataFrame | None = None) -> DataFrame:
+                        candidates: DataFrame | None = None,
+                        max_bucket: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs. With `candidates`
     (e.g. from MinHash-LSH) verifies only those; without, evaluates all
     pairs sharing >=1 shingle (explode + self-join — test scale only).
@@ -178,7 +179,12 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     shingle text and compare in one instruction (collision probability
     ~2⁻⁶⁰ per pair — semantics-preserving in practice; the DuckDB oracle
     joins on the raw string and the driver's value-hash would expose any
-    collision)."""
+    collision).
+
+    ``max_bucket`` caps the in-bucket pair expansion: one corpus-common
+    shingle (boilerplate) otherwise creates C(n,2) pairs. None = exact
+    (the oracle-checked mode; exactness holds only without a cap) — at
+    corpus scale ALWAYS pass a cap or pre-filter with LSH ``candidates``."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s_str"),
@@ -186,11 +192,16 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     # single-pass intersection counting: group doc-ids per shingle and
     # expand in-bucket pairs (a self-join would execute the shingle scan
-    # once per side and shuffle both)
+    # once per side and shuffle both). array_distinct: two shingles of one
+    # doc can collide into the same 60-bit key, which would duplicate the
+    # id in its bucket and emit a degenerate (a,a) pair
     buckets = (
-        sh.groupBy("s").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        sh.groupBy("s")
+        .agg(F.array_distinct(F.sort_array(F.collect_list("id"))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
     bn = F.size("ids")
     bpairs = F.flatten(F.transform(
         F.col("ids"),

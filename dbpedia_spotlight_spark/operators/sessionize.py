@@ -48,10 +48,14 @@ def sql_sessionize(gap_sec: int = SESSION_GAP_SEC) -> str:
     engine)."""
     return f"""
   WITH o AS (
+    -- floor(epoch(ts)): DuckDB's epoch() keeps sub-second fraction while
+    -- the Spark side floors to whole seconds (timestamp->long cast); a
+    -- fractional gap straddling the threshold would otherwise split a
+    -- session in one engine only
     SELECT user_id, event_id, ts, value,
-           CASE WHEN lag(epoch(ts)) OVER
+           CASE WHEN lag(floor(epoch(ts))) OVER
                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  OR epoch(ts) - lag(epoch(ts)) OVER
+                  OR floor(epoch(ts)) - lag(floor(epoch(ts))) OVER
                   (PARTITION BY user_id ORDER BY ts, event_id) > {gap_sec}
                 THEN 1 ELSE 0 END AS new_sess
     FROM events

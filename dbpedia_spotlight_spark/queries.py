@@ -410,7 +410,10 @@ _STATIC_BC = {}
 
 
 def _static_model_bc(spark: SparkSession):
-    key = id(spark)
+    # keyed by applicationId (stable, unique per SparkContext) — id(spark)
+    # can collide when CPython reuses a freed address for a new session,
+    # handing out a broadcast from a stopped context
+    key = spark.sparkContext.applicationId
     if key not in _STATIC_BC:
         _STATIC_BC.clear()
         _STATIC_BC[key] = spark.sparkContext.broadcast(

@@ -106,6 +106,10 @@ def disambiguate_xml(spark: SparkSession, df: DataFrame, model_bc,
 
     def run(batches):
         model = _get_model(model_bc)
+        # built ONCE per task, not per document: with a real multi-million
+        # entry lexicon an in-loop rebuild is O(|lexicon|) per doc and
+        # dominates the /disambiguate path
+        sf_index = {name: i for i, name in enumerate(model.sf_names)}
         for pdf in batches:
             rows = []
             for url, xml in zip(pdf[url_col], pdf[xml_col]):
@@ -129,7 +133,6 @@ def disambiguate_xml(spark: SparkSession, df: DataFrame, model_bc,
                 from dbpedia_spotlight_spark.pipeline import _bag
                 bags = [_bag(c) for c in counts]
 
-                sf_index = {name: i for i, name in enumerate(model.sf_names)}
                 spots = []
                 for name, off in named_spots:
                     sf_id = sf_index.get(name.lower())
