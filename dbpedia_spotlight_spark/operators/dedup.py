@@ -226,59 +226,109 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     return out.select("a", "b", "jaccard")
 
 
+def _sig_bit(i: int) -> F.Column:
+    """Literal for bit i of a packed int64 signature (bit 63 = sign bit:
+    summing disjoint bit literals equals bitwise OR in two's complement)."""
+    return F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i)
+
+
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """SimHash signature: per-token md5 bits vote ±1 per position; the
-    sign vector packs into an int. One explode + one groupBy (map-side
-    combinable); near-dup = small Hamming distance between signatures."""
+    sign vector packs into an int64. One explode + one groupBy (map-side
+    combinable); near-dup = small Hamming distance between signatures.
+
+    ``bits`` up to 64: bits 0..59 come from md5 hex chars 1-15, bits
+    60..63 from chars 16-30 (both mirrored exactly in DuckDB as
+    ('0x'||substr(md5(t),off,15))::BIGINT)."""
+    if not 1 <= bits <= 64:
+        raise ValueError("bits must be in [1, 64]")
     tok = docs.select(
         F.col(id_col),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", md5_long(F.col("tok")))
+    if bits > 60:
+        tok = tok.withColumn(
+            "h2", F.conv(F.substring(F.md5(F.col("tok")), 16, 15), 16, 10)
+                   .cast("long"))
+
+    def vote_src(i: int) -> F.Column:
+        return F.shiftright(F.col("h"), i) if i < 60 \
+            else F.shiftright(F.col("h2"), i - 60)
+
     votes = tok.groupBy(id_col).agg(*[
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
-                   ).otherwise(-1)
+            F.when(vote_src(i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
         for i in range(bits)
     ])
     sig = None
     for i in range(bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(F.col(f"v{i}") > 0, _sig_bit(i)).otherwise(F.lit(0))
         sig = bit if sig is None else (sig + bit)
     return votes.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2,
-                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. Scale path: block on
-    signature halves (a pair within distance d must agree exactly on at
-    least one of d+1 blocks) — here 2 blocks for d<=1 per block count."""
+def simhash_near_pairs(docs: DataFrame, bits: int = 64, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_bucket: int = 1000) -> DataFrame:
+    """Near-dup pairs (a < b, hamming <= max_hamming) by SimHash Hamming
+    distance, exact-recall blocking: the signature is split into
+    ``max_hamming + 1`` equal blocks — by pigeonhole a pair within
+    distance d agrees exactly on >= 1 block, so blocked candidate
+    generation has recall 1.0 and the output EQUALS the brute-force
+    all-pairs answer (the DuckDB oracle computes exactly that).
+
+    Scale shape: one explode to (block_idx, block_val) + one groupBy +
+    in-bucket pair expansion (same single-pass pattern as MinHash-LSH);
+    64-bit signatures with 4 x 16-bit block keys keep buckets ~n/2^16
+    per block under a ``max_bucket`` quadratic guard."""
+    blocks = max_hamming + 1
+    if bits % blocks:
+        raise ValueError(f"bits={bits} must divide into {blocks} blocks")
+    width = bits // blocks
+    if width < 8:
+        raise ValueError("block width < 8 bits — buckets would be quadratic")
     s = simhash(docs, bits, id_col, text_col)
-    half = bits // 2
+
+    def block_val(k: int) -> F.Column:
+        if width >= 64:
+            return F.col("simhash")
+        return F.shiftright("simhash", k * width) \
+                .bitwiseAND(F.lit((1 << width) - 1))
+
     blocked = s.select(
         F.col(id_col).alias("id"), "simhash",
-        (F.col("simhash") % (1 << half)).alias("lo"),
-        (F.shiftright("simhash", half)).alias("hi"),
+        F.posexplode(F.array(*[block_val(k) for k in range(blocks)]))
+         .alias("block", "block_val"),
     )
-    cand = (
-        blocked.alias("x").join(blocked.alias("y"),
-                                F.col("x.lo") == F.col("y.lo"))
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"))
-        .union(
-            blocked.alias("x").join(blocked.alias("y"),
-                                    F.col("x.hi") == F.col("y.hi"))
-            .filter(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"),
-                    F.col("x.simhash").alias("sa"), F.col("y.simhash").alias("sb"))
-        ).distinct()
+    buckets = (
+        blocked.groupBy("block", "block_val")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "simhash")))
+              .alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("a", "b", "hamming")
+    n = F.size("members")
+    pairs = F.flatten(F.transform(
+        F.col("members"),
+        lambda x, i: F.transform(
+            F.slice(F.col("members"), i + 2, n - i - 1),
+            lambda y: F.struct(
+                x["id"].alias("a"), y["id"].alias("b"),
+                x["simhash"].alias("sa"), y["simhash"].alias("sb"),
+            ),
+        ),
+    ))
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+            F.bit_count(F.col("p.sa").bitwiseXOR(F.col("p.sb")))
+             .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,

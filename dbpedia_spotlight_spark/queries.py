@@ -535,6 +535,59 @@ def sql_simhash() -> str:
   SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM votes"""
 
 
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs at Hamming<=3 with pigeonhole-exact
+    4-block candidate generation (recall 1.0 ⇒ output ≡ brute force, so a
+    full all-pairs DuckDB oracle applies). Duplicate docs are planted
+    (doc_id<20 offset by 1e6) so the check can't pass vacuously."""
+    from dbpedia_spotlight_spark.operators.dedup import simhash_near_pairs
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return simhash_near_pairs(d.unionByName(planted), bits=64, max_hamming=3)
+
+
+def sql_simhash_near_pairs() -> str:
+    votes = []
+    for i in range(64):
+        src = f"(h >> {i})" if i < 60 else f"(h2 >> {i - 60})"
+        votes.append(
+            f"SUM(CASE WHEN {src} & 1 = 1 THEN 1 ELSE -1 END) AS v{i}")
+    bit63 = "(-9223372036854775807 - 1)"
+    pack = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {bit63 if i == 63 else (1 << i)} "
+        f"ELSE 0 END)"
+        for i in range(64)
+    )
+    votes_sql = ",\n           ".join(votes)
+    return f"""
+  WITH all_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+  ),
+  tok AS (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS t FROM all_docs
+  ),
+  hashed AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(t), 1, 15))::BIGINT AS h,
+           ('0x' || substr(md5(t), 16, 15))::BIGINT AS h2
+    FROM tok
+  ),
+  votes AS (
+    SELECT doc_id,
+           {votes_sql}
+    FROM hashed GROUP BY doc_id
+  ),
+  sig AS (SELECT doc_id, CAST({pack} AS BIGINT) AS s FROM votes)
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         CAST(bit_count(xor(x.s, y.s)) AS INTEGER) AS hamming
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.s, y.s)) <= 3"""
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.03 — the testdata
     corpus shares shingles but has no true near-dups)."""
@@ -1166,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
         "winnowing": q_winnowing,
@@ -1207,6 +1261,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "fingerprint": sql_fingerprint(),
         "simhash": sql_simhash(),
+        "simhash_near_pairs": sql_simhash_near_pairs(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),

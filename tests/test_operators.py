@@ -83,6 +83,42 @@ def test_simhash_clone_zero_hamming(spark, documents):
         assert (i, i + 100000) in found
 
 
+def test_simhash_blocked_equals_brute_force(spark, documents):
+    """Pigeonhole guarantee: with max_hamming+1 blocks the blocked pair
+    generation has recall 1.0, so its output must EQUAL brute-force
+    all-pairs Hamming filtering — checked on a fixture with planted exact
+    and near (few-token-edit) duplicates."""
+    from dbpedia_spotlight_spark.operators.dedup import (
+        simhash, simhash_near_pairs,
+    )
+
+    d = documents.limit(30).select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") < 10).withColumn(
+        "doc_id", F.col("doc_id") + 100000)
+    near = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.lit("zq1 zq2")).alias("text"),
+    )
+    corpus = d.unionByName(exact).unionByName(near)
+
+    out = simhash_near_pairs(corpus, bits=64, max_hamming=3).toPandas()
+    got = {(a, b, h) for a, b, h in zip(out["a"], out["b"], out["hamming"])}
+
+    sigs = simhash(corpus, bits=64).toPandas()
+    sig = dict(zip(sigs["doc_id"], sigs["simhash"]))
+    ids = sorted(sig)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want
+    # planted exact copies must surface at hamming 0
+    for i in range(10):
+        assert (i, i + 100000, 0) in got
+
+
 def test_embedding_near_dup_self_clones(spark, embeddings):
     from dbpedia_spotlight_spark.operators.dedup import embedding_near_dup
 
