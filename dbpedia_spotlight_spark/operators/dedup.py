@@ -333,11 +333,28 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 64, max_hamming: int = 3,
 
 def embedding_near_dup(embeddings: DataFrame, threshold: float = 0.95,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       method: str = "lsh",
+                       n_tables: int = 6, n_planes: int = 8,
+                       max_bucket: int = 1000) -> DataFrame:
     """Embedding-cosine near-duplicates (a < b, cosine >= threshold).
 
-    Brute pair form — the verify step. For the scale path use
-    ``similarity.hyperplane_lsh_pairs`` to generate candidates first."""
+    ``method='lsh'`` (default, the scale path): multi-table sign-bit LSH
+    candidate generation + exact cosine verify
+    (``similarity.hyperplane_lsh_pairs``) — no quadratic stage; identical
+    vectors are always recalled. ``method='brute'``: O(n²) crossJoin —
+    the recall reference for tests and tiny corpora ONLY."""
+    if method == "lsh":
+        from dbpedia_spotlight_spark.operators.similarity import (
+            hyperplane_lsh_pairs,
+        )
+        return hyperplane_lsh_pairs(
+            embeddings, threshold=threshold, n_tables=n_tables,
+            n_planes=n_planes, id_col=id_col, vec_col=vec_col,
+            max_bucket=max_bucket,
+        )
+    if method != "brute":
+        raise ValueError(f"unknown method: {method}")
     dot = F.aggregate(
         F.zip_with(F.col("x.v"), F.col("y.v"), lambda p, q: p * q),
         F.lit(0.0), lambda acc, z: acc + z,

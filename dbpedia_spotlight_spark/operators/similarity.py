@@ -59,11 +59,11 @@ def cosine_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (pure function of
-    (dim, n_planes) — no RNG state, reproducible everywhere)."""
+    (dim, n_planes, seed) — no RNG state, reproducible everywhere)."""
     planes = []
-    x = 0x243F6A8885A308D3
+    x = 0x243F6A8885A308D3 ^ (seed * 0x9E3779B97F4A7C15 % (1 << 64))
     for p in range(n_planes):
         row = []
         for d in range(dim):
@@ -91,6 +91,79 @@ def lsh_bucket(embeddings: DataFrame, n_planes: int = 8,
         bucket = bit if bucket is None else (bucket + bit)
     return embeddings.select(F.col(id_col), F.col(vec_col),
                              bucket.cast("int").alias("bucket"))
+
+
+def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                         n_tables: int = 6, n_planes: int = 8,
+                         id_col: str = "vec_id", vec_col: str = "embedding",
+                         max_bucket: int = 1000) -> DataFrame:
+    """Near-duplicate *pairs* (a < b, cosine >= threshold) via multi-table
+    sign-bit LSH — the scale path that replaces the O(n²) crossJoin.
+
+    ``n_tables`` independent hyperplane tables of ``n_planes`` sign bits
+    each; vectors sharing a bucket in ANY table become candidates (one
+    explode + one groupBy + in-bucket pair expansion — the same
+    single-pass, bucket-capped pattern as ``minhash_candidate_pairs``),
+    then candidates are verified with the exact cosine. Identical vectors
+    collide in every table (recall 1.0 for true duplicates); recall for
+    near-pairs rises with n_tables and is measured against brute force in
+    pytest. Per-row cost is n_tables·n_planes native dot products — JVM
+    codegen, no Python, no shuffle of the vector column until the
+    (small) candidate join."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    bucket_cols = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed=t)
+        b = None
+        for p, plane in enumerate(planes):
+            d = F.aggregate(
+                F.zip_with(F.col("v"),
+                           F.array(*[F.lit(x) for x in plane]),
+                           lambda a, w: a * w),
+                F.lit(0.0), lambda acc, z: acc + z,
+            )
+            bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            b = bit if b is None else (b + bit)
+        bucket_cols.append(b.cast("int"))
+    tabbed = e.select(
+        "id", F.posexplode(F.array(*bucket_cols)).alias("table", "bucket")
+    )
+    buckets = (
+        tabbed.groupBy("table", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    n = F.size("ids")
+    expanded = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, n - i - 1),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    cand = (
+        buckets.select(F.explode(expanded).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    ea = e.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    eb = e.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda p, q: p * q),
+        F.lit(0.0), lambda acc, z: acc + z,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda p: p * p), F.lit(0.0), lambda acc, z: acc + z))
+    return (
+        cand.join(ea, "a").join(eb, "b")
+        .select("a", "b",
+                (dot / (nrm(F.col("va")) * nrm(F.col("vb")))).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,

@@ -835,15 +835,30 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.99)."""
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.99) via the LSH
+    scale path (multi-table sign-bit buckets + exact verify — NOT the
+    O(n²) crossJoin). Duplicate vectors are planted (vec_id<20 offset by
+    1e6) so the brute-force oracle comparison is non-vacuous: identical
+    vectors collide in every LSH table, so LSH ≡ brute force here (the
+    corpus has no other pairs at 0.99)."""
     from dbpedia_spotlight_spark.operators.dedup import embedding_near_dup
-    out = embedding_near_dup(_emb(spark, sf_dir), threshold=0.99)
+    e = _emb(spark, sf_dir)
+    planted = e.filter(F.col("vec_id") < 20).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    out = embedding_near_dup(e.unionByName(planted), threshold=0.99,
+                             method="lsh")
     return out.select("a", "b", F.round("cosine", 9).alias("cosine"))
 
 
 def sql_near_dup_embeddings() -> str:
     return """
-  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+  WITH all_e AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20
+  ),
+  e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM all_e)
   SELECT x.vec_id AS a, y.vec_id AS b,
          round(list_dot_product(x.v, y.v)
                / (sqrt(list_dot_product(x.v, x.v))

@@ -120,14 +120,43 @@ def test_simhash_blocked_equals_brute_force(spark, documents):
 
 
 def test_embedding_near_dup_self_clones(spark, embeddings):
+    """Both methods must find planted identical vectors (LSH recalls
+    exact duplicates with probability 1 — same bucket in every table)."""
     from dbpedia_spotlight_spark.operators.dedup import embedding_near_dup
 
     e = embeddings.limit(20)
     clone = e.withColumn("vec_id", F.col("vec_id") + 100000)
-    out = embedding_near_dup(e.unionByName(clone), threshold=0.9999).toPandas()
-    found = {(a, b) for a, b in zip(out["a"], out["b"])}
-    for i in range(20):
-        assert (i, i + 100000) in found
+    for method in ("lsh", "brute"):
+        out = embedding_near_dup(e.unionByName(clone), threshold=0.9999,
+                                 method=method).toPandas()
+        found = {(a, b) for a, b in zip(out["a"], out["b"])}
+        for i in range(20):
+            assert (i, i + 100000) in found, method
+
+
+def test_hyperplane_lsh_pairs_recall_vs_brute(spark):
+    """LSH near-dup pairs vs brute force on a fixture with planted near
+    (not identical) duplicates: every reported pair must be a true pair
+    (exact verify step => precision 1.0) and recall must be high."""
+    from dbpedia_spotlight_spark.operators.dedup import embedding_near_dup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, base[i].astype("float32").tolist()) for i in range(40)]
+    # 15 near-duplicates: tiny perturbation of vectors 0..14
+    for i in range(15):
+        v = base[i] + rng.normal(scale=0.02, size=16)
+        rows.append((1000 + i, v.astype("float32").tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = embedding_near_dup(df, threshold=0.99, method="brute").toPandas()
+    lsh = embedding_near_dup(df, threshold=0.99, method="lsh",
+                             n_tables=8, n_planes=8).toPandas()
+    want = {(a, b) for a, b in zip(brute["a"], brute["b"])}
+    got = {(a, b) for a, b in zip(lsh["a"], lsh["b"])}
+    assert want, "fixture must contain true near-dup pairs"
+    assert got <= want  # exact verify: no false positives
+    assert len(got & want) / len(want) >= 0.85
 
 
 # ----------------------------------------------------------- similarity --
