@@ -187,6 +187,77 @@ def sql_annotate_prior() -> str:
     )
 
 
+def q_annotate_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 at NON-TRIVIAL thresholds (confidence=0.5, support>=75) over
+    the relational path — the composite confidence rule
+    (similarity >= c AND pct_second_rank <= 1-c) and the support gate
+    actually drop rows here (60/40-prior mentions fail pct2 <= 0.5;
+    support 60/70 entities fail the support gate), so the oracle check
+    exercises the filter semantics, unlike annotate_prior at defaults.
+    D5 softmax + D7 second-rank margin are computed with the identical
+    two-step expression shape in both engines (shifted-exp normalization,
+    then lead ratio); round(9) absorbs libm ulp differences."""
+    conf, support_min = 0.5, 75
+    cand = _cand_df(spark)
+    spots = _spots(_docs(spark, sf_dir), cand)
+    wp = Window.partitionBy("doc_id", "begin")
+    wo = wp.orderBy(F.desc("prior"), F.asc("uri"))
+    joined = (
+        spots.join(F.broadcast(cand), spots.surface_form == cand.sf)
+        .withColumn("rank", F.row_number().over(wo))
+        .withColumn("lnp", F.log(F.greatest(F.col("prior"), F.lit(1e-300))))
+    )
+    shifted = joined.withColumn("sh", F.col("lnp") - F.max("lnp").over(wp))
+    scored = (
+        shifted
+        .withColumn("sim", F.exp("sh") / F.sum(F.exp("sh")).over(wp))
+        .withColumn(
+            "pct2",
+            F.coalesce(F.exp(F.lead("lnp").over(wo) - F.col("lnp")),
+                       F.lit(0.0)),
+        )
+    )
+    return (
+        scored.filter(
+            (F.col("rank") == 1)
+            & (F.col("sim") >= conf)
+            & (F.col("pct2") <= 1.0 - conf + 1e-12)
+            & (F.col("support") >= support_min)
+        )
+        .select(
+            "doc_id", "begin", "end", "surface_form", "uri", "support",
+            F.round("sim", 9).alias("similarity_score"),
+            F.round("pct2", 9).alias("percentage_of_second_rank"),
+        )
+    )
+
+
+def sql_annotate_confident() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  scored AS (
+    SELECT *, ln(greatest(prior, 1e-300)) AS lnp FROM ranked
+  ),
+  shifted AS (
+    SELECT *, lnp - max(lnp) OVER (PARTITION BY doc_id, "begin") AS sh
+    FROM scored
+  ),
+  sm AS (
+    SELECT *,
+           exp(sh) / sum(exp(sh)) OVER (PARTITION BY doc_id, "begin") AS sim,
+           coalesce(exp(lead(lnp) OVER (PARTITION BY doc_id, "begin"
+                                        ORDER BY prior DESC, uri ASC) - lnp),
+                    0.0) AS pct2
+    FROM shifted
+  )
+  SELECT doc_id, "begin", "end", surface_form, uri, support,
+         round(sim, 9) AS similarity_score,
+         round(pct2, 9) AS percentage_of_second_rank
+  FROM sm
+  WHERE rank = 1 AND sim >= 0.5 AND pct2 <= 0.5 + 1e-12 AND support >= 75"""
+    )
+
+
 def q_candidates_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/candidates endpoint, prior-ranked bestK=3 (SURVEY §3.2 D6)."""
     return (
@@ -386,13 +457,58 @@ def sql_entity_graph_edges() -> str:
 
 
 def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank salience over the entity co-occurrence graph (iterative —
-    rows-only; invariants + a hand-computed graph are pytest-checked)."""
+    """PageRank salience over the entity co-occurrence graph. The fixed
+    10-iteration power method is mirrored in DuckDB as an unrolled chain
+    of 10 aggregation CTEs (identical float expression shapes; integer
+    edge weights make out-degree sums exact, so engines differ only by
+    summation order ~1e-16 — absorbed by round(9))."""
     from dbpedia_spotlight_spark.operators.graph import (
         cooccurrence_edges, pagerank,
     )
     edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir))
-    return pagerank(edges, n_iter=10)
+    return pagerank(edges, n_iter=10).select(
+        "uri", F.round("rank", 9).alias("rank")
+    )
+
+
+def sql_entity_pagerank(n_iter: int = 10) -> str:
+    iters = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+  r{k} AS (
+    SELECT nm.dst AS uri,
+           ((1.0::DOUBLE - 0.85::DOUBLE) / (SELECT n FROM nn))
+             + 0.85::DOUBLE * sum(nm.p * r.rank) AS rank
+    FROM norm nm JOIN {prev} r ON nm.src = r.uri
+    GROUP BY nm.dst
+  )""")
+        prev = f"r{k}"
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  eg AS (
+    SELECT x.uri AS uri_a, y.uri AS uri_b, count(*) AS n_docs
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2
+  ),
+  directed AS (
+    SELECT uri_a AS src, uri_b AS dst, CAST(n_docs AS DOUBLE) AS w FROM eg
+    UNION ALL
+    SELECT uri_b AS src, uri_a AS dst, CAST(n_docs AS DOUBLE) AS w FROM eg
+  ),
+  outw AS (SELECT src, sum(w) AS ow FROM directed GROUP BY src),
+  norm AS (
+    SELECT d.src, d.dst, d.w / o.ow AS p
+    FROM directed d JOIN outw o ON d.src = o.src
+  ),
+  nodes AS (SELECT DISTINCT src AS uri FROM directed),
+  nn AS (SELECT count(*) AS n FROM nodes),
+  r0 AS (
+    SELECT uri, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes
+  ),""" + ",".join(iters) + f"""
+  SELECT uri, round(rank, 9) AS rank FROM r{n_iter}"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -470,6 +586,37 @@ def q_model_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = build_model_tables(spark, corpus, links,
                                 stopwords=list(LEX.STOPWORDS))
     return tables["surface_forms"]
+
+
+def sql_model_build() -> str:
+    """Oracle for the surface_forms model table: annotated counts are the
+    per-sf marginal of the prior links; total counts re-count every
+    occurrence of the sf token sequence in the corpus (the testdata
+    corpus is pure space-separated lowercase words, so the ungated
+    automaton scan reduces to a token-equality count — asserted by the
+    spot_unigram oracle passing on the same tokenization)."""
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  ann AS (
+    SELECT lower(surface_form) AS sf, count(*) AS annotated_count
+    FROM ranked WHERE rank = 1 GROUP BY 1
+  ),
+  tot AS (
+    SELECT t.tok AS sf, count(*) AS total_count
+    FROM toks t JOIN ann a ON t.tok = a.sf
+    GROUP BY 1
+  ),
+  sfs AS (
+    SELECT a.sf, a.annotated_count,
+           greatest(coalesce(tot.total_count, 0), a.annotated_count)
+             AS total_count
+    FROM ann a LEFT JOIN tot ON a.sf = tot.sf
+  )
+  SELECT sf,
+         CAST(row_number() OVER (ORDER BY sf) - 1 AS INTEGER) AS sf_id,
+         annotated_count, total_count
+  FROM sfs"""
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -620,10 +767,57 @@ def sql_jaccard_pairs() -> str:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs (rows-only; pytest checks band
-    semantics and recall against exact Jaccard)."""
+    """MinHash+LSH candidate pairs — fully oracle-paired: every hash in
+    the pipeline is md5-derived with inlined affine coefficients exactly
+    so DuckDB can recompute signatures, band hashes, bucket caps and the
+    pair expansion independently (the design reason for avoiding Spark-
+    private hash functions, dedup.py module docstring)."""
     from dbpedia_spotlight_spark.operators.dedup import minhash_candidate_pairs
     return minhash_candidate_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4)
+
+
+def sql_minhash_pairs(n_hashes: int = 16, bands: int = 4,
+                      max_bucket: int = 1000) -> str:
+    from dbpedia_spotlight_spark.operators.dedup import MERSENNE61, hash_family
+    fam = hash_family(n_hashes)
+    sig_cols = ",\n    ".join(
+        f"MIN((h * {a} + {b}) % {MERSENNE61}) AS h{j}"
+        for j, (a, b) in enumerate(fam)
+    )
+    per_band = n_hashes // bands
+    band_rows = []
+    for bi in range(bands):
+        parts = " || ',' || ".join(
+            f"CAST(h{bi * per_band + j} AS VARCHAR)" for j in range(per_band)
+        )
+        band_rows.append(f"SELECT id, {bi} AS band, md5({parts}) AS bh FROM sig")
+    bands_sql = "\n    UNION ALL ".join(band_rows)
+    return f"""
+  WITH sh AS (
+    SELECT DISTINCT doc_id AS id, s FROM (
+      SELECT doc_id, UNNEST(
+        CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+          list_transform(range(0, len(string_split(lower(text), ' ')) - 2),
+            i -> array_to_string(list_slice(string_split(lower(text), ' '),
+                                            i + 1, i + 3), ' '))
+        ELSE [array_to_string(string_split(lower(text), ' '), ' ')] END) AS s
+      FROM documents)
+  ),
+  hs AS (SELECT id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+  sig AS (
+    SELECT id,
+    {sig_cols}
+    FROM hs GROUP BY id
+  ),
+  bands AS (
+    {bands_sql}
+  ),
+  sized AS (
+    SELECT *, count(*) OVER (PARTITION BY band, bh) AS n FROM bands
+  ),
+  ok AS (SELECT * FROM sized WHERE n BETWEEN 2 AND {max_bucket})
+  SELECT DISTINCT x.id AS a, y.id AS b
+  FROM ok x JOIN ok y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id"""
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1215,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spotlight pipeline — relational slice (SQL-checked)
         "spot_unigram": q_spot_unigram,
         "annotate_prior": q_annotate_prior,
+        "annotate_confident": q_annotate_confident,
         "candidates_topk": q_candidates_topk,
         "link_triples": q_link_triples,
         "uri_counts": q_uri_counts,
@@ -1264,6 +1459,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "spot_unigram": sql_spot_unigram(),
         "annotate_prior": sql_annotate_prior(),
+        "annotate_confident": sql_annotate_confident(),
         "candidates_topk": sql_candidates_topk(),
         "link_triples": sql_link_triples(),
         "uri_counts": sql_uri_counts(),
@@ -1273,11 +1469,14 @@ def oracle_sql() -> dict[str, str]:
         "redirect_closure": sql_redirect_closure(),
         "entity_graph_nodes": sql_entity_graph_nodes(),
         "entity_graph_edges": sql_entity_graph_edges(),
+        "entity_pagerank": sql_entity_pagerank(),
+        "model_build": sql_model_build(),
         "dedup_exact": sql_dedup_exact(),
         "fingerprint": sql_fingerprint(),
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "jaccard_pairs": sql_jaccard_pairs(),
+        "minhash_pairs": sql_minhash_pairs(),
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
         "quality": sql_quality(),
