@@ -171,15 +171,24 @@ def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
                   id_col: str = "vec_id",
                   vec_col: str = "embedding") -> "np.ndarray":
     """IVF coarse quantizer: k-means centroids trained driver-side on a
-    deterministic sample (numpy Lloyd iterations — the sample is small;
+    seeded UNIFORM sample (numpy Lloyd iterations — the sample is small;
     the expensive part, assignment of the full corpus, stays distributed).
-    Returns (n_clusters, dim) float64."""
+    Returns (n_clusters, dim) float64.
+
+    Sampling is ``df.sample(fraction, seed)`` — an orderBy(id).limit()
+    would train the quantizer on the lowest ids (ingestion order, not the
+    data distribution) AND pay a global sort."""
     import numpy as np
 
-    rows = (
-        embeddings.orderBy(id_col).limit(sample)
-        .select(vec_col).toPandas()[vec_col].tolist()
-    )
+    n = embeddings.count()
+    if n <= sample:
+        src = embeddings
+    else:
+        # 1.2x headroom so the Bernoulli sample almost surely yields
+        # >= `sample` rows; limit trims the excess
+        frac = min(1.0, (sample * 1.2) / n)
+        src = embeddings.sample(fraction=frac, seed=13).limit(sample)
+    rows = src.select(vec_col).toPandas()[vec_col].tolist()
     X = np.asarray([list(map(float, v)) for v in rows])
     # deterministic init: evenly strided sample rows
     idx = np.linspace(0, len(X) - 1, n_clusters).astype(int)
