@@ -30,6 +30,7 @@ import numpy as np
 
 from dbpedia_spotlight_spark.functions.automaton import AhoCorasick, build_automaton
 from dbpedia_spotlight_spark.functions.quantize import make_codebook
+from dbpedia_spotlight_spark.functions.stemmer import get_stemmer
 from dbpedia_spotlight_spark.functions.tokenizer import tokenize
 
 # PIN-AT-IMPLEMENTATION constants (SURVEY §2.9): reference was an empty
@@ -69,9 +70,19 @@ class SpotlightModel:
     lam: float = DEFAULT_LAMBDA
     spot_threshold: float = DEFAULT_SPOT_THRESHOLD
     codebook: np.ndarray = field(default_factory=make_codebook)
+    # T2: stemmer NAME (picklable; the callable is resolved per worker)
+    stemmer: str = "identity"
 
     def n_entities(self) -> int:
         return len(self.ent_uris)
+
+    def stem(self, token: str) -> str:
+        """T2 normalization applied before every token-index lookup
+        (Stemmer.scala [U] — the stemmer belongs to the language model)."""
+        return get_stemmer(self.stemmer)(token)
+
+    def token_id(self, token: str) -> int:
+        return self.token_index.get(self.stem(token), -1)
 
 
 def compile_model(
@@ -85,12 +96,42 @@ def compile_model(
     lam: float = DEFAULT_LAMBDA,
     spot_threshold: float = DEFAULT_SPOT_THRESHOLD,
     quantize_context: bool = False,
+    stemmer: str = "identity",
 ) -> SpotlightModel:
     """Driver-side compile of lexicon tables → packed arrays + automaton.
 
     Mirrors MemoryStore loading (``db/memory/MemoryStore.scala`` [U]) but
     sourced from Parquet-backed DataFrames (SURVEY §1.3).
+
+    ``stemmer``: T2 normalization name ('identity' | 'porter'). A
+    non-identity stemmer is applied at COMPILE time — token-type vocab is
+    stemmed and merged (corpus counts summed), per-entity context
+    histograms are re-aggregated onto stem ids, FSA patterns are built
+    from stemmed sf tokens — and at REQUEST time through ``model.stem``,
+    so inflected text forms ("tables") match lexicon entries ("table"),
+    exactly the Stemmer.scala contract [U].
     """
+    stem = get_stemmer(stemmer)   # validates the name up front
+    if stemmer != "identity":
+        tt_st = token_types.copy()
+        tt_st["token"] = tt_st["token"].map(stem)
+        merged = (
+            tt_st.groupby("token", as_index=False)
+            .agg(corpus_count=("corpus_count", "sum"))
+            .sort_values("token").reset_index(drop=True)
+        )
+        merged["new_id"] = range(len(merged))
+        stem_of_old = dict(zip(token_types["token_id"], tt_st["token"]))
+        new_of_stem = dict(zip(merged["token"], merged["new_id"]))
+        remap = {old: new_of_stem[s] for old, s in stem_of_old.items()}
+        token_types = merged[["token", "new_id", "corpus_count"]].rename(
+            columns={"new_id": "token_id"})
+        tc_st = token_counts.copy()
+        tc_st["token_id"] = tc_st["token_id"].map(remap)
+        token_counts = tc_st.groupby(
+            ["entity_id", "token_id"], as_index=False).agg(
+            count=("count", "sum"))
+
     tt = token_types.sort_values("token_id")
     n_tok = int(tt["token_id"].max()) + 1 if len(tt) else 0
     token_index = dict(zip(tt["token"], tt["token_id"].astype(int)))
@@ -154,12 +195,14 @@ def compile_model(
     ctx_total = np.zeros(n_ent, dtype=np.float64)
     np.add.at(ctx_total, tc["entity_id"].to_numpy(dtype=np.int64), ctx_count)
 
-    # FSA over token-id sequences (P1): pattern = sf name tokenized+lowered
+    # FSA over token-id sequences (P1): pattern = sf name tokenized,
+    # lowered (T5) and stemmed (T2) — the same chain the request path runs
     patterns = []
     for sf_id, name in enumerate(sf_names):
         if not name:
             continue
-        ids = tuple(token_index.get(t, -1) for (_, _, t) in tokenize(name))
+        ids = tuple(token_index.get(stem(t), -1)
+                    for (_, _, t) in tokenize(name))
         patterns.append((ids, sf_id))
     automaton = build_automaton(patterns)
 
@@ -182,6 +225,7 @@ def compile_model(
         stopwords=frozenset(stopwords),
         lam=lam,
         spot_threshold=spot_threshold,
+        stemmer=stemmer,
     )
 
 

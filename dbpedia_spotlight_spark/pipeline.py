@@ -113,6 +113,22 @@ def _get_model(bc) -> SpotlightModel:
     return m
 
 
+def _token_lookup(model: SpotlightModel):
+    """token → id lookup fn honoring the model's T2 stemmer. Identity
+    models keep the raw dict.get (no per-token call overhead on the
+    flagship hot loop); stemming models compose stem→lookup."""
+    if model.stemmer == "identity":
+        return model.token_index.get
+    from dbpedia_spotlight_spark.functions.stemmer import get_stemmer
+    st = get_stemmer(model.stemmer)
+    tix = model.token_index.get
+
+    def lookup(t: str, default=None):
+        return tix(st(t), default)
+
+    return lookup
+
+
 def _bag(counts: dict[int, int]) -> tuple[np.ndarray, np.ndarray]:
     if counts:
         q_tokens = np.fromiter(sorted(counts), dtype=np.int64)
@@ -131,7 +147,8 @@ def _doc_spots(model: SpotlightModel, text: str):
     Returns (spots, bags): spots = [(begin, end, sf_id, para_idx)] in char
     coords of ``text``; bags[para_idx] = (q_tokens sorted, q_counts)."""
     toks = tokenize(text)
-    ids = [model.token_index.get(t, -1) for (_, _, t) in toks]
+    lookup = _token_lookup(model)
+    ids = [lookup(t, -1) for (_, _, t) in toks]
     matches = model.automaton.find_all(ids)
     # spot gate BEFORE overlap resolution: below-gate spots must not block
     # legitimate overlapping spots (DBSpotter threshold gating [U])

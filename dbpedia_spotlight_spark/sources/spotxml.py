@@ -98,7 +98,7 @@ def disambiguate_xml(spark: SparkSession, df: DataFrame, model_bc,
     from dbpedia_spotlight_spark.functions.tokenizer import tokenize
     from dbpedia_spotlight_spark.pipeline import (
         ANNOTATION_SCHEMA, PipelineConfig, _get_model, _passes_filters,
-        _score_doc,
+        _score_doc, _token_lookup,
     )
     import bisect
 
@@ -118,7 +118,8 @@ def disambiguate_xml(spark: SparkSession, df: DataFrame, model_bc,
                     continue
                 # context bags per paragraph, same as the annotate path
                 toks = tokenize(text)
-                ids = [model.token_index.get(t, -1) for (_, _, t) in toks]
+                lookup = _token_lookup(model)
+                ids = [lookup(t, -1) for (_, _, t) in toks]
                 bounds = [i for i, ch in enumerate(text) if ch == "\n"]
 
                 def para_of(b: int) -> int:
