@@ -59,8 +59,10 @@ HEADLINE = [
     "link_triples",
     "minhash_pairs",
     "simhash",
+    "simhash_near_pairs",     # 64-bit blocked near-dup (round-2 op)
     "jaccard_pairs",
     "ann_topk",
+    "near_dup_embeddings",    # hyperplane-LSH pairs (round-2 scale path)
     "lang_id",
     "quality",
     "tpch_q1",
@@ -137,7 +139,7 @@ def prepare_scale_corpus(sf_dir: str) -> str:
     return SCALE_CORPUS
 
 
-def run_scale_probe(corpus_dir: str, cpus: int, reps: int = 2) -> dict:
+def run_scale_probe(corpus_dir: str, cpus: int, reps: int = 3) -> dict:
     """Time the flagship fused annotate over the replicated corpus.
 
     Minimum of ``reps`` timed runs: the sandbox VM sees transient external

@@ -107,30 +107,47 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.95,
     then candidates are verified with the exact cosine. Identical vectors
     collide in every table (recall 1.0 for true duplicates); recall for
     near-pairs rises with n_tables and is measured against brute force in
-    pytest. Per-row cost is n_tables·n_planes native dot products — JVM
-    codegen, no Python, no shuffle of the vector column until the
-    (small) candidate join."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    pytest.
+
+    The n_tables·n_planes sign projections are ONE Arrow-batched pandas
+    UDF doing a dense (batch × dim) @ (dim × tables·planes) matmul —
+    48 codegen'd fold-expressions over literal arrays would bloat the
+    plan (seconds of fixed Catalyst/janino cost) and lose SIMD; the
+    matmul also discovers `dim` per batch, so no driver-side probe job.
+    The binary/vector column is never shuffled before bucketing."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    plane_cache: dict[int, "np.ndarray"] = {}
+
+    def planes_for(dim: int) -> "np.ndarray":
+        P = plane_cache.get(dim)
+        if P is None:
+            P = np.asarray([
+                row
+                for t in range(n_tables)
+                for row in _hyperplanes(dim, n_planes, seed=t)
+            ])                                     # (tables*planes, dim)
+            plane_cache[dim] = P
+        return P
+
+    pows = np.asarray([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (X @ planes_for(X.shape[1]).T) >= 0   # (B, tables*planes)
+        packed = (bits.reshape(len(X), n_tables, n_planes) * pows).sum(
+            axis=2).astype("int32")                  # (B, tables)
+        return pd.Series(list(packed))
+
     e = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    bucket_cols = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed=t)
-        b = None
-        for p, plane in enumerate(planes):
-            d = F.aggregate(
-                F.zip_with(F.col("v"),
-                           F.array(*[F.lit(x) for x in plane]),
-                           lambda a, w: a * w),
-                F.lit(0.0), lambda acc, z: acc + z,
-            )
-            bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            b = bit if b is None else (b + bit)
-        bucket_cols.append(b.cast("int"))
     tabbed = e.select(
-        "id", F.posexplode(F.array(*bucket_cols)).alias("table", "bucket")
+        "id", F.posexplode(buckets_udf(F.col("v"))).alias("table", "bucket")
     )
     buckets = (
         tabbed.groupBy("table", "bucket")

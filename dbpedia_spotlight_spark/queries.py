@@ -820,6 +820,27 @@ def sql_minhash_pairs(n_hashes: int = 16, bands: int = 4,
   FROM ok x JOIN ok y ON x.band = y.band AND x.bh = y.bh AND x.id < y.id"""
 
 
+def q_jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup composition end-to-end: MinHash-LSH candidate
+    generation → exact n-gram Jaccard verification of ONLY the candidates
+    (never an all-pairs stage). Oracle = the jaccard oracle inner-joined
+    with the minhash-pairs oracle, so the composition itself is checked,
+    not just the stages."""
+    from dbpedia_spotlight_spark.operators.dedup import (
+        minhash_candidate_pairs, ngram_jaccard_pairs,
+    )
+    d = _docs(spark, sf_dir)
+    cand = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    return ngram_jaccard_pairs(d, k=3, threshold=0.03, candidates=cand)
+
+
+def sql_jaccard_lsh_verified() -> str:
+    return f"""
+  SELECT j.a, j.b, j.jaccard
+  FROM ({sql_jaccard_pairs()}) j
+  JOIN ({sql_minhash_pairs()}) m ON j.a = m.a AND j.b = m.b"""
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to one (doc_id, fingerprint) row
     per selected hash so the driver canonicalizer sees scalars only.
@@ -1431,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_lsh_verified": q_jaccard_lsh_verified,
         "minhash_pairs": q_minhash_pairs,
         "winnowing": q_winnowing,
         "lang_id": q_lang_id,
@@ -1476,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "jaccard_pairs": sql_jaccard_pairs(),
+        "jaccard_lsh_verified": sql_jaccard_lsh_verified(),
         "minhash_pairs": sql_minhash_pairs(),
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
