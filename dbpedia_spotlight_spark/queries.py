@@ -143,6 +143,55 @@ def sql_spot_unigram() -> str:
     )
 
 
+def q_spot_multitoken(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-token (bigram) + unigram spotting, spot-all mode, relational
+    form: tokens ⋈ lexicon for unigrams; lead-window bigram assembly ⋈
+    the multi-token sf list for bigrams. Externally checks multi-token
+    match offsets (begin from token 1, end from token 2) — the FSA path
+    covers the same semantics rows-only. No overlap resolution here
+    (spot-ALL is the M3 total-count mode)."""
+    bigrams = sorted(sf for sf in LEX.SF_CANDIDATES if " " in sf)
+    bi_df = spark.createDataFrame([(s,) for s in bigrams], "sf string")
+    toks = _token_offsets(_docs(spark, sf_dir))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    nxt = toks.select(
+        "doc_id", "begin", "tok",
+        F.lead("tok").over(w).alias("tok2"),
+        F.lead("end").over(w).alias("end2"),
+    )
+    bi = (
+        nxt.withColumn("pair", F.concat_ws(" ", "tok", "tok2"))
+        .join(F.broadcast(bi_df), F.col("pair") == F.col("sf"))
+        .select("doc_id", "begin", F.col("end2").alias("end"),
+                F.col("sf").alias("surface_form"))
+    )
+    uni = _spots(_docs(spark, sf_dir), _cand_df(spark))
+    return uni.unionByName(bi)
+
+
+def sql_spot_multitoken() -> str:
+    bigrams = sorted(sf for sf in LEX.SF_CANDIDATES if " " in sf)
+    values = ", ".join(f"('{s}')" for s in bigrams)
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + f""",
+  nxt AS (
+    SELECT doc_id, "begin", tok,
+           lead(tok) OVER w AS tok2,
+           lead("end") OVER w AS end2
+    FROM offs
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ),
+  bi AS (
+    SELECT n.doc_id, n."begin", n.end2 AS "end", b.sf AS surface_form
+    FROM nxt n JOIN (VALUES {values}) b(sf)
+      ON n.tok || ' ' || n.tok2 = b.sf
+  )
+  SELECT doc_id, "begin", "end", surface_form FROM spots
+  UNION ALL
+  SELECT doc_id, "begin", "end", surface_form FROM bi"""
+    )
+
+
 def _ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spots ⋈ broadcast(candidates) + per-mention prior ranking — the
     C1 broadcast join + D6 window + D8 prior disambiguation."""
@@ -1429,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Spotlight pipeline — relational slice (SQL-checked)
         "spot_unigram": q_spot_unigram,
+        "spot_multitoken": q_spot_multitoken,
         "annotate_prior": q_annotate_prior,
         "annotate_confident": q_annotate_confident,
         "candidates_topk": q_candidates_topk,
@@ -1480,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "spot_unigram": sql_spot_unigram(),
+        "spot_multitoken": sql_spot_multitoken(),
         "annotate_prior": sql_annotate_prior(),
         "annotate_confident": sql_annotate_confident(),
         "candidates_topk": sql_candidates_topk(),

@@ -1,0 +1,38 @@
+"""Streaming exact deduplication — the ingest-time form of
+``operators.dedup.exact_duplicates`` for a continuously-arriving corpus
+(the training-data pipeline's "drop re-crawled pages on arrival" stage).
+
+Two state regimes:
+
+- ``dedup_stream(..., ts_col=...)``: ``dropDuplicatesWithinWatermark``
+  on the 128-bit content hash — state is bounded by the watermark
+  horizon (re-crawls arriving within the horizon are dropped; a page
+  re-seen after the horizon re-emits, which is the standard streaming
+  trade-off). This is the 100-TB/continuous form: state size =
+  |distinct hashes per horizon|, not |stream|.
+- ``ts_col=None``: plain ``dropDuplicates`` — exact global dedup with
+  unbounded state; only for bounded backfills drained with
+  ``trigger(availableNow=True)``.
+
+The hash is md5 (matching the batch operator and its DuckDB oracle), so
+a backfill + streaming tail produce consistent keep-decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_stream(docs: DataFrame, text_col: str = "text",
+                 ts_col: str | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """First-seen-wins exact dedup over a (streaming or batch) docs
+    frame. Adds ``text_hash``; emits only the first row per hash."""
+    src = docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    if ts_col is None:
+        return src.dropDuplicates(["text_hash"])
+    src = src.withColumn(ts_col, F.col(ts_col).cast("timestamp_ltz"))
+    if docs.isStreaming:
+        return src.withWatermark(ts_col, watermark) \
+                  .dropDuplicatesWithinWatermark(["text_hash"])
+    return src.dropDuplicates(["text_hash"])

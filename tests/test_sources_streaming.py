@@ -198,6 +198,42 @@ def test_sessionize_stream_totals(spark, tmp_path):
     assert {(r.user_id, r.m) for r in gs} == {(r.user_id, r.m) for r in bs}
 
 
+def test_dedup_stream_drops_reingested_clones(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the
+    content hash): planted clones arriving within the watermark horizon
+    are dropped; output = one row per distinct text, same keep-set as
+    the batch operator."""
+    from dbpedia_spotlight_spark.streaming.dedup_stream import dedup_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+                .limit(40)
+    clones = docs.filter(F.col("doc_id") < 15).withColumn(
+        "doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(clones).withColumn(
+        "ts", F.current_timestamp())
+    src = str(tmp_path / "docs")
+    both.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    out = dedup_stream(stream, ts_col="ts")
+    assert out.isStreaming
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    n_distinct = both.select("text").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("text_hash").distinct().count() == n_distinct
+    # batch form agrees on the surviving hash set
+    batch = dedup_stream(spark.read.parquet(src), ts_col="ts")
+    assert ({r.text_hash for r in got.select("text_hash").collect()}
+            == {r.text_hash for r in batch.select("text_hash").collect()})
+
+
 # ---------------------------------------------------------------------------
 # streaming annotate ≡ batch annotate
 # ---------------------------------------------------------------------------
