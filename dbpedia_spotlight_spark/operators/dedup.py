@@ -184,43 +184,52 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     ``max_bucket`` caps the in-bucket pair expansion: one corpus-common
     shingle (boilerplate) otherwise creates C(n,2) pairs. None = exact
     (the oracle-checked mode; exactness holds only without a cap) — at
-    corpus scale ALWAYS pass a cap or pre-filter with LSH ``candidates``."""
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("s_str"),
-    ).select("id", md5_long(F.col("s_str")).alias("s"))
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    # single-pass intersection counting: group doc-ids per shingle and
+    corpus scale ALWAYS pass a cap or pre-filter with LSH ``candidates``.
+
+    ONE scan, ZERO joins for the pair math: the per-doc distinct-shingle
+    count rides along as struct(id, n) through the bucket expansion, so
+    |A|/|B| are already on every pair row — the former sizes-table
+    re-scan + two shuffle joins are gone (plan test pins scan count)."""
+    sh_arr = F.array_distinct(shingles(F.col(text_col), k))
+    base = (
+        docs.select(F.col(id_col).alias("id"), sh_arr.alias("sh"))
+        .select("id", F.size("sh").alias("n"), F.explode("sh").alias("s_str"))
+        .select("id", "n", md5_long(F.col("s_str")).alias("s"))
+    )
+    # single-pass intersection counting: group (id, n) per shingle and
     # expand in-bucket pairs (a self-join would execute the shingle scan
     # once per side and shuffle both). array_distinct: two shingles of one
     # doc can collide into the same 60-bit key, which would duplicate the
     # id in its bucket and emit a degenerate (a,a) pair
     buckets = (
-        sh.groupBy("s")
-        .agg(F.array_distinct(F.sort_array(F.collect_list("id"))).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        base.groupBy("s")
+        .agg(F.array_distinct(F.sort_array(
+            F.collect_list(F.struct("id", "n")))).alias("members"))
+        .filter(F.size("members") >= 2)
     )
     if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    bn = F.size("ids")
+        buckets = buckets.filter(F.size("members") <= max_bucket)
+    bn = F.size("members")
     bpairs = F.flatten(F.transform(
-        F.col("ids"),
+        F.col("members"),
         lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, bn - i - 1),
-            lambda y: F.struct(x.alias("a"), y.alias("b")),
+            F.slice(F.col("members"), i + 2, bn - i - 1),
+            lambda y: F.struct(x["id"].alias("a"), y["id"].alias("b"),
+                               x["n"].alias("na"), y["n"].alias("nb")),
         ),
     ))
     inter = (
         buckets.select(F.explode(bpairs).alias("p"))
-        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"),
+                 F.col("p.na").alias("na"), F.col("p.nb").alias("nb"))
         .agg(F.count("*").alias("inter"))
     )
     if candidates is not None:
         inter = inter.join(candidates, ["a", "b"], "left_semi")
     out = (
-        inter.join(sizes.select(F.col("id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("n").alias("nb")), "b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("a", "b", "jaccard")

@@ -85,6 +85,54 @@ def test_aggregations_partial_before_shuffle(spark):
     assert plan.index("partial_sum") > plan.index("Exchange")  # below it
 
 
+def test_embedding_lsh_pairs_no_cartesian(spark):
+    """The default embedding near-dup path must contain NO cartesian /
+    nested-loop stage anywhere — the quadratic crossJoin is the exact
+    anti-pattern the LSH path exists to avoid."""
+    from dbpedia_spotlight_spark.operators.dedup import embedding_near_dup
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_near_dup(emb, threshold=0.99))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_near_pairs_single_pass(spark):
+    """Blocked simhash pairing must be bucket-expansion (one aggregate on
+    the block key), not a self-join of the signature pipeline — a join
+    would scan + hash the corpus once per side."""
+    from dbpedia_spotlight_spark.operators.dedup import simhash_near_pairs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(simhash_near_pairs(docs, bits=64, max_hamming=3))
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan") == 1
+    # signatures stay JVM-side (md5/conv expressions, no Python)
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_jaccard_single_scan_no_joins(spark):
+    """Exact Jaccard pairs: per-doc set sizes ride through the bucket
+    expansion as struct(id, n) — ONE documents scan, ZERO joins (the old
+    sizes-table form re-scanned the corpus and shuffled it twice more)."""
+    from dbpedia_spotlight_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, k=3, threshold=0.03))
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
+
+
+def test_jaccard_lsh_composition_scans_docs_twice_max(spark):
+    """LSH-candidates → exact-verify composition: the documents table
+    feeds the MinHash pipeline and the shingle pipeline once each (the
+    candidate set joins as a semi-join, never re-expanding all pairs)."""
+    from dbpedia_spotlight_spark import queries as Q
+    df = Q.q_jaccard_lsh_verified(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    scans = [ln for ln in plan.splitlines()
+             if "FileScan" in ln and "documents" in ln]
+    assert len(scans) <= 2  # one per pipeline leg
+
+
 # ---------------------------------------------------------------------------
 # skew utilities — semantics preserved under salting
 # ---------------------------------------------------------------------------
