@@ -668,6 +668,128 @@ def sql_model_build() -> str:
     )
 
 
+# --- source formats S2/S3 over fixed deterministic inputs ---
+
+_SPOTXML_FIXTURE = [
+    ("x/1", '<annotation text="the table row column scan query">'
+            '<surfaceForm name="table" offset="4"/></annotation>'),
+    ("x/2", '<annotation text="slow line spark">'
+            '<surfaceForm name="spark" offset="10"/></annotation>'),
+]
+
+_WIKI_FIXTURE = [
+    ("w/1", "'''Apache Spark''' is a [[Apache Spark|unified engine]] for "
+            "[[data processing]].{{infobox|x=1}}<ref>cite</ref>"),
+    ("w/2", "== Heading ==\nSee [[Merge sort]] and [[File:X.png|thumb]] "
+            "and [[Category:Algorithms]]."),
+    ("w/3", "<!-- note -->[[Hash join|hash joins]] beat [[Nested loop"
+            " join]]s {{cite|p=3}} sometimes."),
+]
+
+
+def q_spotxml_disambiguate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 /disambiguate end-to-end on fixed pre-spotted XML: parse +
+    candidate lookup + generative disambiguation against the static
+    model. Oracle = hand-derived golden rows (contexts are engineered so
+    the winner is unambiguous: DB-ish context → Table_(database); the
+    slow/line context overwhelms Apache_Spark's 0.9 prior →
+    Spark_(fire))."""
+    from dbpedia_spotlight_spark.sources.spotxml import disambiguate_xml
+    df = spark.createDataFrame(_SPOTXML_FIXTURE, "url string, xml string")
+    out = disambiguate_xml(spark, df, _static_model_bc(spark))
+    return out.select("url", "begin", "end", "surface_form", "uri")
+
+
+def sql_spotxml_disambiguate() -> str:
+    dbp = LEX.DBP
+    return f"""
+  SELECT url, CAST("begin" AS INTEGER) AS "begin",
+         CAST("end" AS INTEGER) AS "end", surface_form, uri
+  FROM (VALUES
+    ('x/1', 4, 9, 'table', '{dbp}Table_(database)'),
+    ('x/2', 10, 15, 'spark', '{dbp}Spark_(fire)')
+  ) AS t(url, "begin", "end", surface_form, uri)"""
+
+
+def q_tsv_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 raw-counts TSV ingestion → lexicon build, incl. K1 redirect
+    canonicalization merging counts (B→A): returns the assembled
+    pair_counts re-joined to names. Oracle = hand-written golden rows
+    (fully independent — the fixture is designed on paper)."""
+    import os
+    import tempfile
+    from dbpedia_spotlight_spark.sources.tsv import lexicon_from_tsv
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_tsv_fixture")
+    os.makedirs(d, exist_ok=True)
+    files = {
+        "uriCounts.tsv": "A\t10\nB\t5\nC\t7\n",
+        "pairCounts.tsv": "x\tA\t4\nx\tB\t2\ny\tC\t3\n",
+        "sfAndTotalCounts.tsv": "x\t6\t10\ny\t3\t-1\n",
+        "tokenCounts.tsv": 'A\t{"alpha": 3, "beta": 1}\nC\t{"beta": 2}\n',
+    }
+    for name, content in files.items():
+        path = os.path.join(d, name)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(content)
+    redirects = spark.createDataFrame(
+        [("B", "A")], "src_uri string, dst_uri string")
+    tables = lexicon_from_tsv(
+        spark,
+        f"{d}/uriCounts.tsv", f"{d}/pairCounts.tsv",
+        f"{d}/sfAndTotalCounts.tsv", f"{d}/tokenCounts.tsv",
+        redirects=redirects,
+    )
+    sf = tables["surface_forms"].select("sf", "sf_id")
+    ent = tables["entities"].select("uri", "entity_id", "support")
+    return (
+        tables["pair_counts"]
+        .join(sf, "sf_id").join(ent, "entity_id")
+        .select("sf", "uri", F.col("count").alias("pair_count"), "support")
+    )
+
+
+def sql_tsv_lexicon() -> str:
+    # designed on paper: redirect B→A merges pair (x,B,2) into (x,A)→6
+    # and uri count 5 into A→15; sf 'y' total floors at annotated (=-1
+    # raw). C keeps 7.
+    return """
+  SELECT sf, uri, CAST(pair_count AS BIGINT) AS pair_count,
+         CAST(support AS BIGINT) AS support
+  FROM (VALUES
+    ('x', 'A', 6, 15),
+    ('y', 'C', 3, 7)
+  ) AS t(sf, uri, pair_count, support)"""
+
+
+def q_wiki_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 wiki-markup training-link extraction on fixed wikitext:
+    template/ref/comment stripping, anchor offsets into the PLAIN text,
+    media/category links dropped, K3 URI encoding. Oracle = golden rows
+    recomputed driver-side from the same fixture (checks the
+    mapInPandas plumbing + URI wiring end-to-end, like frame_sample)."""
+    from dbpedia_spotlight_spark.sources.wikimarkup import wiki_links
+    df = spark.createDataFrame(_WIKI_FIXTURE, "url string, wikitext string")
+    return wiki_links(df)
+
+
+def sql_wiki_links() -> str:
+    from dbpedia_spotlight_spark.sources.wikimarkup import strip_wiki_markup
+    from dbpedia_spotlight_spark.plans.closure import wiki_title_to_dbpedia_uri
+    rows = []
+    for url, wt in _WIKI_FIXTURE:
+        _, anchors = strip_wiki_markup(wt)
+        for (b, e, anchor, target) in anchors:
+            uri = wiki_title_to_dbpedia_uri(target)
+            rows.append(f"('{url}', {b}, {e}, '{anchor}', '{uri}')")
+    values = ",\n    ".join(rows)
+    return f"""
+  SELECT url, CAST("begin" AS INTEGER) AS "begin",
+         CAST("end" AS INTEGER) AS "end", sf, uri
+  FROM (VALUES {values}) AS t(url, "begin", "end", sf, uri)"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators (dedup / similarity / text stats)
 # ---------------------------------------------------------------------------
@@ -1496,6 +1618,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spot_fsa": q_spot_fsa,
         "candidates_generative": q_candidates_generative,
         "model_build": q_model_build,
+        # source formats
+        "spotxml_disambiguate": q_spotxml_disambiguate,
+        "wiki_links": q_wiki_links,
+        "tsv_lexicon": q_tsv_lexicon,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
@@ -1544,6 +1670,9 @@ def oracle_sql() -> dict[str, str]:
         "entity_graph_edges": sql_entity_graph_edges(),
         "entity_pagerank": sql_entity_pagerank(),
         "model_build": sql_model_build(),
+        "spotxml_disambiguate": sql_spotxml_disambiguate(),
+        "wiki_links": sql_wiki_links(),
+        "tsv_lexicon": sql_tsv_lexicon(),
         "dedup_exact": sql_dedup_exact(),
         "fingerprint": sql_fingerprint(),
         "simhash": sql_simhash(),
