@@ -1141,6 +1141,57 @@ def sql_quality() -> str:
   FROM b"""
 
 
+def q_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus vocabulary build (the tokenizer-vocab stage of a
+    training-data pipeline): term frequency + document frequency per
+    lowercased token, restricted to terms with corpus count >= 50."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    return (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("tf"),
+             F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("tf") >= 50)
+    )
+
+
+def sql_vocab_counts() -> str:
+    return """
+  WITH tok AS (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+    FROM documents
+  )
+  SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM tok GROUP BY tok HAVING count(*) >= 50"""
+
+
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-curation composition: keep docs with lang_guess='en' AND
+    quality >= 0.6 (the standard pre-training filter stage) — joins the
+    language-ID and quality operators and checks the composite against
+    the two SQL bodies joined the same way. Thresholds are non-vacuous
+    on the testdata (≈24% of docs are guessed 'de'; quality median .61)."""
+    from dbpedia_spotlight_spark.operators.textstats import (
+        lang_scores, quality_scores,
+    )
+    d = _docs(spark, sf_dir)
+    lang = lang_scores(d).select("doc_id", "lang_guess")
+    qual = quality_scores(d).select("doc_id", "quality")
+    return (
+        lang.join(qual, "doc_id")
+        .filter((F.col("lang_guess") == "en") & (F.col("quality") >= 0.6))
+    )
+
+
+def sql_corpus_filter() -> str:
+    return f"""
+  SELECT l.doc_id, l.lang_guess, q.quality
+  FROM ({sql_lang_id()}) l JOIN ({sql_quality()}) q USING (doc_id)
+  WHERE l.lang_guess = 'en' AND q.quality >= 0.6"""
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbpedia_spotlight_spark.operators.textstats import token_counts
     return token_counts(_docs(spark, sf_dir))
@@ -1634,6 +1685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality": q_quality,
         "token_count": q_token_count,
+        "vocab_counts": q_vocab_counts,
+        "corpus_filter": q_corpus_filter,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1684,6 +1737,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": sql_lang_id(),
         "quality": sql_quality(),
         "token_count": sql_token_count(),
+        "vocab_counts": sql_vocab_counts(),
+        "corpus_filter": sql_corpus_filter(),
         "ann_topk": sql_ann_topk(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
         "tpch_q1": sql_tpch_q1(),

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--k", type=int, default=1)
     ap.add_argument("--lang", default="en")
     ap.add_argument("--coreference", action="store_true")
+    ap.add_argument("--stemmer", default="identity",
+                    choices=["identity", "porter"],
+                    help="T2 token normalization (model-compile property)")
     ap.add_argument("--resume-units", type=int, default=0,
                     help=">0: write checkpoint-resumable url-hash units")
     ap.add_argument("--emit-triples", action="store_true", default=True)
@@ -82,7 +85,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         lang=args.lang or None,
         coreference=args.coreference,
     )
-    model = load_model(spark, args.lexicon)
+    model = load_model(spark, args.lexicon, stemmer=args.stemmer)
     bc = spark.sparkContext.broadcast(model)
     corpus = spark.read.parquet(args.corpus)
 
