@@ -87,10 +87,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     n_docs = Q._docs(spark, sf_dir).count()
     times: dict[str, float] = {}
     for name in HEADLINE:
-        # min-of-2: first executions pay per-plan JIT/codegen and any
-        # transient VM contention; the min is the steady-state estimate
+        # min-of-3: first executions pay per-plan JIT/codegen, and this
+        # VM sees ±2× transient external contention (measured across
+        # rounds); the min is the steady-state estimate
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _run(qs[name](spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 3))

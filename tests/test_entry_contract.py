@@ -84,3 +84,21 @@ def test_rows_only_queries_run(spark):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_registered_queries_emit_scalar_columns_only(spark):
+    """The driver's canonicalizer sorts-then-hashes cell values and
+    cannot order array/map/struct cells (the round-1 `err` class). Every
+    registered query must emit scalar columns — schema check only, no
+    execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+    for name, q in entry_mod.queries().items():
+        df = q(spark, SF_DIR)
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}.{f.name} has non-scalar type {f.dataType}")
+
+
+def test_every_oracle_has_a_query():
+    missing = set(entry_mod.oracle_sql()) - set(entry_mod.queries())
+    assert not missing, missing
