@@ -599,24 +599,252 @@ def q_annotate_generative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return annotate(
         spark, _web_pages_from_docs(spark, sf_dir), _static_model_bc(spark),
         PipelineConfig(disambiguator="generative", confidence=0.0, support=0),
-    ).withColumn("types", F.concat_ws(",", "types"))
+    ).withColumn("types", F.concat_ws(",", "types")) \
+     .withColumn("similarity_score", F.round("similarity_score", 9)) \
+     .withColumn("percentage_of_second_rank",
+                 F.round("percentage_of_second_rank", 9))
+
+
+def _gated_sfs() -> dict:
+    """Surface forms passing the P2 annotationProbability gate."""
+    from dbpedia_spotlight_spark.model import DEFAULT_SPOT_THRESHOLD
+    return {sf: cands for sf, cands in LEX.SF_CANDIDATES_GATED.items()
+            if LEX.SF_COUNTS[sf][0] / LEX.SF_COUNTS[sf][1]
+            >= DEFAULT_SPOT_THRESHOLD}
+
+
+def _sql_spot_ctes() -> str:
+    """CTE chain endocs→toks→offs→nxt→bi→covered→uni→spots: the fused
+    FSA spotting semantics (T1 offsets + P2 gate + P4 greedy
+    longest-match overlap resolution) in relational form. Valid for this
+    lexicon/corpus because (a) no two bigram patterns share an endpoint
+    token, so greedy longest-match ≡ "keep every bigram spot, drop
+    unigram spots at its two token positions", and (b) the flagship's
+    default lang='en' filter maps to the endocs predicate."""
+    gated = _gated_sfs()
+    uni_vals = ", ".join(
+        f"('{sf}')" for sf in sorted(x for x in gated if " " not in x))
+    bi_vals = ", ".join(
+        f"('{sf}')" for sf in sorted(x for x in gated if " " in x))
+    return f"""
+  WITH endocs AS (
+    SELECT doc_id, source, text FROM documents WHERE lang = 'en'
+  ),
+  toks AS (
+    SELECT d.doc_id, u.pos - 1 AS pos, u.tok
+    FROM endocs d, LATERAL (
+      SELECT UNNEST(string_split(d.text, ' ')) AS tok,
+             generate_subscripts(string_split(d.text, ' '), 1) AS pos
+    ) u
+  ),
+  offs AS (
+    SELECT doc_id, pos, tok,
+           CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+             AS "begin",
+           CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + length(tok) AS INTEGER) AS "end"
+    FROM toks
+  ),
+  nxt AS (
+    SELECT doc_id, pos, tok, "begin", "end",
+           lead(tok) OVER w AS tok2, lead("end") OVER w AS end2
+    FROM offs WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ),
+  bi AS (
+    SELECT n.doc_id, n."begin", n.end2 AS "end",
+           n.tok || ' ' || n.tok2 AS sf, n.pos
+    FROM nxt n JOIN (VALUES {bi_vals}) b(sf) ON n.tok || ' ' || n.tok2 = b.sf
+  ),
+  covered AS (
+    SELECT doc_id, pos FROM bi UNION ALL SELECT doc_id, pos + 1 FROM bi
+  ),
+  uni AS (
+    SELECT o.doc_id, o."begin", o."end", o.tok AS sf, o.pos
+    FROM offs o JOIN (VALUES {uni_vals}) u(sf) ON o.tok = u.sf
+    WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = o.doc_id AND c.pos = o.pos)
+  ),
+  spots AS (
+    SELECT doc_id, "begin", "end", sf FROM uni
+    UNION ALL SELECT doc_id, "begin", "end", sf FROM bi
+  )"""
+
+
+def _sql_generative(k: int = 1) -> str:
+    """Full DuckDB oracle for the FLAGSHIP fused annotate (and, with
+    k=3, the /candidates twin) — valid because on this corpus the
+    pipeline's imperative parts collapse to relational algebra: texts
+    have no newlines → one paragraph per doc, so the two-step context
+    bag is the whole-doc token histogram; overlap resolution is
+    relational per _sql_spot_ctes. Generative scoring (SURVEY §2.5 D2)
+    is recomputed per (doc, sf, candidate):
+    ln P(e|s) + Σ_t n(t)·ln(λ·c(t,e)/C(e) + (1−λ)·P_LM(t)), with the
+    smoothing constant evaluated in numpy driver-side so both engines
+    consume the identical double; round(9) absorbs libm ulps."""
+    import numpy as np
+    from dbpedia_spotlight_spark.model import DEFAULT_LAMBDA
+
+    lam = DEFAULT_LAMBDA
+    # mirror compile_model's lm + context_loglik float paths exactly
+    tok_rows = LEX.token_type_rows()
+    total_tokens = float(sum(c for (_, _, c) in tok_rows))
+    counts = {c for (_, _, c) in tok_rows}
+    assert len(counts) == 1  # uniform corpus counts → one smooth constant
+    lm_logprob = np.log(np.float64(next(iter(counts))) / total_tokens)
+    smooth = (1.0 - lam) * np.exp(lm_logprob)
+
+    support = {r[0]: r[2] for r in LEX.entity_rows()}
+    types_str = {r[0]: ",".join(r[3]) for r in LEX.entity_rows()}
+
+    cand_rows, single_rows, multi_uris = [], [], []
+    for sf, cands in _gated_sfs().items():
+        tot = sum(c for (_, c) in cands)
+        if len(cands) == 1:
+            u = LEX.DBP + cands[0][0]
+            single_rows.append(
+                f"('{sf}', '{u}', {support[u]}, '{types_str[u]}')")
+        else:
+            for (usfx, c) in cands:
+                u = LEX.DBP + usfx
+                multi_uris.append(u)
+                cand_rows.append(
+                    f"('{sf}', '{u}', CAST({c} AS DOUBLE)/{tot}, "
+                    f"{support[u]}, '{types_str[u]}')")
+    ctx_rows = []
+    for usfx, ctx in LEX.ENTITY_CONTEXT.items():
+        u = LEX.DBP + usfx
+        if u not in multi_uris:
+            continue
+        ctot = sum(ctx.values())
+        for t, c in ctx.items():
+            ctx_rows.append(f"('{u}', '{t}', {c}, {ctot})")
+    vocab_vals = ", ".join(
+        f"'{t}'" for t in sorted(set(LEX.VOCAB)) if t not in LEX.STOPWORDS)
+    cand_vals = ",\n      ".join(cand_rows)
+    single_vals = ",\n      ".join(single_rows)
+    ctx_vals = ",\n      ".join(ctx_rows)
+    lam_s = f"CAST('{lam!r}' AS DOUBLE)"
+    smooth_s = f"CAST('{float(smooth)!r}' AS DOUBLE)"
+
+    return _sql_spot_ctes() + f""",
+  bag AS (
+    SELECT doc_id, tok AS token, count(*) AS n FROM toks
+    WHERE tok IN ({vocab_vals}) GROUP BY 1, 2
+  ),
+  cand AS (SELECT * FROM (VALUES
+      {cand_vals}
+    ) AS t(sf, uri, prior, support, types)),
+  sing AS (SELECT * FROM (VALUES
+      {single_vals}
+    ) AS t(sf, uri, support, types)),
+  ec AS (SELECT * FROM (VALUES
+      {ctx_vals}
+    ) AS t(uri, token, cnt, total)),
+  en AS (SELECT DISTINCT uri, total FROM ec),
+  ctx AS (
+    SELECT b.doc_id, en.uri,
+           SUM(b.n * ln(({lam_s} * COALESCE(ec.cnt, 0)) / en.total
+                        + {smooth_s})) AS ctxscore
+    FROM bag b
+    CROSS JOIN en
+    LEFT JOIN ec ON ec.uri = en.uri AND ec.token = b.token
+    GROUP BY 1, 2
+  ),
+  score AS (
+    SELECT ds.doc_id, c.sf, c.uri, c.support, c.types,
+           ln(c.prior) + COALESCE(x.ctxscore, 0.0) AS score
+    FROM (SELECT DISTINCT doc_id, sf FROM spots) ds
+    JOIN cand c ON c.sf = ds.sf
+    LEFT JOIN ctx x ON x.doc_id = ds.doc_id AND x.uri = c.uri
+  ),
+  shifted AS (
+    SELECT *, score - max(score) OVER (PARTITION BY doc_id, sf) AS sh
+    FROM score
+  ),
+  ranked AS (
+    SELECT *,
+           row_number() OVER wo AS rn,
+           exp(sh) / sum(exp(sh)) OVER wp AS sim,
+           coalesce(exp(lead(score) OVER wo - score), 0.0) AS pct2
+    FROM shifted
+    WINDOW wp AS (PARTITION BY doc_id, sf),
+           wo AS (PARTITION BY doc_id, sf ORDER BY score DESC, uri ASC)
+  ),
+  ann AS (
+    SELECT sp.doc_id, sp."begin", sp."end", sp.sf AS surface_form,
+           r.uri, r.support, r.types, r.rn AS rank, r.sim, r.pct2
+    FROM spots sp JOIN ranked r
+      ON r.doc_id = sp.doc_id AND r.sf = sp.sf AND r.rn <= {k}
+    UNION ALL
+    SELECT sp.doc_id, sp."begin", sp."end", sp.sf,
+           s.uri, s.support, s.types, 1 AS rank, 1.0, 0.0
+    FROM spots sp JOIN sing s ON s.sf = sp.sf
+  )
+  SELECT d.source || '/' || CAST(a.doc_id AS VARCHAR) AS url,
+         a."begin", a."end", a.surface_form, a.uri,
+         CAST(a.rank AS INTEGER) AS rank,
+         round(a.sim, 9) AS similarity_score,
+         round(a.pct2, 9) AS percentage_of_second_rank,
+         CAST(a.support AS BIGINT) AS support,
+         a.types
+  FROM ann a JOIN endocs d ON d.doc_id = a.doc_id"""
+
+
+def sql_annotate_generative() -> str:
+    return _sql_generative(k=1)
+
+
+def sql_candidates_generative() -> str:
+    return _sql_generative(k=3)
 
 
 def q_spot_fsa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 full FSA spotting (multi-token surface forms incl. 'hash join')."""
+    """P1 full FSA spotting (multi-token surface forms incl. 'hash
+    join'), now fully oracle-paired via the relational spot CTEs."""
     from dbpedia_spotlight_spark.pipeline import PipelineConfig, spot
     return spot(spark, _web_pages_from_docs(spark, sf_dir),
                 _static_model_bc(spark), PipelineConfig())
 
 
+def sql_spot_fsa() -> str:
+    sf_ids = {sf: i for i, sf in
+              enumerate(sorted(LEX.SF_CANDIDATES_GATED))}
+    rows = ",\n    ".join(
+        f"('{sf}', {sf_ids[sf]}, {LEX.SF_COUNTS[sf][0]}, "
+        f"{LEX.SF_COUNTS[sf][1]})"
+        for sf in sorted(_gated_sfs())
+    )
+    return _sql_spot_ctes() + f""",
+  sfs AS (SELECT * FROM (VALUES
+    {rows}
+  ) AS t(sf, sf_id, a, tot))
+  SELECT d.source || '/' || CAST(s.doc_id AS VARCHAR) AS url,
+         s."begin", s."end", s.sf AS surface_form,
+         CAST(f.sf_id AS INTEGER) AS sf_id,
+         CAST(f.a AS DOUBLE) / f.tot AS annotation_probability
+  FROM spots s
+  JOIN sfs f ON f.sf = s.sf
+  JOIN endocs d ON d.doc_id = s.doc_id"""
+
+
 def q_candidates_generative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """/candidates with generative scores, bestK=3 (rows-only check;
-    ``types`` flattened to a scalar for the driver canonicalizer)."""
+    """/candidates with generative scores, bestK=3 — oracle-paired via
+    the k=3 form of the generative SQL (``types`` flattened and scores
+    rounded for the driver canonicalizer)."""
     from dbpedia_spotlight_spark.pipeline import PipelineConfig, candidates
-    return candidates(spark, _web_pages_from_docs(spark, sf_dir),
-                      _static_model_bc(spark),
-                      PipelineConfig(disambiguator="generative", k=3)
-                      ).withColumn("types", F.concat_ws(",", "types"))
+    return (
+        candidates(spark, _web_pages_from_docs(spark, sf_dir),
+                   _static_model_bc(spark),
+                   PipelineConfig(disambiguator="generative", k=3))
+        .withColumn("types", F.concat_ws(",", "types"))
+        .withColumn("similarity_score", F.round("similarity_score", 9))
+        .withColumn("percentage_of_second_rank",
+                    F.round("percentage_of_second_rank", 9))
+    )
 
 
 def q_model_build(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1718,6 +1946,9 @@ def oracle_sql() -> dict[str, str]:
         "pair_counts": sql_pair_counts(),
         "sf_totals": sql_sf_totals(),
         "quantized_uri_counts": sql_quantized_uri_counts(),
+        "annotate_generative": sql_annotate_generative(),
+        "candidates_generative": sql_candidates_generative(),
+        "spot_fsa": sql_spot_fsa(),
         "redirect_closure": sql_redirect_closure(),
         "entity_graph_nodes": sql_entity_graph_nodes(),
         "entity_graph_edges": sql_entity_graph_edges(),
