@@ -896,6 +896,73 @@ def sql_model_build() -> str:
     )
 
 
+def _model_tables(spark: SparkSession, sf_dir: str) -> dict:
+    from dbpedia_spotlight_spark.plans.model_build import build_model_tables
+    corpus = _docs(spark, sf_dir).select(
+        F.concat_ws("/", "source", "doc_id").alias("url"), "text"
+    )
+    links = q_annotate_prior(spark, sf_dir).join(
+        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
+    ).select(
+        F.concat_ws("/", "source", "doc_id").alias("url"),
+        "begin", "end", F.col("surface_form").alias("sf"), "uri",
+    )
+    return build_model_tables(spark, corpus, links,
+                              stopwords=list(LEX.STOPWORDS))
+
+
+def q_model_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-build entities table (uri, dense id, support); the empty
+    types array is dropped for the driver canonicalizer."""
+    return _model_tables(spark, sf_dir)["entities"].select(
+        "uri", "entity_id", "support")
+
+
+def sql_model_entities() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  uc AS (SELECT uri, count(*) AS support FROM ranked WHERE rank = 1
+         GROUP BY uri)
+  SELECT uri,
+         CAST(row_number() OVER (ORDER BY uri) - 1 AS INTEGER) AS entity_id,
+         support
+  FROM uc"""
+    )
+
+
+def q_model_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 context token histograms: tokens of the paragraph each
+    training link sits in, re-aggregated per (entity, token). The
+    testdata corpus has no newlines → one paragraph per doc, so the
+    oracle is the links ⋈ token-occurrences join on doc with dense-id
+    mapping (each link contributes its doc's full token stream)."""
+    return _model_tables(spark, sf_dir)["token_counts"]
+
+
+def sql_model_token_counts() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  links AS (SELECT doc_id, uri FROM ranked WHERE rank = 1),
+  tt AS (
+    SELECT tok AS token,
+           CAST(row_number() OVER (ORDER BY tok) - 1 AS INTEGER) AS token_id
+    FROM (SELECT DISTINCT tok FROM toks)
+  ),
+  ent AS (
+    SELECT uri,
+           CAST(row_number() OVER (ORDER BY uri) - 1 AS INTEGER) AS entity_id
+    FROM (SELECT DISTINCT uri FROM links)
+  ),
+  cnt AS (
+    SELECT l.uri, t.tok, count(*) AS count
+    FROM links l JOIN toks t ON t.doc_id = l.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT e.entity_id, tt.token_id, cnt.count
+  FROM cnt JOIN ent e USING (uri) JOIN tt ON tt.token = cnt.tok"""
+    )
+
+
 # --- source formats S2/S3 over fixed deterministic inputs ---
 
 _SPOTXML_FIXTURE = [
@@ -1897,6 +1964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spot_fsa": q_spot_fsa,
         "candidates_generative": q_candidates_generative,
         "model_build": q_model_build,
+        "model_entities": q_model_entities,
+        "model_token_counts": q_model_token_counts,
         # source formats
         "spotxml_disambiguate": q_spotxml_disambiguate,
         "wiki_links": q_wiki_links,
@@ -1954,6 +2023,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_graph_edges": sql_entity_graph_edges(),
         "entity_pagerank": sql_entity_pagerank(),
         "model_build": sql_model_build(),
+        "model_entities": sql_model_entities(),
+        "model_token_counts": sql_model_token_counts(),
         "spotxml_disambiguate": sql_spotxml_disambiguate(),
         "wiki_links": sql_wiki_links(),
         "tsv_lexicon": sql_tsv_lexicon(),
