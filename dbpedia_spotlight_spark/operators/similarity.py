@@ -291,9 +291,12 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
 def hyperplane_lsh_topk(embeddings: DataFrame, query_ids: list[int],
                         k: int = 5, n_planes: int = 6,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        round_digits: int | None = None) -> DataFrame:
     """ANN top-k: score only candidates in the query's bucket (plus
-    Hamming-1 probes to lift recall). Same output shape as cosine_topk."""
+    Hamming-1 probes to lift recall). Same output shape as cosine_topk.
+    ``round_digits`` rounds the cosine BEFORE ranking (like ann_topk's
+    oracle form) so cross-engine float noise can't flip ranks."""
     b = lsh_bucket(embeddings, n_planes, id_col, vec_col)
     q = b.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
@@ -310,11 +313,14 @@ def hyperplane_lsh_topk(embeddings: DataFrame, query_ids: list[int],
         F.broadcast(q),
         (F.col("bucket") == F.col("probe")) & (F.col(id_col) != F.col("query_id")),
     )
+    cos = (_dot(F.col("qv").cast("array<double>"),
+                F.col(vec_col).cast("array<double>"))
+           / (_norm(F.col("qv").cast("array<double>"))
+              * _norm(F.col(vec_col).cast("array<double>"))))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     scored = cand.select(
-        "query_id", id_col,
-        (_dot(F.col("qv").cast("array<double>"), F.col(vec_col).cast("array<double>"))
-         / (_norm(F.col("qv").cast("array<double>"))
-            * _norm(F.col(vec_col).cast("array<double>")))).alias("cosine"),
+        "query_id", id_col, cos.alias("cosine"),
     ).dropDuplicates(["query_id", id_col])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (

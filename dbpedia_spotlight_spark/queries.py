@@ -1551,11 +1551,52 @@ def sql_ann_topk() -> str:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN top-10 (the scale path; rows-only — recall vs
-    brute force is asserted in pytest)."""
+    """Hyperplane-LSH ANN top-10 — fully oracle-paired: the hyperplanes
+    are deterministic literals and both engines fold dot products
+    left-to-right (identical doubles ⇒ identical sign bits ⇒ identical
+    buckets); cosine rounds to 9dp BEFORE ranking so ranks can't flip."""
     from dbpedia_spotlight_spark.operators.similarity import hyperplane_lsh_topk
     return hyperplane_lsh_topk(_emb(spark, sf_dir), _ANN_QUERY_IDS,
-                               k=10, n_planes=6)
+                               k=10, n_planes=6, round_digits=9)
+
+
+def sql_ann_lsh(n_planes: int = 6, k: int = 10, dim: int = 64) -> str:
+    from dbpedia_spotlight_spark.operators.similarity import _hyperplanes
+    planes = _hyperplanes(dim, n_planes)
+    bucket_terms = []
+    for p, plane in enumerate(planes):
+        arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane)
+        bucket_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{arr}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)")
+    bucket_expr = " + ".join(bucket_terms)
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    probe_list = ", ".join(["qb"] + [f"xor(qb, {1 << p})"
+                                     for p in range(n_planes)])
+    return f"""
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  b AS (SELECT vec_id, v, CAST({bucket_expr} AS INTEGER) AS bucket FROM e),
+  q AS (SELECT vec_id AS query_id, v AS qv, CAST(bucket AS BIGINT) AS qb
+        FROM b WHERE vec_id IN ({ids})),
+  probes AS (
+    SELECT query_id, qv, UNNEST([{probe_list}]) AS probe FROM q
+  ),
+  cand AS (
+    SELECT DISTINCT p.query_id, p.qv, b.vec_id, b.v
+    FROM probes p JOIN b ON b.bucket = p.probe AND b.vec_id <> p.query_id
+  ),
+  scored AS (
+    SELECT query_id, vec_id,
+           round(list_dot_product(qv, v)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(v, v))), 9) AS cosine
+    FROM cand
+  )
+  SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= {k}"""
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2042,6 +2083,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_counts": sql_vocab_counts(),
         "corpus_filter": sql_corpus_filter(),
         "ann_topk": sql_ann_topk(),
+        "ann_lsh": sql_ann_lsh(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
