@@ -1607,6 +1607,83 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_clusters=16, n_probe=4)
 
 
+def _ivf_fixture_rows() -> list[tuple[int, list[float]]]:
+    """Deterministic 200×16 float32 vectors (LCG — no RNG state)."""
+    rows = []
+    x = 0x1234ABCD5678EF01
+    for i in range(200):
+        v = []
+        for _ in range(16):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        import numpy as np
+        rows.append((i, [float(np.float32(c)) for c in v]))
+    return rows
+
+
+def q_ann_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k over a fixed fixture small enough that the coarse
+    quantizer trains on ALL rows (no Spark-RNG sampling) — the whole
+    path (driver k-means, vectorized pandas-UDF assignment, probe join,
+    window top-k) becomes bit-deterministic and is checked against a
+    golden oracle that replicates the numpy math and the JVM's
+    sequential dot-product fold exactly."""
+    from dbpedia_spotlight_spark.operators.similarity import ivf_topk
+    df = spark.createDataFrame(_ivf_fixture_rows(),
+                               "vec_id long, embedding array<float>")
+    return ivf_topk(df, [0, 1, 2, 3, 4], k=10, n_clusters=8, n_probe=3)
+
+
+def sql_ann_ivf_fixed(k: int = 10, n_clusters: int = 8,
+                      n_probe: int = 3) -> str:
+    import numpy as np
+
+    rows = _ivf_fixture_rows()
+    X = np.asarray([[float(c) for c in v] for (_i, v) in rows])
+    # ivf_centroids: n <= sample → train on all rows, deterministic init
+    idx = np.linspace(0, len(X) - 1, n_clusters).astype(int)
+    C = X[idx].copy()
+    for _ in range(5):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    Cn = (C ** 2).sum(axis=1)
+    d = Cn[None, :] - 2.0 * (X @ C.T)
+    cluster = d.argmin(axis=1)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for p, q in zip(a, b):
+            acc = acc + p * q
+        return acc
+
+    import math
+    out = []
+    for qid in (0, 1, 2, 3, 4):
+        x = X[qid]
+        dq = Cn - 2.0 * (C @ x)
+        probes = set(int(c) for c in np.argsort(dq)[:n_probe])
+        cands = [i for i in range(len(X))
+                 if int(cluster[i]) in probes and i != qid]
+        scored = []
+        for i in cands:
+            cos = fold_dot(x, X[i]) / (
+                math.sqrt(fold_dot(x, x)) * math.sqrt(fold_dot(X[i], X[i])))
+            scored.append((i, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for r, (i, cos) in enumerate(scored[:k], start=1):
+            out.append(f"({qid}, {i}, CAST('{cos!r}' AS DOUBLE), {r})")
+    values = ",\n    ".join(out)
+    return f"""
+  SELECT CAST(query_id AS BIGINT) AS query_id,
+         CAST(vec_id AS BIGINT) AS vec_id,
+         cosine, CAST(rank AS INTEGER) AS rank
+  FROM (VALUES {values}) AS t(query_id, vec_id, cosine, rank)"""
+
+
 def q_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= 0.99) via the LSH
     scale path (multi-table sign-bit buckets + exact verify — NOT the
@@ -2029,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_fixed": q_ann_ivf_fixed,
         "near_dup_embeddings": q_near_dup_embeddings,
         # relational/agg plumbing
         "tpch_q1": q_tpch_q1,
@@ -2084,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": sql_corpus_filter(),
         "ann_topk": sql_ann_topk(),
         "ann_lsh": sql_ann_lsh(),
+        "ann_ivf_fixed": sql_ann_ivf_fixed(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
