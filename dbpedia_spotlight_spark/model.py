@@ -54,6 +54,8 @@ class SpotlightModel:
     cand_indptr: np.ndarray         # int64[|sf|+1]
     cand_entity: np.ndarray         # int32[nnz]
     cand_prior: np.ndarray          # float64[nnz]  P(e|s)
+    cand_ln_prior: np.ndarray       # float64[nnz]  ln P(e|s), precompiled
+                                    # (the hot loop reads it per mention)
     # entities
     ent_uris: list[str]
     ent_support: np.ndarray         # int64[|ent|]
@@ -174,6 +176,7 @@ def compile_model(
     sums = np.zeros(n_sf, dtype=np.float64)
     np.add.at(sums, pc["sf_id"].to_numpy(dtype=np.int64), counts)
     cand_prior = counts / np.maximum(sums[pc["sf_id"].to_numpy(dtype=np.int64)], 1e-300)
+    cand_ln_prior = np.log(np.maximum(cand_prior, 1e-300))
 
     # context CSR, token-sorted per entity for searchsorted gathers (D2)
     tc = token_counts.sort_values(["entity_id", "token_id"])
@@ -214,6 +217,7 @@ def compile_model(
         cand_indptr=cand_indptr,
         cand_entity=cand_entity,
         cand_prior=cand_prior,
+        cand_ln_prior=cand_ln_prior,
         ent_uris=ent_uris,
         ent_support=ent_support,
         ent_types=ent_types,
@@ -253,16 +257,21 @@ def context_loglik(
     entity_ids: np.ndarray,
     q_tokens: np.ndarray,
     q_counts: np.ndarray,
+    smooth: np.ndarray | None = None,
 ) -> np.ndarray:
     """Generative context similarity (SURVEY §2.5 D2, Daiber 2013):
 
     log P(q|e) = Σ_t n(t,q) · log( λ·c(t,e)/C(e) + (1−λ)·P_LM(t) )
 
     Vectorized per candidate via searchsorted gather on the entity's CSR
-    row (token-ascending). q_tokens must be sorted ascending.
+    row (token-ascending). q_tokens must be sorted ascending. ``smooth``
+    = (1−λ)·P_LM(q_tokens): pass it precomputed when scoring many
+    mentions against the same context bag (the Zipf-common case — it is
+    an exp() over the bag per call otherwise).
     """
     lam = model.lam
-    smooth = (1.0 - lam) * np.exp(model.lm_logprob[q_tokens])  # (1−λ)P_LM(t)
+    if smooth is None:
+        smooth = (1.0 - lam) * np.exp(model.lm_logprob[q_tokens])
     out = np.empty(len(entity_ids), dtype=np.float64)
     for i, eid in enumerate(entity_ids):
         lo, hi = model.ctx_indptr[eid], model.ctx_indptr[eid + 1]

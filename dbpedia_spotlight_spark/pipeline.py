@@ -162,8 +162,13 @@ def _doc_spots(model: SpotlightModel, text: str):
         bounds.append(pos)
         pos = text.find("\n", pos + 1)
 
-    def para_of(char_begin: int) -> int:
-        return bisect.bisect_right(bounds, char_begin)
+    if bounds:
+        def para_of(char_begin: int) -> int:
+            return bisect.bisect_right(bounds, char_begin)
+    else:
+        # single-paragraph fast path: skip the per-token bisect entirely
+        def para_of(char_begin: int) -> int:
+            return 0
 
     spots = [
         (toks[s][0], toks[e - 1][1], sf_id, para_of(toks[s][0]))
@@ -193,11 +198,19 @@ def _score_doc(model: SpotlightModel, cfg: PipelineConfig, spots, bags):
     scoring with it)."""
     out = []
     memo: dict[tuple[int, int], list] = {}
+    # (1−λ)·P_LM over the bag is shared by every mention scored against
+    # the same paragraph — computed lazily once per paragraph
+    smooths: dict[int, np.ndarray] = {}
     for (begin, end, sf_id, para_idx) in spots:
         key = (para_idx, sf_id)
         ranked = memo.get(key)
         if ranked is None:
-            ranked = _score_mention(model, cfg, sf_id, bags[para_idx])
+            sm = smooths.get(para_idx)
+            if sm is None:
+                q_tokens, _ = bags[para_idx]
+                sm = (1.0 - model.lam) * np.exp(model.lm_logprob[q_tokens])
+                smooths[para_idx] = sm
+            ranked = _score_mention(model, cfg, sf_id, bags[para_idx], sm)
             memo[key] = ranked
         for (eid, rank, sim, pct2) in ranked:
             out.append((begin, end, sf_id, eid, rank, sim, pct2))
@@ -205,7 +218,7 @@ def _score_doc(model: SpotlightModel, cfg: PipelineConfig, spots, bags):
 
 
 def _score_mention(model: SpotlightModel, cfg: PipelineConfig,
-                   sf_id: int, bag) -> list:
+                   sf_id: int, bag, smooth=None) -> list:
     """Score one (sf, context-bag) instance → [(eid, rank, sim, pct2)]."""
     q_tokens, q_counts = bag
     lo, hi = model.cand_indptr[sf_id], model.cand_indptr[sf_id + 1]
@@ -218,14 +231,14 @@ def _score_mention(model: SpotlightModel, cfg: PipelineConfig,
         return [(int(model.cand_entity[lo]), 1, 1.0, 0.0)]
     hi = min(hi, lo + cfg.max_candidates)  # C2 top-K by prior (rows are prior-desc)
     ents = model.cand_entity[lo:hi].astype(np.int64)
-    ln_prior = np.log(np.maximum(model.cand_prior[lo:hi], 1e-300))
+    ln_prior = model.cand_ln_prior[lo:hi]
     if cfg.disambiguator == "prior":
         scores = ln_prior
     elif cfg.disambiguator == "tficf":
         ctx = tficf_scores(model, [ents], q_tokens, q_counts)[0]
         scores = ln_prior + ctx
     else:  # generative (default model, Daiber 2013)
-        ctx = context_loglik(model, ents, q_tokens, q_counts)
+        ctx = context_loglik(model, ents, q_tokens, q_counts, smooth)
         scores = ln_prior + ctx
     order = np.argsort(-scores, kind="stable")
     s_sorted = scores[order]
