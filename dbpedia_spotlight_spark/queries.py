@@ -850,19 +850,7 @@ def q_candidates_generative(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_model_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full offline model build M1–M5 over the corpus, using the emitted
     prior links as training links; returns the surface_forms table."""
-    from dbpedia_spotlight_spark.plans.model_build import build_model_tables
-    corpus = _docs(spark, sf_dir).select(
-        F.concat_ws("/", "source", "doc_id").alias("url"), "text"
-    )
-    links = q_annotate_prior(spark, sf_dir).join(
-        _docs(spark, sf_dir).select("doc_id", "source"), "doc_id"
-    ).select(
-        F.concat_ws("/", "source", "doc_id").alias("url"),
-        "begin", "end", F.col("surface_form").alias("sf"), "uri",
-    )
-    tables = build_model_tables(spark, corpus, links,
-                                stopwords=list(LEX.STOPWORDS))
-    return tables["surface_forms"]
+    return _model_tables(spark, sf_dir)["surface_forms"]
 
 
 def sql_model_build() -> str:
