@@ -192,9 +192,13 @@ def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
     the expensive part, assignment of the full corpus, stays distributed).
     Returns (n_clusters, dim) float64.
 
-    Sampling is ``df.sample(fraction, seed)`` — an orderBy(id).limit()
-    would train the quantizer on the lowest ids (ingestion order, not the
-    data distribution) AND pay a global sort."""
+    Sampling is hash-Bernoulli on the id: keep rows with
+    md5(id || salt) mod 2^20 < frac·2^20 — uniform like a seeded
+    ``df.sample`` but ALSO independent of partition layout (Spark's
+    sample RNG is per-partition, so a repartitioned input would train a
+    different quantizer), hence stable across resumes and reproducible
+    outside Spark. An orderBy(id).limit() would train on the lowest ids
+    (ingestion order, not the data distribution) AND pay a global sort."""
     import numpy as np
 
     n = embeddings.count()
@@ -204,7 +208,11 @@ def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
         # 1.2x headroom so the Bernoulli sample almost surely yields
         # >= `sample` rows; limit trims the excess
         frac = min(1.0, (sample * 1.2) / n)
-        src = embeddings.sample(fraction=frac, seed=13).limit(sample)
+        gate = int(frac * (1 << 20))
+        h = F.conv(F.substring(
+            F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
+                              F.lit("ivf13"))), 1, 15), 16, 10).cast("long")
+        src = embeddings.filter((h % (1 << 20)) < gate).limit(sample)
     rows = src.select(vec_col).toPandas()[vec_col].tolist()
     X = np.asarray([list(map(float, v)) for v in rows])
     # deterministic init: evenly strided sample rows
