@@ -38,6 +38,53 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert len(a) >= 0.9 * len(b)
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics, not just the nothing-late drain: with
+    maxFilesPerTrigger=1 the watermark advances between micro-batches,
+    so an event older than (max seen ts − threshold) arriving in batch 2
+    must be DROPPED from its (already finalized) window — the bounded
+    state contract the 100-TB streaming story depends on."""
+    import datetime as dt
+    from dbpedia_spotlight_spark.streaming.windowed import (
+        windowed_event_counts,
+    )
+
+    schema = "event_id long, user_id long, event_type string, " \
+             "ts timestamp_ntz, value double"
+    t = dt.datetime(2024, 1, 1, 0, 30)
+    batch1 = spark.createDataFrame(
+        [(1, 1, "click", t, 1.0),
+         (2, 1, "click", t.replace(hour=6, minute=0), 1.0)], schema)
+    batch2 = spark.createDataFrame(
+        # ts 00:40 < watermark (06:00 − 2h = 04:00) → late, dropped;
+        # 06:10 is fresh (its window stays open and is withheld at drain)
+        [(3, 1, "click", t.replace(minute=40), 1.0),
+         (4, 1, "click", t.replace(hour=6, minute=10), 1.0)], schema)
+    src = str(tmp_path / "ev")
+
+    def drain():
+        stream = windowed_event_counts(
+            spark.readStream.schema(schema).parquet(src))
+        q = (stream.writeStream.format("parquet")
+             .option("path", str(tmp_path / "out"))
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # two availableNow drains over ONE checkpoint: the watermark learned
+    # in drain 1 (06:00 − 2h = 04:00) persists into drain 2
+    batch1.coalesce(1).write.mode("overwrite").parquet(src)
+    drain()
+    batch2.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    got = {(r.hour, r.n_events)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    # the 00:00 window was finalized with ONE event — the late 00:40 row
+    # from batch 2 must not have been added
+    assert ("2024-01-01 00:00:00", 1) in got
+    assert ("2024-01-01 00:00:00", 2) not in got
+
+
 def test_windowed_counts_match_events_hourly_oracle(spark):
     """The window() form must agree with the date_trunc batch rollup."""
     from dbpedia_spotlight_spark import queries as Q
