@@ -3,10 +3,11 @@
 ``entry(spark)`` runs the flagship fused annotate pipeline (FSA spotting
 + generative disambiguation, SURVEY.md §3.1) on the sf0.001 documents
 table. ``queries()`` / ``oracle_sql()`` expose one entry per implemented
-operator from SURVEY.md §2 — SQL-expressible ones are paired with an
-independent DuckDB oracle; genuinely non-SQL ops (FSA automaton,
-generative scoring UDF, MinHash banding, winnowing, multimodal decode)
-are registered rows-only and covered by pytest python-oracles instead.
+operator from SURVEY.md §2 — 49 of 50 are paired with an independent
+DuckDB oracle (including the fused flagship, whose imperative parts
+collapse to relational algebra on this corpus); only the real-table
+``ann_ivf`` is rows-only (Spark's sample RNG is not reproducible outside
+Spark — its no-sampling twin ``ann_ivf_fixed`` is oracle-checked).
 
 Implementation lives in ``dbpedia_spotlight_spark.queries``.
 """

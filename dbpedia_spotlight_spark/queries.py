@@ -1,19 +1,29 @@
 """Driver-contract query registry: Spark callables + DuckDB oracle SQL.
 
-Every SQL-expressible operator from SURVEY.md §2 is registered here as a
+Every operator from SURVEY.md §2 is registered here as a
 (spark_query, oracle_sql) pair over the driver's parquet tables
 (``documents``, ``embeddings``, ``events``, TPC-H). The Spark side runs
 the engine's real operators; the oracle side is independent ANSI SQL that
 DuckDB evaluates on the same data — they can only agree if the operator
 semantics are right.
 
-Genuinely non-SQL ops (FSA spotting, generative disambiguation, winnowing,
-MinHash banding, multimodal decode) are registered without an oracle —
-the driver records a rows-only check and pytest covers their semantics
-against python oracles instead.
+49 of 50 queries are oracle-paired, including the imperative-looking
+ones: the fused flagship (FSA spotting + generative disambiguation)
+collapses to relational algebra on this corpus (``_sql_generative``),
+winnowing/MinHash/SimHash recompute their md5-derived hashes in SQL, and
+fixed-fixture paths (multimodal, IVF, TSV, wiki, spot-XML) use golden
+expectations. Only the real-table ``ann_ivf`` is rows-only (Spark's
+sample RNG is not reproducible outside Spark); its no-sampling twin is
+oracle-checked and pytest gates its recall.
 
-Column-name parity rule: every computed column is aliased identically in
-the Spark code and the SQL (driver hashes after sorting columns by name).
+Rules learned the hard way:
+- Column-name parity: every computed column is aliased identically in
+  Spark and SQL (driver hashes after sorting columns by name).
+- Scalar columns only: the driver canonicalizer cannot hash
+  array/map/struct cells (concat_ws or explode instead).
+- round(9) on any value that crosses libm (exp/ln) — engines differ by
+  ulps; exact doubles (division, md5 arithmetic, fold dot products)
+  compare exactly.
 """
 
 from __future__ import annotations
