@@ -118,9 +118,17 @@ def _sql_toks() -> str:
     return _SQL_TOKS.format(priors=LEX.sql_values_priors())
 
 
+def _sf_df(spark: SparkSession) -> DataFrame:
+    """Distinct unigram sf list, built driver-side: a .distinct() on the
+    22-row candidate DataFrame would insert a full-width shuffle stage
+    (spark.sql.shuffle.partitions tasks) before the broadcast."""
+    sfs = sorted({r[0] for r in LEX.unigram_prior_rows()})
+    return spark.createDataFrame([(s,) for s in sfs], "sf string")
+
+
 def _spots(docs: DataFrame, cand: DataFrame) -> DataFrame:
     """P1/P2 relational slice (unigram): token ⋈ broadcast(sf lexicon)."""
-    sfs = cand.select("sf").distinct()
+    sfs = _sf_df(docs.sparkSession)
     return (
         _token_offsets(docs)
         .join(F.broadcast(sfs), F.col("tok") == F.col("sf"))
