@@ -1943,6 +1943,34 @@ def sql_part_type_stats() -> str:
   FROM o FULL OUTER JOIN n ON o.p_type = n.p_type"""
 
 
+def q_salted_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-user top-3 events by value: the two-phase salted
+    window (partial top-k per (key, salt) bucket → final window over
+    ≤ n_salt·k survivors). Oracle = the PLAIN unsalted SQL window —
+    equality IS the check that salting preserves semantics, externally
+    this time (pytest asserted it round 1)."""
+    from dbpedia_spotlight_spark.operators.skew import salted_topk
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = salted_topk(
+        ev.select("user_id", "event_id",
+                  F.col("value").cast("double").alias("value")),
+        ["user_id"], [F.desc("value"), F.asc("event_id")], k=3, n_salt=8,
+    )
+    return out.select("user_id", "event_id", "value", "rank")
+
+
+def sql_salted_user_topk() -> str:
+    return """
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+         CAST(rank AS INTEGER) AS rank
+  FROM (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id ASC) AS rank
+    FROM events)
+  WHERE rank <= 3"""
+
+
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time hourly rollup (batch form of the streaming window agg)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -2121,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_running_totals": q_order_running_totals,
         "part_type_stats": q_part_type_stats,
         "events_hourly": q_events_hourly,
+        "salted_user_topk": q_salted_user_topk,
         "sessionize": q_sessionize,
         # multimodal plumbing
         "image_features": q_image_features,
@@ -2176,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
         "order_running_totals": sql_order_running_totals(),
         "part_type_stats": sql_part_type_stats(),
         "events_hourly": sql_events_hourly(),
+        "salted_user_topk": sql_salted_user_topk(),
         "sessionize": sql_sessionize(),
         "image_features": sql_image_features(),
         "frame_sample": sql_frame_sample(),
