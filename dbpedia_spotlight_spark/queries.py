@@ -816,6 +816,70 @@ def sql_annotate_generative() -> str:
     return _sql_generative(k=1)
 
 
+def q_annotate_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 coreference merge through the fused path: a later, shorter
+    mention whose token sequence suffix-matches an earlier longer
+    mention's surface form inherits that mention's entity (and its
+    support/types follow the rewritten entity)."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    return (
+        annotate(
+            spark, _web_pages_from_docs(spark, sf_dir),
+            _static_model_bc(spark),
+            PipelineConfig(disambiguator="generative", confidence=0.0,
+                           support=0, coreference=True),
+        )
+        .withColumn("types", F.concat_ws(",", "types"))
+        .withColumn("similarity_score", F.round("similarity_score", 9))
+        .withColumn("percentage_of_second_rank",
+                    F.round("percentage_of_second_rank", 9))
+    )
+
+
+def sql_annotate_coref() -> str:
+    """Oracle: the k=1 generative result post-processed by the coref
+    rewrite. For this lexicon the inherit relation is a deterministic
+    map — each bigram sf has a unique last token and a single candidate
+    entity, so a unigram mention inherits iff the matching bigram was
+    spotted EARLIER (strictly smaller begin) in the same doc. Scores are
+    kept; uri/support/types follow the inherited entity (exactly
+    pipeline._coref_merge's contract)."""
+    support = {r[0]: r[2] for r in LEX.entity_rows()}
+    types_str = {r[0]: ",".join(r[3]) for r in LEX.entity_rows()}
+    gated = _gated_sfs()
+    rows = []
+    for bi_sf, cands in gated.items():
+        if " " not in bi_sf:
+            continue
+        last = bi_sf.split()[-1]
+        if last not in gated:
+            continue  # suffix token is not itself a surface form
+        assert len(cands) == 1
+        u = LEX.DBP + cands[0][0]
+        rows.append(f"('{last}', '{bi_sf}', '{u}', {support[u]}, "
+                    f"'{types_str[u]}')")
+    mapping = ",\n    ".join(rows)
+    first_bi = _sql_spot_ctes() + """
+  SELECT d.source || '/' || CAST(b.doc_id AS VARCHAR) AS url,
+         b.sf, min(b."begin") AS first_begin
+  FROM bi b JOIN endocs d ON d.doc_id = b.doc_id
+  GROUP BY 1, 2"""
+    return f"""
+  SELECT g.url, g."begin", g."end", g.surface_form,
+         CASE WHEN fb.first_begin IS NOT NULL AND fb.first_begin < g."begin"
+              THEN m.uri2 ELSE g.uri END AS uri,
+         g.rank, g.similarity_score, g.percentage_of_second_rank,
+         CASE WHEN fb.first_begin IS NOT NULL AND fb.first_begin < g."begin"
+              THEN m.support2 ELSE g.support END AS support,
+         CASE WHEN fb.first_begin IS NOT NULL AND fb.first_begin < g."begin"
+              THEN m.types2 ELSE g.types END AS types
+  FROM ({_sql_generative(k=1)}) g
+  LEFT JOIN (VALUES
+    {mapping}
+  ) m(uni_sf, bi_sf, uri2, support2, types2) ON m.uni_sf = g.surface_form
+  LEFT JOIN ({first_bi}) fb ON fb.url = g.url AND fb.sf = m.bi_sf"""
+
+
 def sql_candidates_generative() -> str:
     return _sql_generative(k=3)
 
@@ -2111,8 +2175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_graph_nodes": q_entity_graph_nodes,
         "entity_graph_edges": q_entity_graph_edges,
         "entity_pagerank": q_entity_pagerank,
-        # full fused pipeline (rows-only)
+        # full fused pipeline
         "annotate_generative": q_annotate_generative,
+        "annotate_coref": q_annotate_coref,
         "spot_fsa": q_spot_fsa,
         "candidates_generative": q_candidates_generative,
         "model_build": q_model_build,
@@ -2170,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "sf_totals": sql_sf_totals(),
         "quantized_uri_counts": sql_quantized_uri_counts(),
         "annotate_generative": sql_annotate_generative(),
+        "annotate_coref": sql_annotate_coref(),
         "candidates_generative": sql_candidates_generative(),
         "spot_fsa": sql_spot_fsa(),
         "redirect_closure": sql_redirect_closure(),
