@@ -816,6 +816,39 @@ def sql_annotate_generative() -> str:
     return _sql_generative(k=1)
 
 
+_TYPE_WHITELIST = ("Software", "Place")
+
+
+def q_annotate_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 type filter (whitelist) through the fused path: only mentions
+    whose winning entity carries a whitelisted ontology type survive.
+    Oracle = the k=1 generative SQL filtered by the entity→type map
+    (non-vacuous: most winners carry the default 'Concept' type only)."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    return (
+        annotate(
+            spark, _web_pages_from_docs(spark, sf_dir),
+            _static_model_bc(spark),
+            PipelineConfig(disambiguator="generative", confidence=0.0,
+                           support=0, types=_TYPE_WHITELIST,
+                           policy="whitelist"),
+        )
+        .withColumn("types", F.concat_ws(",", "types"))
+        .withColumn("similarity_score", F.round("similarity_score", 9))
+        .withColumn("percentage_of_second_rank",
+                    F.round("percentage_of_second_rank", 9))
+    )
+
+
+def sql_annotate_typed() -> str:
+    allowed = [r[0] for r in LEX.entity_rows()
+               if set(r[3]) & set(_TYPE_WHITELIST)]
+    inlist = ", ".join(f"'{u}'" for u in allowed)
+    return f"""
+  SELECT * FROM ({_sql_generative(k=1)}) g
+  WHERE g.uri IN ({inlist})"""
+
+
 def q_annotate_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5 coreference merge through the fused path: a later, shorter
     mention whose token sequence suffix-matches an earlier longer
@@ -2177,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pagerank": q_entity_pagerank,
         # full fused pipeline
         "annotate_generative": q_annotate_generative,
+        "annotate_typed": q_annotate_typed,
         "annotate_coref": q_annotate_coref,
         "spot_fsa": q_spot_fsa,
         "candidates_generative": q_candidates_generative,
@@ -2235,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "sf_totals": sql_sf_totals(),
         "quantized_uri_counts": sql_quantized_uri_counts(),
         "annotate_generative": sql_annotate_generative(),
+        "annotate_typed": sql_annotate_typed(),
         "annotate_coref": sql_annotate_coref(),
         "candidates_generative": sql_candidates_generative(),
         "spot_fsa": sql_spot_fsa(),
