@@ -1068,6 +1068,39 @@ def sql_model_token_counts() -> str:
 
 # --- source formats S2/S3 over fixed deterministic inputs ---
 
+_HTML_FIXTURE = [
+    ("h/1", "<html><head><title>T</title><style>p{color:red}</style></head>"
+            "<body><p>Hello &amp; <b>world</b></p><script>x=1</script>"
+            "<div>second   line</div></body></html>"),
+    ("h/2", "<ul><li>one</li><li>two &lt;3</li></ul><noscript>hidden"
+            "</noscript>tail"),
+    ("h/3", "plain text, no markup"),
+]
+
+
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 HTML→text extraction (the byte-identical-per-url contract) on
+    fixed HTML through the pandas-UDF path; golden expectations are
+    recomputed driver-side from the same frozen stripper spec."""
+    from dbpedia_spotlight_spark.pipeline import extract_text
+    df = spark.createDataFrame(
+        [(u, h.encode("utf-8")) for (u, h) in _HTML_FIXTURE],
+        "url string, html binary")
+    return extract_text(df).select("url", "extracted_text")
+
+
+def sql_extract_text() -> str:
+    from dbpedia_spotlight_spark.functions.extraction import strip_html
+    rows = ",\n    ".join(
+        "('{}', '{}')".format(
+            u, strip_html(h.encode("utf-8")).replace("'", "''"))
+        for (u, h) in _HTML_FIXTURE
+    )
+    return f"""
+  SELECT url, extracted_text
+  FROM (VALUES {rows}) AS t(url, extracted_text)"""
+
+
 _SPOTXML_FIXTURE = [
     ("x/1", '<annotation text="the table row column scan query">'
             '<surfaceForm name="table" offset="4"/></annotation>'),
@@ -2218,6 +2251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_entities": q_model_entities,
         "model_token_counts": q_model_token_counts,
         # source formats
+        "extract_text": q_extract_text,
         "spotxml_disambiguate": q_spotxml_disambiguate,
         "wiki_links": q_wiki_links,
         "tsv_lexicon": q_tsv_lexicon,
@@ -2280,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
         "model_build": sql_model_build(),
         "model_entities": sql_model_entities(),
         "model_token_counts": sql_model_token_counts(),
+        "extract_text": sql_extract_text(),
         "spotxml_disambiguate": sql_spotxml_disambiguate(),
         "wiki_links": sql_wiki_links(),
         "tsv_lexicon": sql_tsv_lexicon(),
