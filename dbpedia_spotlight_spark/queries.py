@@ -592,15 +592,19 @@ def _web_pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATIC_BC = {}
 
 
-def _static_model_bc(spark: SparkSession):
+def _static_model_bc(spark: SparkSession, quantized: bool = False):
     # keyed by applicationId (stable, unique per SparkContext) — id(spark)
     # can collide when CPython reuses a freed address for a new session,
-    # handing out a broadcast from a stopped context
-    key = spark.sparkContext.applicationId
+    # handing out a broadcast from a stopped context. Entries from other
+    # (stopped) apps are evicted; variants within one app coexist.
+    app = spark.sparkContext.applicationId
+    key = (app, quantized)
     if key not in _STATIC_BC:
-        _STATIC_BC.clear()
+        for k in list(_STATIC_BC):
+            if k[0] != app:
+                del _STATIC_BC[k]
         _STATIC_BC[key] = spark.sparkContext.broadcast(
-            LEX.compile_static_model()
+            LEX.compile_static_model(quantize_context=quantized)
         )
     return _STATIC_BC[key]
 
@@ -692,7 +696,7 @@ def _sql_spot_ctes() -> str:
   )"""
 
 
-def _sql_generative(k: int = 1) -> str:
+def _sql_generative(k: int = 1, quantize: bool = False) -> str:
     """Full DuckDB oracle for the FLAGSHIP fused annotate (and, with
     k=3, the /candidates twin) — valid because on this corpus the
     pipeline's imperative parts collapse to relational algebra: texts
@@ -732,14 +736,27 @@ def _sql_generative(k: int = 1) -> str:
                 cand_rows.append(
                     f"('{sf}', '{u}', CAST({c} AS DOUBLE)/{tot}, "
                     f"{support[u]}, '{types_str[u]}')")
+    if quantize:
+        # M6 store round-trip: the quantized model dequantizes int16
+        # codes back to ints at compile time — mirror with the same
+        # python codebook functions
+        from dbpedia_spotlight_spark.functions.quantize import (
+            dequantize, quantize as _q,
+        )
+
+        def cnt(c: int) -> int:
+            return dequantize(_q(c))
+    else:
+        def cnt(c: int) -> int:
+            return c
     ctx_rows = []
     for usfx, ctx in LEX.ENTITY_CONTEXT.items():
         u = LEX.DBP + usfx
         if u not in multi_uris:
             continue
-        ctot = sum(ctx.values())
+        ctot = sum(cnt(c) for c in ctx.values())
         for t, c in ctx.items():
-            ctx_rows.append(f"('{u}', '{t}', {c}, {ctot})")
+            ctx_rows.append(f"('{u}', '{t}', {cnt(c)}, {ctot})")
     vocab_vals = ", ".join(
         f"'{t}'" for t in sorted(set(LEX.VOCAB)) if t not in LEX.STOPWORDS)
     cand_vals = ",\n      ".join(cand_rows)
@@ -915,6 +932,30 @@ def sql_annotate_coref() -> str:
 
 def sql_candidates_generative() -> str:
     return _sql_generative(k=3)
+
+
+def q_annotate_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship with the QUANTIZED context store (M6 through the
+    whole pipeline — int16 codebook round-trip at model compile, the
+    north_star's 'quantized token counts'). Oracle = the generative SQL
+    with counts mapped through the same codebook."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    return (
+        annotate(
+            spark, _web_pages_from_docs(spark, sf_dir),
+            _static_model_bc(spark, quantized=True),
+            PipelineConfig(disambiguator="generative", confidence=0.0,
+                           support=0),
+        )
+        .withColumn("types", F.concat_ws(",", "types"))
+        .withColumn("similarity_score", F.round("similarity_score", 9))
+        .withColumn("percentage_of_second_rank",
+                    F.round("percentage_of_second_rank", 9))
+    )
+
+
+def sql_annotate_quantized() -> str:
+    return _sql_generative(k=1, quantize=True)
 
 
 def q_spot_fsa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2243,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pagerank": q_entity_pagerank,
         # full fused pipeline
         "annotate_generative": q_annotate_generative,
+        "annotate_quantized": q_annotate_quantized,
         "annotate_typed": q_annotate_typed,
         "annotate_coref": q_annotate_coref,
         "spot_fsa": q_spot_fsa,
@@ -2303,6 +2345,7 @@ def oracle_sql() -> dict[str, str]:
         "sf_totals": sql_sf_totals(),
         "quantized_uri_counts": sql_quantized_uri_counts(),
         "annotate_generative": sql_annotate_generative(),
+        "annotate_quantized": sql_annotate_quantized(),
         "annotate_typed": sql_annotate_typed(),
         "annotate_coref": sql_annotate_coref(),
         "candidates_generative": sql_candidates_generative(),
