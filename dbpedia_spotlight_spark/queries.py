@@ -934,6 +934,126 @@ def sql_candidates_generative() -> str:
     return _sql_generative(k=3)
 
 
+def q_annotate_tficf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 TF-ICF disambiguation (Mendes 2011) through the fused path —
+    score(e) = ln P(e|s) + Σ_t n(t)·tf(t,e)·icf(t), icf computed over
+    the mention's candidate set. The (sf, token) → per-candidate weight
+    table is static for this lexicon, so the oracle joins the doc bag
+    against precomputed tf·icf weights and reuses the softmax windows."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    return (
+        annotate(
+            spark, _web_pages_from_docs(spark, sf_dir),
+            _static_model_bc(spark),
+            PipelineConfig(disambiguator="tficf", confidence=0.0,
+                           support=0),
+        )
+        .withColumn("types", F.concat_ws(",", "types"))
+        .withColumn("similarity_score", F.round("similarity_score", 9))
+        .withColumn("percentage_of_second_rank",
+                    F.round("percentage_of_second_rank", 9))
+    )
+
+
+def sql_annotate_tficf() -> str:
+    import math
+
+    support = {r[0]: r[2] for r in LEX.entity_rows()}
+    types_str = {r[0]: ",".join(r[3]) for r in LEX.entity_rows()}
+    ctx = {LEX.DBP + u: c for u, c in LEX.ENTITY_CONTEXT.items()}
+    ctot = {u: float(sum(c.values())) for u, c in ctx.items()}
+
+    cand_rows, single_rows, w_rows = [], [], []
+    for sf, cands in _gated_sfs().items():
+        tot = sum(c for (_, c) in cands)
+        if len(cands) == 1:
+            u = LEX.DBP + cands[0][0]
+            single_rows.append(
+                f"('{sf}', '{u}', {support[u]}, '{types_str[u]}')")
+            continue
+        uris = [LEX.DBP + usfx for (usfx, _c) in cands]
+        for (usfx, c) in cands:
+            u = LEX.DBP + usfx
+            cand_rows.append(
+                f"('{sf}', '{u}', CAST({c} AS DOUBLE)/{tot}, "
+                f"{support[u]}, '{types_str[u]}')")
+        # per (sf, token): df over the sf's candidate set → icf; emit one
+        # weight row per (sf, token, uri) with tf>0 (tf=0 terms vanish)
+        tokens = {t for u in uris for t in ctx.get(u, {})}
+        n = len(uris)
+        for t in sorted(tokens):
+            df = sum(1 for u in uris if ctx.get(u, {}).get(t, 0) > 0)
+            icf = math.log(n / max(df, 1)) if df > 0 else 0.0
+            if icf == 0.0:
+                continue  # token seen by every candidate → zero weight
+            for u in uris:
+                c_te = ctx.get(u, {}).get(t, 0)
+                if c_te > 0:
+                    w = (c_te / max(ctot[u], 1e-300)) * icf
+                    w_rows.append(
+                        f"('{sf}', '{t}', '{u}', CAST('{w!r}' AS DOUBLE))")
+    vocab_vals = ", ".join(
+        f"'{t}'" for t in sorted(set(LEX.VOCAB)) if t not in LEX.STOPWORDS)
+    return _sql_spot_ctes() + f""",
+  bag AS (
+    SELECT doc_id, tok AS token, count(*) AS n FROM toks
+    WHERE tok IN ({vocab_vals}) GROUP BY 1, 2
+  ),
+  cand AS (SELECT * FROM (VALUES
+      {",".join(cand_rows)}
+    ) AS t(sf, uri, prior, support, types)),
+  sing AS (SELECT * FROM (VALUES
+      {",".join(single_rows)}
+    ) AS t(sf, uri, support, types)),
+  w AS (SELECT * FROM (VALUES
+      {",".join(w_rows)}
+    ) AS t(sf, token, uri, wgt)),
+  ctx AS (
+    SELECT b.doc_id, w.sf, w.uri, SUM(b.n * w.wgt) AS ctxscore
+    FROM bag b JOIN w ON w.token = b.token
+    GROUP BY 1, 2, 3
+  ),
+  score AS (
+    SELECT ds.doc_id, c.sf, c.uri, c.support, c.types,
+           ln(c.prior) + COALESCE(x.ctxscore, 0.0) AS score
+    FROM (SELECT DISTINCT doc_id, sf FROM spots) ds
+    JOIN cand c ON c.sf = ds.sf
+    LEFT JOIN ctx x ON x.doc_id = ds.doc_id AND x.sf = c.sf
+                   AND x.uri = c.uri
+  ),
+  shifted AS (
+    SELECT *, score - max(score) OVER (PARTITION BY doc_id, sf) AS sh
+    FROM score
+  ),
+  ranked AS (
+    SELECT *,
+           row_number() OVER wo AS rn,
+           exp(sh) / sum(exp(sh)) OVER wp AS sim,
+           coalesce(exp(lead(score) OVER wo - score), 0.0) AS pct2
+    FROM shifted
+    WINDOW wp AS (PARTITION BY doc_id, sf),
+           wo AS (PARTITION BY doc_id, sf ORDER BY score DESC, uri ASC)
+  ),
+  ann AS (
+    SELECT sp.doc_id, sp."begin", sp."end", sp.sf AS surface_form,
+           r.uri, r.support, r.types, r.rn AS rank, r.sim, r.pct2
+    FROM spots sp JOIN ranked r
+      ON r.doc_id = sp.doc_id AND r.sf = sp.sf AND r.rn = 1
+    UNION ALL
+    SELECT sp.doc_id, sp."begin", sp."end", sp.sf,
+           s.uri, s.support, s.types, 1 AS rank, 1.0, 0.0
+    FROM spots sp JOIN sing s ON s.sf = sp.sf
+  )
+  SELECT d.source || '/' || CAST(a.doc_id AS VARCHAR) AS url,
+         a."begin", a."end", a.surface_form, a.uri,
+         CAST(a.rank AS INTEGER) AS rank,
+         round(a.sim, 9) AS similarity_score,
+         round(a.pct2, 9) AS percentage_of_second_rank,
+         CAST(a.support AS BIGINT) AS support,
+         a.types
+  FROM ann a JOIN endocs d ON d.doc_id = a.doc_id"""
+
+
 def q_annotate_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship with the QUANTIZED context store (M6 through the
     whole pipeline — int16 codebook round-trip at model compile, the
@@ -2285,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full fused pipeline
         "annotate_generative": q_annotate_generative,
         "annotate_quantized": q_annotate_quantized,
+        "annotate_tficf": q_annotate_tficf,
         "annotate_typed": q_annotate_typed,
         "annotate_coref": q_annotate_coref,
         "spot_fsa": q_spot_fsa,
@@ -2346,6 +2467,7 @@ def oracle_sql() -> dict[str, str]:
         "quantized_uri_counts": sql_quantized_uri_counts(),
         "annotate_generative": sql_annotate_generative(),
         "annotate_quantized": sql_annotate_quantized(),
+        "annotate_tficf": sql_annotate_tficf(),
         "annotate_typed": sql_annotate_typed(),
         "annotate_coref": sql_annotate_coref(),
         "candidates_generative": sql_candidates_generative(),
