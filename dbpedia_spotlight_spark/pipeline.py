@@ -193,28 +193,81 @@ def _score_doc(model: SpotlightModel, cfg: PipelineConfig, spots, bags):
 
     Scores depend only on (paragraph, surface form) — repeated mentions
     of the same sf in a paragraph (Zipf-frequent in real corpora) are
-    scored ONCE per doc via a memo (two-step disambiguation already
-    shares the paragraph context query; this shares the whole candidate
-    scoring with it)."""
+    scored ONCE per doc via a memo. On the generative path, all of a
+    paragraph's multi-candidate scorings run as ONE batched
+    context_loglik call (per-entity math is unchanged — the function
+    iterates entities — so results are bit-identical; the win is numpy
+    small-array call overhead, ~25% of the hot loop)."""
     out = []
     memo: dict[tuple[int, int], list] = {}
-    # (1−λ)·P_LM over the bag is shared by every mention scored against
-    # the same paragraph — computed lazily once per paragraph
-    smooths: dict[int, np.ndarray] = {}
-    for (begin, end, sf_id, para_idx) in spots:
-        key = (para_idx, sf_id)
-        ranked = memo.get(key)
-        if ranked is None:
+
+    if cfg.disambiguator == "generative":
+        # pass 1: resolve trivial cases, collect multi-candidate work
+        pending: dict[int, list[int]] = {}
+        for (_b, _e, sf_id, para_idx) in spots:
+            key = (para_idx, sf_id)
+            if key in memo:
+                continue
+            lo, hi = model.cand_indptr[sf_id], model.cand_indptr[sf_id + 1]
+            if hi <= lo:
+                memo[key] = []  # NIL (C3)
+            elif hi - lo == 1:
+                memo[key] = [(int(model.cand_entity[lo]), 1, 1.0, 0.0)]
+            else:
+                memo[key] = None
+                pending.setdefault(para_idx, []).append(sf_id)
+        for para_idx, sf_list in pending.items():
+            q_tokens, q_counts = bags[para_idx]
+            sm = (1.0 - model.lam) * np.exp(model.lm_logprob[q_tokens])
+            spans = []
+            parts = []
+            off = 0
+            for sf_id in sf_list:
+                lo = int(model.cand_indptr[sf_id])
+                hi = min(int(model.cand_indptr[sf_id + 1]),
+                         lo + cfg.max_candidates)  # C2 prune
+                spans.append((sf_id, lo, hi, off))
+                parts.append(model.cand_entity[lo:hi].astype(np.int64))
+                off += hi - lo
+            ents_cat = np.concatenate(parts)
+            ctx = context_loglik(model, ents_cat, q_tokens, q_counts, sm)
+            for (sf_id, lo, hi, off) in spans:
+                ents = model.cand_entity[lo:hi].astype(np.int64)
+                scores = model.cand_ln_prior[lo:hi] + ctx[off:off + hi - lo]
+                memo[(para_idx, sf_id)] = _rank_scores(ents, scores, cfg.k)
+    else:
+        smooths: dict[int, np.ndarray] = {}
+        for (_b, _e, sf_id, para_idx) in spots:
+            key = (para_idx, sf_id)
+            if key in memo:
+                continue
             sm = smooths.get(para_idx)
             if sm is None:
                 q_tokens, _ = bags[para_idx]
                 sm = (1.0 - model.lam) * np.exp(model.lm_logprob[q_tokens])
                 smooths[para_idx] = sm
-            ranked = _score_mention(model, cfg, sf_id, bags[para_idx], sm)
-            memo[key] = ranked
-        for (eid, rank, sim, pct2) in ranked:
+            memo[key] = _score_mention(model, cfg, sf_id, bags[para_idx], sm)
+
+    for (begin, end, sf_id, para_idx) in spots:
+        for (eid, rank, sim, pct2) in memo[(para_idx, sf_id)]:
             out.append((begin, end, sf_id, eid, rank, sim, pct2))
     return out
+
+
+def _rank_scores(ents: np.ndarray, scores: np.ndarray, k: int) -> list:
+    """D5 softmax + D6 top-K + D7 second-rank margin over one mention's
+    candidate scores (shared by the batched and per-mention paths)."""
+    order = np.argsort(-scores, kind="stable")
+    s_sorted = scores[order]
+    m = s_sorted[0]
+    exp_s = np.exp(s_sorted - m)
+    sim = exp_s / exp_s.sum()
+    ranked = []
+    for r in range(min(k, len(order))):
+        pct2 = float(np.exp(s_sorted[r + 1] - s_sorted[r])) \
+            if r + 1 < len(order) else 0.0
+        ranked.append((int(ents[order[r]]), r + 1, float(sim[r]), pct2))
+    return ranked
 
 
 def _score_mention(model: SpotlightModel, cfg: PipelineConfig,
@@ -240,17 +293,7 @@ def _score_mention(model: SpotlightModel, cfg: PipelineConfig,
     else:  # generative (default model, Daiber 2013)
         ctx = context_loglik(model, ents, q_tokens, q_counts, smooth)
         scores = ln_prior + ctx
-    order = np.argsort(-scores, kind="stable")
-    s_sorted = scores[order]
-    # D5 softmax (log-sum-exp stable)
-    m = s_sorted[0]
-    exp_s = np.exp(s_sorted - m)
-    sim = exp_s / exp_s.sum()
-    ranked = []
-    for r in range(min(cfg.k, len(order))):
-        pct2 = float(np.exp(s_sorted[r + 1] - s_sorted[r])) if r + 1 < len(order) else 0.0
-        ranked.append((int(ents[order[r]]), r + 1, float(sim[r]), pct2))
-    return ranked
+    return _rank_scores(ents, scores, cfg.k)
 
 
 def _passes_filters(model: SpotlightModel, cfg: PipelineConfig,
