@@ -1412,7 +1412,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sql_fingerprint() -> str:
-    return ("SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    # the product side is Spark's JAVA regex \s = [ \t\n\x0B\f\r]; RE2's
+    # \s omits \x0B — spell the class out so the engines agree on every
+    # input, not just whitespace-clean corpora
+    return ("SELECT doc_id, md5(trim(regexp_replace(lower(text),"
+            " '[\\x{0009}-\\x{000d} ]+', ' ', 'g')))"
             " AS fingerprint FROM documents")
 
 
@@ -1616,6 +1620,25 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _py_whitespace_class() -> str:
+    """RE2 character class matching EXACTLY python's str.split()
+    whitespace (str.isspace codepoints) — regex \\s misses NEL/NBSP and
+    the Unicode Zs block, which the product's python normalization
+    treats as separators (found by the hypothesis property test)."""
+    cps = [c for c in range(0x10000) if chr(c).isspace()]
+    parts, i = [], 0
+    while i < len(cps):
+        j = i
+        while j + 1 < len(cps) and cps[j + 1] == cps[j] + 1:
+            j += 1
+        if i == j:
+            parts.append(f"\\x{{{cps[i]:04x}}}")
+        else:
+            parts.append(f"\\x{{{cps[i]:04x}}}-\\x{{{cps[j]:04x}}}")
+        i = j + 1
+    return "[" + "".join(parts) + "]"
+
+
 def sql_winnowing(k: int = 5, window: int = 4) -> str:
     """DuckDB mirror of winnowing_fingerprints (B=131, M=2^61-1).
 
@@ -1624,12 +1647,13 @@ def sql_winnowing(k: int = 5, window: int = 4) -> str:
     slides, so the 'emit when the pick changes' rule equals 'one row per
     DISTINCT picked index'. The <window-hashes fallback emits min(h)."""
     M = (1 << 61) - 1
+    ws = _py_whitespace_class()
     h_expr = "CAST(ord(substr(s, u.i, 1)) AS HUGEINT)"
     for j in range(1, k):
         h_expr = f"((({h_expr}) * 131 + ord(substr(s, u.i + {j}, 1))) % {M})"
     return f"""
   WITH norm AS (
-    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+    SELECT doc_id, trim(regexp_replace(lower(text), '{ws}+', ' ', 'g')) AS s
     FROM documents
   ),
   hpos AS (
