@@ -2,12 +2,13 @@
 
 ``entry(spark)`` runs the flagship fused annotate pipeline (FSA spotting
 + generative disambiguation, SURVEY.md §3.1) on the sf0.001 documents
-table. ``queries()`` / ``oracle_sql()`` expose one entry per implemented
-operator from SURVEY.md §2 — 49 of 50 are paired with an independent
-DuckDB oracle (including the fused flagship, whose imperative parts
-collapse to relational algebra on this corpus); only the real-table
-``ann_ivf`` is rows-only (Spark's sample RNG is not reproducible outside
-Spark — its no-sampling twin ``ann_ivf_fixed`` is oracle-checked).
+table. ``queries()`` / ``oracle_sql()`` expose EXACTLY 50 entries (the
+driver checks at most the first 50, in order) covering every implemented
+operator from SURVEY.md §2 — ALL 50 are paired with an independent
+DuckDB oracle, including the fused flagship (imperative parts collapse
+to relational algebra on this corpus), the Porter-stemmed annotate, and
+the real-table ``ann_ivf`` (its Lloyd iterations unroll as CTE chains
+over the same layout-independent sample).
 
 Implementation lives in ``dbpedia_spotlight_spark.queries``.
 """

@@ -58,15 +58,15 @@ HEADLINE = [
     "annotate_prior",        # relational prior path
     "link_triples",
     "minhash_pairs",
-    "simhash",
-    "simhash_near_pairs",     # 64-bit blocked near-dup (round-2 op)
+    "simhash_near_pairs",     # 64-bit blocked near-dup (includes simhash)
     "jaccard_pairs",
     "ann_topk",
+    "ann_ivf",                # full IVF path (train+assign+probe, round-3)
     "near_dup_embeddings",    # hyperplane-LSH pairs (round-2 scale path)
+    "annotate_stemmed",       # Porter-stemmed fused annotate (round-3)
     "lang_id",
     "quality",
-    "tpch_q1",
-    "tpch_q3",
+    "tpch_q5",                # 6-way join plumbing (subsumes q1/q3)
     "events_hourly",
 ]
 

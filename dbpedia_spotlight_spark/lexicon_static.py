@@ -172,11 +172,12 @@ def unigram_prior_rows() -> list[tuple[str, str, float, int, int]]:
 
 def compile_static_model(lam: float | None = None,
                          spot_threshold: float | None = None,
-                         quantize_context: bool = False):
+                         quantize_context: bool = False,
+                         stemmer: str = "identity"):
     """Compile the static lexicon into a broadcastable SpotlightModel."""
     from dbpedia_spotlight_spark.model import compile_model
 
-    kw = {"quantize_context": quantize_context}
+    kw = {"quantize_context": quantize_context, "stemmer": stemmer}
     if lam is not None:
         kw["lam"] = lam
     if spot_threshold is not None:

@@ -167,7 +167,7 @@ def minhash_candidate_pairs(docs: DataFrame, n_hashes: int = 16,
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
                         candidates: DataFrame | None = None,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = 1000) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs. With `candidates`
     (e.g. from MinHash-LSH) verifies only those; without, evaluates all
     pairs sharing >=1 shingle (explode + self-join — test scale only).
@@ -182,9 +182,11 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     collision).
 
     ``max_bucket`` caps the in-bucket pair expansion: one corpus-common
-    shingle (boilerplate) otherwise creates C(n,2) pairs. None = exact
-    (the oracle-checked mode; exactness holds only without a cap) — at
-    corpus scale ALWAYS pass a cap or pre-filter with LSH ``candidates``.
+    shingle (boilerplate) otherwise creates C(n,2) pairs. The SAFE capped
+    mode is the default (1000); pass ``max_bucket=None`` explicitly for
+    the exact mode (the oracle-checked form — exactness holds only
+    without a cap), which at corpus scale requires an LSH ``candidates``
+    pre-filter instead of the cap.
 
     ONE scan, ZERO joins for the pair math: the per-doc distinct-shingle
     count rides along as struct(id, n) through the bucket expansion, so

@@ -77,20 +77,41 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]:
 
 def lsh_bucket(embeddings: DataFrame, n_planes: int = 8,
                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Sign-bit bucket id per vector: bit p = [v · h_p >= 0]."""
-    dim = len(embeddings.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes)
-    v = F.col(vec_col).cast("array<double>")
-    bucket = None
-    for p, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(v, F.array(*[F.lit(x) for x in plane]), lambda a, b: a * b),
-            F.lit(0.0), lambda acc, z: acc + z,
-        )
-        bit = F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else (bucket + bit)
+    """Sign-bit bucket id per vector: bit p = [v · h_p >= 0].
+
+    One Arrow-batched pandas-UDF matmul for all plane projections — the
+    UDF discovers `dim` from its first batch, so there is NO driver-side
+    probe job (the old ``select(vec_col).first()`` launched a full scan
+    stage just to learn the vector width), and the dense
+    (batch × dim) @ (dim × planes) product beats n_planes codegen'd
+    fold-expressions on both plan-compile time and SIMD throughput
+    (same rationale as ``hyperplane_lsh_pairs``)."""
+    from pyspark.sql.types import IntegerType
+
+    if not 1 <= n_planes <= 31:
+        raise ValueError("n_planes must be in [1, 31] (int32 bucket key)")
+
+    plane_cache: dict[int, "np.ndarray"] = {}
+
+    def planes_for(dim: int) -> "np.ndarray":
+        P = plane_cache.get(dim)
+        if P is None:
+            P = np.asarray(_hyperplanes(dim, n_planes))   # (planes, dim)
+            plane_cache[dim] = P
+        return P
+
+    pows = np.asarray([1 << p for p in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf(IntegerType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (X @ planes_for(X.shape[1]).T) >= 0        # (B, planes)
+        return pd.Series((bits * pows).sum(axis=1).astype("int32"))
+
     return embeddings.select(F.col(id_col), F.col(vec_col),
-                             bucket.cast("int").alias("bucket"))
+                             bucket_udf(F.col(vec_col)).alias("bucket"))
 
 
 def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.95,
@@ -116,6 +137,10 @@ def hyperplane_lsh_pairs(embeddings: DataFrame, threshold: float = 0.95,
     matmul also discovers `dim` per batch, so no driver-side probe job.
     The binary/vector column is never shuffled before bucketing."""
     from pyspark.sql.types import ArrayType, IntegerType
+
+    if not 1 <= n_planes <= 31:
+        raise ValueError("n_planes must be in [1, 31] — sign bits pack "
+                         "into an int32 bucket key (bit 31 is the sign)")
 
     plane_cache: dict[int, "np.ndarray"] = {}
 
@@ -197,8 +222,12 @@ def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
     ``df.sample`` but ALSO independent of partition layout (Spark's
     sample RNG is per-partition, so a repartitioned input would train a
     different quantizer), hence stable across resumes and reproducible
-    outside Spark. An orderBy(id).limit() would train on the lowest ids
-    (ingestion order, not the data distribution) AND pay a global sort."""
+    outside Spark. A bare orderBy(id).limit() would train on the lowest
+    ids (ingestion order, not the data distribution); here the id sort
+    only canonicalizes the order of the tiny (≤ sample·1.2-row) gated
+    set driver-side, so the trainer is a pure function of the sample SET
+    — DuckDB replays the md5 gate + sort + Lloyd iterations verbatim
+    (``sql_ann_ivf``)."""
     import numpy as np
 
     n = embeddings.count()
@@ -206,17 +235,23 @@ def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
         src = embeddings
     else:
         # 1.2x headroom so the Bernoulli sample almost surely yields
-        # >= `sample` rows; limit trims the excess
+        # >= `sample` rows; the id-ordered limit trims the excess
+        # deterministically (a plain limit takes whichever partitions
+        # answer first)
         frac = min(1.0, (sample * 1.2) / n)
         gate = int(frac * (1 << 20))
         h = F.conv(F.substring(
             F.md5(F.concat_ws("#", F.col(id_col).cast("string"),
                               F.lit("ivf13"))), 1, 15), 16, 10).cast("long")
-        src = embeddings.filter((h % (1 << 20)) < gate).limit(sample)
-    rows = src.select(vec_col).toPandas()[vec_col].tolist()
+        src = embeddings.filter((h % (1 << 20)) < gate)
+    rows = (src.orderBy(id_col).limit(sample)
+            .select(vec_col).toPandas()[vec_col].tolist())
     X = np.asarray([list(map(float, v)) for v in rows])
-    # deterministic init: evenly strided sample rows
-    idx = np.linspace(0, len(X) - 1, n_clusters).astype(int)
+    # deterministic init: evenly strided sample rows (integer arithmetic
+    # — np.linspace().astype(int) truncates float intermediates, which a
+    # SQL mirror cannot reproduce bit-for-bit near integer boundaries)
+    idx = [i * (len(X) - 1) // max(n_clusters - 1, 1)
+           for i in range(n_clusters)]
     C = X[idx].copy()
     for _ in range(n_iter):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -250,11 +285,14 @@ def ivf_assign(embeddings: DataFrame, centroids, id_col: str = "vec_id",
 
 def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
              n_clusters: int = 16, n_probe: int = 4,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             round_digits: int | None = None) -> DataFrame:
     """IVF ANN top-k: score only vectors in the query's n_probe nearest
     clusters. The cluster assignment is one scan; the probe join is a
     broadcast of (query × probe) rows. Same output shape as cosine_topk;
-    recall vs brute force is asserted in tests."""
+    recall vs brute force is asserted in tests. ``round_digits`` rounds
+    the cosine BEFORE ranking (oracle form — cross-engine libm noise
+    cannot flip ranks)."""
     C = ivf_centroids(embeddings, n_clusters, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(embeddings, C, id_col, vec_col)
 
@@ -282,11 +320,13 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
         .filter(F.col(id_col) != F.col("query_id"))
         .join(F.broadcast(qv), "query_id")
     )
+    cos = (_dot(F.col("qv"), F.col(vec_col).cast("array<double>"))
+           / (_norm(F.col("qv"))
+              * _norm(F.col(vec_col).cast("array<double>"))))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     scored = cand.select(
-        "query_id", id_col,
-        (_dot(F.col("qv"), F.col(vec_col).cast("array<double>"))
-         / (_norm(F.col("qv"))
-            * _norm(F.col(vec_col).cast("array<double>")))).alias("cosine"),
+        "query_id", id_col, cos.alias("cosine"),
     ).dropDuplicates(["query_id", id_col])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (

@@ -303,8 +303,10 @@ def _passes_filters(model: SpotlightModel, cfg: PipelineConfig,
     Composite confidence rule (PIN-AT-IMPLEMENTATION, frozen as spec):
     similarity_score >= confidence AND percentage_of_second_rank <=
     (1 - confidence) — ConfidenceFilter + PercentageOfSecondFilter [U].
+    Both comparisons carry a 1e-12 pad so a score landing within an ulp
+    of the threshold passes identically here and in every SQL mirror.
     """
-    if sim < cfg.confidence or pct2 > 1.0 - cfg.confidence + 1e-12:
+    if sim < cfg.confidence - 1e-12 or pct2 > 1.0 - cfg.confidence + 1e-12:
         return False
     if model.ent_support[eid] < cfg.support:
         return False
@@ -514,7 +516,7 @@ def annotate_relational_prior(
         .join(ent, "entity_id")
     )
     out = joined.filter(
-        (F.col("similarity_score") >= cfg.confidence)
+        (F.col("similarity_score") >= cfg.confidence - 1e-12)
         & (F.col("percentage_of_second_rank") <= 1.0 - cfg.confidence + 1e-12)
         & (F.col("support") >= cfg.support)
     )

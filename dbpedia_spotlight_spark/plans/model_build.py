@@ -155,6 +155,39 @@ def quantize_counts(df: DataFrame, count_col: str = "count",
     return df.withColumn("count_q", code.cast("short"))
 
 
+def dense_ids_by(df: DataFrame, key: str, id_name: str) -> DataFrame:
+    """Deterministic dense ids (0..n-1) in global ``key`` order WITHOUT a
+    global single-partition window: a ``row_number().over(Window.orderBy)``
+    sorts the whole table in ONE task — fine at test scale, a serial
+    bottleneck for a 10M-row Wikipedia lexicon. Instead: rank within a
+    2-char key-prefix bucket (code-point prefix order is consistent with
+    full-key order, so bucket-asc + key-asc ≡ global key-asc) and add an
+    exclusive scan of bucket counts as the bucket offset. Every heavy
+    stage is distributed; the only driver-side state is the ≤ |alphabet|²
+    bucket-count list. Ids are identical to the global-window form and
+    independent of partition layout (keys are distinct: they're upstream
+    group-by keys)."""
+    b = df.withColumn("__bucket", F.substring(F.col(key), 1, 2))
+    counts = (b.groupBy("__bucket").agg(F.count("*").alias("__n"))
+               .orderBy("__bucket").collect())
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__bucket"], acc))
+        acc += r["__n"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [("", 0)], schema="__bucket string, __off long"
+    )
+    if not offsets:
+        off_df = off_df.filter(F.col("__bucket") != "")
+    w = Window.partitionBy("__bucket").orderBy(key)
+    return (
+        b.join(F.broadcast(off_df), "__bucket")
+        .withColumn(id_name,
+                    (F.row_number().over(w) - 1 + F.col("__off")).cast("int"))
+        .drop("__bucket", "__off")
+    )
+
+
 def build_model_tables(
     spark: SparkSession,
     corpus: DataFrame,          # (url, text)
@@ -182,9 +215,7 @@ def build_model_tables(
 
     uc = uri_counts(links)
     entities = (
-        uc.withColumn("entity_id",
-                      F.row_number().over(Window
-                                          .orderBy("uri")) - 1)
+        dense_ids_by(uc, "uri", "entity_id")
         .select("uri", "entity_id", F.col("count").alias("support"),
                 F.array().cast("array<string>").alias("types"))
     )
@@ -192,10 +223,8 @@ def build_model_tables(
     sft = sf_total_counts(corpus, links,
                           [r["sf"] for r in
                            links.select(F.lower("sf").alias("sf")).distinct().collect()])
-    surface_forms = sft.withColumn(
-        "sf_id",
-        F.row_number().over(Window.orderBy("sf")) - 1,
-    ).select("sf", "sf_id", "annotated_count", "total_count")
+    surface_forms = dense_ids_by(sft, "sf", "sf_id").select(
+        "sf", "sf_id", "annotated_count", "total_count")
 
     pc = (
         pair_counts_from_links(links)
@@ -208,15 +237,11 @@ def build_model_tables(
         token_counts_from_corpus(corpus, links)
         .join(entities.select("uri", "entity_id"), "uri")
     )
-    token_types = (
+    token_types = dense_ids_by(
         corpus_token_stream(corpus)
-        .groupBy("token").agg(F.count("*").alias("corpus_count"))
-        .withColumn(
-            "token_id",
-            F.row_number().over(Window.orderBy("token")) - 1,
-        )
-        .select("token", "token_id", "corpus_count")
-    )
+        .groupBy("token").agg(F.count("*").alias("corpus_count")),
+        "token", "token_id",
+    ).select("token", "token_id", "corpus_count")
     token_counts = (
         tc_raw.join(token_types.select("token", "token_id"), "token")
         .select("entity_id", "token_id", "count")

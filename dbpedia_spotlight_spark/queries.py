@@ -7,14 +7,15 @@ the engine's real operators; the oracle side is independent ANSI SQL that
 DuckDB evaluates on the same data — they can only agree if the operator
 semantics are right.
 
-49 of 50 queries are oracle-paired, including the imperative-looking
-ones: the fused flagship (FSA spotting + generative disambiguation)
-collapses to relational algebra on this corpus (``_sql_generative``),
-winnowing/MinHash/SimHash recompute their md5-derived hashes in SQL, and
-fixed-fixture paths (multimodal, IVF, TSV, wiki, spot-XML) use golden
-expectations. Only the real-table ``ann_ivf`` is rows-only (Spark's
-sample RNG is not reproducible outside Spark); its no-sampling twin is
-oracle-checked and pytest gates its recall.
+All 50 registered queries are oracle-paired, including the
+imperative-looking ones: the fused flagship (FSA spotting + generative
+disambiguation) collapses to relational algebra on this corpus
+(``_sql_generative``), winnowing/MinHash/SimHash recompute their
+md5-derived hashes in SQL, fixed-fixture paths (multimodal, TSV, wiki,
+spot-XML) use golden expectations, and the real-table ``ann_ivf``
+unrolls its 5 Lloyd iterations as DuckDB CTE chains (the trainer is
+partition-layout-independent, so both engines see the same sample in
+the same order).
 
 Rules learned the hard way:
 - Column-name parity: every computed column is aliased identically in
@@ -284,10 +285,13 @@ def q_annotate_confident(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.lit(0.0)),
         )
     )
+    # both threshold comparisons carry the same 1e-12 pad: a sim landing
+    # within an ulp of the 0.5 boundary must pass/fail identically in
+    # both engines (the pct2 pad alone left sim exposed)
     return (
         scored.filter(
             (F.col("rank") == 1)
-            & (F.col("sim") >= conf)
+            & (F.col("sim") >= conf - 1e-12)
             & (F.col("pct2") <= 1.0 - conf + 1e-12)
             & (F.col("support") >= support_min)
         )
@@ -321,7 +325,8 @@ def sql_annotate_confident() -> str:
          round(sim, 9) AS similarity_score,
          round(pct2, 9) AS percentage_of_second_rank
   FROM sm
-  WHERE rank = 1 AND sim >= 0.5 AND pct2 <= 0.5 + 1e-12 AND support >= 75"""
+  WHERE rank = 1 AND sim >= 0.5 - 1e-12 AND pct2 <= 0.5 + 1e-12
+    AND support >= 75"""
     )
 
 
@@ -592,19 +597,21 @@ def _web_pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATIC_BC = {}
 
 
-def _static_model_bc(spark: SparkSession, quantized: bool = False):
+def _static_model_bc(spark: SparkSession, quantized: bool = False,
+                     stemmer: str = "identity"):
     # keyed by applicationId (stable, unique per SparkContext) — id(spark)
     # can collide when CPython reuses a freed address for a new session,
     # handing out a broadcast from a stopped context. Entries from other
     # (stopped) apps are evicted; variants within one app coexist.
     app = spark.sparkContext.applicationId
-    key = (app, quantized)
+    key = (app, quantized, stemmer)
     if key not in _STATIC_BC:
         for k in list(_STATIC_BC):
             if k[0] != app:
                 del _STATIC_BC[k]
         _STATIC_BC[key] = spark.sparkContext.broadcast(
-            LEX.compile_static_model(quantize_context=quantized)
+            LEX.compile_static_model(quantize_context=quantized,
+                                     stemmer=stemmer)
         )
     return _STATIC_BC[key]
 
@@ -932,6 +939,191 @@ def sql_annotate_coref() -> str:
 
 def sql_candidates_generative() -> str:
     return _sql_generative(k=3)
+
+
+# T2 stemming contract query: the corpus text is deterministically
+# inflected (base → plural) and annotated with the Porter-stemmed model —
+# inflected mentions ("tables", "hash joins") must match the lexicon's
+# base surface forms via stem-time normalization (Stemmer.scala [U]).
+_PLURAL_MAP = {
+    "table": "tables", "join": "joins", "window": "windows",
+    "stream": "streams", "filter": "filters", "query": "queries",
+    "column": "columns", "merge": "merges", "vector": "vectors",
+    "customer": "customers",
+}
+
+
+def _pluralized_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with every _PLURAL_MAP base token rewritten to its
+    plural — a per-token rewrite (split → map → single-space join), so
+    the DuckDB mirror can apply the same CASE map per token."""
+    def plural(t):
+        expr = t
+        for base, pl in _PLURAL_MAP.items():
+            expr = F.when(t == F.lit(base), F.lit(pl)).otherwise(expr)
+        return expr
+
+    return _docs(spark, sf_dir).select(
+        F.concat_ws("/", "source", "doc_id").alias("url"),
+        F.array_join(F.transform(F.split("text", " "), plural), " ")
+         .alias("text"),
+        "lang",
+    )
+
+
+def q_annotate_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 through the FULL fused path: Porter-stemmed model over
+    pluralized text — FSA patterns, token-index lookups and the context
+    vocab are all keyed on stems, so "tables" spots sf "table" and
+    "hash joins" spots sf "hash join" (offsets index the inflected
+    text; surface_form reports the lexicon's canonical sf). Prior
+    disambiguation (D8) keeps the oracle fully relational."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    return annotate(
+        spark, _pluralized_pages(spark, sf_dir),
+        _static_model_bc(spark, stemmer="porter"),
+        PipelineConfig(disambiguator="prior", confidence=0.0, support=0),
+    ).withColumn("types", F.concat_ws(",", "types")) \
+     .withColumn("similarity_score", F.round("similarity_score", 9)) \
+     .withColumn("percentage_of_second_rank",
+                 F.round("percentage_of_second_rank", 9))
+
+
+def sql_annotate_stemmed() -> str:
+    """DuckDB mirror of q_annotate_stemmed: per-token plural rewrite
+    (CASE map), stem lookup via an inlined (token → stem) map computed
+    with the SAME Porter implementation over the closed corpus/plural
+    token universe, stemmed unigram/bigram pattern joins with greedy
+    longest-match overlap resolution (valid: no two stemmed bigram
+    patterns share an endpoint stem), then prior-only scoring — score =
+    ln P(e|s), softmax sim, second-rank margin — exactly the fused D8
+    path."""
+    from dbpedia_spotlight_spark.functions.stemmer import get_stemmer
+
+    stem = get_stemmer("porter")
+    # per-token rewrite CASE
+    plural_case = " ".join(
+        f"WHEN u.tok = '{b}' THEN '{p}'" for b, p in _PLURAL_MAP.items())
+    # closed token universe of the REWRITTEN text: corpus vocab with bases
+    # swapped for plurals (plus bases kept — harmless) + 'dup' (in the
+    # corpus but not VOCAB); LEFT JOIN + COALESCE guards any stragglers
+    universe = sorted(set(LEX.VOCAB) | {"dup"} | set(_PLURAL_MAP.values()))
+    stem_vals = ", ".join(f"('{t}', '{stem(t)}')" for t in universe)
+
+    gated = _gated_sfs()
+    support = {r[0]: r[2] for r in LEX.entity_rows()}
+    types_str = {r[0]: ",".join(r[3]) for r in LEX.entity_rows()}
+    uni_pat, bi_pat, cand_rows, single_rows = [], [], [], []
+    for sf, cands in gated.items():
+        toks = sf.split()
+        if len(toks) == 1:
+            uni_pat.append(f"('{stem(toks[0])}', '{sf}')")
+        else:
+            bi_pat.append(
+                f"('{stem(toks[0])}', '{stem(toks[1])}', '{sf}')")
+        tot = sum(c for (_, c) in cands)
+        if len(cands) == 1:
+            u = LEX.DBP + cands[0][0]
+            single_rows.append(
+                f"('{sf}', '{u}', {support[u]}, '{types_str[u]}')")
+        else:
+            for (usfx, c) in cands:
+                u = LEX.DBP + usfx
+                cand_rows.append(
+                    f"('{sf}', '{u}', CAST({c} AS DOUBLE)/{tot}, "
+                    f"{support[u]}, '{types_str[u]}')")
+
+    return f"""
+  WITH endocs AS (
+    SELECT doc_id, source, text FROM documents WHERE lang = 'en'
+  ),
+  toks AS (
+    SELECT d.doc_id, u.pos - 1 AS pos,
+           CASE {plural_case} ELSE u.tok END AS tok
+    FROM endocs d, LATERAL (
+      SELECT UNNEST(string_split(d.text, ' ')) AS tok,
+             generate_subscripts(string_split(d.text, ' '), 1) AS pos
+    ) u
+  ),
+  stemmap AS (SELECT * FROM (VALUES {stem_vals}) AS t(tok, st)),
+  offs AS (
+    SELECT t.doc_id, t.pos, t.tok, COALESCE(m.st, t.tok) AS st,
+           CAST(COALESCE(SUM(length(t.tok) + 1) OVER (
+             PARTITION BY t.doc_id ORDER BY t.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+             AS "begin",
+           CAST(COALESCE(SUM(length(t.tok) + 1) OVER (
+             PARTITION BY t.doc_id ORDER BY t.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + length(t.tok) AS INTEGER) AS "end"
+    FROM toks t LEFT JOIN stemmap m ON m.tok = t.tok
+  ),
+  nxt AS (
+    SELECT doc_id, pos, st, "begin", "end",
+           lead(st) OVER w AS st2, lead("end") OVER w AS end2
+    FROM offs WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  ),
+  bi AS (
+    SELECT n.doc_id, n."begin", n.end2 AS "end", b.sf, n.pos
+    FROM nxt n JOIN (VALUES {", ".join(bi_pat)}) b(s1, s2, sf)
+      ON n.st = b.s1 AND n.st2 = b.s2
+  ),
+  covered AS (
+    SELECT doc_id, pos FROM bi UNION ALL SELECT doc_id, pos + 1 FROM bi
+  ),
+  uni AS (
+    SELECT o.doc_id, o."begin", o."end", u.sf, o.pos
+    FROM offs o JOIN (VALUES {", ".join(uni_pat)}) u(st, sf) ON o.st = u.st
+    WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = o.doc_id AND c.pos = o.pos)
+  ),
+  spots AS (
+    SELECT doc_id, "begin", "end", sf FROM uni
+    UNION ALL SELECT doc_id, "begin", "end", sf FROM bi
+  ),
+  cand AS (SELECT * FROM (VALUES
+      {", ".join(cand_rows)}
+    ) AS t(sf, uri, prior, support, types)),
+  sing AS (SELECT * FROM (VALUES
+      {", ".join(single_rows)}
+    ) AS t(sf, uri, support, types)),
+  score AS (
+    SELECT ds.doc_id, c.sf, c.uri, c.support, c.types,
+           ln(c.prior) AS score
+    FROM (SELECT DISTINCT doc_id, sf FROM spots) ds
+    JOIN cand c ON c.sf = ds.sf
+  ),
+  shifted AS (
+    SELECT *, score - max(score) OVER (PARTITION BY doc_id, sf) AS sh
+    FROM score
+  ),
+  ranked AS (
+    SELECT *,
+           row_number() OVER wo AS rn,
+           exp(sh) / sum(exp(sh)) OVER wp AS sim,
+           coalesce(exp(lead(score) OVER wo - score), 0.0) AS pct2
+    FROM shifted
+    WINDOW wp AS (PARTITION BY doc_id, sf),
+           wo AS (PARTITION BY doc_id, sf ORDER BY score DESC, uri ASC)
+  ),
+  ann AS (
+    SELECT sp.doc_id, sp."begin", sp."end", sp.sf AS surface_form,
+           r.uri, r.support, r.types, r.rn AS rank, r.sim, r.pct2
+    FROM spots sp JOIN ranked r
+      ON r.doc_id = sp.doc_id AND r.sf = sp.sf AND r.rn <= 1
+    UNION ALL
+    SELECT sp.doc_id, sp."begin", sp."end", sp.sf,
+           s.uri, s.support, s.types, 1 AS rank, 1.0, 0.0
+    FROM spots sp JOIN sing s ON s.sf = sp.sf
+  )
+  SELECT d.source || '/' || CAST(a.doc_id AS VARCHAR) AS url,
+         a."begin", a."end", a.surface_form, a.uri,
+         CAST(a.rank AS INTEGER) AS rank,
+         round(a.sim, 9) AS similarity_score,
+         round(a.pct2, 9) AS percentage_of_second_rank,
+         CAST(a.support AS BIGINT) AS support,
+         a.types
+  FROM ann a JOIN endocs d ON d.doc_id = a.doc_id"""
 
 
 def q_annotate_tficf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1320,11 +1512,12 @@ def q_tsv_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sfAndTotalCounts.tsv": "x\t6\t10\ny\t3\t-1\n",
         "tokenCounts.tsv": 'A\t{"alpha": 3, "beta": 1}\nC\t{"beta": 2}\n',
     }
+    # ALWAYS overwrite (files are tiny): an exists-check would let stale
+    # fixtures from an older code version or concurrent session feed the
+    # query and produce confusing oracle mismatches
     for name, content in files.items():
-        path = os.path.join(d, name)
-        if not os.path.exists(path):
-            with open(path, "w") as f:
-                f.write(content)
+        with open(os.path.join(d, name), "w") as f:
+            f.write(content)
     redirects = spark.createDataFrame(
         [("B", "A")], "src_uri string, dst_uri string")
     tables = lexicon_from_tsv(
@@ -1504,9 +1697,12 @@ def sql_simhash_near_pairs() -> str:
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (threshold 0.03 — the testdata
-    corpus shares shingles but has no true near-dups)."""
+    corpus shares shingles but has no true near-dups). ``max_bucket=None``
+    opts into the EXACT uncapped mode the all-pairs oracle requires; the
+    operator's default is the capped corpus-safe mode."""
     from dbpedia_spotlight_spark.operators.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.03)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.03,
+                               max_bucket=None)
 
 
 def sql_jaccard_pairs() -> str:
@@ -1598,7 +1794,8 @@ def q_jaccard_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = _docs(spark, sf_dir)
     cand = minhash_candidate_pairs(d, n_hashes=16, bands=4)
-    return ngram_jaccard_pairs(d, k=3, threshold=0.03, candidates=cand)
+    return ngram_jaccard_pairs(d, k=3, threshold=0.03, candidates=cand,
+                               max_bucket=None)
 
 
 def sql_jaccard_lsh_verified() -> str:
@@ -1921,11 +2118,110 @@ def sql_ann_lsh(n_planes: int = 6, k: int = 10, dim: int = 64) -> str:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (coarse k-means quantizer + multi-probe; rows-only —
-    recall vs brute force asserted in pytest)."""
+    """IVF ANN top-10 over the REAL embeddings table (coarse k-means
+    quantizer + multi-probe), fully oracle-paired: the trainer is a pure
+    function of the id-ordered hash-Bernoulli sample (partition-layout
+    independent), so DuckDB replays the whole path — sample gate, 5
+    Lloyd iterations as unrolled CTE chains, full-corpus assignment,
+    probe selection, cosine top-k. Cosine rounds to 9dp BEFORE ranking
+    so cross-engine libm noise can't flip ranks; argmin/argsort steps
+    compare raw doubles whose cluster-distance gaps are ~1e0 vs ~1e-13
+    engine noise, and tie-break by cluster index on both sides."""
     from dbpedia_spotlight_spark.operators.similarity import ivf_topk
     return ivf_topk(_emb(spark, sf_dir), _ANN_QUERY_IDS, k=10,
-                    n_clusters=16, n_probe=4)
+                    n_clusters=16, n_probe=4, round_digits=9)
+
+
+def sql_ann_ivf(k: int = 10, n_clusters: int = 16, n_probe: int = 4,
+                n_iter: int = 5, sample: int = 2048) -> str:
+    """DuckDB mirror of q_ann_ivf. Each Lloyd iteration is one CTE chain:
+    assign (argmin distance over sample × centroids, tie-break by cluster
+    id — np.argmin keeps the first/lowest index), element-wise mean via
+    UNNEST + generate_subscripts, empty clusters keep their previous
+    centroid (numpy `if m.any()`). The sample CTE replays the
+    hash-Bernoulli gate + id-ordered limit (a no-op pass-through whenever
+    count ≤ sample, as at every test SF)."""
+    ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
+    parts = [f"""
+  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  cnt AS (SELECT count(*) AS n FROM e),
+  samp0 AS (
+    SELECT vec_id, v FROM e
+    WHERE (SELECT n FROM cnt) <= {sample}
+       OR (('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#ivf13'), 1, 15)
+           )::BIGINT % 1048576)
+          < CAST(floor(LEAST(1.0, ({sample} * 1.2)
+                             / (SELECT n FROM cnt)) * 1048576) AS BIGINT)
+    ORDER BY vec_id LIMIT {sample}
+  ),
+  samp AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v FROM samp0
+  ),
+  m0 AS (SELECT count(*) AS m FROM samp),
+  c0 AS (
+    SELECT CAST(r.range AS INTEGER) AS c, s.v
+    FROM range({n_clusters}) r JOIN samp s
+      ON s.idx = (r.range * ((SELECT m FROM m0) - 1))
+                 // {max(n_clusters - 1, 1)}
+  )"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+  a{t} AS (
+    SELECT idx, v, c FROM (
+      SELECT s.idx, s.v, c.c,
+             row_number() OVER (
+               PARTITION BY s.idx
+               ORDER BY list_distance(s.v, c.v) ASC, c.c ASC) AS rn
+      FROM samp s CROSS JOIN c{t - 1} c)
+    WHERE rn = 1
+  ),
+  n{t} AS (
+    SELECT c, list(mv ORDER BY di) AS v FROM (
+      SELECT a.c, u.di, avg(u.val) AS mv
+      FROM a{t} a, LATERAL (
+        SELECT UNNEST(a.v) AS val, generate_subscripts(a.v, 1) AS di) u
+      GROUP BY a.c, u.di)
+    GROUP BY c
+  ),
+  c{t} AS (
+    SELECT p.c, COALESCE(n.v, p.v) AS v
+    FROM c{t - 1} p LEFT JOIN n{t} n ON n.c = p.c
+  )""")
+    parts.append(f""",
+  fa AS (
+    SELECT vec_id, v, c FROM (
+      SELECT e.vec_id, e.v, c.c,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_dot_product(c.v, c.v)
+                        - 2 * list_dot_product(e.v, c.v) ASC, c.c ASC) AS rn
+      FROM e CROSS JOIN c{n_iter} c)
+    WHERE rn = 1
+  ),
+  q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+  probe AS (
+    SELECT query_id, qv, c FROM (
+      SELECT q.query_id, q.qv, c.c,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_dot_product(c.v, c.v)
+                        - 2 * list_dot_product(q.qv, c.v) ASC, c.c ASC) AS rn
+      FROM q CROSS JOIN c{n_iter} c)
+    WHERE rn <= {n_probe}
+  ),
+  scored AS (
+    SELECT DISTINCT p.query_id, f.vec_id,
+           round(list_dot_product(p.qv, f.v)
+                 / (sqrt(list_dot_product(p.qv, p.qv))
+                    * sqrt(list_dot_product(f.v, f.v))), 9) AS cosine
+    FROM probe p JOIN fa f ON f.c = p.c AND f.vec_id <> p.query_id
+  )
+  SELECT query_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= {k}""")
+    return "".join(parts)
 
 
 def _ivf_fixture_rows() -> list[tuple[int, list[float]]]:
@@ -1961,8 +2257,10 @@ def sql_ann_ivf_fixed(k: int = 10, n_clusters: int = 8,
 
     rows = _ivf_fixture_rows()
     X = np.asarray([[float(c) for c in v] for (_i, v) in rows])
-    # ivf_centroids: n <= sample → train on all rows, deterministic init
-    idx = np.linspace(0, len(X) - 1, n_clusters).astype(int)
+    # ivf_centroids: n <= sample → train on all rows; same integer-stride
+    # init as the trainer
+    idx = [i * (len(X) - 1) // max(n_clusters - 1, 1)
+           for i in range(n_clusters)]
     C = X[idx].copy()
     for _ in range(5):
         d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -2410,10 +2708,27 @@ def sql_frame_sample() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries — the driver checks at most the first 50 registry
+    keys in order, so queries without a prior green CORRECTNESS row lead.
+    Operators whose dedicated query rotated out stay externally exercised
+    through a containing query: spot_multitoken ⊂ spot_fsa,
+    quantized_uri_counts ⊂ annotate_quantized, simhash ⊂
+    simhash_near_pairs, jaccard_lsh_verified ⊂ jaccard_pairs+minhash_pairs,
+    ann_ivf_fixed ⊂ ann_ivf (now fully oracle-paired), tpch_q1/q3 ⊂
+    tpch_q5 + order_running_totals (q1 agg, q3 join+agg) (the rotated q_/sql_ functions remain
+    in this module and in pytest)."""
     return {
+        # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "image_features": q_image_features,
+        "salted_user_topk": q_salted_user_topk,
+        "sessionize": q_sessionize,
+        "events_hourly": q_events_hourly,
+        "part_type_stats": q_part_type_stats,
+        "frame_sample": q_frame_sample,
+        "annotate_stemmed": q_annotate_stemmed,
+        "ann_ivf": q_ann_ivf,
         # Spotlight pipeline — relational slice (SQL-checked)
         "spot_unigram": q_spot_unigram,
-        "spot_multitoken": q_spot_multitoken,
         "annotate_prior": q_annotate_prior,
         "annotate_confident": q_annotate_confident,
         "candidates_topk": q_candidates_topk,
@@ -2421,7 +2736,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uri_counts": q_uri_counts,
         "pair_counts": q_pair_counts,
         "sf_totals": q_sf_totals,
-        "quantized_uri_counts": q_quantized_uri_counts,
         "redirect_closure": q_redirect_closure,
         "entity_graph_nodes": q_entity_graph_nodes,
         "entity_graph_edges": q_entity_graph_edges,
@@ -2445,10 +2759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "fingerprint": q_fingerprint,
-        "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_pairs": q_jaccard_pairs,
-        "jaccard_lsh_verified": q_jaccard_lsh_verified,
         "minhash_pairs": q_minhash_pairs,
         "winnowing": q_winnowing,
         "lang_id": q_lang_id,
@@ -2459,28 +2771,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_ivf_fixed": q_ann_ivf_fixed,
         "near_dup_embeddings": q_near_dup_embeddings,
         # relational/agg plumbing
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "order_running_totals": q_order_running_totals,
-        "part_type_stats": q_part_type_stats,
-        "events_hourly": q_events_hourly,
-        "salted_user_topk": q_salted_user_topk,
-        "sessionize": q_sessionize,
-        # multimodal plumbing
-        "image_features": q_image_features,
-        "frame_sample": q_frame_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "image_features": sql_image_features(),
+        "salted_user_topk": sql_salted_user_topk(),
+        "sessionize": sql_sessionize(),
+        "events_hourly": sql_events_hourly(),
+        "part_type_stats": sql_part_type_stats(),
+        "frame_sample": sql_frame_sample(),
+        "annotate_stemmed": sql_annotate_stemmed(),
+        "ann_ivf": sql_ann_ivf(),
         "spot_unigram": sql_spot_unigram(),
-        "spot_multitoken": sql_spot_multitoken(),
         "annotate_prior": sql_annotate_prior(),
         "annotate_confident": sql_annotate_confident(),
         "candidates_topk": sql_candidates_topk(),
@@ -2488,7 +2796,6 @@ def oracle_sql() -> dict[str, str]:
         "uri_counts": sql_uri_counts(),
         "pair_counts": sql_pair_counts(),
         "sf_totals": sql_sf_totals(),
-        "quantized_uri_counts": sql_quantized_uri_counts(),
         "annotate_generative": sql_annotate_generative(),
         "annotate_quantized": sql_annotate_quantized(),
         "annotate_tficf": sql_annotate_tficf(),
@@ -2509,10 +2816,8 @@ def oracle_sql() -> dict[str, str]:
         "tsv_lexicon": sql_tsv_lexicon(),
         "dedup_exact": sql_dedup_exact(),
         "fingerprint": sql_fingerprint(),
-        "simhash": sql_simhash(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "jaccard_pairs": sql_jaccard_pairs(),
-        "jaccard_lsh_verified": sql_jaccard_lsh_verified(),
         "minhash_pairs": sql_minhash_pairs(),
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
@@ -2522,16 +2827,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": sql_corpus_filter(),
         "ann_topk": sql_ann_topk(),
         "ann_lsh": sql_ann_lsh(),
-        "ann_ivf_fixed": sql_ann_ivf_fixed(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
-        "tpch_q1": sql_tpch_q1(),
-        "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
         "order_running_totals": sql_order_running_totals(),
-        "part_type_stats": sql_part_type_stats(),
-        "events_hourly": sql_events_hourly(),
-        "salted_user_topk": sql_salted_user_topk(),
-        "sessionize": sql_sessionize(),
-        "image_features": sql_image_features(),
-        "frame_sample": sql_frame_sample(),
     }

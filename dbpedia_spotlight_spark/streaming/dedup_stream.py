@@ -27,7 +27,12 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
                  ts_col: str | None = None,
                  watermark: str = "1 hour") -> DataFrame:
     """First-seen-wins exact dedup over a (streaming or batch) docs
-    frame. Adds ``text_hash``; emits only the first row per hash."""
+    frame. Adds ``text_hash``; emits one row per hash — with ``ts_col``
+    in batch mode it is the TRUE earliest row by (ts, other columns)
+    via a min-struct aggregate (``dropDuplicates`` would keep an
+    arbitrary row per hash and silently overstate the first-seen
+    guarantee); without ``ts_col`` there is no "first", so an arbitrary
+    representative is the contract."""
     src = docs.withColumn("text_hash", F.md5(F.col(text_col)))
     if ts_col is None:
         return src.dropDuplicates(["text_hash"])
@@ -35,4 +40,15 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
     if docs.isStreaming:
         return src.withWatermark(ts_col, watermark) \
                   .dropDuplicatesWithinWatermark(["text_hash"])
-    return src.dropDuplicates(["text_hash"])
+    # batch: keep the earliest row per hash — one map-side-combinable
+    # min-struct aggregate (ts leads the struct so comparison orders by
+    # ts first; remaining columns make the choice total/deterministic)
+    other = [c for c in src.columns if c not in ("text_hash", ts_col)]
+    first = F.min(F.struct(F.col(ts_col), *[F.col(c) for c in other])) \
+             .alias("__first")
+    return (
+        src.groupBy("text_hash").agg(first)
+        .select("text_hash", f"__first.{ts_col}",
+                *[F.col(f"__first.{c}").alias(c) for c in other])
+        .select(*src.columns)
+    )
