@@ -1,0 +1,89 @@
+"""Distributed connected components over near-duplicate pair graphs —
+the dedup-RESOLUTION stage of a training-data pipeline: candidate pairs
+(MinHash-LSH / SimHash / embedding-LSH) only say "a ~ b"; dropping
+duplicates needs the transitive closure (clusters) and one canonical
+keeper per cluster.
+
+Algorithm: iterative min-label propagation. Every node starts labeled
+with its own id; each round a node takes the minimum label among itself
+and its neighbors. Labels are monotonically non-increasing, so the
+fixpoint (= min id of the connected component) is reached after
+``diameter`` rounds. For web-dedup graphs the clusters are shallow
+(near-dup clusters of re-crawls/mirrors — diameter a handful), so the
+round count is small and each round is ONE join + ONE map-side-combinable
+min-aggregate — no quadratic stage, no driver-side graph.
+
+Scale notes (100 TB / 10^12 docs):
+- State per round = (id, label) pairs — 16 bytes/doc, partitioned by id.
+- ``localCheckpoint(eager=True)`` per round truncates lineage (same
+  iterative-DataFrame fix as ``graph.pagerank``).
+- Early-stop costs one count-like action per round on the checkpointed
+  frame; label sums are NOT used (monotone long sums can overflow at
+  10^12 ids) — convergence is detected with an explicit changed-flag
+  aggregate.
+- For adversarial deep chains, switch to large-star/small-star
+  (O(log n) rounds); min-label is preferred here because each round is
+  cheaper and dedup graphs are shallow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         id_col: str = "id", max_iter: int = 8,
+                         early_stop: bool = True) -> DataFrame:
+    """(id, component) for every node; component = min node id reachable
+    through ``pairs`` (columns a, b — undirected). Isolated nodes keep
+    their own id. Deterministic and partition-layout independent: every
+    step is a min over a set.
+
+    With ``early_stop`` the loop exits once a round changes no label;
+    because post-convergence rounds are no-ops, a fixed-``max_iter``
+    replay (the DuckDB oracle form) produces identical output whenever
+    the graph converges within ``max_iter``.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    )
+    labels = nodes.select(F.col(id_col).alias("id"),
+                          F.col(id_col).alias("comp"))
+    for _ in range(max_iter):
+        nb = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src").agg(F.min("comp").alias("nb_comp"))
+        )
+        stepped = (
+            labels.join(nb, labels.id == nb.src, "left")
+            .select(
+                "id",
+                F.least(F.col("comp"),
+                        F.coalesce("nb_comp", F.col("comp"))).alias("comp"),
+                (F.coalesce("nb_comp", F.col("comp"))
+                 < F.col("comp")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_labels = stepped.select("id", "comp")
+        if early_stop:
+            n_changed = stepped.agg(
+                F.sum(F.col("changed").cast("long")).alias("n")
+            ).first()["n"]
+            labels = new_labels
+            if not n_changed:
+                break
+        else:
+            labels = new_labels
+    return labels
+
+
+def dedup_keep(nodes: DataFrame, pairs: DataFrame, id_col: str = "id",
+               max_iter: int = 8) -> DataFrame:
+    """(id, component, keep): canonical-keeper resolution — keep the
+    minimum id of each duplicate cluster, drop the rest. The downstream
+    corpus filter is ``WHERE keep``."""
+    labels = connected_components(nodes, pairs, id_col, max_iter)
+    return labels.withColumn("keep", F.col("id") == F.col("comp"))

@@ -136,3 +136,73 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5, window: int = 4,
         return texts.map(fp)
 
     return docs.select("doc_id", fp_udf(F.col(text_col)).alias("fingerprints"))
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text",
+                   min_tokens: int = 25,
+                   min_distinct_ratio: float = 0.4,
+                   max_top_token_frac: float = 0.15,
+                   max_top_bigram_frac: float = 0.06) -> DataFrame:
+    """Gopher/C4-style repetition + lexical-diversity gates (Rae 2021
+    §A1.1 / Raffel 2020 C4 heuristics, re-expressed relationally): per
+    doc — token count, distinct-token ratio, mean token length, most-
+    frequent-token fraction, most-frequent-bigram fraction, and a
+    composite ``passes`` gate. The repetition fractions catch boilerplate
+    and keyword-stuffed pages that length/stopword features miss.
+
+    Shape: token and bigram branches are explode → two-level groupBy —
+    both aggregates are map-side combinable and shuffle only
+    (doc_id, gram) pairs, never text. All ratios are single exact double
+    divisions (bit-identical across engines, no rounding needed). An
+    in-array alternative (transform + filter counts per distinct token)
+    would avoid the shuffles but is O(distinct·n) per doc — quadratic
+    for long web documents."""
+    toks = F.split(F.col(text_col), " ")
+    base = docs.select(
+        "doc_id", toks.alias("toks"),
+        F.length(F.translate(F.col(text_col), " ", "")).alias("char_len"),
+    )
+    tc = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    )
+    tstats = tc.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"),
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+    )
+    bigrams = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (x, i) -> concat(x, ' ', element_at(toks, i + 2)))")
+    bc = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    )
+    bstats = bc.groupBy("doc_id").agg(
+        F.max("c").alias("top_bg_cnt"),
+        F.sum("c").alias("n_bigrams"),
+    )
+    out = (
+        base.select("doc_id", "char_len")
+        .join(tstats, "doc_id")
+        .join(bstats, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens", "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+            .alias("distinct_ratio"),
+            (F.col("char_len").cast("double") / F.col("n_tokens"))
+            .alias("mean_token_len"),
+            (F.col("top_cnt").cast("double") / F.col("n_tokens"))
+            .alias("top_token_frac"),
+            F.coalesce(
+                F.col("top_bg_cnt").cast("double") / F.col("n_bigrams"),
+                F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+    )

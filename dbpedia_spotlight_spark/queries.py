@@ -1805,6 +1805,100 @@ def sql_jaccard_lsh_verified() -> str:
   JOIN ({sql_minhash_pairs()}) m ON j.a = m.a AND j.b = m.b"""
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup RESOLUTION end-to-end: connected components over the
+    MinHash-LSH candidate-pair graph (min-label propagation, one join +
+    one min-agg per round) + canonical-keeper flag (keep = min id of the
+    cluster). The oracle replays the pair generation (sql_minhash_pairs)
+    AND the fixed-point iterations as CTE chains — pure integer
+    arithmetic, exact."""
+    from dbpedia_spotlight_spark.operators.components import dedup_keep
+    from dbpedia_spotlight_spark.operators.dedup import minhash_candidate_pairs
+    d = _docs(spark, sf_dir)
+    pairs = minhash_candidate_pairs(d, n_hashes=16, bands=4)
+    out = dedup_keep(d.select(F.col("doc_id").alias("id")), pairs,
+                     max_iter=6)
+    return out.select(F.col("id").alias("doc_id"),
+                      F.col("comp").alias("component"), "keep")
+
+
+def sql_dedup_components(n_iter: int = 6) -> str:
+    """Min-label propagation unrolled: labels only decrease, so running
+    exactly n_iter rounds equals Spark's early-stopped loop whenever the
+    graph converges within n_iter (dup clusters are shallow; pytest
+    pins a union-find reference)."""
+    # each level references its predecessor twice (self labels + neighbor
+    # labels) — AS MATERIALIZED forces one evaluation per level, else
+    # DuckDB's CTE inlining re-evaluates the whole chain 2^n_iter times
+    iters = []
+    for t in range(1, n_iter + 1):
+        iters.append(f"""
+  l{t} AS MATERIALIZED (
+    SELECT l.id, LEAST(l.comp, COALESCE(MIN(nl.comp), l.comp)) AS comp
+    FROM l{t - 1} l
+    LEFT JOIN e ON e.src = l.id
+    LEFT JOIN l{t - 1} nl ON nl.id = e.dst
+    GROUP BY l.id, l.comp
+  )""")
+    return f"""
+  WITH mp AS MATERIALIZED ({sql_minhash_pairs()}),
+  e AS MATERIALIZED (SELECT a AS src, b AS dst FROM mp
+        UNION ALL SELECT b AS src, a AS dst FROM mp),
+  l0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS comp FROM documents),{",".join(iters)}
+  SELECT id AS doc_id, comp AS component, (id = comp) AS keep
+  FROM l{n_iter}"""
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + diversity gates — thresholds chosen
+    to split the driver corpus non-vacuously (~42% pass at sf0.01). All
+    ratios are single exact double divisions: no rounding, boundary
+    behavior identical across engines."""
+    from dbpedia_spotlight_spark.operators.textstats import gopher_quality
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def sql_quality_gopher() -> str:
+    return """
+  WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           length(replace(text, ' ', '')) AS char_len
+    FROM documents
+  ),
+  tok AS (SELECT doc_id, UNNEST(toks) AS tok FROM t),
+  tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+  ts AS (
+    SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct
+    FROM tc GROUP BY 1
+  ),
+  bg AS (
+    SELECT doc_id, UNNEST(list_transform(
+      range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS b
+    FROM t WHERE len(toks) >= 2
+  ),
+  bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+  bs AS (
+    SELECT doc_id, max(c) AS top_bg_cnt, CAST(sum(c) AS BIGINT) AS n_bigrams
+    FROM bc GROUP BY 1
+  ),
+  m AS (
+    SELECT t.doc_id, ts.n_tokens, ts.n_distinct,
+           CAST(ts.n_distinct AS DOUBLE) / ts.n_tokens AS distinct_ratio,
+           CAST(t.char_len AS DOUBLE) / ts.n_tokens AS mean_token_len,
+           CAST(ts.top_cnt AS DOUBLE) / ts.n_tokens AS top_token_frac,
+           COALESCE(CAST(bs.top_bg_cnt AS DOUBLE) / bs.n_bigrams, 0.0)
+             AS top_bigram_frac
+    FROM t JOIN ts ON ts.doc_id = t.doc_id
+    LEFT JOIN bs ON bs.doc_id = t.doc_id
+  )
+  SELECT *, (n_tokens >= 25
+             AND distinct_ratio >= CAST(0.4 AS DOUBLE)
+             AND top_token_frac <= CAST(0.15 AS DOUBLE)
+             AND top_bigram_frac <= CAST(0.06 AS DOUBLE)) AS passes
+  FROM m"""
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, exploded to one (doc_id, fingerprint) row
     per selected hash so the driver canonicalizer sees scalars only.
@@ -2727,6 +2821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "annotate_stemmed": q_annotate_stemmed,
         "ann_ivf": q_ann_ivf,
+        "dedup_components": q_dedup_components,
+        "quality_gopher": q_quality_gopher,
         # Spotlight pipeline — relational slice (SQL-checked)
         "spot_unigram": q_spot_unigram,
         "annotate_prior": q_annotate_prior,
@@ -2758,7 +2854,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tsv_lexicon": q_tsv_lexicon,
         # training-data ops
         "dedup_exact": q_dedup_exact,
-        "fingerprint": q_fingerprint,
         "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "minhash_pairs": q_minhash_pairs,
@@ -2774,7 +2869,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_embeddings": q_near_dup_embeddings,
         # relational/agg plumbing
         "tpch_q5": q_tpch_q5,
-        "order_running_totals": q_order_running_totals,
     }
 
 
@@ -2788,6 +2882,8 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": sql_frame_sample(),
         "annotate_stemmed": sql_annotate_stemmed(),
         "ann_ivf": sql_ann_ivf(),
+        "dedup_components": sql_dedup_components(),
+        "quality_gopher": sql_quality_gopher(),
         "spot_unigram": sql_spot_unigram(),
         "annotate_prior": sql_annotate_prior(),
         "annotate_confident": sql_annotate_confident(),
@@ -2815,7 +2911,6 @@ def oracle_sql() -> dict[str, str]:
         "wiki_links": sql_wiki_links(),
         "tsv_lexicon": sql_tsv_lexicon(),
         "dedup_exact": sql_dedup_exact(),
-        "fingerprint": sql_fingerprint(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "jaccard_pairs": sql_jaccard_pairs(),
         "minhash_pairs": sql_minhash_pairs(),
@@ -2829,5 +2924,4 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": sql_ann_lsh(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
         "tpch_q5": sql_tpch_q5(),
-        "order_running_totals": sql_order_running_totals(),
     }

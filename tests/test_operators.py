@@ -307,3 +307,69 @@ def test_sample_frames_grid(spark):
     # 5000ms videos at 1000ms → 5 frames each
     per = out.groupby("media_id").size()
     assert (per == 5).all()
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation vs a python union-find reference on a graph
+    with chains, a cycle, isolated nodes, and a star."""
+    pairs = [(1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+             (10, 11), (11, 12), (12, 10),    # cycle
+             (20, 21), (20, 22), (20, 23),    # star
+             (30, 31)]
+    node_ids = list(range(0, 35))
+    parent = {i: i for i in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in node_ids}
+
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components, dedup_keep,
+    )
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id long")
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    got = {r["id"]: r["comp"]
+           for r in connected_components(nodes, pdf, max_iter=8).collect()}
+    assert got == want
+
+    keep = {r["id"]: r["keep"] for r in dedup_keep(nodes, pdf).collect()}
+    roots = set(want.values())
+    assert {i for i, k in keep.items() if k} == roots
+
+
+def test_connected_components_early_stop_equals_fixed(spark):
+    """Early-stopped loop ≡ fixed-iteration loop once converged (the
+    oracle-validity property)."""
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components,
+    )
+    pairs = [(1, 2), (2, 3), (5, 6)]
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    a = connected_components(nodes, pdf, max_iter=6, early_stop=True)
+    b = connected_components(nodes, pdf, max_iter=6, early_stop=False)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_gopher_quality_gates(spark):
+    """Repetitive and tiny docs fail; a diverse long doc passes."""
+    from dbpedia_spotlight_spark.operators.textstats import gopher_quality
+    diverse = " ".join(f"tok{i}" for i in range(40))
+    repetitive = "spam " * 39 + "spam"          # 40 tokens, 1 distinct
+    tiny = "too short"
+    docs = spark.createDataFrame(
+        [(0, diverse), (1, repetitive), (2, tiny)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(docs).collect()}
+    assert out[0]["passes"] and out[0]["n_tokens"] == 40
+    assert not out[1]["passes"] and out[1]["top_token_frac"] == 1.0
+    assert not out[2]["passes"]
+    # bigram fraction: repetitive doc's single bigram dominates
+    assert out[1]["top_bigram_frac"] == 1.0
