@@ -56,7 +56,7 @@ class PipelineConfig:
     types: tuple[str, ...] = ()      # F3 whitelist/blacklist
     policy: str = "whitelist"        # 'whitelist' | 'blacklist'
     disambiguator: str = "generative"  # 'prior' (D8) | 'generative' (D2) | 'tficf' (D3)
-    spotter: str = "fsa"             # P1 (only FSA ships; 'wiki' input uses sources.wikimarkup)
+    spotter: str = "fsa"             # P1 'fsa' | P3 'npchunk' (chunk-exact)
     k: int = 1                       # D6 bestK
     max_candidates: int = 20         # C2 pruning before scoring
     lang: str | None = "en"
@@ -65,11 +65,12 @@ class PipelineConfig:
     def __post_init__(self) -> None:
         if self.disambiguator not in ("prior", "generative", "tficf"):
             raise ValueError(f"unknown disambiguator: {self.disambiguator}")
-        if self.spotter != "fsa":
+        if self.spotter not in ("fsa", "npchunk"):
             raise ValueError(
-                f"unknown spotter: {self.spotter} (FSA is the statistical-"
-                "backend spotter; wiki-markup input goes through "
-                "sources.wikimarkup, SURVEY §2.3 P3 is out of scope)")
+                f"unknown spotter: {self.spotter} ('fsa' is the "
+                "statistical-backend spotter P1; 'npchunk' is the "
+                "chunk-exact precision spotter P3; wiki-markup input goes "
+                "through sources.wikimarkup)")
 
 
 ANNOTATION_SCHEMA = StructType([
@@ -137,12 +138,20 @@ def _bag(counts: dict[int, int]) -> tuple[np.ndarray, np.ndarray]:
     return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
 
 
-def _doc_spots(model: SpotlightModel, text: str):
-    """Tokenize (T1/T5) + FSA spot (P1) + gate (P2) + overlap resolve (P4)
-    + per-paragraph context bags (D1 step 1 — the reference's two-step
-    disambiguator builds ONE context query per *paragraph*,
-    db/DBTwoStepDisambiguator.scala [U]; paragraphs are the '\\n'-separated
-    lines of the extracted text).
+def _doc_spots(model: SpotlightModel, text: str, spotter: str = "fsa"):
+    """Tokenize (T1/T5) + spot (P1 FSA / P3 chunk-exact) + gate (P2) +
+    overlap resolve (P4) + per-paragraph context bags (D1 step 1 — the
+    reference's two-step disambiguator builds ONE context query per
+    *paragraph*, db/DBTwoStepDisambiguator.scala [U]; paragraphs are the
+    '\\n'-separated lines of the extracted text).
+
+    ``spotter='npchunk'`` (P3, OpenNLPChunkerSpotter semantics [U]): a
+    chunk is a maximal stopword-free token run (the model-free shallow
+    NP heuristic — no OpenNLP models in this stack); a spot is emitted
+    only when the ENTIRE chunk is a lexicon surface form — the
+    precision-oriented spotter (e.g. 'big table scan' yields no spot
+    even though 'table scan' is an sf). Chunk-exact matches cannot
+    overlap, so P4 resolution is a no-op on this path.
 
     Returns (spots, bags): spots = [(begin, end, sf_id, para_idx)] in char
     coords of ``text``; bags[para_idx] = (q_tokens sorted, q_counts)."""
@@ -150,6 +159,23 @@ def _doc_spots(model: SpotlightModel, text: str):
     lookup = _token_lookup(model)
     ids = [lookup(t, -1) for (_, _, t) in toks]
     matches = model.automaton.find_all(ids)
+    if spotter == "npchunk":
+        # chunk span per token index: runs delimited by stopwords
+        chunk_of: list[tuple[int, int] | None] = [None] * len(toks)
+        start = None
+        for i, (_, _, t) in enumerate(toks):
+            if t in model.stopwords:
+                if start is not None:
+                    for j in range(start, i):
+                        chunk_of[j] = (start, i)
+                    start = None
+            elif start is None:
+                start = i
+        if start is not None:
+            for j in range(start, len(toks)):
+                chunk_of[j] = (start, len(toks))
+        matches = [m for m in matches
+                   if chunk_of[m[0]] == (m[0], m[1])]
     # spot gate BEFORE overlap resolution: below-gate spots must not block
     # legitimate overlapping spots (DBSpotter threshold gating [U])
     gated = [m for m in matches if model.sf_ann_prob[m[2]] >= model.spot_threshold]
@@ -356,7 +382,7 @@ def _annotate_pdf(model: SpotlightModel, cfg: PipelineConfig,
     urls = pdf["url"].tolist()
     for i, url in enumerate(urls):
         text = strip_html(htmls[i]) if htmls is not None else texts[i]
-        spots, bags = _doc_spots(model, text)
+        spots, bags = _doc_spots(model, text, cfg.spotter)
         scored = _score_doc(model, cfg, spots, bags)
         if cfg.coreference:
             scored = _coref_merge(model, scored)
@@ -441,7 +467,7 @@ def spot(spark: SparkSession, web_pages: DataFrame, model_bc,
             for i in range(len(pdf)):
                 url = pdf["url"].iat[i]
                 text = strip_html(pdf["html"].iat[i]) if has_html else pdf["text"].iat[i]
-                spots, _ = _doc_spots(model, text)
+                spots, _ = _doc_spots(model, text, cfg.spotter)
                 for (b, e, sf_id, _p) in spots:
                     rows.append((url, b, e, model.sf_names[sf_id], int(sf_id),
                                  float(model.sf_ann_prob[sf_id])))

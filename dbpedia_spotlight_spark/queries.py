@@ -1299,6 +1299,77 @@ def sql_spot_fsa() -> str:
   JOIN endocs d ON d.doc_id = s.doc_id"""
 
 
+def q_spot_npchunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 chunk-exact precision spotter through the fused path: chunks
+    are maximal stopword-free token runs; a spot is emitted only when
+    the WHOLE chunk is a (gated) lexicon surface form — the
+    OpenNLPChunkerSpotter's lookup-the-NP-chunk semantics [U] with a
+    model-free shallow-chunk heuristic. Non-vacuous vs spot_fsa: chunks
+    with extra modifier tokens ('big table scan') produce NO spot even
+    though an sf is embedded."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, spot
+    return spot(spark, _web_pages_from_docs(spark, sf_dir),
+                _static_model_bc(spark), PipelineConfig(spotter="npchunk"))
+
+
+def sql_spot_npchunk() -> str:
+    sf_ids = {sf: i for i, sf in
+              enumerate(sorted(LEX.SF_CANDIDATES_GATED))}
+    rows = ",\n    ".join(
+        f"('{sf}', {sf_ids[sf]}, {LEX.SF_COUNTS[sf][0]}, "
+        f"{LEX.SF_COUNTS[sf][1]})"
+        for sf in sorted(_gated_sfs())
+    )
+    stop_list = ", ".join(f"'{s}'" for s in sorted(LEX.STOPWORDS))
+    return f"""
+  WITH endocs AS (
+    SELECT doc_id, source, text FROM documents WHERE lang = 'en'
+  ),
+  toks AS (
+    SELECT d.doc_id, u.pos - 1 AS pos, u.tok
+    FROM endocs d, LATERAL (
+      SELECT UNNEST(string_split(d.text, ' ')) AS tok,
+             generate_subscripts(string_split(d.text, ' '), 1) AS pos
+    ) u
+  ),
+  offs AS (
+    SELECT doc_id, pos, tok,
+           (tok IN ({stop_list})) AS is_stop,
+           CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INTEGER)
+             AS "begin",
+           CAST(COALESCE(SUM(length(tok) + 1) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + length(tok) AS INTEGER) AS "end"
+    FROM toks
+  ),
+  marked AS (
+    SELECT *, SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+      PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+    FROM offs
+  ),
+  chunks AS (
+    SELECT doc_id, chunk_id,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+           MIN("begin") AS "begin", MAX("end") AS "end"
+    FROM marked WHERE NOT is_stop
+    GROUP BY doc_id, chunk_id
+  ),
+  sfs AS (SELECT * FROM (VALUES
+    {rows}
+  ) AS t(sf, sf_id, a, tot))
+  SELECT d.source || '/' || CAST(c.doc_id AS VARCHAR) AS url,
+         c."begin", c."end", c.chunk_text AS surface_form,
+         CAST(f.sf_id AS INTEGER) AS sf_id,
+         CAST(f.a AS DOUBLE) / f.tot AS annotation_probability
+  FROM chunks c
+  JOIN sfs f ON f.sf = c.chunk_text
+  JOIN endocs d ON d.doc_id = c.doc_id"""
+
+
 def q_candidates_generative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/candidates with generative scores, bestK=3 — oracle-paired via
     the k=3 form of the generative SQL (``types`` flattened and scores
@@ -2823,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "dedup_components": q_dedup_components,
         "quality_gopher": q_quality_gopher,
+        "spot_npchunk": q_spot_npchunk,
         # Spotlight pipeline — relational slice (SQL-checked)
         "spot_unigram": q_spot_unigram,
         "annotate_prior": q_annotate_prior,
@@ -2860,7 +2932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "lang_id": q_lang_id,
         "quality": q_quality,
-        "token_count": q_token_count,
         "vocab_counts": q_vocab_counts,
         "corpus_filter": q_corpus_filter,
         # similarity search
@@ -2884,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": sql_ann_ivf(),
         "dedup_components": sql_dedup_components(),
         "quality_gopher": sql_quality_gopher(),
+        "spot_npchunk": sql_spot_npchunk(),
         "spot_unigram": sql_spot_unigram(),
         "annotate_prior": sql_annotate_prior(),
         "annotate_confident": sql_annotate_confident(),
@@ -2917,7 +2989,6 @@ def oracle_sql() -> dict[str, str]:
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
         "quality": sql_quality(),
-        "token_count": sql_token_count(),
         "vocab_counts": sql_vocab_counts(),
         "corpus_filter": sql_corpus_filter(),
         "ann_topk": sql_ann_topk(),

@@ -176,3 +176,33 @@ def test_two_models_no_worker_cache_collision(spark, web_pages, model_bc,
     n1b = annotate(spark, web_pages, model_bc, cfg).count()
     assert n1a == n1b and n1a > 0
     assert n2 == 0 or n2 < n1a  # different model → different result set
+
+
+def test_npchunk_spotter_chunk_exact(spark):
+    """P3 chunk-exact semantics: a spot is emitted only when the whole
+    stopword-delimited chunk is a surface form — embedded sfs with extra
+    modifier tokens are NOT spotted (precision spotter), and every
+    npchunk spot is also an FSA spot (subset relation)."""
+    from dbpedia_spotlight_spark import lexicon_static as LEX
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, spot
+
+    bc = spark.sparkContext.broadcast(LEX.compile_static_model())
+    pages = spark.createDataFrame(
+        [("u1", "the table scan a window", "en"),       # chunk-exact sfs
+         ("u2", "a big table scan", "en"),              # embedded, no spot
+         ("u3", "spark the window", "en"),              # two unigram chunks
+         ("u4", "hash join a table", "en")],            # bigram + unigram
+        "url string, text string, lang string")
+    np_rows = {(r.url, r.begin, r.end, r.surface_form)
+               for r in spot(spark, pages, bc,
+                             PipelineConfig(spotter="npchunk")).collect()}
+    fsa_rows = {(r.url, r.begin, r.end, r.surface_form)
+                for r in spot(spark, pages, bc, PipelineConfig()).collect()}
+    assert ("u1", 4, 14, "table scan") in np_rows
+    assert not any(r[0] == "u2" for r in np_rows)       # embedded dropped
+    assert ("u3", 0, 5, "spark") in np_rows
+    assert ("u3", 10, 16, "window") in np_rows
+    assert ("u4", 0, 9, "hash join") in np_rows
+    assert ("u4", 12, 17, "table") in np_rows
+    assert np_rows <= fsa_rows
+    assert any(r[0] == "u2" for r in fsa_rows)          # FSA does spot it
