@@ -48,6 +48,10 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
             pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        # materialize ONCE: edges are re-joined every round, and `pairs`
+        # is typically the whole MinHash/SimHash pipeline — without this
+        # each round would re-execute that upstream from the scan
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("id"),
                           F.col(id_col).alias("comp"))

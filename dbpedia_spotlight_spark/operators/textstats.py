@@ -150,42 +150,55 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
     composite ``passes`` gate. The repetition fractions catch boilerplate
     and keyword-stuffed pages that length/stopword features miss.
 
-    Shape: token and bigram branches are explode → two-level groupBy —
-    both aggregates are map-side combinable and shuffle only
-    (doc_id, gram) pairs, never text. All ratios are single exact double
+    Shape: ONE scan — tokens and bigrams explode together as kind-tagged
+    grams, then two map-side-combinable groupBy levels + a per-doc pivot;
+    only (doc_id, gram) pairs are shuffled, never text, and the corpus is
+    read once (a token-branch/bigram-branch/join form reads it three
+    times — at 100 TB the scan dominates). Total token chars (for mean
+    token length) fall out of Σ len(gram)·count on the token kind, so no
+    doc-level re-join is needed. All ratios are single exact double
     divisions (bit-identical across engines, no rounding needed). An
     in-array alternative (transform + filter counts per distinct token)
     would avoid the shuffles but is O(distinct·n) per doc — quadratic
     for long web documents."""
     toks = F.split(F.col(text_col), " ")
-    base = docs.select(
-        "doc_id", toks.alias("toks"),
-        F.length(F.translate(F.col(text_col), " ", "")).alias("char_len"),
-    )
-    tc = (
-        base.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    )
-    tstats = tc.groupBy("doc_id").agg(
-        F.max("c").alias("top_cnt"),
-        F.sum("c").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
-    )
     bigrams = F.expr(
         "transform(slice(toks, 1, size(toks) - 1),"
         " (x, i) -> concat(x, ' ', element_at(toks, i + 2)))")
-    bc = (
-        base.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    grams = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.concat(
+                F.transform(F.col("toks"), lambda t: F.struct(
+                    F.lit(0).alias("kind"), t.alias("gram"))),
+                F.transform(bigrams, lambda b: F.struct(
+                    F.lit(1).alias("kind"), b.alias("gram"))),
+            )).alias("g"),
+        )
+        .select("doc_id", F.col("g.kind").alias("kind"),
+                F.col("g.gram").alias("gram"))
     )
-    bstats = bc.groupBy("doc_id").agg(
-        F.max("c").alias("top_bg_cnt"),
-        F.sum("c").alias("n_bigrams"),
+    gc = grams.groupBy("doc_id", "kind", "gram").agg(F.count("*").alias("c"))
+    st = gc.groupBy("doc_id", "kind").agg(
+        F.max("c").alias("top"),
+        F.sum("c").alias("n"),
+        F.count("*").alias("nd"),
+        F.sum(F.length("gram") * F.col("c")).alias("chars"),
     )
+    tok_kind = F.when(F.col("kind") == 0, F.col("n"))
     out = (
-        base.select("doc_id", "char_len")
-        .join(tstats, "doc_id")
-        .join(bstats, "doc_id", "left")
+        st.groupBy("doc_id").agg(
+            F.max(tok_kind).alias("n_tokens"),
+            F.max(F.when(F.col("kind") == 0, F.col("nd")))
+             .alias("n_distinct"),
+            F.max(F.when(F.col("kind") == 0, F.col("top"))).alias("top_cnt"),
+            F.max(F.when(F.col("kind") == 0, F.col("chars")))
+             .alias("char_len"),
+            F.max(F.when(F.col("kind") == 1, F.col("top")))
+             .alias("top_bg_cnt"),
+            F.max(F.when(F.col("kind") == 1, F.col("n"))).alias("n_bigrams"),
+        )
         .select(
             "doc_id", "n_tokens", "n_distinct",
             (F.col("n_distinct").cast("double") / F.col("n_tokens"))
