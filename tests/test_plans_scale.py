@@ -280,3 +280,32 @@ def test_run_pipeline_main(spark, web_pages, lexicon, tmp_path):
         "--out", str(tmp_path / "out2"), "--mode", "spot",
     ], spark=spark)
     assert stats3["rows"] > 0
+
+
+def test_gopher_quality_single_scan(spark):
+    """quality gates read the corpus ONCE (kind-tagged gram explode) —
+    the naive token-branch/bigram-branch/join shape reads it 3x."""
+    from dbpedia_spotlight_spark.operators.textstats import gopher_quality
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(gopher_quality(docs))
+    assert plan.count("FileScan") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_connected_components_edges_not_reexecuted(spark):
+    """The per-round join must hit the materialized edge list, not
+    re-derive the upstream pair pipeline: after localCheckpoint the
+    iterated plan contains no parquet scan of the docs at all."""
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from dbpedia_spotlight_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    pairs = minhash_candidate_pairs(docs, n_hashes=16, bands=4)
+    out = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs, max_iter=3)
+    plan = _plan(out)
+    # labels side scans docs once; the edge side is a checkpointed RDD
+    assert plan.count("FileScan") <= 1, plan
