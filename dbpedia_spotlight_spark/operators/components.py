@@ -32,8 +32,9 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(nodes: DataFrame, pairs: DataFrame,
-                         id_col: str = "id", max_iter: int = 8,
-                         early_stop: bool = True) -> DataFrame:
+                         id_col: str = "id", max_iter: int = 20,
+                         early_stop: bool = True,
+                         require_converged: bool = False) -> DataFrame:
     """(id, component) for every node; component = min node id reachable
     through ``pairs`` (columns a, b — undirected). Isolated nodes keep
     their own id. Deterministic and partition-layout independent: every
@@ -42,7 +43,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     With ``early_stop`` the loop exits once a round changes no label;
     because post-convergence rounds are no-ops, a fixed-``max_iter``
     replay (the DuckDB oracle form) produces identical output whenever
-    the graph converges within ``max_iter``.
+    the graph converges within ``max_iter``. ``max_iter`` is a runaway
+    bound, not a tuning knob — min labels travel one hop per round, so
+    it must exceed the component diameter; ``require_converged=True``
+    raises instead of silently returning partial components when the
+    bound is hit mid-propagation.
     """
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -81,11 +86,18 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                 break
         else:
             labels = new_labels
+    else:
+        if early_stop and require_converged:
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"max_iter={max_iter} rounds — component diameter exceeds "
+                "the bound; raise max_iter (or switch to a "
+                "large-star/small-star variant for deep chains)")
     return labels
 
 
 def dedup_keep(nodes: DataFrame, pairs: DataFrame, id_col: str = "id",
-               max_iter: int = 8) -> DataFrame:
+               max_iter: int = 20) -> DataFrame:
     """(id, component, keep): canonical-keeper resolution — keep the
     minimum id of each duplicate cluster, drop the rest. The downstream
     corpus filter is ``WHERE keep``."""

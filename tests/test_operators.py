@@ -373,3 +373,20 @@ def test_gopher_quality_gates(spark):
     assert not out[2]["passes"]
     # bigram fraction: repetitive doc's single bigram dominates
     assert out[1]["top_bigram_frac"] == 1.0
+
+
+def test_connected_components_long_chain_and_convergence_guard(spark):
+    """A 12-node chain needs 11 propagation rounds: the default bound
+    must cover it, and require_converged must raise when it can't."""
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components,
+    )
+    import pytest as _pytest
+    n = 12
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pdf = spark.createDataFrame(pairs, "a long, b long")
+    got = connected_components(nodes, pdf).collect()
+    assert all(r["comp"] == 0 for r in got)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pdf, max_iter=3, require_converged=True)
