@@ -2879,9 +2879,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     through a containing query: spot_multitoken ⊂ spot_fsa,
     quantized_uri_counts ⊂ annotate_quantized, simhash ⊂
     simhash_near_pairs, jaccard_lsh_verified ⊂ jaccard_pairs+minhash_pairs,
-    ann_ivf_fixed ⊂ ann_ivf (now fully oracle-paired), tpch_q1/q3 ⊂
-    tpch_q5 + order_running_totals (q1 agg, q3 join+agg) (the rotated q_/sql_ functions remain
-    in this module and in pytest)."""
+    ann_ivf_fixed ⊂ ann_ivf (now fully oracle-paired), fingerprint ⊂
+    winnowing, token_count ⊂ quality_gopher (n_tokens), tpch_q1/q3 and
+    order_running_totals ⊂ tpch_q5 + sessionize/salted_user_topk window
+    plumbing (the rotated q_/sql_ functions remain in this module and in
+    pytest)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
         "image_features": q_image_features,
