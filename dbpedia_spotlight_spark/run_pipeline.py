@@ -113,13 +113,27 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         ran = cat.write_resumable(
             lambda u: out_df.filter(unit_of(F.col(key), n) == u), name, n
         )
-        rows = cat.read_units(spark, name).count()
+        written = cat.read_units(spark, name)
+        rows = written.count()
         stats = {"mode": args.mode, "rows": rows,
                  "units_executed_this_run": len(ran), "units_total": n}
     else:
         cat.write(out_df, name)
-        rows = cat.read(spark, name).count()
+        written = cat.read(spark, name)
+        rows = written.count()
         stats = {"mode": args.mode, "rows": rows}
+
+    if "part_id" in written.columns:
+        # north_rule: per-partition lineage + METRICS — one row per source
+        # partition (rows emitted, distinct subjects), written next to the
+        # output so a resume/audit can reconcile partitions against counts
+        # without rescanning the triples
+        metrics = written.groupBy("part_id").agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias(f"n_distinct_{key}"),
+        )
+        cat.write(metrics, f"{name}_metrics")
+        stats["n_partitions"] = metrics.count()
 
     print(json.dumps(stats))
     if own_session:

@@ -265,6 +265,10 @@ def test_run_pipeline_main(spark, web_pages, lexicon, tmp_path):
         "--mode", "annotate", "--resume-units", "4",
     ], spark=spark)
     assert stats["rows"] > 0 and stats["units_total"] == 4
+    # per-partition metrics table reconciles with the triple output
+    assert stats["n_partitions"] > 0
+    metrics = spark.read.parquet(f"{out_dir}/annotate_output_metrics")
+    assert metrics.agg(F.sum("n_rows")).first()[0] == stats["rows"]
 
     # idempotent restart: nothing re-executes, rows unchanged
     stats2 = main([
