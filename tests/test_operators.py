@@ -390,3 +390,32 @@ def test_connected_components_long_chain_and_convergence_guard(spark):
     assert all(r["comp"] == 0 for r in got)
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, pdf, max_iter=3, require_converged=True)
+
+
+def test_pii_scrub_and_counts(spark):
+    from dbpedia_spotlight_spark.operators.pii import pii_counts, scrub_pii
+    docs = spark.createDataFrame([
+        (0, "contact bob.smith+x@example.co.uk for info"),
+        (1, "call +1 (415) 555-0199 or 415-555-0100 today"),
+        (2, "server at 192.168.0.1 port 80"),
+        (3, "ssn 123-45-6789 card 4111111111111111"),
+        (4, "clean text with no sensitive data at all"),
+    ], "doc_id long, text string")
+    scrubbed = {r["doc_id"]: r["text"] for r in scrub_pii(docs).collect()}
+    assert "example.co.uk" not in scrubbed[0] and "[REDACTED]" in scrubbed[0]
+    assert "555" not in scrubbed[1]
+    assert "192.168" not in scrubbed[2]
+    assert "123-45-6789" not in scrubbed[3]
+    assert "4111111111111111" not in scrubbed[3]
+    assert scrubbed[4] == "clean text with no sensitive data at all"
+
+    counts = {r["doc_id"]: r for r in pii_counts(docs).collect()}
+    assert counts[0]["n_email"] == 1
+    assert counts[1]["n_phone"] >= 2
+    assert counts[2]["n_ipv4"] == 1
+    assert counts[3]["n_ssn"] == 1 and counts[3]["n_card"] == 1
+    assert counts[4]["n_pii"] == 0
+
+    # plan stays JVM-side: no Python evaluation nodes
+    plan = scrub_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
