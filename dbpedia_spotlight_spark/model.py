@@ -272,19 +272,33 @@ def context_loglik(
     lam = model.lam
     if smooth is None:
         smooth = (1.0 - lam) * np.exp(model.lm_logprob[q_tokens])
-    out = np.empty(len(entity_ids), dtype=np.float64)
-    for i, eid in enumerate(entity_ids):
-        lo, hi = model.ctx_indptr[eid], model.ctx_indptr[eid + 1]
-        row_tok = model.ctx_token[lo:hi]
-        pos = np.searchsorted(row_tok, q_tokens)
-        pos_c = np.minimum(pos, len(row_tok) - 1) if len(row_tok) else pos
-        hit = (len(row_tok) > 0) & (pos < len(row_tok))
-        if len(row_tok):
-            hit = hit & (row_tok[pos_c] == q_tokens)
-        c_te = np.where(hit, model.ctx_count[lo:hi][pos_c] if len(row_tok) else 0.0, 0.0)
-        p = lam * c_te / max(model.ctx_total[eid], 1e-300) + smooth
-        out[i] = float(np.dot(q_counts, np.log(np.maximum(p, 1e-300))))
-    return out
+    n_e, n_q = len(entity_ids), len(q_tokens)
+    if n_e == 0:
+        return np.empty(0, dtype=np.float64)
+    if n_q == 0:
+        return np.zeros(n_e, dtype=np.float64)
+    # one flat gather over ALL candidates' CSR rows + ONE searchsorted of
+    # the concatenated row tokens into the (sorted) query bag — the former
+    # per-entity loop paid a python iteration + small-array searchsorted
+    # per candidate (~25% of the flagship hot loop at profile)
+    eids = np.asarray(entity_ids, dtype=np.int64)
+    los = model.ctx_indptr[eids]
+    lens = model.ctx_indptr[eids + 1] - los
+    total = int(lens.sum())
+    c_mat = np.zeros((n_e, n_q), dtype=np.float64)
+    if total:
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        flat = (np.arange(total, dtype=np.int64)
+                - np.repeat(offs, lens) + np.repeat(los, lens))
+        row_of = np.repeat(np.arange(n_e, dtype=np.int64), lens)
+        row_tok = model.ctx_token[flat]
+        pos = np.searchsorted(q_tokens, row_tok)
+        clip = np.minimum(pos, n_q - 1)
+        hit = q_tokens[clip] == row_tok
+        c_mat[row_of[hit], clip[hit]] = model.ctx_count[flat][hit]
+    p = (lam * c_mat / np.maximum(model.ctx_total[eids], 1e-300)[:, None]
+         + smooth[None, :])
+    return np.log(np.maximum(p, 1e-300)) @ q_counts
 
 
 def tficf_scores(

@@ -380,6 +380,11 @@ def _annotate_pdf(model: SpotlightModel, cfg: PipelineConfig,
     htmls = pdf["html"].tolist() if "html" in pdf.columns else None
     texts = pdf["text"].tolist() if htmls is None else None
     urls = pdf["url"].tolist()
+    # vacuous filter config (the /annotate default) → skip the per-row
+    # filter call entirely (it is pure overhead: everything passes)
+    if apply_filters and cfg.confidence <= 0.0 and cfg.support <= 0 \
+            and not cfg.types:
+        apply_filters = False
     for i, url in enumerate(urls):
         text = strip_html(htmls[i]) if htmls is not None else texts[i]
         spots, bags = _doc_spots(model, text, cfg.spotter)
