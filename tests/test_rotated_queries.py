@@ -1,0 +1,50 @@
+"""The 50-slot registry rotation must not rot the rotated-out query/
+oracle pairs: they stay in `queries.py` as working (Spark, DuckDB-SQL)
+pairs and this module keeps checking them exactly like the registry
+mirror (`test_entry_contract`), at sf0.001.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from dbpedia_spotlight_spark import queries as Q
+from tests.test_entry_contract import TABLES, _assert_frames_equal
+
+SF_DIR = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+ROTATED = [
+    ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
+    ("quantized_uri_counts", Q.q_quantized_uri_counts,
+     Q.sql_quantized_uri_counts),
+    ("simhash", Q.q_simhash, Q.sql_simhash),
+    ("jaccard_lsh_verified", Q.q_jaccard_lsh_verified,
+     Q.sql_jaccard_lsh_verified),
+    ("ann_ivf_fixed", Q.q_ann_ivf_fixed, Q.sql_ann_ivf_fixed),
+    ("fingerprint", Q.q_fingerprint, Q.sql_fingerprint),
+    ("token_count", Q.q_token_count, Q.sql_token_count),
+    ("tpch_q1", Q.q_tpch_q1, Q.sql_tpch_q1),
+    ("tpch_q3", Q.q_tpch_q3, Q.sql_tpch_q3),
+    ("order_running_totals", Q.q_order_running_totals,
+     Q.sql_order_running_totals),
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+@pytest.mark.parametrize("name,q,sql", ROTATED, ids=[r[0] for r in ROTATED])
+def test_rotated_pair_still_matches_oracle(spark, duck, name, q, sql):
+    spark_pdf = q(spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(sql()).df()
+    _assert_frames_equal(spark_pdf, duck_pdf, name)
