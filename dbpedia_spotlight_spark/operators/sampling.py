@@ -1,0 +1,64 @@
+"""Deterministic, partition-layout-independent sampling and splitting
+for training corpora.
+
+``df.sample()`` is per-partition RNG: a repartition, a resume, or a
+different executor count changes WHICH rows are sampled — poison for
+reproducible training sets. These operators gate on a salted md5 of a
+key column instead (the same technique the IVF trainer uses,
+``similarity.ivf_centroids``): pure column expressions, JVM-side, no
+state, identical output on any layout and replayable in any engine with
+md5.
+
+- ``hash_sample``: keep ~frac of rows.
+- ``hash_split``: disjoint named splits (train/val/test) by weight —
+  every row lands in exactly one split, stable under appends (a new
+  row's split never depends on other rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_BUCKETS = 1 << 20
+
+
+def _gate(key_col: str, salt: str) -> F.Column:
+    """Uniform bucket in [0, 2^20) from md5(key # salt) — 15 hex chars
+    (60 bits) so the conv() stays exact in a signed 64-bit long."""
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("#", F.col(key_col).cast("string"),
+                          F.lit(salt))), 1, 15), 16, 10).cast("long")
+    return h % _BUCKETS
+
+
+def hash_sample(df: DataFrame, frac: float, key_col: str,
+                salt: str = "sample") -> DataFrame:
+    """Keep rows whose hash bucket < frac·2^20 (~frac of rows, exact in
+    expectation; deterministic per key+salt)."""
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError("frac must be in [0, 1]")
+    return df.filter(_gate(key_col, salt) < int(frac * _BUCKETS))
+
+
+def hash_split(df: DataFrame, weights: dict[str, float], key_col: str,
+               salt: str = "split",
+               split_col: str = "split") -> DataFrame:
+    """Label every row with a split name; cumulative weight ranges over
+    the hash bucket partition the corpus disjointly. Weights must sum to
+    1 (±1e-9). Split names are assigned in sorted-name order so the
+    mapping is independent of dict ordering."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    gate = _gate(key_col, salt)
+    expr = None
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = gate < int(acc * _BUCKETS)
+        branch = F.when(cond, F.lit(name))
+        expr = branch if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

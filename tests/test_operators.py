@@ -419,3 +419,39 @@ def test_pii_scrub_and_counts(spark):
     # plan stays JVM-side: no Python evaluation nodes
     plan = scrub_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_hash_sample_layout_independent(spark):
+    from dbpedia_spotlight_spark.operators.sampling import hash_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"] for r in
+         hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         hash_sample(docs.repartition(13), 0.3, "doc_id")
+         .select("doc_id").collect()}
+    assert a == b and a                      # same rows under any layout
+    n = docs.count()
+    assert 0.2 * n < len(a) < 0.4 * n        # ~frac in expectation
+
+
+def test_hash_split_disjoint_complete_stable(spark):
+    from dbpedia_spotlight_spark.operators.sampling import hash_split
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = hash_split(docs, w, "doc_id").select("doc_id", "split").collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    assert len(split_of) == docs.count()                # complete
+    counts = {}
+    for s in split_of.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert set(counts) == set(w)
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # append-stability: a subset's rows keep their split labels
+    sub = hash_split(docs.filter("doc_id < 100"), w, "doc_id") \
+        .select("doc_id", "split").collect()
+    for r in sub:
+        assert split_of[r["doc_id"]] == r["split"]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(docs, {"a": 0.5, "b": 0.4}, "doc_id")
