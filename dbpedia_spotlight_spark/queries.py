@@ -556,26 +556,30 @@ def sql_entity_pagerank(n_iter: int = 10) -> str:
     GROUP BY nm.dst
   )""")
         prev = f"r{k}"
+    # norm and nn are referenced by EVERY unrolled level; without AS
+    # MATERIALIZED DuckDB inlines them, re-running the whole spotting +
+    # ranking pipeline once per iteration (measured 24.8 s → sub-second
+    # at sf0.01). Values are unchanged — it is purely an evaluation hint.
     return (
         "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
-  du AS (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  du AS MATERIALIZED (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
   eg AS (
     SELECT x.uri AS uri_a, y.uri AS uri_b, count(*) AS n_docs
     FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
     GROUP BY 1, 2
   ),
-  directed AS (
+  directed AS MATERIALIZED (
     SELECT uri_a AS src, uri_b AS dst, CAST(n_docs AS DOUBLE) AS w FROM eg
     UNION ALL
     SELECT uri_b AS src, uri_a AS dst, CAST(n_docs AS DOUBLE) AS w FROM eg
   ),
   outw AS (SELECT src, sum(w) AS ow FROM directed GROUP BY src),
-  norm AS (
+  norm AS MATERIALIZED (
     SELECT d.src, d.dst, d.w / o.ow AS p
     FROM directed d JOIN outw o ON d.src = o.src
   ),
   nodes AS (SELECT DISTINCT src AS uri FROM directed),
-  nn AS (SELECT count(*) AS n FROM nodes),
+  nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
   r0 AS (
     SELECT uri, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes
   ),""" + ",".join(iters) + f"""
@@ -2308,8 +2312,9 @@ def sql_ann_ivf(k: int = 10, n_clusters: int = 16, n_probe: int = 4,
     count ≤ sample, as at every test SF)."""
     ids = ", ".join(str(i) for i in _ANN_QUERY_IDS)
     parts = [f"""
-  WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-  cnt AS (SELECT count(*) AS n FROM e),
+  WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM embeddings),
+  cnt AS MATERIALIZED (SELECT count(*) AS n FROM e),
   samp0 AS (
     SELECT vec_id, v FROM e
     WHERE (SELECT n FROM cnt) <= {sample}
@@ -2319,11 +2324,11 @@ def sql_ann_ivf(k: int = 10, n_clusters: int = 16, n_probe: int = 4,
                              / (SELECT n FROM cnt)) * 1048576) AS BIGINT)
     ORDER BY vec_id LIMIT {sample}
   ),
-  samp AS (
+  samp AS MATERIALIZED (
     SELECT row_number() OVER (ORDER BY vec_id) - 1 AS idx, v FROM samp0
   ),
   m0 AS (SELECT count(*) AS m FROM samp),
-  c0 AS (
+  c0 AS MATERIALIZED (
     SELECT CAST(r.range AS INTEGER) AS c, s.v
     FROM range({n_clusters}) r JOIN samp s
       ON s.idx = (r.range * ((SELECT m FROM m0) - 1))
@@ -2348,7 +2353,7 @@ def sql_ann_ivf(k: int = 10, n_clusters: int = 16, n_probe: int = 4,
       GROUP BY a.c, u.di)
     GROUP BY c
   ),
-  c{t} AS (
+  c{t} AS MATERIALIZED (
     SELECT p.c, COALESCE(n.v, p.v) AS v
     FROM c{t - 1} p LEFT JOIN n{t} n ON n.c = p.c
   )""")
