@@ -26,7 +26,8 @@ DBP = "http://dbpedia.org/resource/"
 # sf (lowercase, tokenized by single spaces) -> [(uri_suffix, pair_count)]
 # ordered by count DESC (candidate priors derive from these counts).
 # Single-token sfs feed the SQL-checkable relational path; multi-token sfs
-# exercise the Aho-Corasick FSA path (rows-only check).
+# exercise the Aho-Corasick FSA path (value-exact via the spot_fsa and
+# fused-annotate oracles since round 2).
 SF_CANDIDATES: dict[str, list[tuple[str, int]]] = {
     "table": [("Table_(database)", 80), ("Table_(furniture)", 20)],
     "spark": [("Apache_Spark", 90), ("Spark_(fire)", 10)],

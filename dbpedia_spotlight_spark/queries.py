@@ -2782,7 +2782,7 @@ def sql_events_hourly() -> str:
 
 
 # ---------------------------------------------------------------------------
-# multimodal plumbing (rows-only; deterministic synthetic media)
+# multimodal plumbing (golden-expectation oracles; deterministic synthetic media)
 # ---------------------------------------------------------------------------
 
 
