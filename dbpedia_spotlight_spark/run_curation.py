@@ -1,0 +1,144 @@
+"""spark-submit entrypoint: the training-data CURATION pipeline as one
+job — the operators this engine adds beyond the reference's annotate
+path, composed the way a 100 TB pre-training corpus actually flows:
+
+    exact dedup → near-dedup (MinHash-LSH → connected components →
+    canonical keeper) → quality gates (Gopher/C4 + language) →
+    PII scrub → deterministic train/val/test split → write + metrics
+
+    spark-submit --py-files dbpedia_spotlight_spark.zip \
+        dbpedia_spotlight_spark/run_curation.py \
+        --corpus /data/documents --out /data/curated \
+        --split train=0.9,val=0.05,test=0.05 --scrub-pii
+
+Every keep-decision is deterministic and partition-layout independent
+(content-hash min-id, min-label components, salted-md5 splits), so a
+resumed or re-run job reproduces the same corpus byte-for-byte. Also
+callable in-process via ``main(argv, spark=...)`` (tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="training-corpus curation job")
+    ap.add_argument("--corpus", required=True,
+                    help="parquet dir with (doc_id|url, text[, lang])")
+    ap.add_argument("--out", required=True, help="output table root")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--lang", default="en",
+                    help="language gate ('' disables); uses the lang "
+                         "column when present, else the n-gram guesser")
+    ap.add_argument("--minhash-hashes", type=int, default=16)
+    ap.add_argument("--minhash-bands", type=int, default=4)
+    ap.add_argument("--no-quality-gate", dest="quality_gate",
+                    action="store_false", default=True)
+    ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01",
+                    help="name=weight[,name=weight...] (sum 1) or ''")
+    return ap
+
+
+def _exact_keep(docs: DataFrame, id_col: str) -> DataFrame:
+    """Exact dedup, deterministic: keep the MIN id per content hash
+    (one map-side-combinable aggregate; dropDuplicates would keep an
+    arbitrary row per hash)."""
+    keep = (
+        docs.select(F.col(id_col), F.md5("text").alias("h"))
+        .groupBy("h").agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def main(argv: list[str] | None = None,
+         spark: SparkSession | None = None) -> dict:
+    from dbpedia_spotlight_spark.operators.components import dedup_keep
+    from dbpedia_spotlight_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from dbpedia_spotlight_spark.operators.pii import scrub_pii
+    from dbpedia_spotlight_spark.operators.sampling import hash_split
+    from dbpedia_spotlight_spark.operators.textstats import (
+        gopher_quality, lang_scores,
+    )
+    from dbpedia_spotlight_spark.sources.catalog import ParquetCatalog
+
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        spark = (
+            SparkSession.builder.appName("spotlight-spark-curation")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .getOrCreate()
+        )
+    docs = spark.read.parquet(args.corpus)
+    id_col = args.id_col
+    stats: dict = {"input_rows": docs.count()}
+
+    # 1. exact dedup
+    docs = _exact_keep(docs, id_col)
+    stats["after_exact_dedup"] = docs.count()
+
+    # 2. near-dedup: LSH pairs → components → canonical keeper
+    pairs = minhash_candidate_pairs(
+        docs, n_hashes=args.minhash_hashes, bands=args.minhash_bands,
+        id_col=id_col)
+    keep = dedup_keep(docs.select(F.col(id_col).alias("id")), pairs)
+    docs = docs.join(
+        keep.filter("keep").select(F.col("id").alias(id_col)),
+        id_col, "left_semi")
+    stats["after_near_dedup"] = docs.count()
+
+    # 3. quality + language gates
+    if args.quality_gate:
+        good = gopher_quality(docs.withColumnRenamed(id_col, "doc_id")) \
+            .filter("passes").select(F.col("doc_id").alias(id_col))
+        docs = docs.join(good, id_col, "left_semi")
+        if args.lang:
+            if "lang" in docs.columns:
+                docs = docs.filter(F.col("lang") == args.lang)
+            else:
+                guessed = lang_scores(
+                    docs.withColumnRenamed(id_col, "doc_id"))
+                docs = docs.join(
+                    guessed.filter(F.col("lang_guess") == args.lang)
+                    .select(F.col("doc_id").alias(id_col)),
+                    id_col, "left_semi")
+        stats["after_quality_gate"] = docs.count()
+
+    # 4. PII scrub (text rewrite, row count unchanged)
+    if args.scrub_pii:
+        docs = scrub_pii(docs)
+
+    # 5. deterministic split
+    if args.split:
+        weights = {}
+        for part in args.split.split(","):
+            name, w = part.split("=")
+            weights[name] = float(w)
+        docs = hash_split(docs, weights, id_col)
+
+    cat = ParquetCatalog(args.out)
+    cat.write(docs, "curated")
+    written = cat.read(spark, "curated")
+    stats["output_rows"] = written.count()
+    if args.split:
+        stats["split_counts"] = {
+            r["split"]: r["n"]
+            for r in written.groupBy("split").agg(F.count("*").alias("n"))
+                            .collect()}
+    print(json.dumps(stats))
+    if own_session:
+        spark.stop()
+    return stats
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

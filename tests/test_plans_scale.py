@@ -313,3 +313,38 @@ def test_connected_components_edges_not_reexecuted(spark):
     plan = _plan(out)
     # labels side scans docs once; the edge side is a checkpointed RDD
     assert plan.count("FileScan") <= 1, plan
+
+
+def test_run_curation_main(spark, tmp_path):
+    """Curation job end-to-end on the driver documents table: stage
+    counts are monotone, duplicates are really gone, splits partition
+    the output, and a re-run reproduces the identical corpus
+    (determinism is the whole point of the hash-based keep-decisions)."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant exact + near duplicates so dedup stages have work
+    planted = src.filter("doc_id < 30").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    corpus_dir = str(tmp_path / "corpus")
+    src.unionByName(planted).write.parquet(corpus_dir)
+
+    argv = ["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
+            "--split", "train=0.8,val=0.1,test=0.1", "--scrub-pii"]
+    stats = main(argv, spark=spark)
+    assert stats["input_rows"] == 530
+    assert stats["after_exact_dedup"] == 500          # planted clones gone
+    assert stats["after_near_dedup"] <= stats["after_exact_dedup"]
+    assert 0 < stats["after_quality_gate"] < stats["after_near_dedup"]
+    assert stats["output_rows"] == stats["after_quality_gate"]
+    assert sum(stats["split_counts"].values()) == stats["output_rows"]
+    assert set(stats["split_counts"]) <= {"train", "val", "test"}
+
+    stats2 = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out2"),
+                   "--split", "train=0.8,val=0.1,test=0.1", "--scrub-pii"],
+                  spark=spark)
+    a = spark.read.parquet(str(tmp_path / "out" / "curated")) \
+        .orderBy("doc_id").collect()
+    b = spark.read.parquet(str(tmp_path / "out2" / "curated")) \
+        .orderBy("doc_id").collect()
+    assert a == b

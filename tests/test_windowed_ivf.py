@@ -141,3 +141,29 @@ def test_jaccard_long_key_matches_string_key(spark):
         (int(a), int(b), round(float(j), 9))
         for a, b, j in zip(df["a"], df["b"], df["jaccard"]))
     assert key(got) == key(want)
+
+
+def test_ivf_centroids_sampling_branch_layout_independent(spark):
+    """n > sample exercises the hash-Bernoulli gate + id-ordered limit:
+    the trained quantizer must be identical under any partition layout
+    (the reason the trainer avoids Spark's per-partition sample RNG)."""
+    import numpy as np
+    from dbpedia_spotlight_spark.operators.similarity import ivf_centroids
+
+    rows = []
+    x = 0xDEADBEEFCAFE1234
+    for i in range(900):
+        v = []
+        for _ in range(8):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(((x >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c1 = ivf_centroids(df, n_clusters=4, sample=256)
+    c2 = ivf_centroids(df.repartition(17), n_clusters=4, sample=256)
+    c3 = ivf_centroids(df.orderBy(F.desc("vec_id")).repartition(3),
+                       n_clusters=4, sample=256)
+    assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
+    # and the gate really sampled (trained on a strict subset)
+    full = ivf_centroids(df, n_clusters=4, sample=2048)
+    assert not np.array_equal(c1, full)
