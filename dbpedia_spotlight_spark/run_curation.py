@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
                          "column when present, else the n-gram guesser")
     ap.add_argument("--minhash-hashes", type=int, default=16)
     ap.add_argument("--minhash-bands", type=int, default=4)
+    ap.add_argument("--jaccard-threshold", type=float, default=0.8,
+                    help="exact-verify threshold for LSH candidates")
     ap.add_argument("--no-quality-gate", dest="quality_gate",
                     action="store_false", default=True)
     ap.add_argument("--scrub-pii", action="store_true")
@@ -61,7 +63,7 @@ def main(argv: list[str] | None = None,
          spark: SparkSession | None = None) -> dict:
     from dbpedia_spotlight_spark.operators.components import dedup_keep
     from dbpedia_spotlight_spark.operators.dedup import (
-        minhash_candidate_pairs,
+        minhash_candidate_pairs, ngram_jaccard_pairs,
     )
     from dbpedia_spotlight_spark.operators.pii import scrub_pii
     from dbpedia_spotlight_spark.operators.sampling import hash_split
@@ -86,10 +88,16 @@ def main(argv: list[str] | None = None,
     docs = _exact_keep(docs, id_col)
     stats["after_exact_dedup"] = docs.count()
 
-    # 2. near-dedup: LSH pairs → components → canonical keeper
-    pairs = minhash_candidate_pairs(
+    # 2. near-dedup: LSH candidates → EXACT Jaccard verify → components
+    # → canonical keeper. Clustering raw LSH candidates would delete
+    # false positives (docs that merely share a band bucket); only
+    # verified pairs may merge clusters.
+    cand = minhash_candidate_pairs(
         docs, n_hashes=args.minhash_hashes, bands=args.minhash_bands,
         id_col=id_col)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=args.jaccard_threshold, id_col=id_col,
+        candidates=cand)
     keep = dedup_keep(docs.select(F.col(id_col).alias("id")), pairs)
     docs = docs.join(
         keep.filter("keep").select(F.col("id").alias(id_col)),

@@ -323,18 +323,32 @@ def test_run_curation_main(spark, tmp_path):
     from dbpedia_spotlight_spark.run_curation import main
 
     src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    # plant exact + near duplicates so dedup stages have work
-    planted = src.filter("doc_id < 30").withColumn(
+    # plant exact clones (stage-1 work) AND near-duplicates — same text
+    # plus one trailing token, Jaccard ≈ 0.95 (stage-2 work; LSH false
+    # positives alone must NOT delete docs now that candidates are
+    # exact-verified before clustering)
+    exact = src.filter("doc_id < 30").withColumn(
         "doc_id", F.col("doc_id") + 1_000_000)
+    near = src.filter("doc_id < 20").withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" extra")))
     corpus_dir = str(tmp_path / "corpus")
-    src.unionByName(planted).write.parquet(corpus_dir)
+    src.unionByName(exact).unionByName(near).write.parquet(corpus_dir)
 
     argv = ["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
             "--split", "train=0.8,val=0.1,test=0.1", "--scrub-pii"]
     stats = main(argv, spark=spark)
-    assert stats["input_rows"] == 530
-    assert stats["after_exact_dedup"] == 500          # planted clones gone
-    assert stats["after_near_dedup"] <= stats["after_exact_dedup"]
+    assert stats["input_rows"] == 550
+    assert stats["after_exact_dedup"] == 520          # exact clones gone
+    # near clones gone (planted ids are the cluster max, so originals
+    # win); the corpus also contains a couple dozen GENUINE >= 0.8
+    # near-dup pairs that legitimately dedup, so the count lands between
+    # "only planted removed" and "candidates clustered unverified"
+    assert 450 < stats["after_near_dedup"] < 520
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out" / "curated"))
+            .select("doc_id").collect()}
+    assert not any(i >= 1_000_000 for i in kept)      # no planted clone kept
     assert 0 < stats["after_quality_gate"] < stats["after_near_dedup"]
     assert stats["output_rows"] == stats["after_quality_gate"]
     assert sum(stats["split_counts"].values()) == stats["output_rows"]
