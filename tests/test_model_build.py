@@ -127,3 +127,23 @@ def test_self_trained_model_roundtrip(spark, web_pages, corpus):
     want = {(r.url, int(r.begin), int(r.end), r.uri) for _, r in corpus[1].iterrows()}
     recall = len(got & want) / len(want)
     assert recall >= 0.9, f"self-trained recall {recall}"
+
+
+def test_dense_ids_by_matches_global_window(spark):
+    """Prefix-bucket dense ids must equal the single-partition
+    row_number(orderBy) form on any layout, including 1-char keys and an
+    empty frame."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from dbpedia_spotlight_spark.plans.model_build import dense_ids_by
+
+    keys = ["zebra", "a", "apple", "ant", "b", "zeb", "m", "mango", "μm"]
+    df = spark.createDataFrame([(k,) for k in keys], "k string") \
+        .repartition(5)
+    got = {r["k"]: r["kid"] for r in dense_ids_by(df, "k", "kid").collect()}
+    want = {r["k"]: r["kid"] for r in df.withColumn(
+        "kid", F.row_number().over(Window.orderBy("k")) - 1).collect()}
+    assert got == want
+
+    empty = spark.createDataFrame([], "k string")
+    assert dense_ids_by(empty, "k", "kid").count() == 0
