@@ -16,7 +16,12 @@ min-aggregate — no quadratic stage, no driver-side graph.
 Scale notes (100 TB / 10^12 docs):
 - State per round = (id, label) pairs — 16 bytes/doc, partitioned by id.
 - ``localCheckpoint(eager=True)`` per round truncates lineage (same
-  iterative-DataFrame fix as ``graph.pagerank``).
+  iterative-DataFrame fix as ``graph.pagerank``). PySpark has no public
+  API to unpersist a localCheckpoint, so up to ``max_iter`` label-frame
+  generations (16 bytes/doc each) sit in executor storage until the
+  session drops them — bounded and fine for shallow dedup graphs; a
+  deep-iteration caller should switch to a reliable checkpoint dir and
+  clean previous generations explicitly.
 - Early-stop costs one count-like action per round on the checkpointed
   frame; label sums are NOT used (monotone long sums can overflow at
   10^12 ids) — convergence is detected with an explicit changed-flag
@@ -49,6 +54,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     raises instead of silently returning partial components when the
     bound is hit mid-propagation.
     """
+    if require_converged and not early_stop:
+        raise ValueError(
+            "require_converged needs early_stop=True — convergence is "
+            "detected from the per-round changed-label count, which the "
+            "fixed-iteration mode never computes")
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(

@@ -168,36 +168,78 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                         id_col: str = "doc_id", text_col: str = "text",
                         candidates: DataFrame | None = None,
                         max_bucket: int | None = 1000) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs. With `candidates`
-    (e.g. from MinHash-LSH) verifies only those; without, evaluates all
-    pairs sharing >=1 shingle (explode + self-join — test scale only).
+    """Exact n-gram Jaccard similarity for pairs.
 
     J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) over *distinct* shingle sets.
 
-    The self-join key is a 60-bit md5 prefix of the shingle, not the
-    string: long hash-join keys shuffle ~8 bytes/row instead of the
-    shingle text and compare in one instruction (collision probability
-    ~2⁻⁶⁰ per pair — semantics-preserving in practice; the DuckDB oracle
-    joins on the raw string and the driver's value-hash would expose any
-    collision).
+    With ``candidates`` (a, b) — e.g. MinHash-LSH output — the EXACT
+    verify path runs: candidates ⋈ shingles(a) ⋈ shingles(b) on the
+    shingle key, grouped per pair. Cost ∝ |candidates|·|shingles/doc|,
+    NEVER an all-pairs or bucket-expansion stage, and the result is
+    exact regardless of shingle frequency — this is the production
+    composition at corpus scale (``max_bucket`` is ignored: capping the
+    verify would silently undercount intersections for boilerplate-heavy
+    true duplicates).
 
-    ``max_bucket`` caps the in-bucket pair expansion: one corpus-common
-    shingle (boilerplate) otherwise creates C(n,2) pairs. The SAFE capped
-    mode is the default (1000); pass ``max_bucket=None`` explicitly for
-    the exact mode (the oracle-checked form — exactness holds only
-    without a cap), which at corpus scale requires an LSH ``candidates``
-    pre-filter instead of the cap.
+    Without candidates, all pairs sharing ≥1 shingle are evaluated via
+    single-pass bucket expansion. ``max_bucket`` caps the expansion (one
+    corpus-common shingle otherwise creates C(n,2) pairs); the SAFE
+    capped mode is the default (1000), and ``max_bucket=None`` is the
+    exact mode (the all-pairs-oracle form — test scale only).
 
-    ONE scan, ZERO joins for the pair math: the per-doc distinct-shingle
-    count rides along as struct(id, n) through the bucket expansion, so
-    |A|/|B| are already on every pair row — the former sizes-table
-    re-scan + two shuffle joins are gone (plan test pins scan count)."""
+    The join key is a 60-bit md5 prefix of the shingle, not the string:
+    long hash-join keys shuffle ~8 bytes/row instead of the shingle text
+    and compare in one instruction (collision probability ~2⁻⁶⁰ per pair
+    — semantics-preserving in practice; the DuckDB oracle joins on the
+    raw string and the driver's value-hash would expose any collision).
+
+    No-candidates path: ONE scan, ZERO joins for the pair math — the
+    per-doc distinct-shingle count rides along as struct(id, n) through
+    the bucket expansion, so |A|/|B| are already on every pair row
+    (plan test pins scan count)."""
     sh_arr = F.array_distinct(shingles(F.col(text_col), k))
     base = (
         docs.select(F.col(id_col).alias("id"), sh_arr.alias("sh"))
         .select("id", F.size("sh").alias("n"), F.explode("sh").alias("s_str"))
         .select("id", "n", md5_long(F.col("s_str")).alias("s"))
     )
+    if candidates is not None:
+        # side-tagged pair explode: each candidate pair contributes its
+        # two doc ids, ONE join against the shingle frame (a shingle
+        # self-join would scan + shuffle the corpus once per side), then
+        # a two-level aggregate — a shingle is in the intersection iff
+        # both sides produced it for the pair
+        pair_sides = (
+            candidates.select("a", "b").distinct()
+            .select("a", "b", F.explode(F.array(
+                F.struct(F.lit(0).alias("side"), F.col("a").alias("id")),
+                F.struct(F.lit(1).alias("side"), F.col("b").alias("id")),
+            )).alias("m"))
+            .select("a", "b", F.col("m.side").alias("side"),
+                    F.col("m.id").alias("id"))
+        )
+        per = (
+            pair_sides.join(base, "id")
+            .groupBy("a", "b", "s")
+            .agg(
+                F.max(F.when(F.col("side") == 0, F.col("n"))).alias("na_s"),
+                F.max(F.when(F.col("side") == 1, F.col("n"))).alias("nb_s"),
+            )
+        )
+        agg = per.groupBy("a", "b").agg(
+            F.max("na_s").alias("na"),
+            F.max("nb_s").alias("nb"),
+            F.sum(F.when(F.col("na_s").isNotNull()
+                         & F.col("nb_s").isNotNull(), 1)
+                   .otherwise(0)).alias("inter"),
+        )
+        return (
+            agg.withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard")
+        )
     # single-pass intersection counting: group (id, n) per shingle and
     # expand in-bucket pairs (a self-join would execute the shingle scan
     # once per side and shuffle both). array_distinct: two shingles of one
@@ -226,8 +268,6 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                  F.col("p.na").alias("na"), F.col("p.nb").alias("nb"))
         .agg(F.count("*").alias("inter"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
     out = (
         inter.withColumn(
             "jaccard",

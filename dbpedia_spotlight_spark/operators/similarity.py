@@ -305,7 +305,11 @@ def ivf_topk(embeddings: DataFrame, query_ids: list[int], k: int = 5,
     for _, r in q_rows.iterrows():
         x = np.asarray(list(map(float, r[vec_col])))
         d = Cn - 2.0 * (C @ x)
-        for c in np.argsort(d)[:n_probe]:
+        # stable sort: exact distance ties (duplicate centroids from
+        # empty clusters / duplicated init rows) break by cluster index,
+        # matching the SQL mirror's ORDER BY d, c (default quicksort
+        # gives no tie order guarantee)
+        for c in np.argsort(d, kind="stable")[:n_probe]:
             probes.append((int(r[id_col]), int(c)))
     probe_df = embeddings.sparkSession.createDataFrame(
         probes, "query_id long, cluster int"

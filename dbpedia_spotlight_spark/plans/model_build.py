@@ -167,7 +167,13 @@ def dense_ids_by(df: DataFrame, key: str, id_name: str) -> DataFrame:
     bucket-count list. Ids are identical to the global-window form and
     independent of partition layout (keys are distinct: they're upstream
     group-by keys)."""
-    b = df.withColumn("__bucket", F.substring(F.col(key), 1, 2))
+    # NULL keys: substring(NULL) is NULL, which an equi-join would drop
+    # (silently losing the row AND its id slot) — coalesce to "" so NULL
+    # rows land in the first bucket; the window's default nulls-first
+    # order ranks them before "" keys, exactly like the global-window
+    # form did
+    b = df.withColumn(
+        "__bucket", F.coalesce(F.substring(F.col(key), 1, 2), F.lit("")))
     counts = (b.groupBy("__bucket").agg(F.count("*").alias("__n"))
                .orderBy("__bucket").collect())
     offsets, acc = [], 0

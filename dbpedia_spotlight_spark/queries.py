@@ -2239,9 +2239,13 @@ def sql_ann_topk() -> str:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN top-10 — fully oracle-paired: the hyperplanes
-    are deterministic literals and both engines fold dot products
-    left-to-right (identical doubles ⇒ identical sign bits ⇒ identical
-    buckets); cosine rounds to 9dp BEFORE ranking so ranks can't flip."""
+    are deterministic pure functions of (dim, seed) in both engines.
+    Sign bits: Spark computes projections as a numpy matmul (lsh_bucket)
+    while DuckDB folds left-to-right — summation orders differ by ~1e-16
+    relative, so a sign bit could only flip for a projection with
+    |v·h| ≲ 1e-13, which does not occur in the driver's fixed embedding
+    tables (verified value-exact at sf0.001/0.01/0.1); cosine rounds to
+    9dp BEFORE ranking so ranks can't flip."""
     from dbpedia_spotlight_spark.operators.similarity import hyperplane_lsh_topk
     return hyperplane_lsh_topk(_emb(spark, sf_dir), _ANN_QUERY_IDS,
                                k=10, n_planes=6, round_digits=9)
@@ -2320,7 +2324,7 @@ def sql_ann_ivf(k: int = 10, n_clusters: int = 16, n_probe: int = 4,
     WHERE (SELECT n FROM cnt) <= {sample}
        OR (('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '#ivf13'), 1, 15)
            )::BIGINT % 1048576)
-          < CAST(floor(LEAST(1.0, ({sample} * 1.2)
+          < CAST(floor(LEAST(1.0, CAST('{sample * 1.2!r}' AS DOUBLE)
                              / (SELECT n FROM cnt)) * 1048576) AS BIGINT)
     ORDER BY vec_id LIMIT {sample}
   ),

@@ -84,8 +84,11 @@ def main(argv: list[str] | None = None,
     id_col = args.id_col
     stats: dict = {"input_rows": docs.count()}
 
-    # 1. exact dedup
-    docs = _exact_keep(docs, id_col)
+    # 1. exact dedup. Each stage ends with localCheckpoint(eager): the
+    # stage-count stats and every later stage reuse the materialized
+    # frame instead of re-executing the whole upstream lineage per
+    # action (at real scale: persist to storage instead)
+    docs = _exact_keep(docs, id_col).localCheckpoint(eager=True)
     stats["after_exact_dedup"] = docs.count()
 
     # 2. near-dedup: LSH candidates → EXACT Jaccard verify → components
@@ -101,24 +104,27 @@ def main(argv: list[str] | None = None,
     keep = dedup_keep(docs.select(F.col(id_col).alias("id")), pairs)
     docs = docs.join(
         keep.filter("keep").select(F.col("id").alias(id_col)),
-        id_col, "left_semi")
+        id_col, "left_semi").localCheckpoint(eager=True)
     stats["after_near_dedup"] = docs.count()
 
-    # 3. quality + language gates
+    # 3. quality gate and language gate — independent flags (the lang
+    # gate must not silently vanish under --no-quality-gate)
     if args.quality_gate:
         good = gopher_quality(docs.withColumnRenamed(id_col, "doc_id")) \
             .filter("passes").select(F.col("doc_id").alias(id_col))
         docs = docs.join(good, id_col, "left_semi")
-        if args.lang:
-            if "lang" in docs.columns:
-                docs = docs.filter(F.col("lang") == args.lang)
-            else:
-                guessed = lang_scores(
-                    docs.withColumnRenamed(id_col, "doc_id"))
-                docs = docs.join(
-                    guessed.filter(F.col("lang_guess") == args.lang)
-                    .select(F.col("doc_id").alias(id_col)),
-                    id_col, "left_semi")
+    if args.lang:
+        if "lang" in docs.columns:
+            docs = docs.filter(F.col("lang") == args.lang)
+        else:
+            guessed = lang_scores(
+                docs.withColumnRenamed(id_col, "doc_id"))
+            docs = docs.join(
+                guessed.filter(F.col("lang_guess") == args.lang)
+                .select(F.col("doc_id").alias(id_col)),
+                id_col, "left_semi")
+    if args.quality_gate or args.lang:
+        docs = docs.localCheckpoint(eager=True)
         stats["after_quality_gate"] = docs.count()
 
     # 4. PII scrub (text rewrite, row count unchanged)

@@ -33,6 +33,18 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
     arbitrary row per hash and silently overstate the first-seen
     guarantee); without ``ts_col`` there is no "first", so an arbitrary
     representative is the contract."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return True
+
     src = docs.withColumn("text_hash", F.md5(F.col(text_col)))
     if ts_col is None:
         return src.dropDuplicates(["text_hash"])
@@ -40,15 +52,16 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
     if docs.isStreaming:
         return src.withWatermark(ts_col, watermark) \
                   .dropDuplicatesWithinWatermark(["text_hash"])
-    # batch: keep the earliest row per hash — one map-side-combinable
-    # min-struct aggregate (ts leads the struct so comparison orders by
-    # ts first; remaining columns make the choice total/deterministic)
-    other = [c for c in src.columns if c not in ("text_hash", ts_col)]
-    first = F.min(F.struct(F.col(ts_col), *[F.col(c) for c in other])) \
-             .alias("__first")
+    # batch: keep the earliest row per hash via a window — ts leads the
+    # sort, the remaining ORDERABLE columns break ties deterministically;
+    # non-orderable columns (maps) ride along on the surviving row (a
+    # min-struct over the whole row would fail analysis on them, and
+    # dropDuplicates would keep an arbitrary row)
+    tiebreak = [F.col(c) for c in src.columns
+                if c not in ("text_hash", ts_col)
+                and orderable(src.schema[c].dataType)]
+    w = Window.partitionBy("text_hash").orderBy(F.col(ts_col), *tiebreak)
     return (
-        src.groupBy("text_hash").agg(first)
-        .select("text_hash", f"__first.{ts_col}",
-                *[F.col(f"__first.{c}").alias(c) for c in other])
-        .select(*src.columns)
+        src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1).drop("__rn")
     )
