@@ -455,3 +455,23 @@ def test_hash_split_disjoint_complete_stable(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_split(docs, {"a": 0.5, "b": 0.4}, "doc_id")
+
+
+def test_jaccard_verify_path_equals_exact_path(spark):
+    """The candidates verify path (side-tagged single-scan join) must
+    produce EXACTLY the uncapped all-pairs result when candidates =
+    every pair — same integer intersections, same double division."""
+    from dbpedia_spotlight_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+        "a long, b long")
+    exact = {(r.a, r.b): r.jaccard for r in
+             ngram_jaccard_pairs(docs, k=3, threshold=0.03,
+                                 max_bucket=None).collect()}
+    verified = {(r.a, r.b): r.jaccard for r in
+                ngram_jaccard_pairs(docs, k=3, threshold=0.03,
+                                    candidates=all_pairs).collect()}
+    assert exact and verified == exact
