@@ -132,16 +132,34 @@ def minhash_candidate_pairs(docs: DataFrame, n_hashes: int = 16,
                             bands: int = 4, k: int = 3,
                             id_col: str = "doc_id",
                             text_col: str = "text",
-                            max_bucket: int = 1000) -> DataFrame:
+                            max_bucket: int = 1000,
+                            mode: str = "all") -> DataFrame:
     """LSH candidate pairs (a < b).
 
     One groupBy on (band, band_hash) + in-bucket pair expansion — a
     self-join would execute the whole signature pipeline once per side
     (two full scans) and shuffle both; this shuffles doc-ids once and
-    expands C(bucket, 2) pairs with a higher-order expression.
-    ``max_bucket`` caps pathological buckets (boilerplate pages share a
-    band at scale → quadratic pair blowup); capped buckets are dropped,
-    exactly the standard LSH production guard."""
+    expands pairs with a higher-order expression. ``max_bucket`` caps
+    pathological buckets (boilerplate pages share a band at scale);
+    capped buckets are dropped, the standard LSH production guard.
+
+    ``mode``:
+    - ``"all"``: every in-bucket pair — C(bucket, 2). The similarity-
+      ANALYSIS form (and the oracle-checked one): downstream sees every
+      candidate pair.
+    - ``"star"``: (min_member, other) only — bucket−1 pairs, LINEAR in
+      corpus size even for huge clone families. For CLUSTERING consumers
+      (verify → connected components) this is the right shape: the star
+      edges span exactly the same components as the all-pairs candidate
+      graph, and the downstream exact verify then keeps a star edge only
+      when the founder truly matches the member — a false-positive
+      bucket falls apart instead of welding clusters together. (A
+      128-clone family: 8,128 all-pairs vs 127 star pairs, per band.)
+      Recall relies on each true cluster sharing ≥1 bucket with a
+      truly-similar founder — multiple bands give multiple chances.
+    """
+    if mode not in ("all", "star"):
+        raise ValueError(f"unknown mode: {mode} ('all' | 'star')")
     b = lsh_bands(minhash_signatures(docs, n_hashes, k, id_col, text_col),
                   bands, id_col)
     buckets = (
@@ -150,13 +168,20 @@ def minhash_candidate_pairs(docs: DataFrame, n_hashes: int = 16,
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     n = F.size("ids")
-    pairs = F.flatten(F.transform(
-        F.col("ids"),
-        lambda x, i: F.transform(
-            F.slice(F.col("ids"), i + 2, n - i - 1),
-            lambda y: F.struct(x.alias("a"), y.alias("b")),
-        ),
-    ))
+    if mode == "star":
+        pairs = F.transform(
+            F.slice(F.col("ids"), 2, n - 1),
+            lambda y: F.struct(F.element_at(F.col("ids"), 1).alias("a"),
+                               y.alias("b")),
+        )
+    else:
+        pairs = F.flatten(F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        ))
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))

@@ -94,10 +94,14 @@ def main(argv: list[str] | None = None,
     # 2. near-dedup: LSH candidates → EXACT Jaccard verify → components
     # → canonical keeper. Clustering raw LSH candidates would delete
     # false positives (docs that merely share a band bucket); only
-    # verified pairs may merge clusters.
+    # verified pairs may merge clusters. mode="star" keeps the candidate
+    # count LINEAR in corpus size (bucket−1 founder edges instead of
+    # C(bucket,2)) — clone families of hundreds of re-crawls are normal
+    # at web scale and the all-pairs form is quadratic per family, while
+    # star edges span the identical components once verified.
     cand = minhash_candidate_pairs(
         docs, n_hashes=args.minhash_hashes, bands=args.minhash_bands,
-        id_col=id_col)
+        id_col=id_col, mode="star")
     pairs = ngram_jaccard_pairs(
         docs, threshold=args.jaccard_threshold, id_col=id_col,
         candidates=cand)

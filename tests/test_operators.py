@@ -475,3 +475,30 @@ def test_jaccard_verify_path_equals_exact_path(spark):
                 ngram_jaccard_pairs(docs, k=3, threshold=0.03,
                                     candidates=all_pairs).collect()}
     assert exact and verified == exact
+
+
+def test_minhash_star_mode_spans_same_components(spark):
+    """Star candidates must connect exactly the docs that all-pairs
+    candidates connect (per bucket, every member links to the founder),
+    at bucket−1 instead of C(bucket,2) edges."""
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components,
+    )
+    from dbpedia_spotlight_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    clones = docs.filter("doc_id < 40").select("doc_id", "text")
+    fam = clones.unionByName(
+        clones.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                      F.concat("text", F.lit(" x")).alias("text")))
+    allp = minhash_candidate_pairs(fam, mode="all")
+    star = minhash_candidate_pairs(fam, mode="star")
+    n_all, n_star = allp.count(), star.count()
+    assert 0 < n_star <= n_all
+    nodes = fam.select(F.col("doc_id").alias("id"))
+    comp_all = {(r.id, r.comp) for r in
+                connected_components(nodes, allp).collect()}
+    comp_star = {(r.id, r.comp) for r in
+                 connected_components(nodes, star).collect()}
+    assert comp_all == comp_star
