@@ -36,7 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="language gate ('' disables); uses the lang "
                          "column when present, else the n-gram guesser")
     ap.add_argument("--minhash-hashes", type=int, default=16)
-    ap.add_argument("--minhash-bands", type=int, default=4)
+    # 2 hashes/band: more, coarser bands raise the per-pair co-bucket
+    # probability, which star-mode clustering needs for connectivity
+    # (measured on 128-clone families: bands=4 → ~4 survivors, bands=8
+    # → ~3, bands=16 → 1; FP candidates cost only linear verify work
+    # and are rejected there)
+    ap.add_argument("--minhash-bands", type=int, default=8)
     ap.add_argument("--jaccard-threshold", type=float, default=0.8,
                     help="exact-verify threshold for LSH candidates")
     ap.add_argument("--no-quality-gate", dest="quality_gate",
