@@ -115,6 +115,14 @@ def main(argv: list[str] | None = None,
         keep.filter("keep").select(F.col("id").alias(id_col)),
         id_col, "left_semi").localCheckpoint(eager=True)
     stats["after_near_dedup"] = docs.count()
+    # dedup observability: cluster-size histogram summary (a sudden
+    # max_cluster blowup at scale usually means an FP-welding bug or a
+    # boilerplate family that needs a tighter threshold)
+    csizes = keep.groupBy("comp").agg(F.count("*").alias("sz")) \
+        .agg(F.count("*").alias("n_clusters"),
+             F.max("sz").alias("max_cluster")).first()
+    stats["n_clusters"] = csizes["n_clusters"]
+    stats["max_cluster"] = csizes["max_cluster"]
 
     # 3. quality gate and language gate — independent flags (the lang
     # gate must not silently vanish under --no-quality-gate)

@@ -502,3 +502,28 @@ def test_minhash_star_mode_spans_same_components(spark):
     comp_star = {(r.id, r.comp) for r in
                  connected_components(nodes, star).collect()}
     assert comp_all == comp_star
+
+
+def test_star_mode_collapse_vs_bands(spark):
+    """Pin the measured star-connectivity tradeoff on a 128-clone
+    family: coarser bands (fewer hashes per band) raise co-bucket
+    probability and collapse the family further; bands=16 (1 hash/band)
+    reaches a single survivor."""
+    from dbpedia_spotlight_spark.operators.components import dedup_keep
+    from dbpedia_spotlight_spark.operators.dedup import (
+        minhash_candidate_pairs, ngram_jaccard_pairs,
+    )
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter("doc_id = 3").first()["text"]
+    fam = spark.createDataFrame(
+        [(i, doc + f" v{i}") for i in range(128)],
+        "doc_id long, text string")
+    survivors = {}
+    for bands in (4, 16):
+        cand = minhash_candidate_pairs(fam, n_hashes=16, bands=bands,
+                                       mode="star")
+        ver = ngram_jaccard_pairs(fam, threshold=0.8, candidates=cand)
+        keep = dedup_keep(fam.select(F.col("doc_id").alias("id")), ver)
+        survivors[bands] = keep.filter("keep").count()
+    assert survivors[16] == 1
+    assert survivors[16] <= survivors[4] <= 8
