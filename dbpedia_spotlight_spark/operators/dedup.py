@@ -146,42 +146,48 @@ def minhash_candidate_pairs(docs: DataFrame, n_hashes: int = 16,
     ``mode``:
     - ``"all"``: every in-bucket pair — C(bucket, 2). The similarity-
       ANALYSIS form (and the oracle-checked one): downstream sees every
-      candidate pair.
+      candidate pair. ``max_bucket`` applies (over-cap buckets dropped —
+      the standard quadratic guard).
     - ``"star"``: (min_member, other) only — bucket−1 pairs, LINEAR in
-      corpus size even for huge clone families. For CLUSTERING consumers
-      (verify → connected components) this is the right shape: the star
-      edges span exactly the same components as the all-pairs candidate
-      graph, and the downstream exact verify then keeps a star edge only
-      when the founder truly matches the member — a false-positive
-      bucket falls apart instead of welding clusters together. (A
-      128-clone family: 8,128 all-pairs vs 127 star pairs, per band.)
-      Recall relies on each true cluster sharing ≥1 bucket with a
-      truly-similar founder — multiple bands give multiple chances.
+      corpus size even for huge clone families, implemented as a window
+      min over the bucket (NO per-bucket array materialization and NO
+      ``max_bucket`` cap: a 10M-re-crawl boilerplate family still dedups
+      instead of being silently dropped by the guard). For CLUSTERING
+      consumers (verify → connected components) this is the right shape:
+      star edges span the same components as the all-pairs candidate
+      graph, and the downstream exact verify keeps a star edge only when
+      the founder truly matches the member — a false-positive bucket
+      falls apart instead of welding clusters. Recall tradeoff: if the
+      founder (bucket min id) is itself a false positive, true pairs
+      among the other members are severed for that bucket — other bands
+      give more chances; use mode="all" when recall beats cost.
     """
     if mode not in ("all", "star"):
         raise ValueError(f"unknown mode: {mode} ('all' | 'star')")
     b = lsh_bands(minhash_signatures(docs, n_hashes, k, id_col, text_col),
                   bands, id_col)
+    if mode == "star":
+        from pyspark.sql import Window
+        w = Window.partitionBy("band", "band_hash")
+        return (
+            b.withColumn("founder", F.min(id_col).over(w))
+            .filter(F.col(id_col) != F.col("founder"))
+            .select(F.col("founder").alias("a"), F.col(id_col).alias("b"))
+            .distinct()
+        )
     buckets = (
         b.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
     n = F.size("ids")
-    if mode == "star":
-        pairs = F.transform(
-            F.slice(F.col("ids"), 2, n - 1),
-            lambda y: F.struct(F.element_at(F.col("ids"), 1).alias("a"),
-                               y.alias("b")),
-        )
-    else:
-        pairs = F.flatten(F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, n - i - 1),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        ))
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, n - i - 1),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))

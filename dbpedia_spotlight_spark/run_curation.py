@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--minhash-bands", type=int, default=8)
     ap.add_argument("--jaccard-threshold", type=float, default=0.8,
                     help="exact-verify threshold for LSH candidates")
+    ap.add_argument("--dedup-pair-mode", default="star",
+                    choices=["star", "all"],
+                    help="'star' = linear founder edges (clone families "
+                         "of any size; recall dips when a bucket's "
+                         "min-id founder is a false positive); 'all' = "
+                         "every candidate pair (highest recall, "
+                         "quadratic per bucket)")
     ap.add_argument("--no-quality-gate", dest="quality_gate",
                     action="store_false", default=True)
     ap.add_argument("--scrub-pii", action="store_true")
@@ -99,14 +106,15 @@ def main(argv: list[str] | None = None,
     # 2. near-dedup: LSH candidates → EXACT Jaccard verify → components
     # → canonical keeper. Clustering raw LSH candidates would delete
     # false positives (docs that merely share a band bucket); only
-    # verified pairs may merge clusters. mode="star" keeps the candidate
-    # count LINEAR in corpus size (bucket−1 founder edges instead of
-    # C(bucket,2)) — clone families of hundreds of re-crawls are normal
-    # at web scale and the all-pairs form is quadratic per family, while
-    # star edges span the identical components once verified.
+    # verified pairs may merge clusters. The default mode="star" keeps
+    # the candidate count LINEAR in corpus size (bucket−1 founder edges
+    # instead of C(bucket,2)) — clone families of hundreds of re-crawls
+    # are normal at web scale. The recall cost: a false-positive founder
+    # severs that bucket's true pairs (other bands give more chances);
+    # --dedup-pair-mode all restores full-recall quadratic candidates.
     cand = minhash_candidate_pairs(
         docs, n_hashes=args.minhash_hashes, bands=args.minhash_bands,
-        id_col=id_col, mode="star")
+        id_col=id_col, mode=args.dedup_pair_mode)
     pairs = ngram_jaccard_pairs(
         docs, threshold=args.jaccard_threshold, id_col=id_col,
         candidates=cand)
@@ -115,13 +123,18 @@ def main(argv: list[str] | None = None,
         keep.filter("keep").select(F.col("id").alias(id_col)),
         id_col, "left_semi").localCheckpoint(eager=True)
     stats["after_near_dedup"] = docs.count()
-    # dedup observability: cluster-size histogram summary (a sudden
+    # dedup observability: DUPLICATE-cluster summary (size >= 2 only —
+    # counting singletons would just repeat after_near_dedup). A sudden
     # max_cluster blowup at scale usually means an FP-welding bug or a
-    # boilerplate family that needs a tighter threshold)
-    csizes = keep.groupBy("comp").agg(F.count("*").alias("sz")) \
-        .agg(F.count("*").alias("n_clusters"),
-             F.max("sz").alias("max_cluster")).first()
-    stats["n_clusters"] = csizes["n_clusters"]
+    # boilerplate family that needs a tighter threshold.
+    csizes = (
+        keep.groupBy("comp").agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") >= 2)
+        .agg(F.count("*").alias("n_dup_clusters"),
+             F.coalesce(F.max("sz"), F.lit(0)).alias("max_cluster"))
+        .first()
+    )
+    stats["n_dup_clusters"] = csizes["n_dup_clusters"]
     stats["max_cluster"] = csizes["max_cluster"]
 
     # 3. quality gate and language gate — independent flags (the lang

@@ -28,11 +28,14 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
                  watermark: str = "1 hour") -> DataFrame:
     """First-seen-wins exact dedup over a (streaming or batch) docs
     frame. Adds ``text_hash``; emits one row per hash — with ``ts_col``
-    in batch mode it is the TRUE earliest row by (ts, other columns)
-    via a min-struct aggregate (``dropDuplicates`` would keep an
-    arbitrary row per hash and silently overstate the first-seen
-    guarantee); without ``ts_col`` there is no "first", so an arbitrary
-    representative is the contract."""
+    in batch mode it is the earliest row by (ts, then the remaining
+    ORDERABLE columns as tie-break). All-orderable schemas use a
+    map-side-combinable min-struct aggregate (shuffles ~|unique hashes|
+    partial aggregates, not rows); schemas with non-orderable columns
+    (maps) fall back to a window, where rows identical on every
+    orderable column may keep either representative — determinism holds
+    up to orderable-column ties. Without ``ts_col`` there is no
+    "first", so an arbitrary representative is the contract."""
     from pyspark.sql import Window
     from pyspark.sql.types import ArrayType, MapType, StructType
 
@@ -52,14 +55,25 @@ def dedup_stream(docs: DataFrame, text_col: str = "text",
     if docs.isStreaming:
         return src.withWatermark(ts_col, watermark) \
                   .dropDuplicatesWithinWatermark(["text_hash"])
-    # batch: keep the earliest row per hash via a window — ts leads the
-    # sort, the remaining ORDERABLE columns break ties deterministically;
-    # non-orderable columns (maps) ride along on the surviving row (a
-    # min-struct over the whole row would fail analysis on them, and
-    # dropDuplicates would keep an arbitrary row)
-    tiebreak = [F.col(c) for c in src.columns
-                if c not in ("text_hash", ts_col)
-                and orderable(src.schema[c].dataType)]
+    # batch: keep the earliest row per hash. All-orderable schema → one
+    # map-side-combinable min-struct aggregate (the shuffle carries
+    # ~|unique hashes| partials, not rows — the 100 TB-relevant shape).
+    # Any non-orderable column (map) → window fallback: the full row
+    # survives (a min-struct over it would fail analysis), at the cost
+    # of a full-row sort shuffle and arbitrary choice among rows tied on
+    # every orderable column.
+    other = [c for c in src.columns if c not in ("text_hash", ts_col)]
+    if all(orderable(src.schema[c].dataType) for c in other):
+        first = F.min(F.struct(F.col(ts_col),
+                               *[F.col(c) for c in other])).alias("__first")
+        return (
+            src.groupBy("text_hash").agg(first)
+            .select("text_hash", f"__first.{ts_col}",
+                    *[F.col(f"__first.{c}").alias(c) for c in other])
+            .select(*src.columns)
+        )
+    tiebreak = [F.col(c) for c in other
+                if orderable(src.schema[c].dataType)]
     w = Window.partitionBy("text_hash").orderBy(F.col(ts_col), *tiebreak)
     return (
         src.withColumn("__rn", F.row_number().over(w))

@@ -464,7 +464,9 @@ def test_jaccard_verify_path_equals_exact_path(spark):
     from dbpedia_spotlight_spark.operators.dedup import ngram_jaccard_pairs
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet").limit(120)
-    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    # sorted: the exact path emits a < b, and collect() order is not
+    # guaranteed — unsorted ids could orient a pair backwards
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
     all_pairs = spark.createDataFrame(
         [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
         "a long, b long")
@@ -527,3 +529,21 @@ def test_star_mode_collapse_vs_bands(spark):
         survivors[bands] = keep.filter("keep").count()
     assert survivors[16] == 1
     assert survivors[16] <= survivors[4] <= 8
+
+
+def test_star_mode_uncapped_huge_bucket(spark):
+    """Star mode must still produce candidates for clone families LARGER
+    than the all-pairs max_bucket guard (window-min path, no bucket
+    array, no cap) — the exact scenario the cap silently dropped."""
+    from dbpedia_spotlight_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter("doc_id = 3").first()["text"]
+    fam = spark.createDataFrame(
+        [(i, doc) for i in range(1500)], "doc_id long, text string")
+    star = minhash_candidate_pairs(fam, mode="star", max_bucket=1000)
+    n = star.count()
+    assert n == 1499                         # founder 0 → every member
+    allp = minhash_candidate_pairs(fam, mode="all", max_bucket=1000)
+    assert allp.count() == 0                 # cap drops the whole family

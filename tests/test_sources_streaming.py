@@ -294,3 +294,20 @@ def test_write_resumable_skips_completed_units(spark, web_pages, model_bc,
     a = {(r.url, r.begin, r.end, r.uri) for r in resumed.collect()}
     b = {(r.url, r.begin, r.end, r.uri) for r in ann.collect()}
     assert a == b
+
+
+def test_dedup_stream_batch_map_column_fallback(spark):
+    """Batch first-seen dedup must handle non-orderable columns (maps)
+    via the window fallback and still keep the earliest row by ts."""
+    import datetime as dt
+    from dbpedia_spotlight_spark.streaming.dedup_stream import dedup_stream
+    rows = [
+        (1, "same text", dt.datetime(2024, 1, 1, 10), {"k": "late"}),
+        (2, "same text", dt.datetime(2024, 1, 1, 9), {"k": "early"}),
+        (3, "other", dt.datetime(2024, 1, 1, 8), {"k": "solo"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, text string, ts timestamp, meta map<string,string>")
+    out = dedup_stream(df, ts_col="ts")
+    got = {r["id"]: r["meta"]["k"] for r in out.collect()}
+    assert got == {2: "early", 3: "solo"}
