@@ -353,7 +353,8 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id",
 
 def simhash_near_pairs(docs: DataFrame, bits: int = 64, max_hamming: int = 3,
                        id_col: str = "doc_id", text_col: str = "text",
-                       max_bucket: int = 1000) -> DataFrame:
+                       max_bucket: int = 1000,
+                       mode: str = "all") -> DataFrame:
     """Near-dup pairs (a < b, hamming <= max_hamming) by SimHash Hamming
     distance, exact-recall blocking: the signature is split into
     ``max_hamming + 1`` equal blocks — by pigeonhole a pair within
@@ -364,7 +365,19 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 64, max_hamming: int = 3,
     Scale shape: one explode to (block_idx, block_val) + one groupBy +
     in-bucket pair expansion (same single-pass pattern as MinHash-LSH);
     64-bit signatures with 4 x 16-bit block keys keep buckets ~n/2^16
-    per block under a ``max_bucket`` quadratic guard."""
+    per block under a ``max_bucket`` quadratic guard.
+
+    ``mode="star"`` (clustering consumers): (block-bucket min, member)
+    founder edges via a window min — LINEAR in corpus size, no bucket
+    array, no ``max_bucket`` cap (families larger than the guard still
+    dedup), same hamming filter on the surviving edges. Pigeonhole
+    recall applies per EDGE, not per component: two docs within
+    max_hamming that never co-bucket with a within-distance founder can
+    end up in different clusters — components-level recall is traded
+    for linearity exactly as in ``minhash_candidate_pairs(mode="star")``.
+    """
+    if mode not in ("all", "star"):
+        raise ValueError(f"unknown mode: {mode} ('all' | 'star')")
     blocks = max_hamming + 1
     if bits % blocks:
         raise ValueError(f"bits={bits} must divide into {blocks} blocks")
@@ -384,6 +397,21 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 64, max_hamming: int = 3,
         F.posexplode(F.array(*[block_val(k) for k in range(blocks)]))
          .alias("block", "block_val"),
     )
+    if mode == "star":
+        from pyspark.sql import Window
+        w = Window.partitionBy("block", "block_val")
+        founder = F.min(F.struct("id", "simhash")).over(w)
+        return (
+            blocked.withColumn("f", founder)
+            .filter(F.col("id") != F.col("f.id"))
+            .select(
+                F.col("f.id").alias("a"), F.col("id").alias("b"),
+                F.bit_count(F.col("f.simhash").bitwiseXOR(F.col("simhash")))
+                 .alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     buckets = (
         blocked.groupBy("block", "block_val")
         .agg(F.sort_array(F.collect_list(F.struct("id", "simhash")))

@@ -547,3 +547,31 @@ def test_star_mode_uncapped_huge_bucket(spark):
     assert n == 1499                         # founder 0 → every member
     allp = minhash_candidate_pairs(fam, mode="all", max_bucket=1000)
     assert allp.count() == 0                 # cap drops the whole family
+
+
+def test_simhash_star_mode_uncapped_clone_family(spark):
+    """SimHash star mode: founder edges at hamming 0 for a clone family
+    larger than the all-pairs max_bucket guard, and star edges are a
+    subset of the exact-recall all-pairs output."""
+    from dbpedia_spotlight_spark.operators.dedup import simhash_near_pairs
+    doc = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter("doc_id = 3").first()["text"]
+    fam = spark.createDataFrame(
+        [(i, doc) for i in range(1200)], "doc_id long, text string")
+    star = simhash_near_pairs(fam, max_hamming=0, mode="star",
+                              max_bucket=1000)
+    assert star.count() == 1199              # founder 0 -> every clone
+    assert simhash_near_pairs(fam, max_hamming=0, mode="all",
+                              max_bucket=1000).count() == 0  # cap drops
+
+    small = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(40)
+    clones = small.select((F.col("doc_id") + 100000).alias("doc_id"),
+                          "text")
+    corpus = small.select("doc_id", "text").unionByName(clones)
+    allp = {(r.a, r.b, r.hamming) for r in
+            simhash_near_pairs(corpus, max_hamming=3).collect()}
+    starp = {(r.a, r.b, r.hamming) for r in
+             simhash_near_pairs(corpus, max_hamming=3,
+                                mode="star").collect()}
+    assert starp and starp <= allp
