@@ -8,9 +8,15 @@ fingerprint (rolling hash), which is order-dependent imperative logic.
 
 from __future__ import annotations
 
+import string
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
+
+# Strict one-to-one A-Z → a-z mapping shared with the DuckDB oracle
+# (`translate(text, 'A..Z', 'a..z')`); Unicode lower() is NOT 1:1.
+ASCII_LOWER = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -106,11 +112,18 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 5, window: int = 4,
                            text_col: str = "text") -> DataFrame:
     """Winnowing (Schleimer et al.): rolling Karp-Rabin hash over k-grams,
     keep the min hash of each window → robust partial-overlap fingerprint
-    set. Imperative/per-position → Arrow-batched pandas UDF."""
+    set. Imperative/per-position → Arrow-batched pandas UDF.
+
+    Normalization is PINNED to ASCII-only lowercasing (A-Z → a-z via a
+    one-to-one translate): Unicode ``str.lower()`` has one-to-many
+    casefolds (U+0130 İ → 'i'+U+0307 in Python but one codepoint in SQL
+    engines), which desynchronizes the Karp-Rabin char stream between
+    the UDF and the DuckDB oracle. A strict 1:1 mapping is engine-
+    independent by construction (see tests/test_winnowing_property.py)."""
     B, M = 131, (1 << 61) - 1
 
     def fp(text: str) -> list[int]:
-        s = " ".join(text.lower().split())
+        s = " ".join(text.translate(ASCII_LOWER).split())
         if len(s) < k:
             return []
         hashes = []

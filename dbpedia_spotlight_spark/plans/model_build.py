@@ -20,6 +20,7 @@ stream and the sf-occurrence counts in one scan of the corpus.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterable
 
 import pandas as pd
@@ -30,6 +31,47 @@ from pyspark.sql.types import (
 
 from dbpedia_spotlight_spark.functions.automaton import build_automaton
 from dbpedia_spotlight_spark.functions.tokenizer import tokenize
+
+log = logging.getLogger(__name__)
+
+# Documented driver-memory ceiling for the surface-form lexicon: the
+# spot-all automaton is a broadcast structure BUILT on the driver, so
+# the distinct-sf list must land driver-side (same memory model as the
+# reference's in-RAM MemorySurfaceFormStore [U]). A 10M-sf full-
+# Wikipedia lexicon is a few hundred MB of strings — inside this 1 GiB
+# default; bigger lexicons must raise it consciously (and size driver
+# memory to match) rather than discover the limit as an OOM mid-build.
+SF_DRIVER_BYTES_CEILING = 1 << 30
+
+
+def collect_surface_forms(
+    links: DataFrame,
+    byte_ceiling: int = SF_DRIVER_BYTES_CEILING,
+) -> tuple[list[str], dict]:
+    """Stream the distinct lowercase sf lexicon to the driver with
+    byte accounting. ``toLocalIterator`` fetches one partition at a
+    time (no second full-result buffer in the JVM next to the Python
+    list), and the running estimate fails fast past ``byte_ceiling``
+    instead of OOMing deep inside the automaton build. Returns
+    (sfs, stats) with stats = {n_surface_forms, approx_driver_bytes}."""
+    sfs: list[str] = []
+    nbytes = 0
+    rows = (links.select(F.lower("sf").alias("sf")).distinct()
+            .toLocalIterator(prefetchPartitions=True))
+    for row in rows:
+        s = row[0]
+        sfs.append(s)
+        nbytes += len(s.encode("utf-8")) + 49   # CPython compact-str floor
+        if nbytes > byte_ceiling:
+            raise RuntimeError(
+                f"surface-form lexicon exceeds the driver ceiling: "
+                f"{len(sfs):,} sfs so far, ~{nbytes / 2**20:.0f} MiB > "
+                f"{byte_ceiling / 2**20:.0f} MiB — raise byte_ceiling "
+                f"(and driver memory) or shard the spot automaton")
+    stats = {"n_surface_forms": len(sfs), "approx_driver_bytes": nbytes}
+    log.info("model build: %d distinct surface forms (~%.1f MiB) to driver",
+             len(sfs), nbytes / 2**20)
+    return sfs, stats
 
 
 def uri_counts(links: DataFrame) -> DataFrame:
@@ -174,6 +216,10 @@ def dense_ids_by(df: DataFrame, key: str, id_name: str) -> DataFrame:
     # form did
     b = df.withColumn(
         "__bucket", F.coalesce(F.substring(F.col(key), 1, 2), F.lit("")))
+    # one materialization serves BOTH the bucket-count collect below and
+    # the rank join afterwards — without it the two actions re-execute
+    # the (often expensive groupBy) upstream lineage twice
+    b = b.localCheckpoint(eager=True)
     counts = (b.groupBy("__bucket").agg(F.count("*").alias("__n"))
                .orderBy("__bucket").collect())
     offsets, acc = [], 0
@@ -201,11 +247,15 @@ def build_model_tables(
     stopwords: Iterable[str] = (),
     redirects: DataFrame | None = None,
     disambiguations: DataFrame | None = None,
+    stats_out: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Full offline model build: corpus + links → the lexicon tables the
     request path consumes (SURVEY §3.3). Applies the canonicalization
     closure (M5/K1–K3) to link targets before counting, exactly like
-    WikipediaToDBpediaClosure rewrites raw wikistats URIs [U]."""
+    WikipediaToDBpediaClosure rewrites raw wikistats URIs [U].
+
+    ``stats_out``: optional dict that receives build telemetry (currently
+    the driver-side sf-lexicon size from :func:`collect_surface_forms`)."""
     from dbpedia_spotlight_spark.plans.closure import (
         canonicalize_uris, redirect_closure,
     )
@@ -226,9 +276,10 @@ def build_model_tables(
                 F.array().cast("array<string>").alias("types"))
     )
 
-    sft = sf_total_counts(corpus, links,
-                          [r["sf"] for r in
-                           links.select(F.lower("sf").alias("sf")).distinct().collect()])
+    sf_names, sf_stats = collect_surface_forms(links)
+    if stats_out is not None:
+        stats_out.update(sf_stats)
+    sft = sf_total_counts(corpus, links, sf_names)
     surface_forms = dense_ids_by(sft, "sf", "sf_id").select(
         "sf", "sf_id", "annotated_count", "total_count")
 

@@ -2011,7 +2011,11 @@ def sql_winnowing(k: int = 5, window: int = 4) -> str:
     The python rolling hash equals the direct polynomial hash of each
     k-gram mod M; the window pick index is non-decreasing as the window
     slides, so the 'emit when the pick changes' rule equals 'one row per
-    DISTINCT picked index'. The <window-hashes fallback emits min(h)."""
+    DISTINCT picked index'. The <window-hashes fallback emits min(h).
+
+    Case normalization is PINNED to a 1:1 ASCII translate (A-Z → a-z),
+    matching operators/textstats.py::ASCII_LOWER exactly — Unicode
+    lower() diverges between engines on one-to-many casefolds (U+0130)."""
     M = (1 << 61) - 1
     ws = _py_whitespace_class()
     h_expr = "CAST(ord(substr(s, u.i, 1)) AS HUGEINT)"
@@ -2019,7 +2023,11 @@ def sql_winnowing(k: int = 5, window: int = 4) -> str:
         h_expr = f"((({h_expr}) * 131 + ord(substr(s, u.i + {j}, 1))) % {M})"
     return f"""
   WITH norm AS (
-    SELECT doc_id, trim(regexp_replace(lower(text), '{ws}+', ' ', 'g')) AS s
+    SELECT doc_id,
+           trim(regexp_replace(
+             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz'),
+             '{ws}+', ' ', 'g')) AS s
     FROM documents
   ),
   hpos AS (
@@ -2876,6 +2884,62 @@ def sql_frame_sample() -> str:
     )
 
 
+def q_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbpedia_spotlight_spark.operators.pii import pii_counts
+    return pii_counts(_docs(spark, sf_dir))
+
+
+def sql_pii_counts() -> str:
+    """Mirror of operators/pii.py::pii_counts — patterns imported from the
+    single PII_PATTERNS source of truth (explicit char classes only, so
+    Java regex and RE2 agree); DuckDB counts via regexp_extract_all."""
+    from dbpedia_spotlight_spark.operators.pii import PII_PATTERNS
+    cols = ",\n         ".join(
+        f"CAST(length(regexp_extract_all(text, '{pat}')) AS INTEGER)"
+        f" AS n_{kind}"
+        for kind, pat in PII_PATTERNS
+    )
+    names = ", ".join(f"n_{kind}" for kind, _ in PII_PATTERNS)
+    total = " + ".join(f"n_{kind}" for kind, _ in PII_PATTERNS)
+    return f"""
+  SELECT doc_id, {names},
+         CAST({total} AS INTEGER) AS n_pii
+  FROM (SELECT doc_id,
+               {cols}
+        FROM documents)"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbpedia_spotlight_spark.operators.sampling import hash_split
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id")
+
+
+def sql_hash_split() -> str:
+    """Mirror of operators/sampling.py::hash_split — the md5 hex-prefix
+    gate replays exactly in any engine with md5: 15 hex chars (60 bits)
+    parse exactly into a signed BIGINT; thresholds are the same
+    ``int(cum_weight * 2^20)`` truncated literals the Spark side uses."""
+    buckets = 1 << 20
+    weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = sorted(weights)                       # assignment order
+    acc, branches = 0.0, []
+    for name in names[:-1]:
+        acc += weights[name]
+        branches.append(
+            f"WHEN bucket < {int(acc * buckets)} THEN '{name}'")
+    case = "CASE " + " ".join(branches) + f" ELSE '{names[-1]}' END"
+    return f"""
+  SELECT doc_id, {case} AS split
+  FROM (
+    SELECT doc_id,
+           CAST(concat('0x', substr(
+             md5(concat_ws('#', CAST(doc_id AS VARCHAR), 'split')),
+             1, 15)) AS BIGINT) % {buckets} AS bucket
+    FROM documents)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2892,9 +2956,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     winnowing, token_count ⊂ quality_gopher (n_tokens), tpch_q1/q3 and
     order_running_totals ⊂ tpch_q5 + sessionize/salted_user_topk window
     plumbing (the rotated q_/sql_ functions remain in this module and in
-    pytest)."""
+    pytest). Round-4 rotation: pii_counts + hash_split in (previously
+    pytest-only); annotate_quantized + annotate_coref out (3 rounds
+    green; M6 stays covered by functions/quantize tests + the rotated
+    pair, F5 by the rotated pair — both still DuckDB-mirrored in
+    tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "pii_counts": q_pii_counts,
+        "hash_split": q_hash_split,
         "image_features": q_image_features,
         "salted_user_topk": q_salted_user_topk,
         "sessionize": q_sessionize,
@@ -2921,10 +2991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pagerank": q_entity_pagerank,
         # full fused pipeline
         "annotate_generative": q_annotate_generative,
-        "annotate_quantized": q_annotate_quantized,
         "annotate_tficf": q_annotate_tficf,
         "annotate_typed": q_annotate_typed,
-        "annotate_coref": q_annotate_coref,
         "spot_fsa": q_spot_fsa,
         "candidates_generative": q_candidates_generative,
         "model_build": q_model_build,
@@ -2955,7 +3023,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Key order MATCHES queries() exactly (positional and key-based
+    consumers agree — the driver checks the first 50 in order)."""
     return {
+        "pii_counts": sql_pii_counts(),
+        "hash_split": sql_hash_split(),
         "image_features": sql_image_features(),
         "salted_user_topk": sql_salted_user_topk(),
         "sessionize": sql_sessionize(),
@@ -2975,17 +3047,15 @@ def oracle_sql() -> dict[str, str]:
         "uri_counts": sql_uri_counts(),
         "pair_counts": sql_pair_counts(),
         "sf_totals": sql_sf_totals(),
-        "annotate_generative": sql_annotate_generative(),
-        "annotate_quantized": sql_annotate_quantized(),
-        "annotate_tficf": sql_annotate_tficf(),
-        "annotate_typed": sql_annotate_typed(),
-        "annotate_coref": sql_annotate_coref(),
-        "candidates_generative": sql_candidates_generative(),
-        "spot_fsa": sql_spot_fsa(),
         "redirect_closure": sql_redirect_closure(),
         "entity_graph_nodes": sql_entity_graph_nodes(),
         "entity_graph_edges": sql_entity_graph_edges(),
         "entity_pagerank": sql_entity_pagerank(),
+        "annotate_generative": sql_annotate_generative(),
+        "annotate_tficf": sql_annotate_tficf(),
+        "annotate_typed": sql_annotate_typed(),
+        "spot_fsa": sql_spot_fsa(),
+        "candidates_generative": sql_candidates_generative(),
         "model_build": sql_model_build(),
         "model_entities": sql_model_entities(),
         "model_token_counts": sql_model_token_counts(),

@@ -30,6 +30,10 @@ ROTATED = [
     ("tpch_q3", Q.q_tpch_q3, Q.sql_tpch_q3),
     ("order_running_totals", Q.q_order_running_totals,
      Q.sql_order_running_totals),
+    # round-4 rotation: M6 / F5 evidence moved here to free registry
+    # slots for pii_counts + hash_split
+    ("annotate_quantized", Q.q_annotate_quantized, Q.sql_annotate_quantized),
+    ("annotate_coref", Q.q_annotate_coref, Q.sql_annotate_coref),
 ]
 
 

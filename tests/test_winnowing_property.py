@@ -7,15 +7,16 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
+from dbpedia_spotlight_spark.operators.textstats import ASCII_LOWER
 from dbpedia_spotlight_spark.queries import sql_winnowing
 
 
 def _python_fp(text: str, k: int = 5, window: int = 4) -> list[int]:
     # reference: textstats.winnowing_fingerprints inner function
     B, M = 131, (1 << 61) - 1
-    s = " ".join(text.lower().split())
+    s = " ".join(text.translate(ASCII_LOWER).split())
     if len(s) < k:
         return []
     hashes = []
@@ -43,6 +44,9 @@ def _python_fp(text: str, k: int = 5, window: int = 4) -> list[int]:
                            blacklist_characters="'"),
     max_size=120,
 ))
+@example(
+    text='000İ',
+).via('discovered failure')
 def test_winnowing_oracle_matches_python_on_random_text(text):
     con = duckdb.connect()
     con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
