@@ -19,9 +19,12 @@ Scale notes (100 TB / 10^12 docs):
   iterative-DataFrame fix as ``graph.pagerank``). PySpark has no public
   API to unpersist a localCheckpoint, so up to ``max_iter`` label-frame
   generations (16 bytes/doc each) sit in executor storage until the
-  session drops them — bounded and fine for shallow dedup graphs; a
-  deep-iteration caller should switch to a reliable checkpoint dir and
-  clean previous generations explicitly.
+  session drops them — bounded and fine for shallow dedup graphs. Deep
+  chains / long iterations: pass ``checkpoint_dir`` to switch to the
+  reliable-checkpoint mode (``operators/iterate.py``) — parquet
+  generation per round with the previous generation deleted once the
+  new one is durable, so storage stays flat at ~2 generations and the
+  cut survives executor loss.
 - Early-stop costs one count-like action per round on the checkpointed
   frame; label sums are NOT used (monotone long sums can overflow at
   10^12 ids) — convergence is detected with an explicit changed-flag
@@ -35,11 +38,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+
 
 def connected_components(nodes: DataFrame, pairs: DataFrame,
                          id_col: str = "id", max_iter: int = 20,
                          early_stop: bool = True,
-                         require_converged: bool = False) -> DataFrame:
+                         require_converged: bool = False,
+                         checkpoint_dir: str | None = None) -> DataFrame:
     """(id, component) for every node; component = min node id reachable
     through ``pairs`` (columns a, b — undirected). Isolated nodes keep
     their own id. Deterministic and partition-layout independent: every
@@ -52,21 +58,25 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     bound, not a tuning knob — min labels travel one hop per round, so
     it must exceed the component diameter; ``require_converged=True``
     raises instead of silently returning partial components when the
-    bound is hit mid-propagation.
+    bound is hit mid-propagation. ``checkpoint_dir`` switches the
+    per-round lineage cut to reliable-checkpoint mode (flat storage for
+    deep iteration counts — see operators/iterate.py).
     """
     if require_converged and not early_stop:
         raise ValueError(
             "require_converged needs early_stop=True — convergence is "
             "detected from the per-round changed-label count, which the "
             "fixed-iteration mode never computes")
-    edges = (
+    ckpt = RoundCheckpointer(nodes.sparkSession, checkpoint_dir, "cc-labels")
+    edge_ckpt = RoundCheckpointer(nodes.sparkSession, checkpoint_dir,
+                                  "cc-edges")
+    edges = edge_ckpt.cut(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(
             pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         # materialize ONCE: edges are re-joined every round, and `pairs`
         # is typically the whole MinHash/SimHash pipeline — without this
         # each round would re-execute that upstream from the scan
-        .localCheckpoint(eager=True)
     )
     labels = nodes.select(F.col(id_col).alias("id"),
                           F.col(id_col).alias("comp"))
@@ -84,8 +94,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                 (F.coalesce("nb_comp", F.col("comp"))
                  < F.col("comp")).alias("changed"),
             )
-            .localCheckpoint(eager=True)
         )
+        stepped = ckpt.cut(stepped)
         new_labels = stepped.select("id", "comp")
         if early_stop:
             n_changed = stepped.agg(
@@ -107,9 +117,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
 
 
 def dedup_keep(nodes: DataFrame, pairs: DataFrame, id_col: str = "id",
-               max_iter: int = 20) -> DataFrame:
+               max_iter: int = 20,
+               checkpoint_dir: str | None = None) -> DataFrame:
     """(id, component, keep): canonical-keeper resolution — keep the
     minimum id of each duplicate cluster, drop the rest. The downstream
     corpus filter is ``WHERE keep``."""
-    labels = connected_components(nodes, pairs, id_col, max_iter)
+    labels = connected_components(nodes, pairs, id_col, max_iter,
+                                  checkpoint_dir=checkpoint_dir)
     return labels.withColumn("keep", F.col("id") == F.col("comp"))

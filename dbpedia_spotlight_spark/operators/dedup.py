@@ -210,7 +210,11 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     exact regardless of shingle frequency — this is the production
     composition at corpus scale (``max_bucket`` is ignored: capping the
     verify would silently undercount intersections for boilerplate-heavy
-    true duplicates).
+    true duplicates). Edge contract, aligned with the no-candidates
+    path: candidate pairs with ZERO shared shingles are never emitted
+    (even at threshold<=0 — they share no bucket, so the exact path
+    would not see them either), and a candidate whose doc has an empty
+    shingle set (text shorter than k) cannot appear in any output pair.
 
     Without candidates, all pairs sharing ≥1 shingle are evaluated via
     single-pass bucket expansion. ``max_bucket`` caps the expansion (one
@@ -265,7 +269,10 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                    .otherwise(0)).alias("inter"),
         )
         return (
-            agg.withColumn(
+            # inter > 0 keeps the edge contract above (and makes the
+            # NULL-na/nb empty-doc rows unreachable, not just dropped)
+            agg.filter(F.col("inter") > 0)
+            .withColumn(
                 "jaccard",
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
             .filter(F.col("jaccard") >= threshold)

@@ -64,7 +64,8 @@ def cooccurrence_edges(links: DataFrame, doc_col: str = "doc_id",
 
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
-             n_iter: int = 10, driver_threshold: int = 100_000) -> DataFrame:
+             n_iter: int = 10, driver_threshold: int = 100_000,
+             checkpoint_dir: str | None = None) -> DataFrame:
     """PageRank over the undirected co-occurrence graph (each edge
     contributes both directions), deterministic fixed-iteration power
     method. Returns (uri, rank) with Σ rank = 1 (dangling mass
@@ -73,7 +74,10 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     Graphs with < ``driver_threshold`` edges solve driver-side in numpy
     (10 distributed shuffle rounds cost seconds of fixed overhead that
     dwarf a small graph's math — same broadcast-the-small-side logic as
-    dimension joins); larger graphs run the distributed join loop."""
+    dimension joins); larger graphs run the distributed join loop.
+    ``checkpoint_dir`` switches the per-iteration lineage cut to
+    reliable-checkpoint mode (flat storage for large n_iter — see
+    operators/iterate.py)."""
     if edges.limit(driver_threshold).count() < driver_threshold:
         return _pagerank_driver(edges, damping, n_iter)
     # directed edge list both ways, weighted by n_docs
@@ -92,6 +96,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     )
     nodes = directed.select(F.col("src").alias("uri")).distinct().cache()
     n_nodes = nodes.count()
+    from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+    ckpt = RoundCheckpointer(edges.sparkSession, checkpoint_dir, "pr-ranks")
     ranks = nodes.select("uri", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(n_iter):
         contrib = (
@@ -99,7 +105,7 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             .groupBy("dst")
             .agg(F.sum(F.col("p") * F.col("rank")).alias("mass"))
         )
-        ranks = (
+        ranks = ckpt.cut(
             nodes.join(contrib, nodes.uri == contrib.dst, "left")
             .select(
                 "uri",
@@ -110,7 +116,6 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             # cut lineage every iteration: without this the logical plan (and
             # Catalyst re-analysis cost) grows with the iteration count —
             # the standard iterative-DataFrame fix
-            .localCheckpoint(eager=True)
         )
     return ranks
 

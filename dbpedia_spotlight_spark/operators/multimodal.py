@@ -1,10 +1,11 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step is STUBBED (no image/audio libs in this container — see
-driver brief): ``decode_image``/``decode_audio`` raise
-NotImplementedError unless ``fake=True``, which substitutes a
-deterministic byte-statistics "decoder". Everything Spark-side is real
+The decode step is STUBBED (probe recorded 2026-08-17: PIL, cv2,
+soundfile and librosa are all absent from this container):
+``decode_image``/``decode_audio`` raise NotImplementedError unless
+``fake=True``, which substitutes a deterministic byte-statistics
+"decoder". Everything Spark-side is real
 and tested: schemas, Arrow batch shapes, mapInPandas signatures,
 partitioning of large binary payloads.
 
@@ -98,6 +99,73 @@ def image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     return media.filter(F.col("kind") == "image").select(
         "media_id", "payload"
     ).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("zcr", DoubleType()),           # zero-crossing rate
+    StructField("peak", DoubleType()),
+    StructField("embedding", ArrayType(FloatType())),  # frame-energy profile
+])
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    """bytes → float64 mono sample array in [-1, 1]. Real decode needs
+    soundfile/librosa (absent here — probe recorded in the module
+    docstring); ``fake=True`` interprets the byte stream as signed
+    8-bit PCM — a deterministic stand-in with the same signature, so
+    swapping in a real decoder changes ONE function."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires soundfile/librosa (not in this "
+            "container); pass fake=True for the deterministic PCM8 decoder"
+        )
+    raw = np.frombuffer(payload or b"\x00", dtype=np.int8)
+    return raw.astype(np.float64) / 128.0
+
+
+def audio_features(media: DataFrame, frame: int = 64,
+                   n_bands: int = 8,
+                   fake_decode: bool = True) -> DataFrame:
+    """Feature-extract pass over audio rows: sample stats (RMS,
+    zero-crossing rate, peak) + an ``n_bands``-dim frame-energy profile
+    embedding (RMS per frame of ``frame`` samples, folded to n_bands by
+    averaging — the MFCC-shaped output slot without the DSP libs).
+
+    Same plumbing contract as image_features: mapInPandas over
+    (media_id, payload) only, payload never shuffled, features + ids
+    out. The decoder is the :func:`decode_audio` seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                x = decode_audio(b, fake=fake_decode)
+                n = len(x)
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                zc = (int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum())
+                      / (n - 1)) if n > 1 else 0.0
+                peak = float(np.abs(x).max()) if n else 0.0
+                pad = (-n) % frame
+                fx = np.concatenate([x, np.zeros(pad)]) if pad else x
+                fe = np.sqrt((fx.reshape(-1, frame) ** 2).mean(axis=1))
+                bpad = (-len(fe)) % n_bands
+                if bpad:
+                    fe = np.concatenate([fe, np.zeros(bpad)])
+                emb = fe.reshape(n_bands, -1).mean(axis=1).astype(np.float32)
+                rows.append((int(mid), len(b), n, rms, float(zc), peak,
+                             emb.tolist()))
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 FRAME_SAMPLE_SCHEMA = StructType([

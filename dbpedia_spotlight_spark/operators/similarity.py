@@ -228,8 +228,28 @@ def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
     set driver-side, so the trainer is a pure function of the sample SET
     — DuckDB replays the md5 gate + sort + Lloyd iterations verbatim
     (``sql_ann_ivf``)."""
-    import numpy as np
+    X = ivf_training_sample(embeddings, sample, id_col, vec_col)
+    # deterministic init: evenly strided sample rows (integer arithmetic
+    # — np.linspace().astype(int) truncates float intermediates, which a
+    # SQL mirror cannot reproduce bit-for-bit near integer boundaries)
+    idx = [i * (len(X) - 1) // max(n_clusters - 1, 1)
+           for i in range(n_clusters)]
+    C = X[idx].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
 
+
+def ivf_training_sample(embeddings: DataFrame, sample: int = 2048,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> "np.ndarray":
+    """The trainer's exact driver-side sample matrix (exposed so parity
+    tests can replay Lloyd iterations and pin argmin margins)."""
     n = embeddings.count()
     if n <= sample:
         src = embeddings
@@ -246,21 +266,7 @@ def ivf_centroids(embeddings: DataFrame, n_clusters: int = 16,
         src = embeddings.filter((h % (1 << 20)) < gate)
     rows = (src.orderBy(id_col).limit(sample)
             .select(vec_col).toPandas()[vec_col].tolist())
-    X = np.asarray([list(map(float, v)) for v in rows])
-    # deterministic init: evenly strided sample rows (integer arithmetic
-    # — np.linspace().astype(int) truncates float intermediates, which a
-    # SQL mirror cannot reproduce bit-for-bit near integer boundaries)
-    idx = [i * (len(X) - 1) // max(n_clusters - 1, 1)
-           for i in range(n_clusters)]
-    C = X[idx].copy()
-    for _ in range(n_iter):
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(n_clusters):
-            m = assign == c
-            if m.any():
-                C[c] = X[m].mean(axis=0)
-    return C
+    return np.asarray([list(map(float, v)) for v in rows])
 
 
 def ivf_assign(embeddings: DataFrame, centroids, id_col: str = "vec_id",

@@ -575,3 +575,106 @@ def test_simhash_star_mode_uncapped_clone_family(spark):
              simhash_near_pairs(corpus, max_hamming=3,
                                 mode="star").collect()}
     assert starp and starp <= allp
+
+
+def test_jaccard_verify_edge_contract(spark):
+    """Candidates-verify path must match the no-candidates contract at
+    edges (ADVICE r3): zero-shared-shingle pairs are never emitted even
+    at threshold=0, and a doc with an empty shingle set (text < k)
+    cannot appear in any output pair."""
+    from dbpedia_spotlight_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.createDataFrame([
+        (0, "abcdefgh"),          # shares nothing with doc 1
+        (1, "zyxwvuts"),
+        (2, "ab"),                # shorter than k=3 -> empty shingle set
+        (3, "abcdefgh"),          # exact dup of doc 0
+    ], "doc_id long, text string")
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "a long, b long")
+    out = ngram_jaccard_pairs(docs, k=3, threshold=0.0,
+                              candidates=cands).collect()
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out}
+    assert set(got) == {(0, 3)}          # disjoint + empty-doc pairs gone
+    assert got[(0, 3)] == 1.0
+
+
+def test_connected_components_deep_chain_reliable_checkpoint(spark, tmp_path):
+    """A 61-node chain (diameter 60 > the default 20-round bound) must
+    resolve under reliable-checkpoint mode WITHOUT storage growing by one
+    generation per round: at most the live label generation + the edge
+    materialization remain on disk at the end (VERDICT r3 item 4)."""
+    import os
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components,
+    )
+    n = 61
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long")
+    ck = str(tmp_path / "cc_ckpt")
+    labels = connected_components(nodes, pairs, max_iter=80,
+                                  require_converged=True,
+                                  checkpoint_dir=ck)
+    got = {r["id"]: r["comp"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    gens = [d for d in os.listdir(ck) if d.startswith("cc-labels-gen-")]
+    assert len(gens) <= 2, f"label generations accumulated: {gens}"
+
+    # parity with the default localCheckpoint mode
+    base = connected_components(nodes, pairs, max_iter=80,
+                                require_converged=True)
+    assert {r["id"]: r["comp"] for r in base.collect()} == got
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    import os
+    from dbpedia_spotlight_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 1), ("a", "c", 2), ("c", "d", 1)],
+        "uri_a string, uri_b string, n_docs long")
+    ck = str(tmp_path / "pr_ckpt")
+    # driver_threshold=0 forces the distributed join loop on this tiny graph
+    dist = pagerank(edges, driver_threshold=0, checkpoint_dir=ck)
+    got = {r["uri"]: r["rank"] for r in dist.collect()}
+    want = {r["uri"]: r["rank"] for r in
+            pagerank(edges, driver_threshold=0).collect()}
+    assert got.keys() == want.keys()
+    for u in got:
+        assert abs(got[u] - want[u]) < 1e-12
+    gens = [d for d in os.listdir(ck) if d.startswith("pr-ranks-gen-")]
+    assert len(gens) <= 2, f"rank generations accumulated: {gens}"
+
+
+def test_audio_features_deterministic_and_payload_never_shuffled(spark):
+    """audio_features: real Spark plumbing over the stubbed decode seam
+    (probe: no soundfile/librosa wheel in this container) — values must
+    match a driver-side numpy replay exactly, and the plan must be a
+    single mapInPandas pass with no Exchange touching the payload."""
+    import numpy as np
+    from dbpedia_spotlight_spark.operators.multimodal import (
+        audio_features, decode_audio, make_fake_media,
+    )
+    media = make_fake_media(spark)
+    out = audio_features(media)
+    rows = {r["media_id"]: r for r in out.collect()}
+    local = {r["media_id"]: bytes(r["payload"])
+             for r in media.filter("kind = 'audio'").collect()}
+    assert set(rows) == set(local) and rows
+
+    for mid, payload in local.items():
+        x = decode_audio(payload, fake=True)
+        r = rows[mid]
+        assert r["n_bytes"] == len(payload)
+        assert r["n_samples"] == len(x)
+        assert abs(r["rms"] - float(np.sqrt((x * x).mean()))) < 1e-12
+        assert 0.0 <= r["zcr"] <= 1.0
+        assert abs(r["peak"] - float(np.abs(x).max())) < 1e-12
+        assert len(r["embedding"]) == 8
+
+    plan = audio_features(media)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"\x01\x02", fake=False)
