@@ -42,9 +42,60 @@ def build_spark(cpus: int):
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # metrics deltas sum over ALL retained stages — keep every stage
+        # of the suite retained so per-query shuffle deltas stay exact
+        .config("spark.ui.retainedStages", "100000")
         .config("spark.driver.memory", "16g")
         .getOrCreate()
     )
+
+
+def _metrics_probe(spark):
+    """Shuffle + memory telemetry for the BASELINE.md protocol ("report
+    per level: ... shuffle bytes, peak executor memory"), via public
+    APIs only: the app status store for stage-level shuffle totals and
+    the JVM memory-pool MXBeans for heap peaks (local mode: the executor
+    IS the driver JVM, so the heap-pool peak is the executor peak).
+
+    Returns (shuffle_totals, reset_heap_peaks, peak_heap_bytes);
+    per-query values are before/after deltas of shuffle_totals plus a
+    reset-then-read of the pool peaks."""
+    jvm = spark._jvm
+    gw = spark.sparkContext._gateway
+    store = spark._jsc.sc().statusStore()
+
+    def shuffle_totals():
+        stages = store.stageList(jvm.java.util.ArrayList(), False, False,
+                                 gw.new_array(jvm.double, 0),
+                                 jvm.java.util.ArrayList())
+        read = write = spill = 0
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            read += s.shuffleReadBytes()
+            write += s.shuffleWriteBytes()
+            spill += s.diskBytesSpilled()
+        return read, write, spill
+
+    def _pools():
+        return (jvm.java.lang.management.ManagementFactory
+                .getMemoryPoolMXBeans())
+
+    def reset_heap_peaks():
+        pools = _pools()
+        for i in range(pools.size()):
+            pools.get(i).resetPeakUsage()
+
+    def peak_heap_bytes():
+        pools = _pools()
+        total = 0
+        for i in range(pools.size()):
+            p = pools.get(i)
+            if p.getType().toString() == "Heap memory":
+                total += p.getPeakUsage().getUsed()
+        return total
+
+    return shuffle_totals, reset_heap_peaks, peak_heap_bytes
 
 
 def _run(df) -> None:
@@ -87,17 +138,30 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # up all Python workers + deserializes the broadcast model per worker
 
     n_docs = Q._docs(spark, sf_dir).count()
+    shuffle_totals, reset_heap_peaks, peak_heap_bytes = _metrics_probe(spark)
     times: dict[str, float] = {}
+    metrics: dict[str, dict] = {}
+    mb = 1.0 / (1 << 20)
     for name in HEADLINE:
         # min-of-3: first executions pay per-plan JIT/codegen, and this
         # VM sees ±2× transient external contention (measured across
         # rounds); the min is the steady-state estimate
         samples = []
-        for _ in range(3):
+        for rep in range(3):
+            if rep == 2:            # instrument the steady-state rep
+                r0, w0, s0 = shuffle_totals()
+                reset_heap_peaks()
             t0 = time.perf_counter()
             _run(qs[name](spark, sf_dir))
             samples.append(round(time.perf_counter() - t0, 3))
+        r1, w1, s1 = shuffle_totals()
         times[name] = min(samples)
+        metrics[name] = {
+            "shuffle_read_mb": round((r1 - r0) * mb, 3),
+            "shuffle_write_mb": round((w1 - w0) * mb, 3),
+            "disk_spill_mb": round((s1 - s0) * mb, 3),
+            "peak_heap_mb": round(peak_heap_bytes() * mb, 1),
+        }
 
     total = round(sum(times.values()), 3)
     docs_per_sec = round(n_docs / times["annotate_generative"], 2)
@@ -107,6 +171,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "query_metrics": metrics,
         "sf": sf_dir,
         "cpus": cpus,
         "n_docs": n_docs,
@@ -164,16 +229,32 @@ def run_scale_probe(corpus_dir: str, cpus: int, reps: int = 3) -> dict:
     annotate(spark, web.sample(0.02, seed=1), bc, cfg) \
         .write.format("noop").mode("overwrite").save()
     n_docs = docs.count()
+    shuffle_totals, reset_heap_peaks, peak_heap_bytes = _metrics_probe(spark)
     samples = []
-    for _ in range(reps):
+    for rep in range(reps):
+        if rep == reps - 1:         # instrument the steady-state rep
+            r0, w0, _ = shuffle_totals()
+            reset_heap_peaks()
         t0 = time.perf_counter()
         annotate(spark, web, bc, cfg) \
             .write.format("noop").mode("overwrite").save()
         samples.append(round(time.perf_counter() - t0, 3))
+    r1, w1, _ = shuffle_totals()
+    # BASELINE.md protocol: per-level triples emitted, shuffle bytes,
+    # peak executor memory alongside docs/sec
+    n_ann = annotate(spark, web, bc, cfg).count()
+    mb = 1.0 / (1 << 20)
+    out = {
+        "cpus": cpus, "n_docs": n_docs, "sec": min(samples),
+        "samples": samples,
+        "docs_per_sec": round(n_docs / min(samples), 2),
+        "n_annotations": n_ann,
+        "shuffle_read_mb": round((r1 - r0) * mb, 3),
+        "shuffle_write_mb": round((w1 - w0) * mb, 3),
+        "peak_heap_mb": round(peak_heap_bytes() * mb, 1),
+    }
     spark.stop()
-    sec = min(samples)
-    return {"cpus": cpus, "n_docs": n_docs, "sec": sec, "samples": samples,
-            "docs_per_sec": round(n_docs / sec, 2)}
+    return out
 
 
 def hardware_ceiling(n_small: int, n_big: int) -> dict:
@@ -244,6 +325,14 @@ def run_scaling(sf_dir: str) -> dict:
         f"samples_local{SCALE_BIG}": out[SCALE_BIG]["samples"],
         f"docs_per_sec_local{SCALE_SMALL}": out[SCALE_SMALL]["docs_per_sec"],
         f"docs_per_sec_local{SCALE_BIG}": out[SCALE_BIG]["docs_per_sec"],
+        # BASELINE.md protocol step 3: per-level triples emitted,
+        # shuffle bytes, peak executor memory
+        **{
+            f"{k}_local{c}": out[c][k]
+            for c in (SCALE_SMALL, SCALE_BIG)
+            for k in ("n_annotations", "shuffle_read_mb",
+                      "shuffle_write_mb", "peak_heap_mb")
+        },
         "efficiency": round((t_n / t_4n) / 4.0, 3),
         "hardware_ceiling": hardware_ceiling(SCALE_SMALL, SCALE_BIG),
     }
@@ -288,6 +377,11 @@ def main() -> None:
             f"samples_local{SCALE_SMALL}", f"samples_local{SCALE_BIG}",
             f"docs_per_sec_local{SCALE_SMALL}",
             f"docs_per_sec_local{SCALE_BIG}",
+        } | {
+            f"{k}_local{c}"
+            for c in (SCALE_SMALL, SCALE_BIG)
+            for k in ("n_annotations", "shuffle_read_mb",
+                      "shuffle_write_mb", "peak_heap_mb")
         }
         scaling = {k: v for k, v in raw.items() if k in known}
         age_h = (time.time() - raw.get("measured_at", 0)) / 3600.0
