@@ -23,8 +23,21 @@ _TOKEN_RE = re.compile(r"[0-9A-Za-zÀ-ɏ]+(?:['\-][0-9A-Za-zÀ-ɏ]+)*")
 
 
 def tokenize(text: str) -> list[tuple[int, int, str]]:
-    """Return [(begin, end, token_lower)] with [begin, end) char spans."""
-    return [(m.start(), m.end(), m.group(0).lower()) for m in _TOKEN_RE.finditer(text)]
+    """Return [(begin, end, token_lower)] with [begin, end) char spans.
+
+    Fast path: lowercase the WHOLE text once (C-speed) and slice tokens
+    out of it — ~2× cheaper than a per-match ``.group(0).lower()``.
+    Python's ``str.lower`` maps each code point independently, so when
+    the lowercased text has the SAME length as the original, slicing by
+    the original match spans is positionwise identical to per-token
+    lowercasing; one-to-many casefolds (U+0130 İ → 2 codepoints) change
+    the length, and that rare case falls back to the per-token form."""
+    low = text.lower()
+    if len(low) == len(text):
+        return [(m.start(), m.end(), low[m.start():m.end()])
+                for m in _TOKEN_RE.finditer(text)]
+    return [(m.start(), m.end(), m.group(0).lower())
+            for m in _TOKEN_RE.finditer(text)]
 
 
 def tokenize_ids(
