@@ -34,8 +34,12 @@ def tokenize(text: str) -> list[tuple[int, int, str]]:
     the length, and that rare case falls back to the per-token form."""
     low = text.lower()
     if len(low) == len(text):
-        return [(m.start(), m.end(), low[m.start():m.end()])
-                for m in _TOKEN_RE.finditer(text)]
+        out = []
+        ap = out.append
+        for m in _TOKEN_RE.finditer(text):
+            b, e = m.span()
+            ap((b, e, low[b:e]))
+        return out
     return [(m.start(), m.end(), m.group(0).lower())
             for m in _TOKEN_RE.finditer(text)]
 
