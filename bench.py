@@ -65,6 +65,16 @@ def _metrics_probe(spark):
     store = spark._jsc.sc().statusStore()
 
     def shuffle_totals():
+        # the status store is fed asynchronously from the listener bus —
+        # drain it first so a just-finished action's task-end events are
+        # included in THIS reading, not the next query's delta
+        try:
+            spark._jsc.sc().listenerBus().waitUntilEmpty(10_000)
+        except Exception:
+            try:
+                spark._jsc.sc().listenerBus().waitUntilEmpty()
+            except Exception:
+                pass
         stages = store.stageList(jvm.java.util.ArrayList(), False, False,
                                  gw.new_array(jvm.double, 0),
                                  jvm.java.util.ArrayList())
@@ -229,6 +239,10 @@ def run_scale_probe(corpus_dir: str, cpus: int, reps: int = 3) -> dict:
     annotate(spark, web.sample(0.02, seed=1), bc, cfg) \
         .write.format("noop").mode("overwrite").save()
     n_docs = docs.count()
+    # annotation count (BASELINE.md protocol: triples emitted per level)
+    # runs BEFORE the instrumented rep so its heap/shuffle footprint
+    # cannot contaminate the reported peak of the timed run
+    n_ann = annotate(spark, web, bc, cfg).count()
     shuffle_totals, reset_heap_peaks, peak_heap_bytes = _metrics_probe(spark)
     samples = []
     for rep in range(reps):
@@ -240,9 +254,6 @@ def run_scale_probe(corpus_dir: str, cpus: int, reps: int = 3) -> dict:
             .write.format("noop").mode("overwrite").save()
         samples.append(round(time.perf_counter() - t0, 3))
     r1, w1, _ = shuffle_totals()
-    # BASELINE.md protocol: per-level triples emitted, shuffle bytes,
-    # peak executor memory alongside docs/sec
-    n_ann = annotate(spark, web, bc, cfg).count()
     mb = 1.0 / (1 << 20)
     out = {
         "cpus": cpus, "n_docs": n_docs, "sec": min(samples),
@@ -387,6 +398,17 @@ def main() -> None:
         age_h = (time.time() - raw.get("measured_at", 0)) / 3600.0
         result["scaling"] = {**scaling, "cached": True,
                              "cache_age_hours": round(age_h, 2)}
+    cluster_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".cluster_cache.json")
+    if os.path.exists(cluster_cache):
+        # real-executor evidence (scripts/cluster_bench.py: spark-submit
+        # --py-files to local-cluster at 1 vs 4 workers — the north_rule's
+        # literal N→4N-executor shape), with explicit staleness
+        with open(cluster_cache) as f:
+            raw = json.load(f)
+        age_h = (time.time() - raw.pop("measured_at", 0)) / 3600.0
+        result["cluster_scaling"] = {**raw, "cached": True,
+                                     "cache_age_hours": round(age_h, 2)}
     print(json.dumps(result))
 
 

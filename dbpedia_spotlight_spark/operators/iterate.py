@@ -30,6 +30,8 @@ results are safely elsewhere.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -49,13 +51,20 @@ class RoundCheckpointer:
         self.spark = spark
         self.dir = checkpoint_dir.rstrip("/") if checkpoint_dir else None
         self.name = name
+        # unique per-instance run token: two loops sharing a
+        # checkpoint_dir (or one re-run) must not overwrite/delete each
+        # other's generations while earlier results are still lazily
+        # referenced — paths are (dir, name, token)-scoped, not (dir,
+        # name)-scoped. Tokens only name directories; results never
+        # depend on them.
+        self._token = uuid.uuid4().hex[:8]
         self._gen = 0
         self._prev: str | None = None
 
     def cut(self, df: DataFrame) -> DataFrame:
         if self.dir is None:
             return df.localCheckpoint(eager=True)
-        path = f"{self.dir}/{self.name}-gen-{self._gen:05d}"
+        path = f"{self.dir}/{self.name}-{self._token}-gen-{self._gen:05d}"
         self._gen += 1
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)

@@ -27,13 +27,15 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
     ("card", "[0-9]{13,16}"),
     ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"),
-    # Structured phone shape (optional country code, 3-digit area code
-    # with optional parens, exchange, 2-4 digit line) rather than a
-    # loose separator run: a '[0-9()./ -]{6,}' class also swallowed
-    # dates ('2024/01/01 10.30') and spaced number series
+    # Structured phone shape — optional country code, optional 3-digit
+    # area code with optional parens, then the 3+4 exchange/line core
+    # (so 7-digit locals like '555-1234' are still caught) — rather
+    # than a loose separator run: a '[0-9()./ -]{6,}' class also
+    # swallowed dates ('2024/01/01 10.30') and spaced number series
     # ('1 2 3 4 5 6 7 8'), silently mangling clean corpus text.
     ("phone",
-     "[+]?(?:[0-9]{1,3}[ -]?)?[(]?[0-9]{3}[)]?[ -]?[0-9]{3}[ -]?[0-9]{2,4}"),
+     "[+]?(?:[0-9]{1,3}[ -]?)?(?:[(]?[0-9]{3}[)]?[ -]?)?"
+     "[0-9]{3}[ -]?[0-9]{4}"),
 )
 
 

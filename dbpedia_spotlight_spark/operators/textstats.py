@@ -14,9 +14,28 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
-# Strict one-to-one A-Z → a-z mapping shared with the DuckDB oracle
-# (`translate(text, 'A..Z', 'a..z')`); Unicode lower() is NOT 1:1.
-ASCII_LOWER = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
+# Strict one-to-one casefold shared with the DuckDB oracle via
+# `translate(text, CASEFOLD_FROM, CASEFOLD_TO)`: every Basic Latin /
+# Latin-1 / Latin Extended A-B upper → lower pair whose lowercase is a
+# SINGLE codepoint. Unicode lower() itself is NOT 1:1 (U+0130 İ expands
+# to two codepoints in Python but one in SQL engines, desynchronizing
+# any cross-engine character stream); restricting to the 1:1 pairs
+# keeps accented case-folding (É→é, Ü→ü, Š→š — dedup recall on
+# French/German/Czech text) while excluding exactly the expanding
+# codepoints that diverge between engines.
+def _one_to_one_casefold() -> tuple[str, str]:
+    src, dst = [], []
+    for cp in range(0x41, 0x250):           # Basic Latin .. Latin Ext-B
+        u = chr(cp)
+        lo = u.lower()
+        if u != lo and len(lo) == 1:
+            src.append(u)
+            dst.append(lo)
+    return "".join(src), "".join(dst)
+
+
+CASEFOLD_FROM, CASEFOLD_TO = _one_to_one_casefold()
+ASCII_LOWER = str.maketrans(CASEFOLD_FROM, CASEFOLD_TO)
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
 LANG_PROFILES: dict[str, tuple[str, ...]] = {

@@ -2013,9 +2013,13 @@ def sql_winnowing(k: int = 5, window: int = 4) -> str:
     slides, so the 'emit when the pick changes' rule equals 'one row per
     DISTINCT picked index'. The <window-hashes fallback emits min(h).
 
-    Case normalization is PINNED to a 1:1 ASCII translate (A-Z → a-z),
-    matching operators/textstats.py::ASCII_LOWER exactly — Unicode
-    lower() diverges between engines on one-to-many casefolds (U+0130)."""
+    Case normalization is PINNED to the strict 1:1 translate defined by
+    operators/textstats.py::CASEFOLD_FROM/TO (imported here so the two
+    engines can never drift) — Unicode lower() diverges between engines
+    on one-to-many casefolds (U+0130)."""
+    from dbpedia_spotlight_spark.operators.textstats import (
+        CASEFOLD_FROM, CASEFOLD_TO,
+    )
     M = (1 << 61) - 1
     ws = _py_whitespace_class()
     h_expr = "CAST(ord(substr(s, u.i, 1)) AS HUGEINT)"
@@ -2025,8 +2029,7 @@ def sql_winnowing(k: int = 5, window: int = 4) -> str:
   WITH norm AS (
     SELECT doc_id,
            trim(regexp_replace(
-             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                             'abcdefghijklmnopqrstuvwxyz'),
+             translate(text, '{CASEFOLD_FROM}', '{CASEFOLD_TO}'),
              '{ws}+', ' ', 'g')) AS s
     FROM documents
   ),

@@ -84,12 +84,17 @@ def orchestrate() -> None:
             raise SystemExit(f"no CLUSTER_BENCH line at workers={workers}")
         results[workers] = json.loads(line[-1][len("CLUSTER_BENCH "):])
     t1, t4 = results[1]["sec"], results[4]["sec"]
-    print(json.dumps({
+    summary = {
         "metric": "cluster_scaling_1_to_4_workers",
         "local_cluster_1x4": results[1],
         "local_cluster_4x4": results[4],
         "efficiency": round((t1 / t4) / 4.0, 3),
-    }))
+    }
+    print(json.dumps(summary))
+    # persist for bench.py to forward into the driver's BENCH JSON (the
+    # real-executor form is the north_rule's literal N→4N shape)
+    with open(os.path.join(REPO, ".cluster_cache.json"), "w") as f:
+        json.dump({**summary, "measured_at": time.time()}, f)
 
 
 if __name__ == "__main__":

@@ -93,3 +93,33 @@ def test_ivf_lloyd_and_assignment_margins(spark, sf_dir):
     assert gap > SAFETY_BOUND, (
         f"full-corpus IVF assignment at {sf_dir}: argmin gap {gap:.3e} "
         f"inside the noise guard band")
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_softmax_score_rounding_margins(spark, sf_dir):
+    """The annotate contract rounds similarity/pct2 to 9dp before the
+    oracle hash; cross-engine (and numpy-vs-math.exp path) noise is
+    ~1e-15, so a value sitting within ~1e-15 of a 0.5e-9 rounding
+    midpoint could round differently between engines. Pin that no score
+    on the driver corpora sits closer than 1e-6 grid cells (1e-15 in
+    score units) to a rounding midpoint — same loud-failure contract as
+    the LSH/IVF margin pins."""
+    import numpy as np
+    from dbpedia_spotlight_spark import queries as Q
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+
+    ann = annotate(
+        spark, Q._web_pages_from_docs(spark, sf_dir),
+        Q._static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0),
+    ).select("similarity_score", "percentage_of_second_rank").toPandas()
+    vals = np.concatenate([
+        ann["similarity_score"].to_numpy(np.float64),
+        ann["percentage_of_second_rank"].to_numpy(np.float64),
+    ])
+    frac = np.abs(np.mod(vals * 1e9, 1.0) - 0.5)   # distance to midpoint
+    margin = float(frac.min())
+    assert margin > 1e-6, (
+        f"a score at {sf_dir} sits {margin:.2e} grid cells from a 9dp "
+        f"rounding midpoint — inside cross-engine exp/sum noise")

@@ -617,13 +617,25 @@ def test_connected_components_deep_chain_reliable_checkpoint(spark, tmp_path):
                                   checkpoint_dir=ck)
     got = {r["id"]: r["comp"] for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
-    gens = [d for d in os.listdir(ck) if d.startswith("cc-labels-gen-")]
+    gens = [d for d in os.listdir(ck)
+            if d.startswith("cc-labels-") and "-gen-" in d]
     assert len(gens) <= 2, f"label generations accumulated: {gens}"
 
     # parity with the default localCheckpoint mode
     base = connected_components(nodes, pairs, max_iter=80,
                                 require_converged=True)
     assert {r["id"]: r["comp"] for r in base.collect()} == got
+
+    # two runs sharing one checkpoint_dir must not clobber each other:
+    # the first run's result stays readable after the second completes
+    first = connected_components(nodes, pairs, max_iter=80,
+                                 checkpoint_dir=ck)
+    other = spark.createDataFrame([(100,), (101,)], "id long")
+    opairs = spark.createDataFrame([(100, 101)], "a long, b long")
+    second = connected_components(other, opairs, max_iter=5,
+                                  checkpoint_dir=ck)
+    assert {r["comp"] for r in second.collect()} == {100}
+    assert {r["id"]: r["comp"] for r in first.collect()} == got
 
 
 def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
@@ -641,7 +653,8 @@ def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
     assert got.keys() == want.keys()
     for u in got:
         assert abs(got[u] - want[u]) < 1e-12
-    gens = [d for d in os.listdir(ck) if d.startswith("pr-ranks-gen-")]
+    gens = [d for d in os.listdir(ck)
+            if d.startswith("pr-ranks-") and "-gen-" in d]
     assert len(gens) <= 2, f"rank generations accumulated: {gens}"
 
 
