@@ -51,10 +51,27 @@ def link_triples(annotations: DataFrame) -> DataFrame:
 def all_triples(annotations: DataFrame) -> DataFrame:
     """E1 ∪ E2 with lineage columns (E3): partition id + stage tag.
 
+    ONE pass over the annotation stream: each row explodes into its
+    mention + link triple (a union of the two E1/E2 branches would
+    re-execute the whole upstream annotate pipeline per branch — 2× the
+    work at any scale; same plan shape as the contract query).
+
     ``part_id`` is the *source* partition (spark_partition_id at emission),
     recorded so a resumed run can skip completed partitions
     (SURVEY §4 checkpoint/resume)."""
-    t = mention_triples(annotations).unionByName(link_triples(annotations))
+    po = F.explode(F.array(
+        F.struct(F.lit(PRED_ANCHOR).alias("pred"),
+                 F.col("surface_form").alias("obj")),
+        F.struct(F.lit(PRED_IDENT).alias("pred"),
+                 F.col("uri").alias("obj")),
+    )).alias("po")
+    t = (
+        annotations.select(subj_col(), po,
+                           F.col("similarity_score").alias("score"))
+        .select("subj", F.col("po.pred").alias("pred"),
+                F.col("po.obj").alias("obj"), "score")
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
     return t.withColumn("part_id", F.spark_partition_id()).withColumn(
         "lineage",
         F.struct(
