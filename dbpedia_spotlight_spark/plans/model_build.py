@@ -197,6 +197,44 @@ def quantize_counts(df: DataFrame, count_col: str = "count",
     return df.withColumn("count_q", code.cast("short"))
 
 
+def merge_count_tables(base: DataFrame, delta: DataFrame,
+                       key_cols: list[str],
+                       count_cols: tuple[str, ...] = ("count",)) -> DataFrame:
+    """Incremental model update (M1-M4 refresh without a full rebuild):
+    merge a delta batch's count table into the base by summing per key —
+    union + one map-side-combinable groupBy, associative/commutative so
+    any merge order (daily deltas, backfills, multi-way) yields the same
+    table. The reference's TSV stores are rebuilt offline from scratch;
+    at a 10^12-doc corpus the delta-merge is the only affordable
+    refresh: cost ∝ |base keys| + |delta|, never a corpus re-scan."""
+    cols = list(key_cols) + list(count_cols)
+    return (
+        base.select(cols).unionByName(delta.select(cols))
+        .groupBy(key_cols)
+        .agg(*[F.sum(c).alias(c) for c in count_cols])
+    )
+
+
+def merge_model_counts(base: dict[str, DataFrame],
+                       delta: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Merge a delta model build (the count-bearing tables of
+    :func:`build_model_tables` run over a NEW corpus slice) into a base
+    build. Count semantics: counting over corpus A ∪ B ≡ merging counts
+    of A and B (disjoint slices), which the identity pytest asserts.
+    Dense ids / quantization are downstream of the merged counts."""
+    return {
+        "uri_counts": merge_count_tables(
+            base["uri_counts"], delta["uri_counts"], ["uri"]),
+        "pair_counts": merge_count_tables(
+            base["pair_counts"], delta["pair_counts"], ["sf", "uri"]),
+        "sf_counts": merge_count_tables(
+            base["sf_counts"], delta["sf_counts"], ["sf"],
+            ("annotated_count", "total_count")),
+        "token_counts": merge_count_tables(
+            base["token_counts"], delta["token_counts"], ["uri", "token"]),
+    }
+
+
 def dense_ids_by(df: DataFrame, key: str, id_name: str) -> DataFrame:
     """Deterministic dense ids (0..n-1) in global ``key`` order WITHOUT a
     global single-partition window: a ``row_number().over(Window.orderBy)``

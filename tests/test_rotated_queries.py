@@ -34,6 +34,8 @@ ROTATED = [
     # slots for pii_counts + hash_split
     ("annotate_quantized", Q.q_annotate_quantized, Q.sql_annotate_quantized),
     ("annotate_coref", Q.q_annotate_coref, Q.sql_annotate_coref),
+    # round-4 addition: host-level skew report (north_star mega-hosts)
+    ("host_skew", Q.q_host_skew, Q.sql_host_skew),
 ]
 
 

@@ -61,3 +61,29 @@ def test_automaton_equals_naive(tokens, pats):
     patterns = [(tuple(p), i) for i, p in enumerate(pats)]
     ac = build_automaton(patterns)
     assert sorted(ac.find_all(tokens)) == sorted(naive_find_all(tokens, patterns))
+
+
+def test_tokenize_fast_path_matches_per_token_lower():
+    """The whole-text-lower fast path must be positionwise identical to
+    per-token lowercasing, and the length guard must catch one-to-many
+    casefolds (U+0130 expands under str.lower)."""
+    from hypothesis import given, settings, strategies as st
+    from dbpedia_spotlight_spark.functions.tokenizer import (
+        _TOKEN_RE, tokenize,
+    )
+
+    def reference(text):
+        return [(m.start(), m.end(), m.group(0).lower())
+                for m in _TOKEN_RE.finditer(text)]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32,
+                                          max_codepoint=0x2FF),
+                   max_size=80))
+    def inner(text):
+        assert tokenize(text) == reference(text)
+
+    inner()
+    # explicit regressions: expanding casefold before/inside/after tokens
+    for text in ("İstanbul is big", "xİx abc", "abc İ", "ŉandi"):
+        assert tokenize(text) == reference(text), text
