@@ -44,6 +44,36 @@ def host_stats(docs: DataFrame, url_col: str = "source",
     )
 
 
+def latest_capture(docs: DataFrame, key_col: str = "url",
+                   ts_col: str = "warc_ts",
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """Recrawl dedup: keep the newest capture per ``key_col`` (input_hint
+    shape: Common-Crawl pages carry (url, warc_ts) and popular urls are
+    re-crawled many times — annotating every capture multiplies work and
+    double-counts triples).
+
+    Plan shape: ``groupBy(key).agg(max(struct(ts, tiebreak, payload)))``
+    — ONE shuffle with map-side combine (partial max per input
+    partition), so a url recrawled 10^4 times sends ONE row per map
+    task into the exchange. The row_number()-over-window alternative
+    ships every capture of a hot url into a single task and sorts it —
+    exactly the mega-host straggler this module exists to avoid.
+
+    Ties on ``ts_col`` break by ``tiebreak_col`` (largest wins; defaults
+    to nothing — ties then resolve by the remaining payload columns'
+    struct order, deterministic but arbitrary, so pass a tiebreaker for
+    cross-engine replay). Output columns = input columns, one row per
+    key."""
+    payload = [c for c in docs.columns
+               if c not in (key_col, ts_col, tiebreak_col)]
+    lead = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    m = F.max(F.struct(*lead, *payload)).alias("m")
+    kept = docs.groupBy(key_col).agg(m)
+    return kept.select(
+        key_col, *[F.col(f"m.{c}").alias(c) for c in lead + payload]
+    ).select(docs.columns)
+
+
 def host_skew_report(docs: DataFrame, url_col: str = "source",
                      text_col: str = "text",
                      skew_factor: float = 10.0,

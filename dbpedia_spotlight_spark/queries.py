@@ -2994,6 +2994,48 @@ def sql_host_skew() -> str:
   FROM stats, m"""
 
 
+def q_latest_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl dedup (input_hint: (url, warc_ts) captures — keep the
+    newest per url). `events` stands in for a capture log: a
+    deterministic url maps ~mod-500 event ids onto the same page, ts is
+    the capture time, event_id the unique tiebreaker. The operator's
+    max-struct plan (one map-side-combinable shuffle) must equal the
+    window-row_number formulation the oracle uses."""
+    from dbpedia_spotlight_spark.operators.webstats import latest_capture
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    caps = ev.select(
+        F.concat(F.lit("https://site"),
+                 (F.col("event_id") % 500).cast("string"),
+                 F.lit(".org/")).alias("url"),
+        F.col("ts").alias("warc_ts"),
+        "event_id", "event_type", "value")
+    kept = latest_capture(caps, "url", "warc_ts", "event_id")
+    return kept.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+         .alias("warc_ts_s"),
+        "event_id", "event_type", "value")
+
+
+def sql_latest_capture() -> str:
+    """Window-row_number mirror of operators/webstats.py::latest_capture
+    — the all-captures-per-key sort Spark must NOT use, but which any
+    SQL engine replays exactly; (warc_ts, event_id) DESC is a total
+    order so the kept row is unique."""
+    return """
+  SELECT url,
+         strftime(warc_ts, '%Y-%m-%d %H:%M:%S.%f') AS warc_ts_s,
+         event_id, event_type, value
+  FROM (
+    SELECT *, row_number() OVER (
+             PARTITION BY url ORDER BY warc_ts DESC, event_id DESC) AS rn
+    FROM (
+      SELECT 'https://site' || (event_id % 500) || '.org/' AS url,
+             ts AS warc_ts, event_id, event_type, value
+      FROM events))
+  WHERE rn = 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

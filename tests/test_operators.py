@@ -693,6 +693,31 @@ def test_audio_features_deterministic_and_payload_never_shuffled(spark):
         decode_audio(b"\x01\x02", fake=False)
 
 
+def test_latest_capture_keeps_newest_and_avoids_window(spark):
+    """latest_capture: newest warc_ts wins, tiebreak on the id column,
+    payload travels intact — and the plan must be a partial-aggregate
+    shuffle (map-side combine), never a Window sort."""
+    from datetime import datetime
+    from dbpedia_spotlight_spark.operators.webstats import latest_capture
+    t = datetime
+    rows = [
+        ("u1", t(2024, 1, 1), 1, "old"),
+        ("u1", t(2024, 3, 1), 2, "new"),
+        ("u1", t(2024, 2, 1), 3, "mid"),
+        ("u2", t(2024, 1, 1), 4, "a"),
+        ("u2", t(2024, 1, 1), 5, "b"),     # ts tie → larger id wins
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, cap_id long, text string")
+    kept = latest_capture(docs, "url", "warc_ts", "cap_id")
+    assert kept.columns == docs.columns
+    got = {r["url"]: (r["cap_id"], r["text"]) for r in kept.collect()}
+    assert got == {"u1": (2, "new"), "u2": (5, "b")}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
 def test_host_skew_report_flags_mega_host(spark):
     """host_skew_report: host extraction (scheme optional), exact
     integer salt recommendation, mean-based skew flag — and the plan's

@@ -36,6 +36,8 @@ ROTATED = [
     ("annotate_coref", Q.q_annotate_coref, Q.sql_annotate_coref),
     # round-4 addition: host-level skew report (north_star mega-hosts)
     ("host_skew", Q.q_host_skew, Q.sql_host_skew),
+    # round-4 addition: recrawl dedup — newest (url, warc_ts) capture
+    ("latest_capture", Q.q_latest_capture, Q.sql_latest_capture),
 ]
 
 
