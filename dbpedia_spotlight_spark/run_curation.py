@@ -54,6 +54,17 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-quality-gate", dest="quality_gate",
                     action="store_false", default=True)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--dedup-recrawls", action="store_true",
+                    help="stage 0: keep only the newest capture per "
+                         "--url-col (by --ts-col, tiebreak --id-col) "
+                         "before any content dedup — recrawled pages "
+                         "are exact/near duplicates that inflate every "
+                         "later stage")
+    ap.add_argument("--url-col", default="url",
+                    help="capture url column (also drives host-skew "
+                         "observability when present)")
+    ap.add_argument("--ts-col", default="warc_ts",
+                    help="capture timestamp column for --dedup-recrawls")
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01",
                     help="name=weight[,name=weight...] (sum 1) or ''")
     return ap
@@ -92,9 +103,32 @@ def main(argv: list[str] | None = None,
             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
             .getOrCreate()
         )
+    from dbpedia_spotlight_spark.operators.webstats import (
+        host_skew_report, latest_capture,
+    )
+
     docs = spark.read.parquet(args.corpus)
     id_col = args.id_col
     stats: dict = {"input_rows": docs.count()}
+
+    # 0. recrawl dedup + host-skew observability. Newest capture per url
+    # first: re-crawls are (near-)exact duplicates, so dropping them here
+    # shrinks every later shuffle. The skew report is the operational
+    # signal for sizing salted repartitions / AQE thresholds downstream.
+    if args.dedup_recrawls:
+        docs = latest_capture(docs, args.url_col, args.ts_col, id_col) \
+            .localCheckpoint(eager=True)
+        stats["after_recrawl_dedup"] = docs.count()
+    if args.url_col in docs.columns:
+        skew = (
+            host_skew_report(docs, url_col=args.url_col)
+            .agg(F.count("*").alias("n_hosts"),
+                 F.sum(F.col("skewed").cast("long")).alias("n_skewed"),
+                 F.max("n_docs").alias("max_host_docs"),
+                 F.max("salt_buckets").alias("max_salt_buckets"))
+            .first()
+        )
+        stats["host_skew"] = {k: skew[k] for k in skew.asDict()}
 
     # 1. exact dedup. Each stage ends with localCheckpoint(eager): the
     # stage-count stats and every later stage reuse the materialized

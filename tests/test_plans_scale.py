@@ -362,3 +362,37 @@ def test_run_curation_main(spark, tmp_path):
     b = spark.read.parquet(str(tmp_path / "out2" / "curated")) \
         .orderBy("doc_id").collect()
     assert a == b
+
+
+def test_run_curation_recrawl_stage(spark, tmp_path):
+    """--dedup-recrawls keeps only the newest capture per url before
+    content dedup, and a url column triggers the host-skew stats."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 40")
+    base = src.select(
+        "doc_id", "text",
+        F.concat(F.lit("https://host"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".org/p/"), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"))
+    # each url recrawled once, 1h later, different text (so only the
+    # recrawl stage — not content dedup — can collapse them)
+    recrawl = base.withColumn("doc_id", F.col("doc_id") + 500) \
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("interval 1 hour")) \
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+    corpus_dir = str(tmp_path / "corpus")
+    base.unionByName(recrawl).write.parquet(corpus_dir)
+
+    stats = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
+                  "--dedup-recrawls", "--lang", "", "--no-quality-gate",
+                  "--split", ""], spark=spark)
+    assert stats["input_rows"] == 80
+    assert stats["after_recrawl_dedup"] == 40
+    assert stats["host_skew"]["n_hosts"] == 5
+    assert stats["host_skew"]["max_host_docs"] == 8
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out" / "curated"))
+            .select("doc_id").collect()}
+    assert kept and all(i >= 500 for i in kept)       # newest capture won
