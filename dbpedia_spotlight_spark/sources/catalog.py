@@ -87,6 +87,74 @@ class ParquetCatalog:
     def read_units(self, spark: SparkSession, name: str) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path(name), "unit=*"))
 
+    # -- snapshots (Iceberg-semantics fallback) ------------------------------
+    #
+    # Iceberg gives snapshot-id time travel + expire_snapshots; the
+    # parquet fallback reproduces the *semantics* at directory
+    # granularity: each commit writes a new ``snap=<id>`` directory and
+    # appends one line to ``_snapshots.json`` (the metadata log — tiny,
+    # append-only, the commit point). Readers never see a half-written
+    # snapshot: the data files land entirely before the log line does.
+
+    def _snapshots_path(self, name: str) -> str:
+        return os.path.join(self.path(name), "_snapshots.json")
+
+    def snapshots(self, name: str) -> list[dict]:
+        """Snapshot history, oldest first: {id, rows, ts, parent}."""
+        sp = self._snapshots_path(name)
+        if not os.path.exists(sp):
+            return []
+        with open(sp) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def write_snapshot(self, df: DataFrame, name: str) -> int:
+        """Commit ``df`` as a new snapshot of table ``name``; returns the
+        snapshot id. Previous snapshots stay readable until expired."""
+        snaps = self.snapshots(name)
+        sid = snaps[-1]["id"] + 1 if snaps else 0
+        parent = snaps[-1]["id"] if snaps else None
+        snap_path = os.path.join(self.path(name), f"snap={sid}")
+        df.write.mode("overwrite").parquet(snap_path)
+        rows = df.sparkSession.read.parquet(snap_path).count()
+        os.makedirs(self.path(name), exist_ok=True)
+        with open(self._snapshots_path(name), "a") as f:
+            f.write(json.dumps({"id": sid, "rows": rows,
+                                "ts": time.time(), "parent": parent}) + "\n")
+        return sid
+
+    def read_snapshot(self, spark: SparkSession, name: str,
+                      snapshot_id: int | None = None) -> DataFrame:
+        """Time travel: read a specific snapshot (default: the latest)."""
+        snaps = self.snapshots(name)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {name!r}")
+        ids = [s["id"] for s in snaps]
+        sid = ids[-1] if snapshot_id is None else snapshot_id
+        if sid not in ids:
+            raise FileNotFoundError(
+                f"snapshot {sid} of {name!r} not found "
+                f"(available: {ids} — expired snapshots are deleted)")
+        return spark.read.parquet(
+            os.path.join(self.path(name), f"snap={sid}"))
+
+    def expire_snapshots(self, name: str, keep_last: int = 2) -> list[int]:
+        """Bounded-storage retention (Iceberg ``expire_snapshots``):
+        delete all but the newest ``keep_last`` snapshot directories and
+        rewrite the metadata log. Returns the expired ids."""
+        import shutil
+
+        snaps = self.snapshots(name)
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        for s in drop:
+            shutil.rmtree(
+                os.path.join(self.path(name), f"snap={s['id']}"),
+                ignore_errors=True)
+        if drop:
+            with open(self._snapshots_path(name), "w") as f:
+                for s in keep:
+                    f.write(json.dumps(s) + "\n")
+        return [s["id"] for s in drop]
+
 
 def unit_of(url_col, n_units: int):
     """Deterministic work-unit assignment: stable hash bucket of url.

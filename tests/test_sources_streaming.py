@@ -296,6 +296,36 @@ def test_write_resumable_skips_completed_units(spark, web_pages, model_bc,
     assert a == b
 
 
+def test_snapshot_time_travel_and_expiry(spark, tmp_path):
+    """Iceberg-semantics fallback: committed snapshots are immutable and
+    individually readable (time travel), the latest is the default read,
+    and expire_snapshots bounds storage while keeping history readable
+    for the retained window."""
+    from dbpedia_spotlight_spark.sources.catalog import ParquetCatalog
+    cat = ParquetCatalog(str(tmp_path))
+    v0 = spark.range(5).withColumn("v", F.lit("a"))
+    v1 = spark.range(8).withColumn("v", F.lit("b"))
+    v2 = spark.range(3).withColumn("v", F.lit("c"))
+    assert cat.write_snapshot(v0, "t") == 0
+    assert cat.write_snapshot(v1, "t") == 1
+    assert cat.write_snapshot(v2, "t") == 2
+    snaps = cat.snapshots("t")
+    assert [s["id"] for s in snaps] == [0, 1, 2]
+    assert [s["parent"] for s in snaps] == [None, 0, 1]
+    assert [s["rows"] for s in snaps] == [5, 8, 3]
+    assert cat.read_snapshot(spark, "t").count() == 3          # latest
+    old = cat.read_snapshot(spark, "t", snapshot_id=1)
+    assert old.count() == 8 and old.first()["v"] == "b"        # time travel
+
+    assert cat.expire_snapshots("t", keep_last=2) == [0]
+    assert [s["id"] for s in cat.snapshots("t")] == [1, 2]
+    assert cat.read_snapshot(spark, "t", snapshot_id=1).count() == 8
+    with pytest.raises(FileNotFoundError):
+        cat.read_snapshot(spark, "t", snapshot_id=0)           # expired
+    with pytest.raises(FileNotFoundError):
+        cat.read_snapshot(spark, "missing")
+
+
 def test_dedup_stream_batch_map_column_fallback(spark):
     """Batch first-seen dedup must handle non-orderable columns (maps)
     via the window fallback and still keep the earliest row by ts."""

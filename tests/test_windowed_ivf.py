@@ -96,6 +96,59 @@ def test_windowed_counts_match_events_hourly_oracle(spark):
     assert a == b
 
 
+def test_latest_capture_windowed_stream_equals_batch(spark, tmp_path):
+    """Windowed recrawl dedup: stream drain (append, availableNow) must
+    produce a subset of the batch form limited to watermark-closed
+    windows, newest-capture-per-(window,url) semantics identical."""
+    from dbpedia_spotlight_spark.streaming.captures import (
+        latest_capture_windowed,
+    )
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    caps = ev.select(
+        F.concat(F.lit("u"), (F.col("event_id") % 100).cast("string"))
+         .alias("url"),
+        F.col("ts").alias("warc_ts"), "event_id", "event_type")
+    src = str(tmp_path / "caps")
+    caps.write.parquet(src)
+
+    batch = latest_capture_windowed(caps, tiebreak_col="event_id")
+    stream = latest_capture_windowed(
+        spark.readStream.schema(caps.schema).parquet(src),
+        tiebreak_col="event_id")
+    assert stream.isStreaming
+    q = (stream.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    a = {tuple(r) for r in got.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert a <= b          # withheld rows are only still-open windows
+    assert len(a) >= 0.8 * len(b)
+    # exactly one emitted row per (window, url)
+    assert got.groupBy("window_start", "url").count() \
+              .filter("count > 1").count() == 0
+    # and the kept capture per key is the true argmax(ts, event_id)
+    import duckdb
+    oracle = duckdb.connect().execute("""
+      SELECT url, event_id FROM (
+        SELECT url, event_id, row_number() OVER (
+                 PARTITION BY url, time_bucket(INTERVAL 1 hour, warc_ts)
+                 ORDER BY warc_ts DESC, event_id DESC) AS rn
+        FROM (SELECT 'u' || (event_id % 100) AS url, ts AS warc_ts,
+                     event_id
+              FROM '/root/testdata/sf0.001/events.parquet'))
+      WHERE rn = 1
+    """).df()
+    want = set(map(tuple, oracle[["url", "event_id"]].itertuples(
+        index=False, name=None)))
+    emitted = {(r["url"], r["event_id"]) for r in got.collect()}
+    batch_keys = {(r["url"], r["event_id"]) for r in batch.collect()}
+    assert batch_keys == want
+    assert emitted <= want
+
+
 def test_ivf_topk_recall(spark):
     from dbpedia_spotlight_spark.operators.similarity import (
         cosine_topk, ivf_topk,
