@@ -44,6 +44,26 @@ def host_stats(docs: DataFrame, url_col: str = "source",
     )
 
 
+def mirror_hosts(docs: DataFrame, url_col: str = "source",
+                 text_col: str = "text", min_hosts: int = 2) -> DataFrame:
+    """Mirror detection: byte-identical content served from ≥
+    ``min_hosts`` distinct hosts (mirror sites, boilerplate farms, CDN
+    vhosts). Exact-dedup collapses these to one row but loses the
+    cross-host signal; this keeps it — a host appearing in many mirror
+    groups is a candidate for host-level filtering. One scan, one
+    shuffle keyed by the 128-bit content hash (uniform — no host skew
+    reaches this exchange)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"),
+                    host_col(F.col(url_col)).alias("host"))
+        .groupBy("text_hash")
+        .agg(F.countDistinct("host").alias("n_hosts"),
+             F.count("*").alias("n_copies"),
+             F.min("host").alias("first_host"))
+        .filter(F.col("n_hosts") >= min_hosts)
+    )
+
+
 def latest_capture(docs: DataFrame, key_col: str = "url",
                    ts_col: str = "warc_ts",
                    tiebreak_col: str | None = None) -> DataFrame:

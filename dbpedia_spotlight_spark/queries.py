@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, \
+    functions as F
 
 from dbpedia_spotlight_spark import lexicon_static as LEX
 
@@ -3034,6 +3035,89 @@ def sql_latest_capture() -> str:
              ts AS warc_ts, event_id, event_type, value
       FROM events))
   WHERE rn = 1"""
+
+
+_MESSY_URL_SQL = """
+  CASE doc_id % 4
+    WHEN 0 THEN 'HTTP://Site' || (doc_id % 13) || '.ORG:80/p/' || doc_id
+                || '?utm_source=x&q=' || doc_id || '#top'
+    WHEN 1 THEN 'https://site' || (doc_id % 13) || '.org/p/' || doc_id
+    WHEN 2 THEN 'HTTPS://CDN' || (doc_id % 7) || '.Example.net:443'
+    ELSE 'site' || (doc_id % 13) || '.org/a?gclid=g' || doc_id
+         || '&keep=1'
+  END"""
+
+
+def _messy_url_col() -> Column:
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return (
+        F.when(d % 4 == 0,
+               F.concat(F.lit("HTTP://Site"), s(d % 13),
+                        F.lit(".ORG:80/p/"), s(d),
+                        F.lit("?utm_source=x&q="), s(d), F.lit("#top")))
+        .when(d % 4 == 1,
+              F.concat(F.lit("https://site"), s(d % 13),
+                       F.lit(".org/p/"), s(d)))
+        .when(d % 4 == 2,
+              F.concat(F.lit("HTTPS://CDN"), s(d % 7),
+                       F.lit(".Example.net:443")))
+        .otherwise(
+            F.concat(F.lit("site"), s(d % 13), F.lit(".org/a?gclid=g"),
+                     s(d), F.lit("&keep=1")))
+    )
+
+
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over a deterministically-messied crawl url
+    per document (mixed-case authority, default ports, tracking params,
+    fragments, bare authorities — one of each class by doc_id mod 4)."""
+    from dbpedia_spotlight_spark.operators.urlnorm import canonical_url_col
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id",
+                canonical_url_col(_messy_url_col()).alias("canon_url"))
+    )
+
+
+def sql_canonical_urls() -> str:
+    from dbpedia_spotlight_spark.operators.urlnorm import sql_canonical_url
+    return f"""
+  SELECT doc_id, {sql_canonical_url(f'({_MESSY_URL_SQL})')} AS canon_url
+  FROM documents"""
+
+
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-host mirror detection — 20-char text prefixes induce
+    deterministic cross-document collisions; the host comes from the
+    messy-url derivation, so mirrors span hosts whenever colliding
+    doc_ids differ mod 13/7."""
+    from dbpedia_spotlight_spark.operators.urlnorm import canonical_url_col
+    from dbpedia_spotlight_spark.operators.webstats import mirror_hosts
+    d = _docs(spark, sf_dir).select(
+        canonical_url_col(_messy_url_col()).alias("url"),
+        F.substring("text", 1, 20).alias("text"))
+    return mirror_hosts(d, url_col="url", text_col="text")
+
+
+def sql_mirror_hosts() -> str:
+    from dbpedia_spotlight_spark.operators.urlnorm import sql_canonical_url
+    canon = sql_canonical_url(f"({_MESSY_URL_SQL})")
+    return f"""
+  SELECT text_hash, n_hosts, n_copies, first_host
+  FROM (
+    SELECT text_hash,
+           COUNT(DISTINCT host) AS n_hosts,
+           COUNT(*) AS n_copies,
+           MIN(host) AS first_host
+    FROM (
+      SELECT md5(substr(text, 1, 20)) AS text_hash,
+             regexp_extract({canon},
+                            '^(?:[a-z][a-z0-9+.-]*://)?([^/]+)', 1)
+               AS host
+      FROM documents)
+    GROUP BY text_hash)
+  WHERE n_hosts >= 2"""
 
 
 # ---------------------------------------------------------------------------

@@ -693,6 +693,54 @@ def test_audio_features_deterministic_and_payload_never_shuffled(spark):
         decode_audio(b"\x01\x02", fake=False)
 
 
+CANON_CASES = [
+    (" HTTPS://Mega.Example.org:443/Path/X?id=3&utm_source=a#frag ",
+     "https://mega.example.org/Path/X?id=3"),
+    ("http://A.org:80", "http://a.org/"),
+    ("http://a.org/p?utm_a=1&x=2", "http://a.org/p?x=2"),
+    ("http://a.org/?utm_a=1", "http://a.org/"),
+    ("https://c.org/p?utm_a=1&utm_b=2", "https://c.org/p"),
+    ("https://b.org/p?x=1&fbclid=zz", "https://b.org/p?x=1"),
+    ("example.org/x?utm_c=1", "example.org/x"),
+    ("http://a.org:8080/p", "http://a.org:8080/p"),   # non-default port
+    ("https://plain.org/deep/path", "https://plain.org/deep/path"),
+]
+
+
+def test_canonicalize_urls_battery_and_duckdb_parity(spark):
+    """The documented normalization subset, Spark and DuckDB mirrors
+    byte-identical on every case (the whole point of regexp-only rules:
+    Java regex ≡ RE2 on explicit character classes)."""
+    import duckdb
+    from dbpedia_spotlight_spark.operators.urlnorm import (
+        canonicalize_urls, sql_canonical_url,
+    )
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], "url string")
+    got = [r["url"] for r in canonicalize_urls(df).collect()]
+    assert got == [want for _, want in CANON_CASES]
+
+    con = duckdb.connect()
+    vals = ", ".join("('" + u.replace("'", "''") + "')"
+                     for u, _ in CANON_CASES)
+    duck = [r[0] for r in con.execute(
+        f"SELECT {sql_canonical_url('u')} FROM (VALUES {vals}) t(u)"
+    ).fetchall()]
+    assert duck == [want for _, want in CANON_CASES]
+
+
+def test_mirror_hosts_detects_cross_host_copies(spark):
+    from dbpedia_spotlight_spark.operators.webstats import mirror_hosts
+    rows = [("https://a.org/1", "shared page"),
+            ("https://b.org/1", "shared page"),
+            ("https://a.org/2", "shared page"),    # same host copy
+            ("https://c.org/x", "unique page")]
+    docs = spark.createDataFrame(rows, "url string, text string")
+    out = mirror_hosts(docs, url_col="url").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_hosts"], r["n_copies"], r["first_host"]) == (2, 3, "a.org")
+
+
 def test_latest_capture_keeps_newest_and_avoids_window(spark):
     """latest_capture: newest warc_ts wins, tiebreak on the id column,
     payload travels intact — and the plan must be a partial-aggregate

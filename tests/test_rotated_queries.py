@@ -38,6 +38,9 @@ ROTATED = [
     ("host_skew", Q.q_host_skew, Q.sql_host_skew),
     # round-4 addition: recrawl dedup — newest (url, warc_ts) capture
     ("latest_capture", Q.q_latest_capture, Q.sql_latest_capture),
+    # round-4 addition: URL canonicalization + cross-host mirror report
+    ("canonical_urls", Q.q_canonical_urls, Q.sql_canonical_urls),
+    ("mirror_hosts", Q.q_mirror_hosts, Q.sql_mirror_hosts),
 ]
 
 
