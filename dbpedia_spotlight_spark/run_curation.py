@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-quality-gate", dest="quality_gate",
                     action="store_false", default=True)
     ap.add_argument("--scrub-pii", action="store_true")
+    ap.add_argument("--canonicalize-urls", action="store_true",
+                    help="rewrite --url-col to its canonical form "
+                         "(fragment/tracking-param/default-port strip, "
+                         "lowercase authority) BEFORE recrawl dedup, so "
+                         "capture variants of one page share a key")
     ap.add_argument("--dedup-recrawls", action="store_true",
                     help="stage 0: keep only the newest capture per "
                          "--url-col (by --ts-col, tiebreak --id-col) "
@@ -115,6 +120,11 @@ def main(argv: list[str] | None = None,
     # first: re-crawls are (near-)exact duplicates, so dropping them here
     # shrinks every later shuffle. The skew report is the operational
     # signal for sizing salted repartitions / AQE thresholds downstream.
+    if args.canonicalize_urls:
+        from dbpedia_spotlight_spark.operators.urlnorm import (
+            canonicalize_urls,
+        )
+        docs = canonicalize_urls(docs, args.url_col)
     if args.dedup_recrawls:
         docs = latest_capture(docs, args.url_col, args.ts_col, id_col) \
             .localCheckpoint(eager=True)

@@ -378,15 +378,20 @@ def test_run_curation_recrawl_stage(spark, tmp_path):
          .alias("url"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"))
     # each url recrawled once, 1h later, different text (so only the
-    # recrawl stage — not content dedup — can collapse them)
+    # recrawl stage — not content dedup — can collapse them) — AND the
+    # recrawl's url is a messy variant (tracking param + fragment) that
+    # only --canonicalize-urls can reunite with the original
     recrawl = base.withColumn("doc_id", F.col("doc_id") + 500) \
         .withColumn("warc_ts", F.col("warc_ts") + F.expr("interval 1 hour")) \
-        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text"))) \
+        .withColumn("url", F.concat(F.col("url"),
+                                    F.lit("?utm_source=feed#top")))
     corpus_dir = str(tmp_path / "corpus")
     base.unionByName(recrawl).write.parquet(corpus_dir)
 
     stats = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
-                  "--dedup-recrawls", "--lang", "", "--no-quality-gate",
+                  "--canonicalize-urls", "--dedup-recrawls",
+                  "--lang", "", "--no-quality-gate",
                   "--split", ""], spark=spark)
     assert stats["input_rows"] == 80
     assert stats["after_recrawl_dedup"] == 40
