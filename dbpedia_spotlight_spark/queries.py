@@ -3120,6 +3120,83 @@ def sql_mirror_hosts() -> str:
   WHERE n_hosts >= 2"""
 
 
+def _boiler_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-line pages: real document text interleaved
+    with known boilerplate (nav bar, cookie notice, js fallback,
+    copyright footer, too-short teaser) — documents.text itself is
+    single-line, so the page structure is synthesized in the query."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Home | About | Contact | Subscribe"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit("This site uses cookie tracking."))
+             .otherwise(F.substring("text", 1, 100)),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit("Please enable javascript to continue."))
+             .otherwise(F.lit("Copyright 2024 example.org - "
+                              "all rights reserved.")),
+            F.lit("Read more"),
+        ).alias("text"),
+    )
+
+
+def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line filter (operators/boilerplate.py) over
+    synthesized multi-line pages. The predicate (min-words, phrase
+    blocklist, brace, symbol-fraction) replays exactly as a DuckDB
+    list_filter lambda; the op itself is a zero-shuffle projection."""
+    from dbpedia_spotlight_spark.operators.boilerplate import (
+        clean_boilerplate)
+    return clean_boilerplate(_boiler_pages(spark, sf_dir)).select(
+        "doc_id", "clean_text", "n_lines_kept", "n_lines_dropped")
+
+
+def sql_clean_boilerplate() -> str:
+    """Mirror of operators/boilerplate.py::clean_boilerplate. Parity
+    notes: Spark regexp_replace is global by default → DuckDB needs the
+    'g' flag; Spark split(t,' +') on '' yields [''] as does DuckDB
+    string_split_regex → empty lines fail min-words on both engines;
+    0.3*length is the same IEEE double both sides (ASCII lengths)."""
+    pred = (
+        "len(string_split_regex(trim(x), ' +')) >= 5"
+        " AND NOT contains(lower(trim(x)), 'javascript')"
+        " AND NOT contains(lower(trim(x)), 'lorem ipsum')"
+        " AND NOT contains(lower(trim(x)), 'cookie')"
+        " AND NOT contains(lower(trim(x)), 'privacy policy')"
+        " AND NOT contains(lower(trim(x)), 'terms of use')"
+        " AND NOT contains(lower(trim(x)), 'all rights reserved')"
+        " AND NOT contains(trim(x), '{')"
+        " AND NOT contains(trim(x), '|')"
+        " AND length(trim(x)) - length(regexp_replace(trim(x),"
+        " '[^A-Za-z0-9 ]', '', 'g')) <= length(trim(x)) * 0.3"
+    )
+    return f"""
+  WITH pages AS (
+    SELECT doc_id,
+           'Home | About | Contact | Subscribe' || chr(10) ||
+           text || chr(10) ||
+           CASE WHEN doc_id % 3 = 0 THEN 'This site uses cookie tracking.'
+                ELSE substr(text, 1, 100) END || chr(10) ||
+           CASE WHEN doc_id % 5 = 0
+                THEN 'Please enable javascript to continue.'
+                ELSE 'Copyright 2024 example.org - all rights reserved.'
+           END || chr(10) || 'Read more' AS text
+    FROM documents),
+  split AS (
+    SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages),
+  kept AS (
+    SELECT doc_id, ls, list_filter(ls, x -> {pred}) AS ks FROM split)
+  SELECT doc_id,
+         array_to_string(ks, chr(10)) AS clean_text,
+         CAST(len(ks) AS BIGINT) AS n_lines_kept,
+         CAST(len(ls) - len(ks) AS BIGINT) AS n_lines_dropped
+  FROM kept"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

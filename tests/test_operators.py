@@ -790,3 +790,42 @@ def test_host_skew_report_flags_mega_host(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "Window" not in plan
+
+
+def test_clean_boilerplate_line_rules(spark):
+    """C4 line predicate: min-words, blocklist phrases, braces,
+    symbol-fraction nav bars all drop; real sentences survive; counts
+    are exact — and the whole op is a zero-shuffle, JVM-side
+    projection (no Exchange, no Python eval in the plan)."""
+    from dbpedia_spotlight_spark.operators.boilerplate import (
+        clean_boilerplate)
+    body = "the quick brown fox jumps over the lazy dog today"
+    page = "\n".join([
+        "Home | About | Contact | Subscribe",      # nav-bar pipes
+        body,                                      # kept
+        "Read more",                               # < 5 words
+        "Please enable JavaScript to continue.",   # blocklist (ci)
+        "copyright 2024 all rights reserved here", # blocklist
+        ".c { color: red }",                       # brace
+        body + " again and again",                 # kept
+    ])
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    out = clean_boilerplate(df)
+    r = out.collect()[0]
+    assert r["clean_text"] == body + "\n" + body + " again and again"
+    assert r["n_lines_kept"] == 2 and r["n_lines_dropped"] == 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_clean_boilerplate_terminal_punct_mode(spark):
+    """C4-proper mode: lines must end in terminal punctuation."""
+    from dbpedia_spotlight_spark.operators.boilerplate import (
+        clean_boilerplate)
+    page = ("this line has five words here\n"
+            "this line has five words too.")
+    df = spark.createDataFrame([(1, page)], "doc_id long, text string")
+    r = clean_boilerplate(df, require_terminal_punct=True).collect()[0]
+    assert r["clean_text"] == "this line has five words too."
+    assert (r["n_lines_kept"], r["n_lines_dropped"]) == (1, 1)

@@ -41,6 +41,8 @@ ROTATED = [
     # round-4 addition: URL canonicalization + cross-host mirror report
     ("canonical_urls", Q.q_canonical_urls, Q.sql_canonical_urls),
     ("mirror_hosts", Q.q_mirror_hosts, Q.sql_mirror_hosts),
+    # round-4 addition: C4-style boilerplate line filter
+    ("clean_boilerplate", Q.q_clean_boilerplate, Q.sql_clean_boilerplate),
 ]
 
 
