@@ -17,6 +17,7 @@ tables are synthesized from a fixed seed. Design goals:
 from __future__ import annotations
 
 import random
+import zlib
 from dataclasses import dataclass
 from datetime import datetime, timedelta
 
@@ -197,7 +198,14 @@ def _wrap_html(rng: random.Random, title_words: list[str],
             elif r < 0.12:
                 e = f"<i>{e}</i>"
             elif r < 0.14:
-                e = f'<a href="#x">{e}</a>'
+                # Deterministic cross-host target derived from the word
+                # alone (no extra rng draw — fixture streams stay
+                # byte-identical): the anchor-lexicon operators
+                # (operators/anchors.py) see a consistent word→target
+                # vote graph across the corpus.
+                h = zlib.crc32(w.encode("utf-8"))
+                e = (f'<a href="https://host{h % 51}.example/e/{w}">'
+                     f"{e}</a>")
             out.append(e)
         return " ".join(out)
 

@@ -1,0 +1,125 @@
+"""Anchor-text lexicon construction from raw web pages.
+
+The reference's surface-form lexicon (pairCounts: c(sf, entity)) is
+built from Wikipedia anchor statistics. At web scale the same signal
+comes from the crawl itself: every ``<a href>`` is a (surface form →
+target) vote, and aggregating those votes yields a lexicon delta that
+``plans/model_build.merge_count_tables`` can fold into the base model
+without a corpus re-scan — the KG-construct loop closes (crawl →
+anchors → lexicon → better spotting on the next crawl).
+
+Two stages, each scale-shaped:
+
+- ``extract_anchors``: ONE ``mapInPandas`` pass over (url, html) with a
+  tolerant stdlib HTMLParser (same tolerance contract as
+  ``functions/extraction.strip_html`` — malformed pages degrade, never
+  crash). The html payload is projected away before anything downstream
+  can shuffle it; output rows are tiny (url, href, anchor_text).
+- ``anchor_lexicon``: canonicalize the href (``operators/urlnorm`` —
+  the same subject-key hygiene used for triples), then ONE map-side-
+  combinable groupBy on (sf, uri). Key cardinality = |distinct anchor
+  phrases × targets| ≪ corpus rows; no skew beyond what the salting
+  utilities already handle for stopword-like anchors.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+ANCHOR_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("href", StringType()),
+    StructField("anchor_text", StringType()),
+])
+
+
+class _AnchorParser(HTMLParser):
+    """Collect (href, visible text) per <a href=...> element. Nested
+    inline markup inside the anchor contributes its text; anchors do
+    not nest in valid HTML — a nested <a> closes the outer one, which
+    is the browser behavior too."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.out: list[tuple[str, str]] = []
+        self._href: str | None = None
+        self._parts: list[str] = []
+
+    def _flush(self) -> None:
+        if self._href is not None:
+            text = " ".join("".join(self._parts).split())
+            if text:
+                self.out.append((self._href, text))
+        self._href, self._parts = None, []
+
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag == "a":
+            self._flush()
+            href = dict(attrs).get("href")
+            self._href = href if href else None
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag == "a":
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._href is not None:
+            self._parts.append(data)
+
+
+def parse_anchors(html: bytes | str) -> list[tuple[str, str]]:
+    """Pure per-page form: [(href, anchor_text)], document order.
+    Fragment-only links (href starting '#') are intra-page navigation,
+    not entity votes — dropped here."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _AnchorParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    p._flush()
+    return [(h, t) for (h, t) in p.out if not h.startswith("#")]
+
+
+def extract_anchors(pages: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """(url, href, anchor_text) — one Arrow-batched pass; the html
+    payload never leaves the scan stage."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for url, html in zip(b[url_col], b[html_col]):
+                if html is None:
+                    continue
+                for href, text in parse_anchors(html):
+                    rows.append((url, href, text))
+            yield pd.DataFrame(rows, columns=["url", "href", "anchor_text"])
+
+    return pages.select(url_col, html_col).mapInPandas(run, ANCHOR_SCHEMA)
+
+
+def anchor_lexicon(anchors: DataFrame, min_count: int = 1,
+                   canonicalize: bool = True) -> DataFrame:
+    """Aggregate anchors into a pairCounts-shaped delta (sf, uri, count)
+    — lowercased sf, matching the store's lookup normalization
+    (plans/model_build.pair_counts_from_links), so the result feeds
+    merge_count_tables(base, delta, ["sf", "uri"]) directly."""
+    from dbpedia_spotlight_spark.operators.urlnorm import canonical_url_col
+    uri = F.col("href")
+    if canonicalize:
+        uri = canonical_url_col(uri)
+    out = (
+        anchors.select(F.lower("anchor_text").alias("sf"), uri.alias("uri"))
+        .groupBy("sf", "uri")
+        .agg(F.count("*").alias("count"))
+    )
+    if min_count > 1:
+        out = out.filter(F.col("count") >= min_count)
+    return out

@@ -3197,6 +3197,58 @@ def sql_clean_boilerplate() -> str:
   FROM kept"""
 
 
+def q_anchor_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text lexicon (operators/anchors.py): deterministic HTML is
+    built from each document's words (every 5th word becomes an
+    <a href> whose target derives from the word), the REAL
+    HTMLParser-based mapInPandas extractor pulls the anchors back out,
+    and the pairCounts-shaped aggregation runs. The oracle never parses
+    HTML — it derives the same lexicon straight from word positions, so
+    parser, plumbing and aggregation are all under independent test."""
+    from dbpedia_spotlight_spark.operators.anchors import (
+        anchor_lexicon, extract_anchors)
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    frag = F.transform(
+        words,
+        lambda w, i: F.when(
+            (i % 5 == 0) & (F.length(w) > 0),
+            F.concat(F.lit('<a href="https://t'),
+                     (F.length(w) % 7).cast("string"),
+                     F.lit(".example/"), w, F.lit('">'), w,
+                     F.lit("</a>")),
+        ).otherwise(w),
+    )
+    pages = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), F.array_join(frag, " "),
+                     F.lit("</p></body></html>")),
+            "utf-8",
+        ).alias("html"),
+    )
+    return anchor_lexicon(extract_anchors(pages))
+
+
+def sql_anchor_lexicon() -> str:
+    """Mirror derives the lexicon from word positions directly (no HTML
+    round-trip): Spark transform() index is 0-based, DuckDB
+    generate_subscripts 1-based → (i-1)%5. Words are lowercase ASCII so
+    the op's lower() normalization and url canonicalization are
+    no-ops; empty words (double spaces) are excluded on both sides."""
+    return """
+  WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents)
+  SELECT w AS sf,
+         'https://t' || (length(w) % 7) || '.example/' || w AS uri,
+         COUNT(*) AS count
+  FROM w
+  WHERE (i - 1) % 5 = 0 AND w <> ''
+  GROUP BY 1, 2"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -829,3 +829,68 @@ def test_clean_boilerplate_terminal_punct_mode(spark):
     r = clean_boilerplate(df, require_terminal_punct=True).collect()[0]
     assert r["clean_text"] == "this line has five words too."
     assert (r["n_lines_kept"], r["n_lines_dropped"]) == (1, 1)
+
+
+def test_parse_anchors_pure():
+    from dbpedia_spotlight_spark.operators.anchors import parse_anchors
+    html = ('<p>see <a href="https://a.org/X">the  <b>big</b> thing</a> '
+            'and <a href="#frag">skip me</a>'
+            '<a href="/rel">rel &amp; path</a>'
+            '<a href="https://b.org/">  </a>'   # empty text → dropped
+            '<a>no href</a> tail</p>')
+    assert parse_anchors(html) == [
+        ("https://a.org/X", "the big thing"),
+        ("/rel", "rel & path"),
+    ]
+    assert parse_anchors(b"\xff\xfe<a href='u'>x</a>") == [("u", "x")]
+
+
+def test_extract_anchors_and_lexicon(spark):
+    """mapInPandas extraction + pairCounts-shaped aggregation; the html
+    payload must not survive past the scan projection."""
+    from dbpedia_spotlight_spark.operators.anchors import (
+        anchor_lexicon, extract_anchors)
+    rows = [
+        ("u1", b'<a href="HTTP://T.org/a?utm_x=1">Alpha</a>'
+               b'<a href="http://t.org/a">alpha</a>'),
+        ("u2", b'<a href="http://t.org/a">Alpha</a>'
+               b'<a href="http://t.org/b">beta</a>'),
+        ("u3", None),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    anchors = extract_anchors(pages)
+    assert anchors.count() == 4
+    lex = anchor_lexicon(anchors)
+    got = {(r["sf"], r["uri"]): r["count"] for r in lex.collect()}
+    # canonicalization folds case/tracking-param variants of t.org/a
+    assert got == {("alpha", "http://t.org/a"): 3,
+                   ("beta", "http://t.org/b"): 1}
+    plan = lex._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # one agg shuffle (+AQE read)
+
+
+def test_datagen_anchors_feed_lexicon_merge(spark):
+    """KG-construct loop: the synthetic crawl's anchors extract into a
+    pairCounts-shaped delta that merges into a base without re-scan;
+    targets are the deterministic word-derived cross-host urls."""
+    from dbpedia_spotlight_spark.datagen import make_corpus, make_lexicon
+    from dbpedia_spotlight_spark.operators.anchors import (
+        anchor_lexicon, extract_anchors)
+    from dbpedia_spotlight_spark.plans.model_build import merge_count_tables
+    lex = make_lexicon(seed=42)
+    pages, _ = make_corpus(lex, n_docs=40, seed=11)
+    df = spark.createDataFrame(pages[["url", "html"]].assign(
+        html=pages["html"]))
+    delta = anchor_lexicon(extract_anchors(df))
+    rows = delta.collect()
+    assert len(rows) > 5
+    import zlib as _z
+    for r in rows:
+        # every target replays the word→host derivation
+        assert r["uri"] == (f"https://host{_z.crc32(r['sf'].encode()) % 51}"
+                            f".example/e/{r['sf']}")
+    base = spark.createDataFrame(
+        [(rows[0]["sf"], rows[0]["uri"], 100)], "sf string, uri string, count long")
+    merged = merge_count_tables(base, delta, ["sf", "uri"])
+    m = {(r["sf"], r["uri"]): r["count"] for r in merged.collect()}
+    assert m[(rows[0]["sf"], rows[0]["uri"])] == 100 + rows[0]["count"]

@@ -43,6 +43,8 @@ ROTATED = [
     ("mirror_hosts", Q.q_mirror_hosts, Q.sql_mirror_hosts),
     # round-4 addition: C4-style boilerplate line filter
     ("clean_boilerplate", Q.q_clean_boilerplate, Q.sql_clean_boilerplate),
+    # round-4 addition: anchor-text lexicon (parser vs position oracle)
+    ("anchor_lexicon", Q.q_anchor_lexicon, Q.sql_anchor_lexicon),
 ]
 
 
