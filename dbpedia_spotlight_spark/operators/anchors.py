@@ -29,12 +29,20 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import StringType, StructField, StructType
+from pyspark.sql.types import (BooleanType, StringType, StructField,
+                               StructType)
 
 ANCHOR_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("href", StringType()),
     StructField("anchor_text", StringType()),
+    StructField("nofollow", BooleanType()),
+])
+
+ROBOTS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("noindex", BooleanType()),
+    StructField("nofollow", BooleanType()),
 ])
 
 
@@ -46,22 +54,36 @@ class _AnchorParser(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.out: list[tuple[str, str]] = []
+        self.out: list[tuple[str, str, bool]] = []
+        self.meta_noindex = False
+        self.meta_nofollow = False
         self._href: str | None = None
+        self._nofollow = False
         self._parts: list[str] = []
 
     def _flush(self) -> None:
         if self._href is not None:
             text = " ".join("".join(self._parts).split())
             if text:
-                self.out.append((self._href, text))
-        self._href, self._parts = None, []
+                self.out.append((self._href, text, self._nofollow))
+        self._href, self._nofollow, self._parts = None, False, []
 
     def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
         if tag == "a":
             self._flush()
-            href = dict(attrs).get("href")
+            a = dict(attrs)
+            href = a.get("href")
             self._href = href if href else None
+            rel = (a.get("rel") or "").lower().split()
+            self._nofollow = "nofollow" in rel
+        elif tag == "meta":
+            a = {k: (v or "") for k, v in attrs}
+            if a.get("name", "").lower() == "robots":
+                directives = {
+                    d.strip() for d in a.get("content", "").lower().split(",")
+                }
+                self.meta_noindex |= bool({"noindex", "none"} & directives)
+                self.meta_nofollow |= bool({"nofollow", "none"} & directives)
 
     def handle_endtag(self, tag: str) -> None:
         if tag == "a":
@@ -72,10 +94,7 @@ class _AnchorParser(HTMLParser):
             self._parts.append(data)
 
 
-def parse_anchors(html: bytes | str) -> list[tuple[str, str]]:
-    """Pure per-page form: [(href, anchor_text)], document order.
-    Fragment-only links (href starting '#') are intra-page navigation,
-    not entity votes — dropped here."""
+def _parse(html: bytes | str) -> _AnchorParser:
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     p = _AnchorParser()
@@ -85,7 +104,24 @@ def parse_anchors(html: bytes | str) -> list[tuple[str, str]]:
     except Exception:
         pass
     p._flush()
-    return [(h, t) for (h, t) in p.out if not h.startswith("#")]
+    return p
+
+
+def parse_anchors(html: bytes | str) -> list[tuple[str, str, bool]]:
+    """Pure per-page form: [(href, anchor_text, nofollow)], document
+    order. Fragment-only links (href starting '#') are intra-page
+    navigation, not entity votes — dropped here. A page-level
+    ``<meta name="robots" content="nofollow">`` marks EVERY anchor
+    nofollow (the directive's defined meaning)."""
+    p = _parse(html)
+    return [(h, t, nf or p.meta_nofollow) for (h, t, nf) in p.out
+            if not h.startswith("#")]
+
+
+def parse_robots_meta(html: bytes | str) -> tuple[bool, bool]:
+    """(noindex, nofollow) from <meta name=robots>; 'none' ≡ both."""
+    p = _parse(html)
+    return p.meta_noindex, p.meta_nofollow
 
 
 def extract_anchors(pages: DataFrame, html_col: str = "html",
@@ -98,20 +134,46 @@ def extract_anchors(pages: DataFrame, html_col: str = "html",
             for url, html in zip(b[url_col], b[html_col]):
                 if html is None:
                     continue
-                for href, text in parse_anchors(html):
-                    rows.append((url, href, text))
-            yield pd.DataFrame(rows, columns=["url", "href", "anchor_text"])
+                for href, text, nofollow in parse_anchors(html):
+                    rows.append((url, href, text, nofollow))
+            yield pd.DataFrame(
+                rows, columns=["url", "href", "anchor_text", "nofollow"])
 
     return pages.select(url_col, html_col).mapInPandas(run, ANCHOR_SCHEMA)
 
 
+def robots_meta(pages: DataFrame, html_col: str = "html",
+                url_col: str = "url") -> DataFrame:
+    """(url, noindex, nofollow) page gate from <meta name=robots> —
+    noindex pages must not reach corpus emission / triple subjects;
+    nofollow pages contribute no anchor votes. Same one-pass,
+    payload-stays-in-scan shape as extract_anchors."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for url, html in zip(b[url_col], b[html_col]):
+                if html is None:
+                    rows.append((url, False, False))
+                    continue
+                ni, nf = parse_robots_meta(html)
+                rows.append((url, ni, nf))
+            yield pd.DataFrame(rows, columns=["url", "noindex", "nofollow"])
+
+    return pages.select(url_col, html_col).mapInPandas(run, ROBOTS_SCHEMA)
+
+
 def anchor_lexicon(anchors: DataFrame, min_count: int = 1,
-                   canonicalize: bool = True) -> DataFrame:
+                   canonicalize: bool = True,
+                   include_nofollow: bool = False) -> DataFrame:
     """Aggregate anchors into a pairCounts-shaped delta (sf, uri, count)
     — lowercased sf, matching the store's lookup normalization
     (plans/model_build.pair_counts_from_links), so the result feeds
-    merge_count_tables(base, delta, ["sf", "uri"]) directly."""
+    merge_count_tables(base, delta, ["sf", "uri"]) directly.
+    rel=nofollow anchors (spam/UGC links — explicitly not endorsements)
+    are excluded from the vote by default."""
     from dbpedia_spotlight_spark.operators.urlnorm import canonical_url_col
+    if not include_nofollow and "nofollow" in anchors.columns:
+        anchors = anchors.filter(~F.col("nofollow"))
     uri = F.col("href")
     if canonicalize:
         uri = canonical_url_col(uri)

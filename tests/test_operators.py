@@ -839,10 +839,44 @@ def test_parse_anchors_pure():
             '<a href="https://b.org/">  </a>'   # empty text → dropped
             '<a>no href</a> tail</p>')
     assert parse_anchors(html) == [
-        ("https://a.org/X", "the big thing"),
-        ("/rel", "rel & path"),
+        ("https://a.org/X", "the big thing", False),
+        ("/rel", "rel & path", False),
     ]
-    assert parse_anchors(b"\xff\xfe<a href='u'>x</a>") == [("u", "x")]
+    assert parse_anchors(b"\xff\xfe<a href='u'>x</a>") == [("u", "x", False)]
+
+
+def test_parse_anchors_nofollow_and_meta_robots():
+    from dbpedia_spotlight_spark.operators.anchors import (
+        parse_anchors, parse_robots_meta)
+    html = ('<a href="u1" rel="ugc nofollow">spam</a>'
+            '<a href="u2">good</a>')
+    assert parse_anchors(html) == [("u1", "spam", True),
+                                   ("u2", "good", False)]
+    meta = '<meta name="ROBOTS" content="NOINDEX, nofollow"><a href="u">x</a>'
+    assert parse_robots_meta(meta) == (True, True)
+    # page-level nofollow marks every anchor
+    assert parse_anchors(meta) == [("u", "x", True)]
+    assert parse_robots_meta('<meta name="robots" content="none">') == \
+        (True, True)
+    assert parse_robots_meta("<p>no meta</p>") == (False, False)
+
+
+def test_anchor_lexicon_drops_nofollow_votes(spark):
+    from dbpedia_spotlight_spark.operators.anchors import (
+        anchor_lexicon, extract_anchors, robots_meta)
+    rows = [
+        ("u1", b'<a href="http://t.org/a" rel="nofollow">alpha</a>'
+               b'<a href="http://t.org/a">alpha</a>'),
+        ("u2", b'<meta name="robots" content="noindex,nofollow">'
+               b'<a href="http://t.org/a">alpha</a>'),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    lex = anchor_lexicon(extract_anchors(pages))
+    got = {(r["sf"], r["uri"]): r["count"] for r in lex.collect()}
+    assert got == {("alpha", "http://t.org/a"): 1}
+    gates = {r["url"]: (r["noindex"], r["nofollow"])
+             for r in robots_meta(pages).collect()}
+    assert gates == {"u1": (False, False), "u2": (True, True)}
 
 
 def test_extract_anchors_and_lexicon(spark):
