@@ -39,11 +39,6 @@ ANCHOR_SCHEMA = StructType([
     StructField("nofollow", BooleanType()),
 ])
 
-ROBOTS_SCHEMA = StructType([
-    StructField("url", StringType()),
-    StructField("noindex", BooleanType()),
-    StructField("nofollow", BooleanType()),
-])
 
 
 class _AnchorParser(HTMLParser):
@@ -147,7 +142,14 @@ def robots_meta(pages: DataFrame, html_col: str = "html",
     """(url, noindex, nofollow) page gate from <meta name=robots> —
     noindex pages must not reach corpus emission / triple subjects;
     nofollow pages contribute no anchor votes. Same one-pass,
-    payload-stays-in-scan shape as extract_anchors."""
+    payload-stays-in-scan shape as extract_anchors. The key column's
+    type follows the input (url string or numeric doc id alike)."""
+    schema = StructType([
+        StructField("url", pages.schema[url_col].dataType),
+        StructField("noindex", BooleanType()),
+        StructField("nofollow", BooleanType()),
+    ])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
@@ -159,7 +161,7 @@ def robots_meta(pages: DataFrame, html_col: str = "html",
                 rows.append((url, ni, nf))
             yield pd.DataFrame(rows, columns=["url", "noindex", "nofollow"])
 
-    return pages.select(url_col, html_col).mapInPandas(run, ROBOTS_SCHEMA)
+    return pages.select(url_col, html_col).mapInPandas(run, schema)
 
 
 def anchor_lexicon(anchors: DataFrame, min_count: int = 1,

@@ -72,6 +72,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="capture timestamp column for --dedup-recrawls")
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01",
                     help="name=weight[,name=weight...] (sum 1) or ''")
+    ap.add_argument("--robots-gate", action="store_true",
+                    help="drop pages whose <meta name=robots> declares "
+                         "noindex (requires --html-col in the input)")
+    ap.add_argument("--html-col", default="html")
+    ap.add_argument("--clean-boilerplate", action="store_true",
+                    help="C4-style boilerplate line filter BEFORE "
+                         "content dedup (boilerplate changes content "
+                         "hashes, so cleaning must precede hashing); "
+                         "docs reduced to zero lines are dropped")
     return ap
 
 
@@ -139,6 +148,42 @@ def main(argv: list[str] | None = None,
             .first()
         )
         stats["host_skew"] = {k: skew[k] for k in skew.asDict()}
+
+    # 0b. robots gate: noindex pages are the publisher's explicit
+    # opt-out — they must never reach corpus emission. One mapInPandas
+    # pass over (id, html); the html payload stays in the scan stage.
+    if args.robots_gate:
+        if args.html_col not in docs.columns:
+            raise SystemExit(
+                f"--robots-gate needs column '{args.html_col}'")
+        from dbpedia_spotlight_spark.operators.anchors import robots_meta
+        allowed = (
+            robots_meta(docs, html_col=args.html_col, url_col=id_col)
+            .filter(~F.col("noindex")).select(F.col("url").alias(id_col))
+        )
+        docs = docs.join(allowed, id_col, "left_semi") \
+            .localCheckpoint(eager=True)
+        stats["after_robots_gate"] = docs.count()
+
+    # 0c. boilerplate line filter — BEFORE exact dedup: two captures
+    # differing only in nav/footer noise become byte-identical once
+    # cleaned, so cleaning first makes the dedup stages strictly more
+    # effective. Zero-shuffle projection; empty survivors are dropped.
+    if args.clean_boilerplate:
+        from dbpedia_spotlight_spark.operators.boilerplate import (
+            clean_boilerplate,
+        )
+        docs = (
+            clean_boilerplate(docs)
+            .withColumn("text", F.col("clean_text")).drop("clean_text")
+            .filter(F.col("n_lines_kept") > 0)
+            .localCheckpoint(eager=True)
+        )
+        bp = docs.agg(F.sum("n_lines_dropped").alias("d"),
+                      F.count("*").alias("n")).first()
+        stats["boilerplate_lines_dropped"] = bp["d"]
+        stats["after_boilerplate"] = bp["n"]
+        docs = docs.drop("n_lines_kept", "n_lines_dropped")
 
     # 1. exact dedup. Each stage ends with localCheckpoint(eager): the
     # stage-count stats and every later stage reuse the materialized

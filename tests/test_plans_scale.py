@@ -401,3 +401,53 @@ def test_run_curation_recrawl_stage(spark, tmp_path):
             spark.read.parquet(str(tmp_path / "out" / "curated"))
             .select("doc_id").collect()}
     assert kept and all(i >= 500 for i in kept)       # newest capture won
+
+
+def test_run_curation_robots_and_boilerplate_stages(spark, tmp_path):
+    """--robots-gate drops noindex pages via their html; then
+    --clean-boilerplate strips known boilerplate lines BEFORE hashing,
+    so two captures that differ only in footers dedup exactly."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 30")
+    footer = "Copyright 2024 example.org - all rights reserved."
+    base = src.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n" + footer)).alias("text"),
+        F.encode(F.lit("<html><body>ok</body></html>"), "utf-8")
+         .alias("html"))
+    # same body text, DIFFERENT footer → only boilerplate-clean + exact
+    # dedup together can collapse these
+    variant = base.withColumn("doc_id", F.col("doc_id") + 100) \
+        .withColumn("text", F.regexp_replace(
+            "text", "Copyright 2024", "Copyright 1999"))
+    # noindex pages: must vanish at the robots gate
+    blocked = src.filter("doc_id < 5").select(
+        (F.col("doc_id") + 900).alias("doc_id"), "text",
+        F.encode(F.lit('<html><head><meta name="robots" '
+                       'content="noindex"></head></html>'), "utf-8")
+         .alias("html"))
+    corpus_dir = str(tmp_path / "corpus")
+    base.unionByName(variant).unionByName(blocked).write.parquet(corpus_dir)
+
+    stats = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
+                  "--robots-gate", "--clean-boilerplate",
+                  "--lang", "", "--no-quality-gate", "--split", ""],
+                 spark=spark)
+    assert stats["input_rows"] == 65
+    assert stats["after_robots_gate"] == 60           # 5 noindex gone
+    assert stats["after_boilerplate"] == 60           # no doc emptied
+    assert stats["boilerplate_lines_dropped"] == 60   # one footer each
+    assert stats["after_exact_dedup"] == 30           # variants collapsed
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out" / "curated"))
+            .select("doc_id").collect()}
+    # min-id keeper: every survivor is a base doc (the +100 variants and
+    # +900 noindex rows are all gone); the near-dedup stage may also
+    # collapse a few GENUINE near-dup pairs within the base corpus
+    assert kept <= set(range(30)) and len(kept) >= 25
+    # and the surviving text carries no footer line
+    texts = spark.read.parquet(str(tmp_path / "out" / "curated")) \
+        .select("text").collect()
+    assert all("rights reserved" not in r["text"] for r in texts)
