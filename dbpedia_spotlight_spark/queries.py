@@ -3197,6 +3197,65 @@ def sql_clean_boilerplate() -> str:
   FROM kept"""
 
 
+_WARC_FIXTURE = [
+    # (url, iso_ts, status, html_body) — response records
+    ("http://w.org/1", "2024-02-01 08:00:00", 200,
+     "<p>alpha beta gamma</p>"),
+    ("http://w.org/2", "2024-02-01 09:30:00", 404,
+     "<ul><li>one</li><li>two</li></ul>"),
+    ("http://w.org/3", "2024-02-02 10:15:00", 200,
+     "plain body, no markup"),
+]
+
+
+def q_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source (sources/warc.py): a deterministic two-shard WARC
+    (one plain, one gzipped; plus a request record the type filter must
+    drop) is written fresh, read back via binaryFile + mapInPandas, and
+    reduced to (url, warc_ts, http_status, extracted_text)."""
+    import gzip
+    import os
+    import tempfile
+    from datetime import datetime
+    from dbpedia_spotlight_spark.pipeline import extract_text
+    from dbpedia_spotlight_spark.sources.warc import build_warc, read_warc
+
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_warc_fixture")
+    os.makedirs(d, exist_ok=True)
+    recs = [
+        {"warc_type": "response", "url": u,
+         "warc_ts": datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"),
+         "http_status": st, "body": body.encode()}
+        for (u, ts, st, body) in _WARC_FIXTURE
+    ]
+    req = {"warc_type": "request", "url": "http://w.org/1",
+           "warc_ts": None, "body": b"GET /1 HTTP/1.1"}
+    # ALWAYS overwrite (tiny files — see _tsv fixture note)
+    with open(os.path.join(d, "s0.warc"), "wb") as f:
+        f.write(build_warc([req] + recs[:2]))
+    with open(os.path.join(d, "s1.warc.gz"), "wb") as f:
+        f.write(gzip.compress(build_warc(recs[2:])))
+    df = read_warc(spark, d)
+    return (
+        extract_text(df.select("url", "warc_ts", "http_status", "html"))
+        .select("url", "warc_ts", "http_status", "extracted_text")
+    )
+
+
+def sql_warc_source() -> str:
+    """Expected rows straight from the fixture spec (paper-designed, no
+    WARC writer/parser in the loop beyond strip_html's frozen spec)."""
+    from dbpedia_spotlight_spark.functions.extraction import strip_html
+    rows = ",\n    ".join(
+        "('{}', TIMESTAMP '{}', {}, '{}')".format(
+            u, ts, st, strip_html(body.encode()).replace("'", "''"))
+        for (u, ts, st, body) in _WARC_FIXTURE
+    )
+    return f"""
+  SELECT url, warc_ts, http_status, extracted_text
+  FROM (VALUES {rows}) AS t(url, warc_ts, http_status, extracted_text)"""
+
+
 def q_anchor_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text lexicon (operators/anchors.py): deterministic HTML is
     built from each document's words (every 5th word becomes an

@@ -45,6 +45,8 @@ ROTATED = [
     ("clean_boilerplate", Q.q_clean_boilerplate, Q.sql_clean_boilerplate),
     # round-4 addition: anchor-text lexicon (parser vs position oracle)
     ("anchor_lexicon", Q.q_anchor_lexicon, Q.sql_anchor_lexicon),
+    # round-4 addition: WARC source (two-shard fixture, paper oracle)
+    ("warc_source", Q.q_warc_source, Q.sql_warc_source),
 ]
 
 

@@ -341,3 +341,76 @@ def test_dedup_stream_batch_map_column_fallback(spark):
     out = dedup_stream(df, ts_col="ts")
     got = {r["id"]: r["meta"]["k"] for r in out.collect()}
     assert got == {2: "early", 3: "solo"}
+
+
+# --------------------------------------------------------------- WARC --
+
+def test_warc_roundtrip_pure():
+    from datetime import datetime
+    from dbpedia_spotlight_spark.sources.warc import build_warc, parse_warc
+    recs = [
+        {"warc_type": "warcinfo", "url": None, "warc_ts": None,
+         "body": b"software: test"},
+        {"warc_type": "request", "url": "http://a.org/",
+         "warc_ts": datetime(2024, 1, 1), "body": b"GET / HTTP/1.1"},
+        {"warc_type": "response", "url": "http://a.org/",
+         "warc_ts": datetime(2024, 1, 1, 12, 30), "http_status": 404,
+         "body": b"<html>missing \r\n\r\n page</html>"},
+    ]
+    got = parse_warc(build_warc(recs))
+    assert [r["warc_type"] for r in got] == ["warcinfo", "request",
+                                             "response"]
+    resp = got[2]
+    assert resp["url"] == "http://a.org/"
+    assert resp["warc_ts"] == datetime(2024, 1, 1, 12, 30)
+    assert resp["http_status"] == 404
+    # CRLFCRLF inside the body must survive (length-delimited, not
+    # delimiter-scanned)
+    assert resp["html"] == b"<html>missing \r\n\r\n page</html>"
+    # gzip transparency
+    import gzip
+    assert parse_warc(gzip.compress(build_warc(recs))) == got
+    # malformed tail: records before the corruption still parse
+    blob = build_warc(recs) + b"WARC/1.0\r\nContent-Length: oops\r\n\r\n"
+    assert len(parse_warc(blob)) == 3
+
+
+def test_read_warc_spark_and_extraction_parity(spark, tmp_path):
+    """WARC-born pages must be indistinguishable from parquet-born ones:
+    same (url, warc_ts, html) triplets, same extracted text."""
+    import gzip
+    from dbpedia_spotlight_spark.datagen import make_corpus, make_lexicon
+    from dbpedia_spotlight_spark.pipeline import extract_text
+    from dbpedia_spotlight_spark.sources.warc import build_warc, read_warc
+
+    pages, _ = make_corpus(make_lexicon(seed=42), n_docs=30, seed=11)
+    recs = [
+        {"warc_type": "response", "url": r.url, "warc_ts": r.warc_ts,
+         "body": bytes(r.html)}
+        for r in pages.itertuples()
+    ]
+    # two shards: one plain, one gzipped; plus a request record that the
+    # default type filter must drop
+    recs[0]["http_status"] = 200
+    half = len(recs) // 2
+    shard0 = build_warc(recs[:half] + [
+        {"warc_type": "request", "url": "http://x/", "warc_ts": None,
+         "body": b"GET /"}])
+    shard1 = gzip.compress(build_warc(recs[half:]))
+    (tmp_path / "s0.warc").write_bytes(shard0)
+    (tmp_path / "s1.warc.gz").write_bytes(shard1)
+
+    df = read_warc(spark, str(tmp_path))
+    got = df.toPandas().sort_values("url").reset_index(drop=True)
+    assert (got["warc_type"] == "response").all()
+    assert len(got) == len(pages)
+
+    want = pages.sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    # warc_ts second-granularity roundtrip (WARC-Date has no micros)
+    assert [t.floor("s") for t in want["warc_ts"]] == list(got["warc_ts"])
+    assert [bytes(a) for a in got["html"]] == [bytes(b) for b in want["html"]]
+
+    ext = extract_text(df.select("url", "html")).toPandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert list(ext["extracted_text"]) == list(want["text"])
