@@ -187,3 +187,34 @@ def anchor_lexicon(anchors: DataFrame, min_count: int = 1,
     if min_count > 1:
         out = out.filter(F.col("count") >= min_count)
     return out
+
+
+def host_link_edges(anchors: DataFrame, url_col: str = "url",
+                    include_nofollow: bool = False,
+                    min_count: int = 1) -> DataFrame:
+    """Host-level web graph from anchors: (uri_a=source host,
+    uri_b=target host, n_docs=link count), cross-host edges only
+    (intra-site navigation would dominate and says nothing about
+    authority). Column names match ``operators/graph.pagerank``'s edge
+    contract, so ``pagerank(host_link_edges(extract_anchors(pages)))``
+    composes directly — rank over the undirected co-citation
+    approximation that op implements. ONE groupBy whose key cardinality
+    is |host pairs| ≪ |anchors|. Only absolute hrefs (scheme://) carry a
+    target host — relative links are intra-site by definition and drop
+    with the self-edge filter."""
+    from dbpedia_spotlight_spark.operators.urlnorm import canonical_url_col
+    from dbpedia_spotlight_spark.operators.webstats import host_col
+    if not include_nofollow and "nofollow" in anchors.columns:
+        anchors = anchors.filter(~F.col("nofollow"))
+    e = anchors.select(
+        host_col(F.col(url_col)).alias("uri_a"),
+        F.regexp_extract(canonical_url_col(F.col("href")),
+                         "^[a-z][a-z0-9+.-]*://([^/]+)", 1).alias("uri_b"),
+    ).filter(
+        (F.col("uri_a") != F.col("uri_b"))
+        & (F.col("uri_a") != "") & (F.col("uri_b") != "")
+    )
+    out = e.groupBy("uri_a", "uri_b").agg(F.count("*").alias("n_docs"))
+    if min_count > 1:
+        out = out.filter(F.col("n_docs") >= min_count)
+    return out

@@ -928,3 +928,32 @@ def test_datagen_anchors_feed_lexicon_merge(spark):
     merged = merge_count_tables(base, delta, ["sf", "uri"])
     m = {(r["sf"], r["uri"]): r["count"] for r in merged.collect()}
     assert m[(rows[0]["sf"], rows[0]["uri"])] == 100 + rows[0]["count"]
+
+
+def test_host_link_edges_and_pagerank_composition(spark):
+    """crawl → anchors → cross-host edge list → pagerank: the host every
+    other host links to must rank highest; relative/self/nofollow links
+    contribute no edges."""
+    from dbpedia_spotlight_spark.operators.anchors import (
+        extract_anchors, host_link_edges)
+    from dbpedia_spotlight_spark.operators.graph import pagerank
+    def page(*links):
+        return ("".join(f'<a href="{h}" {r}>x y</a>' for h, r in links)
+                ).encode()
+    rows = [
+        ("https://a.org/1", page(("https://hub.org/p", ""),
+                                 ("/rel", ""),                # relative
+                                 ("https://a.org/2", ""))),   # self-host
+        ("https://b.org/1", page(("https://hub.org/q", ""),
+                                 ("https://c.org/", 'rel="nofollow"'))),
+        ("https://c.org/1", page(("https://hub.org/r", ""),
+                                 ("https://a.org/z", ""))),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    edges = host_link_edges(extract_anchors(pages))
+    got = {(r["uri_a"], r["uri_b"]): r["n_docs"] for r in edges.collect()}
+    assert got == {("a.org", "hub.org"): 1, ("b.org", "hub.org"): 1,
+                   ("c.org", "hub.org"): 1, ("c.org", "a.org"): 1}
+    ranks = {r["uri"]: r["rank"] for r in pagerank(edges).collect()}
+    assert max(ranks, key=ranks.get) == "hub.org"
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
