@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-emit-triples", dest="emit_triples",
                     action="store_false",
                     help="write raw annotations instead of triples")
+    ap.add_argument("--anchor-lexicon", action="store_true",
+                    help="also aggregate the corpus's <a href> votes "
+                         "into a pairCounts-shaped anchor_lexicon table "
+                         "(fold into the model store offline via "
+                         "plans/model_build.merge_count_tables)")
     return ap
 
 
@@ -134,6 +139,20 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         )
         cat.write(metrics, f"{name}_metrics")
         stats["n_partitions"] = metrics.count()
+
+    if args.anchor_lexicon:
+        # KG-construct loop closure: the same crawl that yields triples
+        # also yields next-build lexicon votes — one extra scan of the
+        # corpus (html never shuffles), zero coupling to the annotate
+        # lineage above.
+        if "html" not in corpus.columns:
+            raise SystemExit("--anchor-lexicon needs an 'html' column")
+        from dbpedia_spotlight_spark.operators.anchors import (
+            anchor_lexicon, extract_anchors,
+        )
+        cat.write(anchor_lexicon(extract_anchors(corpus)), "anchor_lexicon")
+        stats["anchor_lexicon_rows"] = \
+            cat.read(spark, "anchor_lexicon").count()
 
     print(json.dumps(stats))
     if own_session:

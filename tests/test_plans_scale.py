@@ -451,3 +451,30 @@ def test_run_curation_robots_and_boilerplate_stages(spark, tmp_path):
     texts = spark.read.parquet(str(tmp_path / "out" / "curated")) \
         .select("text").collect()
     assert all("rights reserved" not in r["text"] for r in texts)
+
+
+def test_run_pipeline_anchor_lexicon_emission(spark, web_pages, lexicon,
+                                              tmp_path):
+    """--anchor-lexicon: the annotate job also writes the pairCounts-
+    shaped anchor vote table from the corpus html (datagen plants
+    deterministic word-derived cross-host hrefs)."""
+    import zlib
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.run_pipeline import main
+
+    corpus_dir = str(tmp_path / "corpus")
+    lex_dir = str(tmp_path / "lexicon")
+    out_dir = str(tmp_path / "out")
+    web_pages.write.mode("overwrite").parquet(corpus_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+
+    stats = main([
+        "--corpus", corpus_dir, "--lexicon", lex_dir, "--out", out_dir,
+        "--mode", "annotate", "--anchor-lexicon",
+    ], spark=spark)
+    assert stats["rows"] > 0 and stats["anchor_lexicon_rows"] > 0
+    lex_df = spark.read.parquet(f"{out_dir}/anchor_lexicon")
+    assert set(lex_df.columns) == {"sf", "uri", "count"}
+    r = lex_df.orderBy(F.desc("count")).first()
+    assert r["uri"] == (f"https://host{zlib.crc32(r['sf'].encode()) % 51}"
+                        f".example/e/{r['sf']}")
