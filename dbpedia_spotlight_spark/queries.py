@@ -3308,6 +3308,87 @@ def sql_anchor_lexicon() -> str:
   GROUP BY 1, 2"""
 
 
+def _snapshot_triples(spark: SparkSession, sf_dir: str,
+                      new: bool) -> DataFrame:
+    """Deterministic crawl-snapshot triple sets derived from documents:
+    the OLD snapshot covers doc_id % 7 != 0, the NEW recrawl covers
+    doc_id % 2 == 0 (overlapping but neither containing the other), each
+    doc carrying 1-3 link triples. In the recrawl, docs with
+    doc_id % 5 == 0 rotate their objects by one — a changed page — so
+    the delta exercises all three cases: re-annotated-unchanged (no
+    rows), changed (removed+added), newly-crawled (added only)."""
+    d = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 2 == 0) if new else (F.col("doc_id") % 7 != 0))
+    d = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("k"))
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(F.lit("https://host"), s(F.col("doc_id") % 13),
+                   F.lit(".example/d/"), s(F.col("doc_id")))
+    shift = F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0) \
+        if new else F.lit(0)
+    return d.select(
+        F.concat(url, F.lit("#char="), s(F.col("k") * 10), F.lit(","),
+                 s(F.col("k") * 10 + 5)).alias("subj"),
+        F.lit("itsrdf:taIdentRef").alias("pred"),
+        F.concat(F.lit("dbr:Ent"),
+                 s((F.col("doc_id") * 7 + F.col("k") + shift) % 50))
+        .alias("obj"),
+    )
+
+
+def q_triple_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental KG maintenance (triples.py::triple_delta): change log
+    between two crawl-snapshot triple sets under per-url replace
+    semantics — urls the recrawl did not touch produce no rows."""
+    from dbpedia_spotlight_spark.triples import triple_delta
+    return triple_delta(_snapshot_triples(spark, sf_dir, new=False),
+                        _snapshot_triples(spark, sf_dir, new=True))
+
+
+def sql_triple_delta() -> str:
+    """NOT EXISTS mirror of triples.py::triple_delta over the same
+    generate_series-constructed snapshots (Spark sequence() and DuckDB
+    generate_series are both inclusive; all arithmetic is integer mod).
+    old_t/new_t are each referenced twice → AS MATERIALIZED. DuckDB's
+    table-function generate_series can't take lateral column args, so
+    the fan-out is unnest(generate_series(...)) in SELECT."""
+    return """
+  WITH fan AS MATERIALIZED (
+    SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS k
+    FROM documents),
+  old_t AS MATERIALIZED (
+    SELECT 'https://host' || (doc_id % 13) || '.example/d/' || doc_id AS url,
+           'https://host' || (doc_id % 13) || '.example/d/' || doc_id
+             || '#char=' || (k * 10) || ',' || (k * 10 + 5) AS subj,
+           'itsrdf:taIdentRef' AS pred,
+           'dbr:Ent' || ((doc_id * 7 + k) % 50) AS obj
+    FROM fan WHERE doc_id % 7 <> 0),
+  new_t AS MATERIALIZED (
+    SELECT 'https://host' || (doc_id % 13) || '.example/d/' || doc_id AS url,
+           'https://host' || (doc_id % 13) || '.example/d/' || doc_id
+             || '#char=' || (k * 10) || ',' || (k * 10 + 5) AS subj,
+           'itsrdf:taIdentRef' AS pred,
+           'dbr:Ent' || ((doc_id * 7 + k
+                          + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                         % 50) AS obj
+    FROM fan WHERE doc_id % 2 = 0)
+  SELECT n.url, n.subj, n.pred, n.obj, 'added' AS change
+  FROM new_t n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM old_t o
+    WHERE o.url = n.url AND o.subj = n.subj
+      AND o.pred = n.pred AND o.obj = n.obj)
+  UNION ALL
+  SELECT o.url, o.subj, o.pred, o.obj, 'removed' AS change
+  FROM old_t o
+  WHERE o.url IN (SELECT url FROM new_t)
+    AND NOT EXISTS (
+      SELECT 1 FROM new_t n
+      WHERE n.url = o.url AND n.subj = o.subj
+        AND n.pred = o.pred AND n.obj = o.obj)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

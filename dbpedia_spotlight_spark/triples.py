@@ -81,6 +81,60 @@ def all_triples(annotations: DataFrame) -> DataFrame:
     )
 
 
+def provenance_url(triples: DataFrame) -> DataFrame:
+    """Recover the provenance ``url`` from the NIF subj fragment
+    ('<url>#char=b,e' — the inverse of ``subj_col``). Pure column
+    expression; the KG-maintenance ops below key on it."""
+    return triples.withColumn(
+        "url", F.substring_index(F.col("subj"), "#char=", 1))
+
+
+def triple_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental KG maintenance across crawl snapshots (north_rule:
+    resumable construction; input_hint recrawl shape).
+
+    A recrawl covers a *subset* of urls. For every url present in
+    ``new``, its triple set REPLACES the old one; urls the recrawl did
+    not touch are untouched (not "removed" — absence of a capture is
+    not absence of the page). Returns the change log
+    (url, subj, pred, obj, change∈{added, removed}) such that
+    ``apply_delta(old, delta) ≡ old⧸recrawled ∪ new`` (pytest-pinned).
+
+    Inputs are triple *sets* (subj, pred, obj [, score…]); duplicate
+    rows are collapsed (``dropDuplicates`` on the key) so the change
+    log is itself a set.
+
+    Scale: both anti-joins shuffle on the (url, subj, pred, obj) key —
+    partition count = triple cardinality, no url-level skew amplification
+    (a mega-host's triples spread over the full key space). The
+    recrawled-url semi-join broadcasts when the recrawl is small; at
+    full-crawl size AQE picks the shuffle form. No step is quadratic.
+    """
+    key = ["url", "subj", "pred", "obj"]
+    o = provenance_url(old.select("subj", "pred", "obj")).dropDuplicates(key)
+    n = provenance_url(new.select("subj", "pred", "obj")).dropDuplicates(key)
+    recrawled = n.select("url").distinct()
+    removed = (
+        o.join(recrawled, "url", "left_semi")
+        .join(n, key, "left_anti")
+        .withColumn("change", F.lit("removed"))
+    )
+    added = n.join(o, key, "left_anti").withColumn("change", F.lit("added"))
+    return added.unionByName(removed).select(*key, "change")
+
+
+def apply_delta(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Apply a ``triple_delta`` change log to a materialized KG snapshot:
+    drop the 'removed' rows, append the 'added' rows. Anti-join on the
+    full key + union — one shuffle family, merge-on-read friendly (the
+    Iceberg form of this is a MERGE; the catalog fallback rewrites)."""
+    key = ["url", "subj", "pred", "obj"]
+    b = provenance_url(base.select("subj", "pred", "obj")).dropDuplicates(key)
+    removed = delta.filter(F.col("change") == "removed").select(*key)
+    added = delta.filter(F.col("change") == "added").select(*key)
+    return b.join(removed, key, "left_anti").unionByName(added)
+
+
 def triple_prf(emitted: DataFrame, golden: DataFrame) -> dict[str, float]:
     """Set precision/recall/F1 of (subj, pred, obj) vs a golden set —
     the BASELINE P/R≥0.95 gate, computed distributed (no collect of the

@@ -206,3 +206,32 @@ def test_npchunk_spotter_chunk_exact(spark):
     assert ("u4", 12, 17, "table") in np_rows
     assert np_rows <= fsa_rows
     assert any(r[0] == "u2" for r in fsa_rows)          # FSA does spot it
+
+
+def test_triple_delta_roundtrip(spark):
+    """apply_delta(old, triple_delta(old, new)) must equal the
+    per-url-replace semantics: urls in the recrawl carry exactly their
+    new triples, untouched urls keep their old ones."""
+    from dbpedia_spotlight_spark.queries import _snapshot_triples
+    from dbpedia_spotlight_spark.triples import (
+        apply_delta, provenance_url, triple_delta)
+
+    sf_dir = "/root/testdata/sf0.001"
+    old = _snapshot_triples(spark, sf_dir, new=False)
+    new = _snapshot_triples(spark, sf_dir, new=True)
+    delta = triple_delta(old, new)
+
+    merged = apply_delta(old, delta)
+    recrawled = provenance_url(new).select("url").distinct()
+    expected = (
+        provenance_url(old).join(recrawled, "url", "left_anti")
+        .unionByName(provenance_url(new))
+        .select("url", "subj", "pred", "obj")
+    )
+    assert merged.exceptAll(expected).count() == 0
+    assert expected.exceptAll(merged).count() == 0
+
+    # untouched urls never appear in the change log
+    assert delta.join(recrawled, "url", "left_anti").count() == 0
+    # a no-op recrawl produces an empty delta
+    assert triple_delta(new, new).count() == 0

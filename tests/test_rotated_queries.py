@@ -47,6 +47,8 @@ ROTATED = [
     ("anchor_lexicon", Q.q_anchor_lexicon, Q.sql_anchor_lexicon),
     # round-4 addition: WARC source (two-shard fixture, paper oracle)
     ("warc_source", Q.q_warc_source, Q.sql_warc_source),
+    # round-4 addition: incremental KG delta across crawl snapshots
+    ("triple_delta", Q.q_triple_delta, Q.sql_triple_delta),
 ]
 
 
