@@ -3389,6 +3389,55 @@ def sql_triple_delta() -> str:
         AND n.pred = o.pred AND n.obj = o.obj)"""
 
 
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniffing over planted raw page bytes
+    (functions/charset.py): each document becomes a binary page whose
+    bytes exercise one cascade branch by doc_id mod 6 — UTF-8 BOM, a
+    lowercase meta charset declaration, pure ASCII, a valid UTF-8
+    multibyte sequence (C3A9), an invalid lone 0x80 byte, a UTF-16-LE
+    BOM. Pages are built as hex strings and unhex'd so the high bytes
+    are exact; the REAL pandas-UDF sniffer labels them."""
+    from dbpedia_spotlight_spark.functions.charset import detect_charset
+    d = _docs(spark, sf_dir)
+    # printable-ASCII page body ('=' stripped so no accidental
+    # charset= token can enter through the corpus text)
+    asc = F.substring(
+        F.regexp_replace("text", "[^ -~]|=", ""), 1, 40)
+    asc_hex = F.hex(F.encode(asc, "utf-8"))
+    h = lambda s: F.lit(s.encode().hex().upper())  # noqa: E731
+    m = F.col("doc_id") % 6
+    page_hex = (
+        F.when(m == 0, F.concat(F.lit("EFBBBF"), h("<html>"), asc_hex))
+        .when(m == 1, F.concat(h('<html><head><meta charset=windows-1252>'),
+                               asc_hex))
+        .when(m == 2, F.concat(h("<html>"), asc_hex))
+        .when(m == 3, F.concat(h("<html>"), asc_hex, F.lit("C3A9")))
+        .when(m == 4, F.concat(h("<html>"), asc_hex, F.lit("80")))
+        .otherwise(F.concat(F.lit("FFFE"), asc_hex))
+    )
+    pages = d.select("doc_id", F.unhex(page_hex).alias("html"))
+    return detect_charset(pages).select("doc_id", "charset")
+
+
+def sql_charset_sniff() -> str:
+    """Paper oracle: the expected label follows from the frozen cascade
+    spec and the planted byte patterns alone (BOM beats meta beats
+    UTF-8-validity probe beats windows-1252 fallback), so the mirror is
+    the doc_id arithmetic — the sniffer itself runs only on the Spark
+    side, over real bytes."""
+    return """
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'utf-8-sig'
+           WHEN 1 THEN 'windows-1252'
+           WHEN 2 THEN 'utf-8'
+           WHEN 3 THEN 'utf-8'
+           WHEN 4 THEN 'windows-1252'
+           ELSE 'utf-16-le'
+         END AS charset
+  FROM documents"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -78,3 +78,62 @@ def test_corpus_column_is_byte_identical(corpus):
     web_pages, _ = corpus
     for _, row in web_pages.iterrows():
         assert strip_html(row["html"]) == row["text"]
+
+
+# ---------------------------------------------------------------------------
+# charset sniffing (functions/charset.py)
+# ---------------------------------------------------------------------------
+
+def test_sniff_charset_cascade_branches():
+    from dbpedia_spotlight_spark.functions.charset import sniff_charset
+    assert sniff_charset(b"\xef\xbb\xbf<html>hi") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfeh\x00i\x00") == "utf-16-le"
+    assert sniff_charset(b"\xfe\xff\x00h\x00i") == "utf-16-be"
+    assert sniff_charset(b"<meta charset=utf-8>x") == "utf-8"
+    assert sniff_charset(b"<meta charset=windows-1252>x") == "windows-1252"
+    assert sniff_charset(b"<meta charset=iso-8859-1>x") == "iso-8859-1"
+    assert sniff_charset(b"plain ascii") == "utf-8"
+    assert sniff_charset("café".encode()) == "utf-8"   # valid multibyte
+    assert sniff_charset(b"caf\xe9") == "windows-1252"      # invalid utf-8
+
+
+def test_sniff_charset_bom_beats_meta_and_head_window():
+    from dbpedia_spotlight_spark.functions.charset import (
+        HEAD_BYTES, sniff_charset)
+    # BOM wins over a contradicting declaration
+    assert sniff_charset(
+        b"\xef\xbb\xbf<meta charset=windows-1252>") == "utf-8-sig"
+    # declaration beyond the head window is ignored
+    late = b"x" * HEAD_BYTES + b"<meta charset=windows-1252>"
+    assert sniff_charset(late) == "utf-8"
+    # menu priority is fixed, not document order
+    both = b"<meta charset=windows-1252><meta charset=utf-8>"
+    assert sniff_charset(both) == "utf-8"
+
+
+def test_decode_html_roundtrips_each_codec():
+    from dbpedia_spotlight_spark.functions.charset import decode_html
+    assert decode_html("héllo".encode("utf-8-sig")) == "héllo"
+    assert decode_html("héllo".encode("utf-16")) == "héllo"
+    assert decode_html(b"caf\xe9 \x93q\x94") == "café “q”"
+    meta = b"<p charset=iso-8859-1>caf\xe9"
+    assert decode_html(meta) == "<p charset=iso-8859-1>café"
+    # undecodable bytes degrade, never raise
+    assert "�" in decode_html(b"\xff\xfe\x00")  # odd utf-16 tail
+
+
+def test_detect_charset_dataframe_op(spark):
+    import pandas as pd
+    from dbpedia_spotlight_spark.functions.charset import (
+        decode_pages, detect_charset)
+    rows = pd.DataFrame({
+        "url": ["a", "b", "c"],
+        "html": [b"\xef\xbb\xbfx", b"ascii only", b"caf\xe9"],
+    })
+    df = spark.createDataFrame(rows)
+    got = {r["url"]: r["charset"]
+           for r in detect_charset(df).collect()}
+    assert got == {"a": "utf-8-sig", "b": "ascii only" and "utf-8",
+                   "c": "windows-1252"}
+    texts = {r["url"]: r["text"] for r in decode_pages(df).collect()}
+    assert texts["c"] == "café"

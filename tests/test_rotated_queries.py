@@ -49,6 +49,8 @@ ROTATED = [
     ("warc_source", Q.q_warc_source, Q.sql_warc_source),
     # round-4 addition: incremental KG delta across crawl snapshots
     ("triple_delta", Q.q_triple_delta, Q.sql_triple_delta),
+    # round-4 addition: charset cascade over planted raw page bytes
+    ("charset_sniff", Q.q_charset_sniff, Q.sql_charset_sniff),
 ]
 
 
