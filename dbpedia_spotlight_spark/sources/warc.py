@@ -44,6 +44,7 @@ WARC_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("warc_ts", TimestampType()),
     StructField("http_status", IntegerType()),
+    StructField("content_type", StringType()),
     StructField("html", BinaryType()),
 ])
 
@@ -58,8 +59,9 @@ def build_warc(records: list[dict]) -> bytes:
         body = r["body"]
         if r["warc_type"] == "response":
             status = r.get("http_status", 200)
+            ctype = r.get("content_type", "text/html")
             body = (f"HTTP/1.1 {status} OK\r\n"
-                    f"Content-Type: text/html\r\n\r\n").encode() + body
+                    f"Content-Type: {ctype}\r\n\r\n").encode() + body
         headers = [
             b"WARC/1.0",
             b"WARC-Type: " + r["warc_type"].encode(),
@@ -121,21 +123,32 @@ def parse_warc(data: bytes) -> list[dict]:
             except ValueError:
                 ts = None
         status = None
+        content_type = None
         body = payload
         if fields.get("warc-type") == "response" and \
                 payload[:5] == b"HTTP/":
             split = payload.find(CRLF + CRLF)
             if split >= 0:
-                status_line = payload[:payload.find(CRLF)]
-                parts = status_line.split(b" ")
+                http_lines = payload[:split].split(CRLF)
+                parts = http_lines[0].split(b" ")
                 if len(parts) >= 2 and parts[1].isdigit():
                     status = int(parts[1])
+                for line in http_lines[1:]:
+                    k, sep, v = line.partition(b":")
+                    if sep and k.strip().lower() == b"content-type":
+                        # lowercased: MIME types are case-insensitive
+                        # (RFC 2045) and a lowercase column lets the
+                        # text/html gate be a plain prefix filter
+                        content_type = v.strip().decode(
+                            "ascii", "replace").lower()
+                        break
                 body = payload[split + 4:]
         out.append({
             "warc_type": fields.get("warc-type"),
             "url": fields.get("warc-target-uri"),
             "warc_ts": ts,
             "http_status": status,
+            "content_type": content_type,
             "html": body,
         })
     return out
@@ -157,7 +170,8 @@ def read_warc(spark: SparkSession, path: str,
                     if types and r["warc_type"] not in types:
                         continue
                     rows.append((fname, i, r["warc_type"], r["url"],
-                                 r["warc_ts"], r["http_status"], r["html"]))
+                                 r["warc_ts"], r["http_status"],
+                                 r["content_type"], r["html"]))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields])
 

@@ -414,3 +414,34 @@ def test_read_warc_spark_and_extraction_parity(spark, tmp_path):
     ext = extract_text(df.select("url", "html")).toPandas() \
         .sort_values("url").reset_index(drop=True)
     assert list(ext["extracted_text"]) == list(want["text"])
+
+
+def test_warc_content_type_capture_and_mime_gate(spark, tmp_path):
+    """The HTTP Content-Type header survives into a lowercased column so
+    the text/html gate is a plain prefix filter — the standard
+    Common-Crawl 'drop pdf/images/json' step."""
+    from datetime import datetime
+    from pyspark.sql import functions as F
+    from dbpedia_spotlight_spark.sources.warc import (
+        build_warc, parse_warc, read_warc)
+
+    ts = datetime(2024, 5, 1)
+    recs = [
+        {"warc_type": "response", "url": "http://a.org/p", "warc_ts": ts,
+         "body": b"<html>x</html>",
+         "content_type": "Text/HTML; Charset=UTF-8"},
+        {"warc_type": "response", "url": "http://a.org/f.pdf",
+         "warc_ts": ts, "body": b"%PDF-1.4",
+         "content_type": "application/pdf"},
+        {"warc_type": "response", "url": "http://a.org/d.json",
+         "warc_ts": ts, "body": b"{}",
+         "content_type": "application/json"},
+    ]
+    pure = parse_warc(build_warc(recs))
+    assert [r["content_type"] for r in pure] == [
+        "text/html; charset=utf-8", "application/pdf", "application/json"]
+
+    (tmp_path / "s.warc").write_bytes(build_warc(recs))
+    df = read_warc(spark, str(tmp_path))
+    kept = df.filter(F.col("content_type").startswith("text/html"))
+    assert [r["url"] for r in kept.collect()] == ["http://a.org/p"]
