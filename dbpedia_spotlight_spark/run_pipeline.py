@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-emit-triples", dest="emit_triples",
                     action="store_false",
                     help="write raw annotations instead of triples")
+    ap.add_argument("--base-triples", default="",
+                    help="path of a prior (subj, pred, obj) snapshot: "
+                         "also write the per-url-replace change log vs "
+                         "it (<mode>_output_delta) — the incremental-"
+                         "recrawl form of KG maintenance")
     ap.add_argument("--anchor-lexicon", action="store_true",
                     help="also aggregate the corpus's <a href> votes "
                          "into a pairCounts-shaped anchor_lexicon table "
@@ -139,6 +144,21 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         )
         cat.write(metrics, f"{name}_metrics")
         stats["n_partitions"] = metrics.count()
+
+    if args.base_triples:
+        if not (args.emit_triples
+                and args.mode in ("annotate", "disambiguate")):
+            raise SystemExit("--base-triples requires triple emission")
+        from dbpedia_spotlight_spark.triples import triple_delta
+        base = spark.read.parquet(args.base_triples)
+        cat.write(triple_delta(base, written), f"{name}_delta")
+        by_change = {
+            r["change"]: r["n"]
+            for r in cat.read(spark, f"{name}_delta").groupBy("change")
+            .agg(F.count("*").alias("n")).collect()
+        }
+        stats["delta_added"] = by_change.get("added", 0)
+        stats["delta_removed"] = by_change.get("removed", 0)
 
     if args.anchor_lexicon:
         # KG-construct loop closure: the same crawl that yields triples

@@ -478,3 +478,42 @@ def test_run_pipeline_anchor_lexicon_emission(spark, web_pages, lexicon,
     r = lex_df.orderBy(F.desc("count")).first()
     assert r["uri"] == (f"https://host{zlib.crc32(r['sf'].encode()) % 51}"
                         f".example/e/{r['sf']}")
+
+
+def test_run_pipeline_incremental_delta(spark, web_pages, lexicon,
+                                        tmp_path):
+    """--base-triples: a re-run over an unchanged crawl yields an empty
+    change log; against a base missing its mention triples, the delta
+    re-adds exactly those."""
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.run_pipeline import main
+
+    corpus_dir = str(tmp_path / "corpus")
+    lex_dir = str(tmp_path / "lexicon")
+    web_pages.write.mode("overwrite").parquet(corpus_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+
+    out1 = str(tmp_path / "run1")
+    main(["--corpus", corpus_dir, "--lexicon", lex_dir, "--out", out1,
+          "--mode", "annotate"], spark=spark)
+    base = f"{out1}/annotate_output"
+
+    out2 = str(tmp_path / "run2")
+    stats = main(["--corpus", corpus_dir, "--lexicon", lex_dir,
+                  "--out", out2, "--mode", "annotate",
+                  "--base-triples", base], spark=spark)
+    assert stats["delta_added"] == 0 and stats["delta_removed"] == 0
+
+    # base missing every nif:anchorOf row → delta restores exactly them
+    pruned = str(tmp_path / "pruned_base")
+    t1 = spark.read.parquet(base)
+    n_anchor = t1.filter(F.col("pred") == "nif:anchorOf").count()
+    t1.filter(F.col("pred") != "nif:anchorOf").write.parquet(pruned)
+    out3 = str(tmp_path / "run3")
+    stats3 = main(["--corpus", corpus_dir, "--lexicon", lex_dir,
+                   "--out", out3, "--mode", "annotate",
+                   "--base-triples", pruned], spark=spark)
+    assert stats3["delta_added"] == n_anchor > 0
+    assert stats3["delta_removed"] == 0
+    delta = spark.read.parquet(f"{out3}/annotate_output_delta")
+    assert set(delta.columns) == {"url", "subj", "pred", "obj", "change"}
