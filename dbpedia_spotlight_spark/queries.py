@@ -3438,6 +3438,57 @@ def sql_charset_sniff() -> str:
   FROM documents"""
 
 
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate (operators/robots.py): hosts h0..h8 are planted
+    with h%3==0 → a Disallow:/p + Allow:/p/ok file, h%3==1 → an
+    allow-all file, h%3==2 → no robots.txt; each document becomes one
+    page whose path class cycles by doc_id mod 4 (disallowed prefix,
+    allow-override, unruled path, bare authority). The REAL parser +
+    broadcast gate runs; only (h%3==0, '/p/…') pages may drop."""
+    from dbpedia_spotlight_spark.operators.robots import apply_robots
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    h = F.col("doc_id") % 9
+    m = F.col("doc_id") % 4
+    path = (
+        F.when(m == 0, F.concat(F.lit("/p/x"), s(F.col("doc_id"))))
+        .when(m == 1, F.concat(F.lit("/p/ok/"), s(F.col("doc_id"))))
+        .when(m == 2, F.concat(F.lit("/q"), s(F.col("doc_id"))))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        F.concat(F.lit("https://h"), s(h), F.lit(".org"), path)
+        .alias("url"),
+        F.lit("body").alias("text"))
+    hosts = d.select((F.col("doc_id") % 9).alias("h")).distinct() \
+        .filter(F.col("h") % 3 != 2)
+    robots = hosts.select(
+        F.concat(F.lit("https://h"), s(F.col("h")),
+                 F.lit(".org/robots.txt")).alias("url"),
+        F.when(F.col("h") % 3 == 0,
+               F.lit("User-agent: *\nDisallow: /p\nAllow: /p/ok\n"))
+        .otherwise(F.lit("User-agent: *\nDisallow:\n")).alias("text"))
+    return apply_robots(pages.unionByName(robots)).select("url")
+
+
+def sql_robots_gate() -> str:
+    """Paper oracle: the keep-decision follows from the planted rules
+    and the longest-prefix/allow-wins spec — only pages on a
+    Disallow-ruled host (h%3==0) under /p without the /p/ok override
+    (path class 0) drop; robots.txt rows themselves are directives, not
+    content, and never appear."""
+    return """
+  SELECT 'https://h' || (doc_id % 9) || '.org' ||
+         CASE doc_id % 4
+           WHEN 0 THEN '/p/x' || doc_id
+           WHEN 1 THEN '/p/ok/' || doc_id
+           WHEN 2 THEN '/q' || doc_id
+           ELSE ''
+         END AS url
+  FROM documents
+  WHERE NOT (doc_id % 9 % 3 = 0 AND doc_id % 4 = 0)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

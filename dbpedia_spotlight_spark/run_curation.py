@@ -76,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="drop pages whose <meta name=robots> declares "
                          "noindex (requires --html-col in the input)")
     ap.add_argument("--html-col", default="html")
+    ap.add_argument("--robots-txt-gate", action="store_true",
+                    help="honor per-host /robots.txt captures found in "
+                         "the corpus itself: parse them (RFC 9309 "
+                         "prefix subset), drop disallowed urls and the "
+                         "robots.txt rows (requires --url-col)")
     ap.add_argument("--clean-boilerplate", action="store_true",
                     help="C4-style boilerplate line filter BEFORE "
                          "content dedup (boilerplate changes content "
@@ -164,6 +169,18 @@ def main(argv: list[str] | None = None,
         docs = docs.join(allowed, id_col, "left_semi") \
             .localCheckpoint(eager=True)
         stats["after_robots_gate"] = docs.count()
+
+    # 0b'. robots.txt gate: same opt-out contract as the meta gate but
+    # host-level — the crawl's own /robots.txt captures become the
+    # broadcast rules table; the corpus side never shuffles.
+    if args.robots_txt_gate:
+        if args.url_col not in docs.columns:
+            raise SystemExit(
+                f"--robots-txt-gate needs column '{args.url_col}'")
+        from dbpedia_spotlight_spark.operators.robots import apply_robots
+        docs = apply_robots(docs, url_col=args.url_col) \
+            .localCheckpoint(eager=True)
+        stats["after_robots_txt_gate"] = docs.count()
 
     # 0c. boilerplate line filter — BEFORE exact dedup: two captures
     # differing only in nav/footer noise become byte-identical once

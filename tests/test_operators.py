@@ -957,3 +957,58 @@ def test_host_link_edges_and_pagerank_composition(spark):
     ranks = {r["uri"]: r["rank"] for r in pagerank(edges).collect()}
     assert max(ranks, key=ranks.get) == "hub.org"
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# robots.txt interpretation (operators/robots.py)
+# ---------------------------------------------------------------------------
+
+def test_parse_robots_groups_and_agents():
+    from dbpedia_spotlight_spark.operators.robots import parse_robots
+    txt = (
+        "# comment\n"
+        "User-agent: googlebot\n"
+        "Disallow: /g\n"
+        "\n"
+        "User-agent: *\n"
+        "User-agent: other\n"
+        "Disallow: /private\n"
+        "Allow: /private/ok\n"
+        "Disallow:\n"          # empty = allow all, ignored
+        "Crawl-delay: 10\n"    # unknown directive skipped
+    )
+    assert parse_robots(txt) == [(False, "/private"), (True, "/private/ok")]
+    # exact-agent group shadows the * group entirely
+    assert parse_robots(txt, agent="googlebot") == [(False, "/g")]
+    # unnamed agent falls back to *
+    assert parse_robots(txt, agent="bingbot") == [
+        (False, "/private"), (True, "/private/ok")]
+
+
+def test_robots_gate_longest_match_and_defaults(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from dbpedia_spotlight_spark.operators.robots import apply_robots
+
+    robots_a = "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+    rows = pd.DataFrame({
+        "url": [
+            "https://a.org/robots.txt",
+            "https://a.org/page",           # no rule matches → keep
+            "https://a.org/private/x",      # disallowed
+            "https://a.org/private/ok/y",   # allow out-prefixes disallow
+            "https://A.org/PRIVATE/x",      # host case-folds, path doesn't
+            "https://b.org/private/x",      # no robots.txt host → keep
+            "https://a.org",                # bare authority → path "/"
+        ],
+        "text": [robots_a] + ["body"] * 6,
+    })
+    out = apply_robots(spark.createDataFrame(rows))
+    kept = sorted(r["url"] for r in out.select("url").collect())
+    assert kept == [
+        "https://A.org/PRIVATE/x",
+        "https://a.org",
+        "https://a.org/page",
+        "https://a.org/private/ok/y",
+        "https://b.org/private/x",
+    ]

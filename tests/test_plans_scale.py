@@ -517,3 +517,38 @@ def test_run_pipeline_incremental_delta(spark, web_pages, lexicon,
     assert stats3["delta_removed"] == 0
     delta = spark.read.parquet(f"{out3}/annotate_output_delta")
     assert set(delta.columns) == {"url", "subj", "pred", "obj", "change"}
+
+
+def test_run_curation_robots_txt_gate(spark, tmp_path):
+    """--robots-txt-gate: the corpus's own /robots.txt captures become
+    per-host rules; disallowed urls and the robots.txt rows vanish."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 20")
+    pages = src.select(
+        "doc_id", "text",
+        F.concat(F.lit("https://s"), (F.col("doc_id") % 2).cast("string"),
+                 F.lit(".org/"),
+                 F.when(F.col("doc_id") % 4 == 0, "secret/")
+                  .otherwise(""),
+                 F.col("doc_id").cast("string")).alias("url"))
+    robots = spark.createDataFrame(
+        [(9000, "User-agent: *\nDisallow: /secret\n",
+          "https://s0.org/robots.txt")],
+        "doc_id long, text string, url string")
+    corpus_dir = str(tmp_path / "corpus")
+    pages.unionByName(robots).write.parquet(corpus_dir)
+
+    stats = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
+                  "--robots-txt-gate", "--lang", "", "--no-quality-gate",
+                  "--split", ""], spark=spark)
+    assert stats["input_rows"] == 21
+    # host s0 disallows /secret: docs 0,4,8,12,16 have doc_id%4==0 and
+    # doc_id%2==0 → host s0 → dropped (5 rows); robots row dropped too
+    assert stats["after_robots_txt_gate"] == 15
+    kept = {r["url"] for r in
+            spark.read.parquet(str(tmp_path / "out" / "curated"))
+            .select("url").collect()}
+    assert not any(u.startswith("https://s0.org/secret/") for u in kept)
+    assert not any(u.endswith("robots.txt") for u in kept)

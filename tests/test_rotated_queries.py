@@ -51,6 +51,8 @@ ROTATED = [
     ("triple_delta", Q.q_triple_delta, Q.sql_triple_delta),
     # round-4 addition: charset cascade over planted raw page bytes
     ("charset_sniff", Q.q_charset_sniff, Q.sql_charset_sniff),
+    # round-4 addition: robots.txt per-host gate (parser vs paper oracle)
+    ("robots_gate", Q.q_robots_gate, Q.sql_robots_gate),
 ]
 
 
