@@ -3489,6 +3489,69 @@ def sql_robots_gate() -> str:
   WHERE NOT (doc_id % 9 % 3 = 0 AND doc_id % 4 = 0)"""
 
 
+def q_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples rendering (functions/output.py::ntriples_lines): each
+    document plants one link triple (IRI object, every 4th with a space
+    that must percent-encode) and one mention triple (literal object
+    carrying quote, newline and trailing backslash — the full ECHAR
+    set's worth of hazards); the JVM-side replace chains render them."""
+    from dbpedia_spotlight_spark.functions.output import ntriples_lines
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    x = s(F.col("doc_id") % 50)
+    subj = F.concat(F.lit("https://host"), s(F.col("doc_id") % 13),
+                    F.lit(".example/d/"), s(F.col("doc_id")),
+                    F.lit("#char=0,5"))
+    link_obj = F.concat(
+        F.lit("http://dbpedia.org/resource/Ent"),
+        F.when(F.col("doc_id") % 4 == 0, " ").otherwise(""), x)
+    lit_obj = F.concat(F.lit('say "e'), x, F.lit('"\n'), F.lit("tail\\"))
+    po = F.explode(F.array(
+        F.struct(F.lit("itsrdf:taIdentRef").alias("pred"),
+                 link_obj.alias("obj")),
+        F.struct(F.lit("nif:anchorOf").alias("pred"),
+                 lit_obj.alias("obj")),
+    )).alias("po")
+    t = d.select(subj.alias("subj"), po).select(
+        "subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"))
+    return ntriples_lines(t)
+
+
+def sql_ntriples() -> str:
+    r"""Mirror of the N-Triples grammar rendering: literal ECHAR chain
+    nested backslash-first exactly like the engine's replace chain; IRI
+    objects percent-encode the planted space (backslash mirror included
+    for chain-order parity even though no IRI plants one)."""
+    return r"""
+  WITH t AS (
+    SELECT 'https://host' || (doc_id % 13) || '.example/d/' || doc_id
+             || '#char=0,5' AS subj,
+           'itsrdf:taIdentRef' AS pred,
+           'http://dbpedia.org/resource/Ent'
+             || CASE WHEN doc_id % 4 = 0 THEN ' ' ELSE '' END
+             || (doc_id % 50) AS obj
+    FROM documents
+    UNION ALL
+    SELECT 'https://host' || (doc_id % 13) || '.example/d/' || doc_id
+             || '#char=0,5' AS subj,
+           'nif:anchorOf' AS pred,
+           'say "e' || (doc_id % 50) || '"' || chr(10) || 'tail\' AS obj
+    FROM documents)
+  SELECT CASE pred
+    WHEN 'nif:anchorOf' THEN
+      '<' || subj
+      || '> <http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#anchorOf> "'
+      || replace(replace(replace(replace(replace(obj,
+           '\', '\\'), '"', '\"'), chr(10), '\n'), chr(13), '\r'),
+           chr(9), '\t')
+      || '" .'
+    ELSE
+      '<' || subj || '> <http://www.w3.org/2005/11/its/rdf#taIdentRef> <'
+      || replace(replace(obj, '\', '%5C'), ' ', '%20') || '> .'
+  END AS ntriple
+  FROM t"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -53,6 +53,8 @@ ROTATED = [
     ("charset_sniff", Q.q_charset_sniff, Q.sql_charset_sniff),
     # round-4 addition: robots.txt per-host gate (parser vs paper oracle)
     ("robots_gate", Q.q_robots_gate, Q.sql_robots_gate),
+    # round-4 addition: N-Triples wire rendering (ECHAR/IRI escapes)
+    ("ntriples", Q.q_ntriples, Q.sql_ntriples),
 ]
 
 

@@ -115,3 +115,43 @@ def test_annotations_xml_parses(spark, web_pages, model_bc):
     assert root.tag == "Annotation" and root.get("text-url") == row.url
     resources = list(root.iter("Resource"))
     assert resources and all(r.get("URI") for r in resources)
+
+
+def test_ntriples_lines_and_sink(spark, tmp_path):
+    """W3C N-Triples rendering: prefix expansion, literal ECHAR escapes,
+    IRI percent-encoding, full-IRI predicate passthrough; the sink
+    writes loadable gzip shards."""
+    import gzip
+    import pandas as pd
+    from dbpedia_spotlight_spark.functions.output import (
+        ntriples_lines, write_ntriples)
+
+    rows = pd.DataFrame({
+        "subj": ["http://e.org/a#char=0,5"] * 3,
+        "pred": ["itsrdf:taIdentRef", "nif:anchorOf",
+                 "http://example.org/custom"],
+        "obj": ["http://dbpedia.org/resource/A B",
+                'he said "hi"\n\\end',
+                "http://e.org/x"],
+    })
+    got = sorted(r["ntriple"] for r in
+                 ntriples_lines(spark.createDataFrame(rows)).collect())
+    assert got == sorted([
+        "<http://e.org/a#char=0,5> "
+        "<http://www.w3.org/2005/11/its/rdf#taIdentRef> "
+        "<http://dbpedia.org/resource/A%20B> .",
+        "<http://e.org/a#char=0,5> "
+        "<http://persistence.uni-leipzig.org/nlp2rdf/ontologies/"
+        "nif-core#anchorOf> "
+        '"he said \\"hi\\"\\n\\\\end" .',
+        "<http://e.org/a#char=0,5> <http://example.org/custom> "
+        "<http://e.org/x> .",
+    ])
+
+    out = str(tmp_path / "kg.nt")
+    write_ntriples(spark.createDataFrame(rows), out)
+    import glob
+    lines = []
+    for f in glob.glob(f"{out}/part-*.gz"):
+        lines += gzip.open(f, "rt").read().splitlines()
+    assert sorted(lines) == got
