@@ -445,3 +445,81 @@ def test_warc_content_type_capture_and_mime_gate(spark, tmp_path):
     df = read_warc(spark, str(tmp_path))
     kept = df.filter(F.col("content_type").startswith("text/html"))
     assert [r["url"] for r in kept.collect()] == ["http://a.org/p"]
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental KG maintenance (foreachBatch twin of triple_delta)
+# ---------------------------------------------------------------------------
+
+
+def _kg_set(df):
+    return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+
+def test_maintain_kg_stream_recrawl_replaces(spark, web_pages, model_bc,
+                                             tmp_path):
+    """Two micro-batches: full crawl, then a recrawl of 3 urls with
+    DIFFERENT text. Final store must equal the latest-capture batch
+    recompute (recrawled urls' triples replaced, others untouched)."""
+    import glob
+    import time
+
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        apply_pages_batch, maintain_kg_stream, _batch_triples,
+    )
+    from dbpedia_spotlight_spark.triples import provenance_url
+
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    rows = web_pages.select(*cols).orderBy("url").collect()
+    assert len(rows) >= 6
+    batch1 = spark.createDataFrame(rows, schema=web_pages.select(*cols).schema)
+    # recrawl: first 3 urls with EXTENDED html (annotate extracts from
+    # html when present => changed triple sets for exactly those urls)
+    recrawl_rows = [
+        (rows[i][0], rows[i][1],
+         bytes(rows[i + 3][2]) + b"<p>" + bytes(rows[i][2]),
+         rows[i][3], rows[i][4])
+        for i in range(3)
+    ]
+    batch2 = spark.createDataFrame(recrawl_rows,
+                                   schema=web_pages.select(*cols).schema)
+
+    src = tmp_path / "pages_stream"
+    batch1.coalesce(1).write.mode("append").parquet(str(src))
+    batch2.coalesce(1).write.mode("append").parquet(str(src))
+    # pin file order: the recrawl file must be the LATER micro-batch
+    parts = sorted(glob.glob(str(src / "part-*.parquet")),
+                   key=os.path.getmtime)
+    assert len(parts) == 2
+    now = time.time()
+    os.utime(parts[0], (now - 10, now - 10))
+    os.utime(parts[1], (now, now))
+
+    store = maintain_kg_stream(
+        spark, str(src), model_bc, str(tmp_path / "kg"),
+        str(tmp_path / "kg_ck"), cfg, max_files_per_trigger=1)
+    got = _kg_set(store.read())
+
+    t1 = provenance_url(_batch_triples(annotate(spark, batch1, model_bc, cfg)))
+    t2 = provenance_url(_batch_triples(annotate(spark, batch2, model_bc, cfg)))
+    recrawled = {r[0] for r in recrawl_rows}
+    expect = {
+        (r.subj, r.pred, r.obj)
+        for r in t1.collect() if r.url not in recrawled
+    } | {(r.subj, r.pred, r.obj) for r in t2.collect()}
+    assert got == expect
+    # the recrawl actually changed something (non-vacuous)
+    assert got != _kg_set(t1.select("subj", "pred", "obj"))
+
+    # change log: exactly two generations were written, log is non-empty
+    log = spark.read.parquet(str(tmp_path / "kg" / "delta_log"))
+    assert log.filter(F.col("change") == "removed").count() > 0
+    assert store.latest_gen() == 1
+
+    # at-least-once replay: re-applying the recrawl batch is a no-op
+    n = apply_pages_batch(spark, batch2, model_bc, store, batch_id=99,
+                          cfg=cfg)
+    assert n == 0
+    assert store.latest_gen() == 1
+    assert _kg_set(store.read()) == expect
