@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from dbpedia_spotlight_spark.operators.webstats import latest_capture
 from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
 from dbpedia_spotlight_spark.streaming.annotate_stream import WEB_PAGES_DDL
 from dbpedia_spotlight_spark.triples import (
@@ -92,7 +93,8 @@ class KGStore:
     def _pointer(self):
         return self._fs_path(f"{self.root}/_LATEST")
 
-    def latest_gen(self) -> int | None:
+    def _read_pointer(self) -> tuple[int, int] | None:
+        """(gen, last_applied_batch_id) or None before the first batch."""
         p = self._pointer()
         if not self._fs.exists(p):
             return None
@@ -101,16 +103,31 @@ class KGStore:
             raw = bytes(stream.readAllBytes()).decode("ascii").strip()
         finally:
             stream.close()
-        return int(raw) if raw else None
+        if not raw:
+            return None
+        parts = raw.split(",")
+        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else -1)
 
-    def _write_pointer(self, gen: int) -> None:
+    def latest_gen(self) -> int | None:
+        ptr = self._read_pointer()
+        return None if ptr is None else ptr[0]
+
+    def latest_batch_id(self) -> int | None:
+        """Highest foreachBatch batch_id folded in — the exactly-once
+        guard: a redelivered micro-batch (same or lower id) is skipped
+        before any work, so replays can never roll recrawled urls back
+        to stale content."""
+        ptr = self._read_pointer()
+        return None if ptr is None else ptr[1]
+
+    def _write_pointer(self, gen: int, batch_id: int) -> None:
         # create-then-rename so a crash mid-write never corrupts the
         # live pointer (rename is atomic on HDFS/posix; best-effort on
         # object stores, where Iceberg metadata would replace this)
         tmp = self._fs_path(f"{self.root}/_LATEST.tmp")
         out = self._fs.create(tmp, True)
         try:
-            out.write(bytearray(str(gen).encode("ascii")))
+            out.write(bytearray(f"{gen},{batch_id}".encode("ascii")))
         finally:
             out.close()
         p = self._pointer()
@@ -142,7 +159,7 @@ class KGStore:
         (delta.withColumn("batch_id", F.lit(batch_id))
               .withColumn("gen", F.lit(gen))
               .write.mode("append").parquet(f"{self.root}/delta_log"))
-        self._write_pointer(gen)
+        self._write_pointer(gen, batch_id)
         if prev is not None:
             self._fs.delete(self._fs_path(self._gen_path(prev)), True)
         return gen
@@ -153,7 +170,15 @@ def apply_pages_batch(spark: SparkSession, pages: DataFrame, model_bc,
                       cfg: PipelineConfig | None = None) -> int:
     """One maintenance step: annotate → triples → delta vs store →
     advance. Usable directly for batch recrawl folds; ``foreachBatch``
-    calls it per micro-batch. Returns the number of change-log rows."""
+    calls it per micro-batch. Returns the number of change-log rows.
+
+    A micro-batch can itself carry several captures of one url (hot
+    pages are re-crawled within a single trigger window); per-url
+    replace semantics demand the NEWEST capture only, so the batch is
+    reduced with ``latest_capture`` first — the map-side-combinable
+    max-struct form, never a window sort."""
+    if "warc_ts" in pages.columns:
+        pages = latest_capture(pages, key_col="url", ts_col="warc_ts")
     new_triples = _batch_triples(annotate(spark, pages, model_bc, cfg))
     old = store.read()
     delta = triple_delta(old, new_triples).localCheckpoint(eager=True)
@@ -182,6 +207,9 @@ def maintain_kg_stream(spark: SparkSession, input_dir: str, model_bc,
     src = reader.parquet(input_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        last = store.latest_batch_id()
+        if last is not None and batch_id <= last:
+            return  # redelivered micro-batch: already folded in
         apply_pages_batch(spark, batch_df, model_bc, store, batch_id, cfg)
 
     q = (

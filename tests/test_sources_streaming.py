@@ -482,7 +482,12 @@ def test_maintain_kg_stream_recrawl_replaces(spark, web_pages, model_bc,
          rows[i][3], rows[i][4])
         for i in range(3)
     ]
-    batch2 = spark.createDataFrame(recrawl_rows,
+    # plus an OLDER in-batch capture of url 0: per-url replace keeps the
+    # newest capture only (latest_capture reduction inside the batch)
+    import datetime
+    stale = (rows[0][0], rows[0][1] - datetime.timedelta(days=1),
+             bytes(rows[5][2]), rows[0][3], rows[0][4])
+    batch2 = spark.createDataFrame(recrawl_rows + [stale],
                                    schema=web_pages.select(*cols).schema)
 
     src = tmp_path / "pages_stream"
@@ -501,8 +506,11 @@ def test_maintain_kg_stream_recrawl_replaces(spark, web_pages, model_bc,
         str(tmp_path / "kg_ck"), cfg, max_files_per_trigger=1)
     got = _kg_set(store.read())
 
+    expect_b2 = spark.createDataFrame(recrawl_rows,
+                                      schema=web_pages.select(*cols).schema)
     t1 = provenance_url(_batch_triples(annotate(spark, batch1, model_bc, cfg)))
-    t2 = provenance_url(_batch_triples(annotate(spark, batch2, model_bc, cfg)))
+    t2 = provenance_url(_batch_triples(annotate(spark, expect_b2, model_bc,
+                                                cfg)))
     recrawled = {r[0] for r in recrawl_rows}
     expect = {
         (r.subj, r.pred, r.obj)
@@ -523,3 +531,14 @@ def test_maintain_kg_stream_recrawl_replaces(spark, web_pages, model_bc,
     assert n == 0
     assert store.latest_gen() == 1
     assert _kg_set(store.read()) == expect
+
+    # redelivery guard: re-running the whole stream with a FRESH
+    # checkpoint replays batch ids 0..1 ≤ latest_batch_id — every batch
+    # is skipped before any work, so batch 0 cannot roll recrawled urls
+    # back to stale content
+    assert store.latest_batch_id() == 1
+    store2 = maintain_kg_stream(
+        spark, str(src), model_bc, str(tmp_path / "kg"),
+        str(tmp_path / "kg_ck2"), cfg, max_files_per_trigger=1)
+    assert store2.latest_gen() == 1
+    assert _kg_set(store2.read()) == expect
