@@ -3572,11 +3572,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest-only); annotate_quantized + annotate_coref out (3 rounds
     green; M6 stays covered by functions/quantize tests + the rotated
     pair, F5 by the rotated pair — both still DuckDB-mirrored in
-    tests/test_rotated_queries.py)."""
+    tests/test_rotated_queries.py). Round-4 second rotation: the
+    web-scale KG ops warc_source + triple_delta + latest_capture +
+    canonical_urls in (previously rotated-pytest only — the on-brief
+    Common-Crawl ingestion and KG-maintenance surface now carries hard
+    driver signal); candidates_generative (C1 ⊂ candidates_topk +
+    annotate_generative), model_token_counts (M4 ⊂ model_build),
+    vocab_counts (⊂ quality_gopher gram stats) and tpch_q5 (generic
+    relational plumbing; part_type_stats keeps the join/agg slice) out
+    — all four stay DuckDB-mirrored in tests/test_rotated_queries.py."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
         "pii_counts": q_pii_counts,
         "hash_split": q_hash_split,
+        "warc_source": q_warc_source,
+        "triple_delta": q_triple_delta,
+        "latest_capture": q_latest_capture,
+        "canonical_urls": q_canonical_urls,
         "image_features": q_image_features,
         "salted_user_topk": q_salted_user_topk,
         "sessionize": q_sessionize,
@@ -3606,10 +3618,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotate_tficf": q_annotate_tficf,
         "annotate_typed": q_annotate_typed,
         "spot_fsa": q_spot_fsa,
-        "candidates_generative": q_candidates_generative,
         "model_build": q_model_build,
         "model_entities": q_model_entities,
-        "model_token_counts": q_model_token_counts,
         # source formats
         "extract_text": q_extract_text,
         "spotxml_disambiguate": q_spotxml_disambiguate,
@@ -3623,14 +3633,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "lang_id": q_lang_id,
         "quality": q_quality,
-        "vocab_counts": q_vocab_counts,
         "corpus_filter": q_corpus_filter,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "near_dup_embeddings": q_near_dup_embeddings,
-        # relational/agg plumbing
-        "tpch_q5": q_tpch_q5,
     }
 
 
@@ -3640,6 +3647,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pii_counts": sql_pii_counts(),
         "hash_split": sql_hash_split(),
+        "warc_source": sql_warc_source(),
+        "triple_delta": sql_triple_delta(),
+        "latest_capture": sql_latest_capture(),
+        "canonical_urls": sql_canonical_urls(),
         "image_features": sql_image_features(),
         "salted_user_topk": sql_salted_user_topk(),
         "sessionize": sql_sessionize(),
@@ -3667,10 +3678,8 @@ def oracle_sql() -> dict[str, str]:
         "annotate_tficf": sql_annotate_tficf(),
         "annotate_typed": sql_annotate_typed(),
         "spot_fsa": sql_spot_fsa(),
-        "candidates_generative": sql_candidates_generative(),
         "model_build": sql_model_build(),
         "model_entities": sql_model_entities(),
-        "model_token_counts": sql_model_token_counts(),
         "extract_text": sql_extract_text(),
         "spotxml_disambiguate": sql_spotxml_disambiguate(),
         "wiki_links": sql_wiki_links(),
@@ -3682,10 +3691,8 @@ def oracle_sql() -> dict[str, str]:
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
         "quality": sql_quality(),
-        "vocab_counts": sql_vocab_counts(),
         "corpus_filter": sql_corpus_filter(),
         "ann_topk": sql_ann_topk(),
         "ann_lsh": sql_ann_lsh(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
-        "tpch_q5": sql_tpch_q5(),
     }

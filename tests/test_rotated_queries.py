@@ -36,25 +36,26 @@ ROTATED = [
     ("annotate_coref", Q.q_annotate_coref, Q.sql_annotate_coref),
     # round-4 addition: host-level skew report (north_star mega-hosts)
     ("host_skew", Q.q_host_skew, Q.sql_host_skew),
-    # round-4 addition: recrawl dedup — newest (url, warc_ts) capture
-    ("latest_capture", Q.q_latest_capture, Q.sql_latest_capture),
     # round-4 addition: URL canonicalization + cross-host mirror report
-    ("canonical_urls", Q.q_canonical_urls, Q.sql_canonical_urls),
     ("mirror_hosts", Q.q_mirror_hosts, Q.sql_mirror_hosts),
     # round-4 addition: C4-style boilerplate line filter
     ("clean_boilerplate", Q.q_clean_boilerplate, Q.sql_clean_boilerplate),
     # round-4 addition: anchor-text lexicon (parser vs position oracle)
     ("anchor_lexicon", Q.q_anchor_lexicon, Q.sql_anchor_lexicon),
-    # round-4 addition: WARC source (two-shard fixture, paper oracle)
-    ("warc_source", Q.q_warc_source, Q.sql_warc_source),
-    # round-4 addition: incremental KG delta across crawl snapshots
-    ("triple_delta", Q.q_triple_delta, Q.sql_triple_delta),
     # round-4 addition: charset cascade over planted raw page bytes
     ("charset_sniff", Q.q_charset_sniff, Q.sql_charset_sniff),
     # round-4 addition: robots.txt per-host gate (parser vs paper oracle)
     ("robots_gate", Q.q_robots_gate, Q.sql_robots_gate),
     # round-4 addition: N-Triples wire rendering (ECHAR/IRI escapes)
     ("ntriples", Q.q_ntriples, Q.sql_ntriples),
+    # round-4 second rotation OUT (3+ green rounds; coverage retained
+    # through containing registry queries — see queries() docstring)
+    ("candidates_generative", Q.q_candidates_generative,
+     Q.sql_candidates_generative),
+    ("model_token_counts", Q.q_model_token_counts,
+     Q.sql_model_token_counts),
+    ("vocab_counts", Q.q_vocab_counts, Q.sql_vocab_counts),
+    ("tpch_q5", Q.q_tpch_q5, Q.sql_tpch_q5),
 ]
 
 
