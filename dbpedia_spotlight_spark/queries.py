@@ -3552,6 +3552,92 @@ def sql_ntriples() -> str:
   FROM t"""
 
 
+def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap → crawl-frontier pair (sources/sitemap.py). Events stand
+    in for fetched sitemaps: each event becomes one <url> entry on host
+    sm{event_id%11} (loc gets a '#sec' fragment when event_id%7==0 —
+    canonicalization must strip it), lastmod = the event ts rendered at
+    second resolution iff event_id%5!=4. The crawl store holds every
+    event_id%3!=0 url, captured 1 day AFTER its ts except event_id%4==1
+    (1 day BEFORE → only those become 'updated'). The REAL XML
+    assembly → parse_sitemap → crawl_frontier path runs end-to-end; the
+    oracle regenerates the construction relationally."""
+    from dbpedia_spotlight_spark.sources.sitemap import (
+        crawl_frontier, read_sitemaps,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    base = F.concat(F.lit("https://sm"), s_(F.col("event_id") % 11),
+                    F.lit(".org/p/"), s_(F.col("event_id")))
+    loc = F.concat(base, F.when(F.col("event_id") % 7 == 0,
+                                F.lit("#sec")).otherwise(F.lit("")))
+    lastmod_xml = F.when(
+        F.col("event_id") % 5 != 4,
+        F.concat(F.lit("<lastmod>"),
+                 F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                 F.lit("</lastmod>"))).otherwise(F.lit(""))
+    entry_xml = F.concat(F.lit("<url><loc>"), loc, F.lit("</loc>"),
+                         lastmod_xml, F.lit("</url>"))
+    sitemaps = (
+        ev.select((F.col("event_id") % 11).alias("h"),
+                  entry_xml.alias("x"))
+        .groupBy("h")
+        .agg(F.concat(F.lit("<urlset>"),
+                      F.concat_ws("", F.collect_list("x")),
+                      F.lit("</urlset>")).alias("text"))
+        .select(F.concat(F.lit("https://sm"), s_(F.col("h")),
+                         F.lit(".org/sitemap.xml")).alias("url"), "text")
+    )
+    crawled = (
+        ev.filter(F.col("event_id") % 3 != 0)
+        .select(base.alias("url"),
+                F.expr("ts + make_interval(0, 0, 0, "
+                       "CASE WHEN event_id % 4 = 1 THEN -1 ELSE 1 END)")
+                .alias("warc_ts"))
+    )
+    fr = crawl_frontier(read_sitemaps(sitemaps), crawled)
+    return fr.select(
+        "loc", "canon_url",
+        F.date_format("lastmod", "yyyy-MM-dd HH:mm:ss").alias("lastmod_s"),
+        "reason")
+
+
+def sql_sitemap_frontier() -> str:
+    """Relational regeneration of the planted construction: entries and
+    the capture store rebuilt directly from events (lastmod truncated to
+    the second — the XML render/parse roundtrip's resolution), then the
+    frontier rule: never-captured → 'new'; lastmod > newest capture →
+    'updated'; everything else (fresh, or captured with no lastmod)
+    stays out."""
+    return """
+  WITH e AS (
+    SELECT 'https://sm' || (event_id % 11) || '.org/p/' || event_id
+             AS canon_url,
+           'https://sm' || (event_id % 11) || '.org/p/' || event_id ||
+             CASE WHEN event_id % 7 = 0 THEN '#sec' ELSE '' END AS loc,
+           CASE WHEN event_id % 5 <> 4
+                THEN date_trunc('second', ts) END AS lastmod
+    FROM events),
+  g AS (
+    SELECT canon_url, min(loc) AS loc, max(lastmod) AS lastmod
+    FROM e GROUP BY canon_url),
+  c AS (
+    SELECT 'https://sm' || (event_id % 11) || '.org/p/' || event_id
+             AS canon_url,
+           max(ts + INTERVAL (CASE WHEN event_id % 4 = 1
+                              THEN -1 ELSE 1 END) DAY) AS last_seen
+    FROM events WHERE event_id % 3 <> 0 GROUP BY 1)
+  SELECT g.loc,
+         g.canon_url,
+         strftime(g.lastmod, '%Y-%m-%d %H:%M:%S') AS lastmod_s,
+         CASE WHEN c.canon_url IS NULL THEN 'new'
+              WHEN g.lastmod IS NOT NULL AND g.lastmod > c.last_seen
+              THEN 'updated' END AS reason
+  FROM g LEFT JOIN c USING (canon_url)
+  WHERE (c.canon_url IS NULL)
+     OR (g.lastmod IS NOT NULL AND g.lastmod > c.last_seen)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -48,6 +48,8 @@ ROTATED = [
     ("robots_gate", Q.q_robots_gate, Q.sql_robots_gate),
     # round-4 addition: N-Triples wire rendering (ECHAR/IRI escapes)
     ("ntriples", Q.q_ntriples, Q.sql_ntriples),
+    # round-4 addition: sitemap parse + crawl frontier (new/updated)
+    ("sitemap_frontier", Q.q_sitemap_frontier, Q.sql_sitemap_frontier),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,

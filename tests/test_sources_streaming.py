@@ -542,3 +542,84 @@ def test_maintain_kg_stream_recrawl_replaces(spark, web_pages, model_bc,
         str(tmp_path / "kg_ck2"), cfg, max_files_per_trigger=1)
     assert store2.latest_gen() == 1
     assert _kg_set(store2.read()) == expect
+
+
+# ---------------------------------------------------------------------------
+# sitemap source + crawl frontier
+# ---------------------------------------------------------------------------
+
+
+def test_parse_sitemap_urlset_and_index():
+    from dbpedia_spotlight_spark.sources.sitemap import parse_sitemap
+    xml = """<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>https://a.org/p?x=1&amp;y=2</loc>
+           <lastmod>2024-03-05T10:20:30Z</lastmod>
+           <changefreq>DAILY</changefreq><priority>0.8</priority></url>
+      <url><loc>https://a.org/q</loc><lastmod>2024-03-05</lastmod></url>
+      <url><lastmod>2024-01-01</lastmod></url>
+      <url><loc>https://a.org/bad</loc><lastmod>not-a-date</lastmod>
+           <priority>high</priority></url>
+    </urlset>"""
+    kind, entries = parse_sitemap(xml)
+    assert kind == "urlset" and len(entries) == 3  # loc-less block skipped
+    e0 = entries[0]
+    assert e0["loc"] == "https://a.org/p?x=1&y=2"  # entity-unescaped
+    import datetime
+    assert e0["lastmod"] == datetime.datetime(2024, 3, 5, 10, 20, 30)
+    assert e0["changefreq"] == "daily" and e0["priority"] == 0.8
+    assert entries[1]["lastmod"] == datetime.datetime(2024, 3, 5)
+    assert entries[2]["lastmod"] is None and entries[2]["priority"] is None
+
+    # offset timezone normalizes to UTC
+    _, [e] = parse_sitemap(
+        "<urlset><url><loc>u</loc>"
+        "<lastmod>2024-03-05T12:00:00+02:00</lastmod></url></urlset>")
+    assert e["lastmod"] == datetime.datetime(2024, 3, 5, 10, 0, 0)
+
+    kind, entries = parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a.org/sm1.xml</loc></sitemap>"
+        "<url><loc>ignored</loc></url></sitemapindex>")
+    assert kind == "sitemapindex"
+    assert [e["loc"] for e in entries] == ["https://a.org/sm1.xml"]
+
+    assert parse_sitemap("<html>no</html>") == ("", [])
+    assert parse_sitemap("") == ("", [])
+
+
+def test_crawl_frontier_semantics(spark):
+    import datetime
+    from dbpedia_spotlight_spark.sources.sitemap import (
+        read_sitemaps, crawl_frontier, expand_index,
+    )
+    t0 = datetime.datetime(2024, 1, 10)
+    day = datetime.timedelta(days=1)
+
+    def url_xml(loc, lastmod=None):
+        lm = (f"<lastmod>{lastmod.isoformat()}Z</lastmod>"
+              if lastmod else "")
+        return f"<url><loc>{loc}</loc>{lm}</url>"
+
+    body = "<urlset>" + "".join([
+        url_xml("https://s.org/new", t0),            # never crawled
+        url_xml("https://s.org/upd", t0 + day),      # crawled older
+        url_xml("https://s.org/fresh", t0 - day),    # crawled newer
+        url_xml("https://s.org/nolm"),               # crawled, no lastmod
+        url_xml("https://s.org/upd#frag", t0 + day),  # canon-collapses
+    ]) + "</urlset>"
+    idx = ("<sitemapindex><sitemap><loc>https://s.org/sm2.xml</loc>"
+           "</sitemap></sitemapindex>")
+    docs = spark.createDataFrame(
+        [("https://s.org/sitemap.xml", body),
+         ("https://s.org/smidx.xml", idx)], "url string, text string")
+    entries = read_sitemaps(docs)
+    assert entries.count() == 6
+    crawled = spark.createDataFrame(
+        [("https://s.org/upd", t0), ("https://s.org/fresh", t0),
+         ("https://s.org/nolm", t0)], "url string, warc_ts timestamp")
+    got = {(r.canon_url, r.reason)
+           for r in crawl_frontier(entries, crawled).collect()}
+    assert got == {("https://s.org/new", "new"),
+                   ("https://s.org/upd", "updated")}
+    assert [r.loc for r in expand_index(entries).collect()] == [
+        "https://s.org/sm2.xml"]
