@@ -3638,6 +3638,58 @@ def sql_sitemap_frontier() -> str:
      OR (g.lastmod IS NOT NULL AND g.lastmod > c.last_seen)"""
 
 
+def q_kg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG health metrics (triples.py::kg_stats). Each document plants a
+    link + a mention triple on one of 3 predicate classes; doc_id%6==0
+    rows are planted TWICE (the set semantics must collapse them), and
+    obj collides across docs (%50) so n_objects < n_triples — every
+    aggregate is non-vacuous."""
+    from dbpedia_spotlight_spark.triples import kg_stats
+    d = _docs(spark, sf_dir)
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    subj = F.concat(F.lit("https://host"), s_(F.col("doc_id") % 13),
+                    F.lit(".example/d/"), s_(F.col("doc_id") % 40),
+                    F.lit("#char=0,5"))
+    pred = F.concat(F.lit("p"), s_(F.col("doc_id") % 3))
+    obj = F.concat(F.lit("http://dbpedia.org/resource/Ent"),
+                   s_(F.col("doc_id") % 50))
+    t = d.select(subj.alias("subj"), pred.alias("pred"), obj.alias("obj"))
+    dup = d.filter(F.col("doc_id") % 6 == 0).select(
+        subj.alias("subj"), pred.alias("pred"), obj.alias("obj"))
+    return kg_stats(t.unionByName(dup))
+
+
+def sql_kg_stats() -> str:
+    """Mirror: regenerate the planted triples (the %6 duplicate slice
+    included), SELECT DISTINCT them, then the same two-level rollup;
+    counts cast to BIGINT (DuckDB sums to HUGEINT), the mean degree
+    rounded to 9dp like the engine."""
+    return """
+  WITH t AS (
+    SELECT DISTINCT
+           'https://host' || (doc_id % 13) || '.example/d/'
+             || (doc_id % 40) || '#char=0,5' AS subj,
+           'p' || (doc_id % 3) AS pred,
+           'http://dbpedia.org/resource/Ent' || (doc_id % 50) AS obj
+    FROM documents),
+  per_subj AS (
+    SELECT pred, subj, count(*) AS deg
+    FROM t GROUP BY pred, subj),
+  a AS (
+    SELECT pred,
+           CAST(sum(deg) AS BIGINT) AS n_triples,
+           CAST(count(*) AS BIGINT) AS n_subjects,
+           CAST(max(deg) AS BIGINT) AS max_out_degree
+    FROM per_subj GROUP BY pred),
+  b AS (
+    SELECT pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+    FROM t GROUP BY pred)
+  SELECT a.pred, n_triples, n_subjects, n_objects, max_out_degree,
+         round(CAST(n_triples AS DOUBLE) / n_subjects, 9)
+           AS avg_out_degree
+  FROM a JOIN b ON a.pred = b.pred"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -149,3 +149,33 @@ def triple_prf(emitted: DataFrame, golden: DataFrame) -> dict[str, float]:
     f1 = 2 * p * r / (p + r) if (p + r) else 0.0
     return {"precision": p, "recall": r, "f1": f1,
             "emitted": float(n_e), "golden": float(n_g), "hits": float(n_hit)}
+
+
+def kg_stats(triples: DataFrame) -> DataFrame:
+    """Per-predicate KG health report (north_rule "metrics"): triple
+    count, distinct subjects/objects, max and mean subject out-degree.
+    The report is what a 10^12-doc build watches per snapshot — a
+    predicate whose max_out_degree explodes signals a pathological
+    subject (boilerplate anchor spam) before it skews a downstream join.
+
+    Shuffle budget: one (pred, subj) agg (map-side combinable — a hot
+    subject's triples partially aggregate per map task), one per-pred
+    rollup, one per-pred distinct-object agg, joined on the tiny pred
+    key. Nothing keys on url/host, so mega-host skew never concentrates.
+    avg_out_degree is rounded to 9dp (the cross-engine double-division
+    contract used throughout the oracle pairs)."""
+    key = ["subj", "pred", "obj"]
+    t = triples.select(*key).dropDuplicates(key)
+    per_subj = t.groupBy("pred", "subj").agg(F.count("*").alias("deg"))
+    a = per_subj.groupBy("pred").agg(
+        F.sum("deg").cast("long").alias("n_triples"),
+        F.count("*").cast("long").alias("n_subjects"),
+        F.max("deg").cast("long").alias("max_out_degree"),
+    )
+    b = t.groupBy("pred").agg(
+        F.countDistinct("obj").cast("long").alias("n_objects"))
+    return a.join(b, "pred").select(
+        "pred", "n_triples", "n_subjects", "n_objects", "max_out_degree",
+        F.round(F.col("n_triples") / F.col("n_subjects"), 9)
+         .alias("avg_out_degree"),
+    )

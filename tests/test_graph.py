@@ -84,3 +84,16 @@ def test_pagerank_matches_power_iteration_oracle(spark, threshold):
         rank = nxt
     for u in nodes:
         assert abs(got[u] - rank[u]) < 1e-9, (u, got[u], rank[u])
+
+
+def test_kg_stats_report(spark):
+    from dbpedia_spotlight_spark.triples import kg_stats
+    t = spark.createDataFrame(
+        [("s1", "p", "o1"), ("s1", "p", "o2"), ("s1", "p", "o2"),
+         ("s2", "p", "o1"), ("s1", "q", "o1")],
+        "subj string, pred string, obj string")
+    got = {r.pred: r.asDict() for r in kg_stats(t).collect()}
+    assert got["p"] == {"pred": "p", "n_triples": 3, "n_subjects": 2,
+                        "n_objects": 2, "max_out_degree": 2,
+                        "avg_out_degree": 1.5}
+    assert got["q"]["n_triples"] == 1 and got["q"]["avg_out_degree"] == 1.0

@@ -50,6 +50,8 @@ ROTATED = [
     ("ntriples", Q.q_ntriples, Q.sql_ntriples),
     # round-4 addition: sitemap parse + crawl frontier (new/updated)
     ("sitemap_frontier", Q.q_sitemap_frontier, Q.sql_sitemap_frontier),
+    # round-4 addition: per-predicate KG health metrics
+    ("kg_stats", Q.q_kg_stats, Q.sql_kg_stats),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
