@@ -1,0 +1,117 @@
+"""spark-submit entrypoint: incremental KG maintenance as a job.
+
+    spark-submit --py-files dbpedia_spotlight_spark.zip \
+        dbpedia_spotlight_spark/run_kg_maintain.py \
+        --pages /data/incoming_pages --lexicon /models/en \
+        --kg /data/kg --checkpoint /data/kg_ck --stream
+
+Folds (re)crawled pages into the materialized triple store
+(``streaming.kg_stream``): per batch, annotate → ``triple_delta`` vs
+the live generation → ``apply_delta`` → next generation + delta_log
+(per-url-replace semantics; flat ~2-generation storage; replays are
+no-ops — see the module docstring). Two run shapes:
+
+* ``--stream``: Structured Streaming ``foreachBatch`` drain with
+  ``availableNow`` — processes whatever is in --pages then exits, the
+  cron-able "catch up on the crawl" form; the streaming checkpoint plus
+  the store's last-applied-batch_id guard make restarts effectively-once.
+* default (batch): ONE ``apply_pages_batch`` fold of the whole input —
+  the spark-submit form of a scheduled recrawl merge.
+
+Also callable in-process via ``main(argv, spark=...)`` (tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description="incremental KG maintenance")
+    ap.add_argument("--pages", required=True,
+                    help="parquet dir of (re)crawled web_pages")
+    ap.add_argument("--lexicon", required=True,
+                    help="dir of lexicon parquet tables (model plane)")
+    ap.add_argument("--kg", required=True,
+                    help="KG store root (generations + delta_log)")
+    ap.add_argument("--checkpoint", default="",
+                    help="streaming checkpoint dir (--stream; default "
+                         "<kg>/_checkpoint)")
+    ap.add_argument("--stream", action="store_true",
+                    help="foreachBatch availableNow drain instead of one "
+                         "batch fold")
+    ap.add_argument("--max-files-per-trigger", type=int, default=0,
+                    help=">0: bound micro-batch size by file count")
+    ap.add_argument("--batch-id", type=int, default=-1,
+                    help="batch mode: explicit change-log batch id "
+                         "(default: last applied + 1)")
+    ap.add_argument("--confidence", type=float, default=0.0)
+    ap.add_argument("--support", type=int, default=0)
+    ap.add_argument("--disambiguator", default="generative",
+                    choices=["generative", "tficf", "prior"])
+    ap.add_argument("--lang", default="en")
+    return ap
+
+
+def main(argv: list[str] | None = None,
+         spark: SparkSession | None = None) -> dict:
+    from dbpedia_spotlight_spark.model import load_model
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        KGStore, apply_pages_batch, maintain_kg_stream,
+    )
+
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if own_session:
+        spark = (
+            SparkSession.builder.appName("spotlight-spark-kg-maintain")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+            .getOrCreate()
+        )
+
+    cfg = PipelineConfig(
+        confidence=args.confidence,
+        support=args.support,
+        disambiguator=args.disambiguator,
+        lang=args.lang or None,
+    )
+    model = load_model(spark, args.lexicon)
+    bc = spark.sparkContext.broadcast(model)
+
+    stats: dict = {"kg": args.kg, "mode": "stream" if args.stream
+                   else "batch"}
+    if args.stream:
+        store = maintain_kg_stream(
+            spark, args.pages, bc, args.kg,
+            args.checkpoint or f"{args.kg}/_checkpoint", cfg,
+            max_files_per_trigger=(args.max_files_per_trigger or None))
+        n_changes = None
+    else:
+        store = KGStore(spark, args.kg)
+        last = store.latest_batch_id()
+        batch_id = args.batch_id if args.batch_id >= 0 else (
+            0 if last is None else last + 1)
+        pages = spark.read.parquet(args.pages)
+        n_changes = apply_pages_batch(spark, pages, bc, store, batch_id,
+                                      cfg)
+        stats["batch_id"] = batch_id
+
+    stats["gen"] = store.latest_gen()
+    stats["last_batch_id"] = store.latest_batch_id()
+    stats["kg_rows"] = store.read().count()
+    if n_changes is not None:
+        stats["n_changes"] = n_changes
+    print(json.dumps(stats))
+    if own_session:
+        spark.stop()
+    return stats
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

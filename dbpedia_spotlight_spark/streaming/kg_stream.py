@@ -93,41 +93,53 @@ class KGStore:
     def _pointer(self):
         return self._fs_path(f"{self.root}/_LATEST")
 
-    def _read_pointer(self) -> tuple[int, int] | None:
-        """(gen, last_applied_batch_id) or None before the first batch."""
+    def _read_pointer(self) -> tuple[int, int, str] | None:
+        """(gen, last_batch_id, stream_token) or None before the first
+        batch. The token names the batch-id sequence (a streaming
+        checkpoint lineage) — foreachBatch ids are only monotonic
+        WITHIN one checkpoint, so the redelivery guard must never
+        compare ids across jobs."""
         p = self._pointer()
         if not self._fs.exists(p):
             return None
         stream = self._fs.open(p)
         try:
-            raw = bytes(stream.readAllBytes()).decode("ascii").strip()
+            raw = bytes(stream.readAllBytes()).decode("utf-8").strip()
         finally:
             stream.close()
         if not raw:
             return None
-        parts = raw.split(",")
-        return int(parts[0]), (int(parts[1]) if len(parts) > 1 else -1)
+        parts = raw.split(",", 2)
+        return (int(parts[0]),
+                int(parts[1]) if len(parts) > 1 else -1,
+                parts[2] if len(parts) > 2 else "")
 
     def latest_gen(self) -> int | None:
         ptr = self._read_pointer()
         return None if ptr is None else ptr[0]
 
-    def latest_batch_id(self) -> int | None:
-        """Highest foreachBatch batch_id folded in — the exactly-once
-        guard: a redelivered micro-batch (same or lower id) is skipped
-        before any work, so replays can never roll recrawled urls back
-        to stale content."""
+    def latest_batch_id(self, token: str | None = None) -> int | None:
+        """Highest batch_id folded in. With ``token``, only if it was
+        applied under the SAME batch-id sequence (checkpoint lineage) —
+        the exactly-once guard: a redelivered micro-batch of the same
+        stream is skipped before any work, while a different job's
+        ids (which legitimately restart at 0) are never compared."""
         ptr = self._read_pointer()
-        return None if ptr is None else ptr[1]
+        if ptr is None:
+            return None
+        if token is not None and ptr[2] != token:
+            return None
+        return ptr[1]
 
-    def _write_pointer(self, gen: int, batch_id: int) -> None:
+    def _write_pointer(self, gen: int, batch_id: int,
+                       token: str = "") -> None:
         # create-then-rename so a crash mid-write never corrupts the
         # live pointer (rename is atomic on HDFS/posix; best-effort on
         # object stores, where Iceberg metadata would replace this)
         tmp = self._fs_path(f"{self.root}/_LATEST.tmp")
         out = self._fs.create(tmp, True)
         try:
-            out.write(bytearray(f"{gen},{batch_id}".encode("ascii")))
+            out.write(bytearray(f"{gen},{batch_id},{token}".encode("utf-8")))
         finally:
             out.close()
         p = self._pointer()
@@ -145,21 +157,41 @@ class KGStore:
         if gen is None:
             return self.spark.createDataFrame(
                 [], "subj string, pred string, obj string")
-        return self.spark.read.parquet(self._gen_path(gen)).select(
-            "subj", "pred", "obj")
+        return self.spark.read.parquet(
+            f"{self._gen_path(gen)}/triples").select("subj", "pred", "obj")
+
+    def read_url_watermarks(self) -> DataFrame | None:
+        """(url, warc_ts) newest capture folded in per url, or None
+        before the first batch / when the source carried no timestamps.
+        This is the data-level monotonicity state: a replayed capture
+        with ts ≤ the watermark can never roll a url back to stale
+        content, regardless of which job or checkpoint lineage delivers
+        it (the batch-id guard only covers ONE lineage)."""
+        gen = self.latest_gen()
+        if gen is None:
+            return None
+        p = self._fs_path(f"{self._gen_path(gen)}/urls")
+        if not self._fs.exists(p):
+            return None
+        return self.spark.read.parquet(f"{self._gen_path(gen)}/urls")
 
     def advance(self, triples: DataFrame, delta: DataFrame,
-                batch_id: int) -> int:
-        """Write the next generation + append the change log, flip the
-        pointer, drop the previous generation. Returns the new gen id."""
+                batch_id: int, token: str = "",
+                url_watermarks: DataFrame | None = None) -> int:
+        """Write the next generation (triples + url-watermark sidecar) +
+        append the change log, flip the pointer, drop the previous
+        generation. Returns the new gen id."""
         prev = self.latest_gen()
         gen = 0 if prev is None else prev + 1
         triples.select("subj", "pred", "obj").write.mode(
-            "overwrite").parquet(self._gen_path(gen))
+            "overwrite").parquet(f"{self._gen_path(gen)}/triples")
+        if url_watermarks is not None:
+            url_watermarks.select("url", "warc_ts").write.mode(
+                "overwrite").parquet(f"{self._gen_path(gen)}/urls")
         (delta.withColumn("batch_id", F.lit(batch_id))
               .withColumn("gen", F.lit(gen))
               .write.mode("append").parquet(f"{self.root}/delta_log"))
-        self._write_pointer(gen, batch_id)
+        self._write_pointer(gen, batch_id, token)
         if prev is not None:
             self._fs.delete(self._fs_path(self._gen_path(prev)), True)
         return gen
@@ -167,7 +199,8 @@ class KGStore:
 
 def apply_pages_batch(spark: SparkSession, pages: DataFrame, model_bc,
                       store: KGStore, batch_id: int,
-                      cfg: PipelineConfig | None = None) -> int:
+                      cfg: PipelineConfig | None = None,
+                      token: str = "") -> int:
     """One maintenance step: annotate → triples → delta vs store →
     advance. Usable directly for batch recrawl folds; ``foreachBatch``
     calls it per micro-batch. Returns the number of change-log rows.
@@ -176,18 +209,44 @@ def apply_pages_batch(spark: SparkSession, pages: DataFrame, model_bc,
     pages are re-crawled within a single trigger window); per-url
     replace semantics demand the NEWEST capture only, so the batch is
     reduced with ``latest_capture`` first — the map-side-combinable
-    max-struct form, never a window sort."""
+    max-struct form, never a window sort.
+
+    Stale-capture gate: before the (expensive) annotate step, captures
+    whose ``warc_ts`` is not strictly newer than the store's per-url
+    watermark are dropped. A capture is identified by (url, warc_ts) —
+    same-ts redelivery is a replay by contract — so this makes per-url
+    content MONOTONIC in crawl time across ALL delivery paths: a fresh
+    checkpoint replaying old micro-batches, an out-of-order backfill
+    job, or a batch-mode re-fold can never roll a url back to stale
+    content, and costs no annotation work for the stale rows."""
+    # a batch without timestamps must not DROP the watermark state the
+    # store already holds — carry the sidecar forward unchanged
+    watermarks = store.read_url_watermarks()
     if "warc_ts" in pages.columns:
         pages = latest_capture(pages, key_col="url", ts_col="warc_ts")
+        old_w = watermarks
+        if old_w is not None:
+            prev = old_w.select("url",
+                                F.col("warc_ts").alias("_seen_ts"))
+            pages = (pages.join(prev, "url", "left")
+                     .filter(F.col("_seen_ts").isNull()
+                             | (F.col("warc_ts") > F.col("_seen_ts")))
+                     .drop("_seen_ts"))
+        new_w = pages.select("url", "warc_ts")
+        watermarks = (new_w if old_w is None
+                      else old_w.unionByName(new_w)
+                      .groupBy("url").agg(F.max("warc_ts")
+                                          .alias("warc_ts")))
     new_triples = _batch_triples(annotate(spark, pages, model_bc, cfg))
     old = store.read()
     delta = triple_delta(old, new_triples).localCheckpoint(eager=True)
     n_changes = delta.count()
     if n_changes == 0 and store.latest_gen() is not None:
-        return 0  # replay / no-op recrawl: keep the current generation
+        return 0  # replay / stale / no-op recrawl: keep the generation
     merged = apply_delta(old, delta)
     # re-derive the un-prefixed triple view (apply_delta keys on url)
-    store.advance(merged.select("subj", "pred", "obj"), delta, batch_id)
+    store.advance(merged.select("subj", "pred", "obj"), delta, batch_id,
+                  token, url_watermarks=watermarks)
     return n_changes
 
 
@@ -201,16 +260,22 @@ def maintain_kg_stream(spark: SparkSession, input_dir: str, model_bc,
     streaming checkpoint makes redelivery at-least-once; idempotency of
     ``apply_pages_batch`` upgrades the store to effectively-once."""
     store = KGStore(spark, kg_dir)
+    # the checkpoint dir IS the batch-id sequence identity: foreachBatch
+    # ids are monotonic only within one checkpoint lineage, so the
+    # redelivery guard is scoped to it (a fresh checkpoint restarts at
+    # batch 0 and must never be skipped against another job's ids)
+    token = f"ck:{checkpoint_dir.rstrip('/')}"
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     src = reader.parquet(input_dir)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        last = store.latest_batch_id()
+        last = store.latest_batch_id(token)
         if last is not None and batch_id <= last:
             return  # redelivered micro-batch: already folded in
-        apply_pages_batch(spark, batch_df, model_bc, store, batch_id, cfg)
+        apply_pages_batch(spark, batch_df, model_bc, store, batch_id, cfg,
+                          token)
 
     q = (
         src.writeStream.foreachBatch(_sink)

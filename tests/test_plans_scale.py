@@ -552,3 +552,43 @@ def test_run_curation_robots_txt_gate(spark, tmp_path):
             .select("url").collect()}
     assert not any(u.startswith("https://s0.org/secret/") for u in kept)
     assert not any(u.endswith("robots.txt") for u in kept)
+
+
+def test_run_kg_maintain_main(spark, web_pages, lexicon, tmp_path):
+    """KG-maintenance entrypoint: batch fold, then an incremental
+    stream drain over the same pages is a no-op (replace-idempotent),
+    and a third call with new pages advances the generation."""
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.run_kg_maintain import main
+
+    pages_dir = str(tmp_path / "pages")
+    lex_dir = str(tmp_path / "lexicon")
+    kg_dir = str(tmp_path / "kg")
+    web_pages.write.mode("overwrite").parquet(pages_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+
+    s1 = main(["--pages", pages_dir, "--lexicon", lex_dir, "--kg", kg_dir],
+              spark=spark)
+    assert s1["gen"] == 0 and s1["kg_rows"] > 0 and s1["n_changes"] > 0
+
+    # same pages again, batch mode: empty delta keeps the generation
+    s2 = main(["--pages", pages_dir, "--lexicon", lex_dir, "--kg", kg_dir],
+              spark=spark)
+    assert s2["gen"] == 0 and s2["n_changes"] == 0
+    assert s2["kg_rows"] == s1["kg_rows"]
+
+    # stream drain of a recrawl slice (later capture, changed content)
+    # advances the generation
+    import datetime
+    rows = web_pages.limit(2).collect()
+    recrawl = spark.createDataFrame(
+        [(r["url"], r["warc_ts"] + datetime.timedelta(days=1),
+          bytes(r["html"]) + b"<p>extra alpha0 text</p>", r["text"],
+          r["lang"]) for r in rows],
+        schema=web_pages.schema)
+    pages2 = str(tmp_path / "pages2")
+    recrawl.write.mode("overwrite").parquet(pages2)
+    s3 = main(["--pages", pages2, "--lexicon", lex_dir, "--kg", kg_dir,
+               "--stream", "--checkpoint", str(tmp_path / "ck")],
+              spark=spark)
+    assert s3["gen"] == 1 and s3["kg_rows"] != s1["kg_rows"]

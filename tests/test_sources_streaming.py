@@ -474,17 +474,18 @@ def test_maintain_kg_stream_recrawl_replaces(spark, web_pages, model_bc,
     rows = web_pages.select(*cols).orderBy("url").collect()
     assert len(rows) >= 6
     batch1 = spark.createDataFrame(rows, schema=web_pages.select(*cols).schema)
-    # recrawl: first 3 urls with EXTENDED html (annotate extracts from
-    # html when present => changed triple sets for exactly those urls)
+    # recrawl: first 3 urls, LATER capture ts, EXTENDED html (annotate
+    # extracts from html when present => changed triple sets for
+    # exactly those urls)
+    import datetime
     recrawl_rows = [
-        (rows[i][0], rows[i][1],
+        (rows[i][0], rows[i][1] + datetime.timedelta(days=1),
          bytes(rows[i + 3][2]) + b"<p>" + bytes(rows[i][2]),
          rows[i][3], rows[i][4])
         for i in range(3)
     ]
     # plus an OLDER in-batch capture of url 0: per-url replace keeps the
     # newest capture only (latest_capture reduction inside the batch)
-    import datetime
     stale = (rows[0][0], rows[0][1] - datetime.timedelta(days=1),
              bytes(rows[5][2]), rows[0][3], rows[0][4])
     batch2 = spark.createDataFrame(recrawl_rows + [stale],
@@ -532,10 +533,12 @@ def test_maintain_kg_stream_recrawl_replaces(spark, web_pages, model_bc,
     assert store.latest_gen() == 1
     assert _kg_set(store.read()) == expect
 
-    # redelivery guard: re-running the whole stream with a FRESH
-    # checkpoint replays batch ids 0..1 ≤ latest_batch_id — every batch
-    # is skipped before any work, so batch 0 cannot roll recrawled urls
-    # back to stale content
+    # stale-capture gate: re-running the whole stream with a FRESH
+    # checkpoint is a NEW batch-id lineage, so the redelivery guard does
+    # not apply — the micro-batches replay, but every capture's warc_ts
+    # is ≤ the store's per-url watermark, so all are gated before
+    # annotation and batch 0 cannot roll recrawled urls back to stale
+    # content (data-level monotonicity, not lineage-scoped)
     assert store.latest_batch_id() == 1
     store2 = maintain_kg_stream(
         spark, str(src), model_bc, str(tmp_path / "kg"),
