@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--batch-id", type=int, default=-1,
                     help="batch mode: explicit change-log batch id "
                          "(default: last applied + 1)")
+    ap.add_argument("--expire-log", type=int, default=0,
+                    help=">0: after the fold, drop delta_log partitions "
+                         "older than the newest N generations")
+    ap.add_argument("--metrics-out", default="",
+                    help="write the run stats JSON to this local path "
+                         "as well as stdout")
     ap.add_argument("--confidence", type=float, default=0.0)
     ap.add_argument("--support", type=int, default=0)
     ap.add_argument("--disambiguator", default="generative",
@@ -87,27 +93,38 @@ def main(argv: list[str] | None = None,
     stats: dict = {"kg": args.kg, "mode": "stream" if args.stream
                    else "batch"}
     if args.stream:
+        batches: list = []
         store = maintain_kg_stream(
             spark, args.pages, bc, args.kg,
             args.checkpoint or f"{args.kg}/_checkpoint", cfg,
-            max_files_per_trigger=(args.max_files_per_trigger or None))
-        n_changes = None
+            max_files_per_trigger=(args.max_files_per_trigger or None),
+            metrics_log=batches)
+        stats["batches"] = batches
+        stats["n_changes"] = sum(b.get("n_changes", 0) for b in batches)
     else:
         store = KGStore(spark, args.kg)
         last = store.latest_batch_id()
         batch_id = args.batch_id if args.batch_id >= 0 else (
             0 if last is None else last + 1)
         pages = spark.read.parquet(args.pages)
+        m: dict = {}
         n_changes = apply_pages_batch(spark, pages, bc, store, batch_id,
-                                      cfg)
+                                      cfg, metrics=m)
         stats["batch_id"] = batch_id
+        stats["n_changes"] = n_changes
+        stats["n_added"] = m.get("n_added", 0)
+        stats["n_removed"] = m.get("n_removed", 0)
 
+    if args.expire_log > 0:
+        stats["log_partitions_dropped"] = store.expire_delta_log(
+            args.expire_log)
     stats["gen"] = store.latest_gen()
     stats["last_batch_id"] = store.latest_batch_id()
     stats["kg_rows"] = store.read().count()
-    if n_changes is not None:
-        stats["n_changes"] = n_changes
     print(json.dumps(stats))
+    if args.metrics_out:
+        with open(args.metrics_out, "w") as fh:
+            json.dump(stats, fh)
     if own_session:
         spark.stop()
     return stats

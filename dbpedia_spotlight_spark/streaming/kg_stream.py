@@ -188,19 +188,63 @@ class KGStore:
         if url_watermarks is not None:
             url_watermarks.select("url", "warc_ts").write.mode(
                 "overwrite").parquet(f"{self._gen_path(gen)}/urls")
+        # gen-partitioned so incremental readers prune to the tail and
+        # retention is a directory drop, not a rewrite
         (delta.withColumn("batch_id", F.lit(batch_id))
               .withColumn("gen", F.lit(gen))
-              .write.mode("append").parquet(f"{self.root}/delta_log"))
+              .write.mode("append").partitionBy("gen")
+              .parquet(f"{self.root}/delta_log"))
         self._write_pointer(gen, batch_id, token)
         if prev is not None:
             self._fs.delete(self._fs_path(self._gen_path(prev)), True)
         return gen
 
+    def read_log(self, since_gen: int = -1) -> DataFrame:
+        """Change-data feed: delta_log rows with ``gen > since_gen``
+        (url, subj, pred, obj, change, batch_id, gen). Downstream
+        incremental consumers (index refresh, embedding updates, a
+        second KG) poll this instead of diffing snapshots — the gen
+        partition column prunes the scan to the unseen tail, so a
+        caught-up consumer reads ~nothing regardless of log size."""
+        p = self._fs_path(f"{self.root}/delta_log")
+        if not self._fs.exists(p):
+            return self.spark.createDataFrame(
+                [], "url string, subj string, pred string, obj string, "
+                    "change string, batch_id long, gen int")
+        log = self.spark.read.parquet(f"{self.root}/delta_log")
+        return log.filter(F.col("gen") > F.lit(since_gen))
+
+    def expire_delta_log(self, keep_last: int) -> int:
+        """Retention: drop delta_log partitions older than the newest
+        ``keep_last`` generations (whole-directory deletes — no file
+        rewrite). The audit log otherwise grows with every batch
+        forever; at web scale this is the lifecycle knob. Returns the
+        number of partitions dropped."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        latest = self.latest_gen()
+        if latest is None:
+            return 0
+        cutoff = latest - keep_last + 1
+        dropped = 0
+        root = self._fs_path(f"{self.root}/delta_log")
+        if not self._fs.exists(root):
+            return 0
+        for st in self._fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("gen="):
+                continue
+            if int(name.split("=", 1)[1]) < cutoff:
+                self._fs.delete(st.getPath(), True)
+                dropped += 1
+        return dropped
+
 
 def apply_pages_batch(spark: SparkSession, pages: DataFrame, model_bc,
                       store: KGStore, batch_id: int,
                       cfg: PipelineConfig | None = None,
-                      token: str = "") -> int:
+                      token: str = "",
+                      metrics: dict | None = None) -> int:
     """One maintenance step: annotate → triples → delta vs store →
     advance. Usable directly for batch recrawl folds; ``foreachBatch``
     calls it per micro-batch. Returns the number of change-log rows.
@@ -241,12 +285,25 @@ def apply_pages_batch(spark: SparkSession, pages: DataFrame, model_bc,
     old = store.read()
     delta = triple_delta(old, new_triples).localCheckpoint(eager=True)
     n_changes = delta.count()
+    if metrics is not None:
+        # delta is checkpointed, so the split agg re-reads a tiny
+        # materialized frame, not the annotate lineage
+        by = {r["change"]: r["n"] for r in
+              delta.groupBy("change").agg(F.count("*").alias("n"))
+              .collect()}
+        metrics.update({"batch_id": batch_id, "n_changes": n_changes,
+                        "n_added": by.get("added", 0),
+                        "n_removed": by.get("removed", 0)})
     if n_changes == 0 and store.latest_gen() is not None:
+        if metrics is not None:
+            metrics["gen"] = store.latest_gen()
         return 0  # replay / stale / no-op recrawl: keep the generation
     merged = apply_delta(old, delta)
     # re-derive the un-prefixed triple view (apply_delta keys on url)
-    store.advance(merged.select("subj", "pred", "obj"), delta, batch_id,
-                  token, url_watermarks=watermarks)
+    gen = store.advance(merged.select("subj", "pred", "obj"), delta,
+                        batch_id, token, url_watermarks=watermarks)
+    if metrics is not None:
+        metrics["gen"] = gen
     return n_changes
 
 
@@ -254,7 +311,8 @@ def maintain_kg_stream(spark: SparkSession, input_dir: str, model_bc,
                        kg_dir: str, checkpoint_dir: str,
                        cfg: PipelineConfig | None = None,
                        schema: str = WEB_PAGES_DDL,
-                       max_files_per_trigger: int | None = None):
+                       max_files_per_trigger: int | None = None,
+                       metrics_log: list | None = None):
     """readStream(pages dir) → foreachBatch KG maintenance, drained with
     ``availableNow`` (deterministic; tests assert stream ≡ batch). The
     streaming checkpoint makes redelivery at-least-once; idempotency of
@@ -273,9 +331,15 @@ def maintain_kg_stream(spark: SparkSession, input_dir: str, model_bc,
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         last = store.latest_batch_id(token)
         if last is not None and batch_id <= last:
+            if metrics_log is not None:
+                metrics_log.append({"batch_id": batch_id,
+                                    "skipped_redelivery": True})
             return  # redelivered micro-batch: already folded in
+        m: dict | None = {} if metrics_log is not None else None
         apply_pages_batch(spark, batch_df, model_bc, store, batch_id, cfg,
-                          token)
+                          token, metrics=m)
+        if metrics_log is not None:
+            metrics_log.append(m)
 
     q = (
         src.writeStream.foreachBatch(_sink)

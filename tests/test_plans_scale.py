@@ -570,6 +570,7 @@ def test_run_kg_maintain_main(spark, web_pages, lexicon, tmp_path):
     s1 = main(["--pages", pages_dir, "--lexicon", lex_dir, "--kg", kg_dir],
               spark=spark)
     assert s1["gen"] == 0 and s1["kg_rows"] > 0 and s1["n_changes"] > 0
+    assert s1["n_added"] == s1["n_changes"] and s1["n_removed"] == 0
 
     # same pages again, batch mode: empty delta keeps the generation
     s2 = main(["--pages", pages_dir, "--lexicon", lex_dir, "--kg", kg_dir],
@@ -589,6 +590,24 @@ def test_run_kg_maintain_main(spark, web_pages, lexicon, tmp_path):
     pages2 = str(tmp_path / "pages2")
     recrawl.write.mode("overwrite").parquet(pages2)
     s3 = main(["--pages", pages2, "--lexicon", lex_dir, "--kg", kg_dir,
-               "--stream", "--checkpoint", str(tmp_path / "ck")],
+               "--stream", "--checkpoint", str(tmp_path / "ck"),
+               "--metrics-out", str(tmp_path / "metrics.json"),
+               "--expire-log", "1"],
               spark=spark)
     assert s3["gen"] == 1 and s3["kg_rows"] != s1["kg_rows"]
+    assert s3["n_changes"] > 0
+    assert [b["gen"] for b in s3["batches"] if "gen" in b] == [1]
+    assert s3["log_partitions_dropped"] == 1  # gen=0 slice expired
+
+    import json
+    with open(tmp_path / "metrics.json") as fh:
+        assert json.load(fh) == s3
+
+    # CDC feed: a consumer caught up to gen 0 sees only the recrawl
+    # delta; the expired gen=0 partition is gone from the log entirely
+    from dbpedia_spotlight_spark.streaming.kg_stream import KGStore
+    store = KGStore(spark, kg_dir)
+    log = store.read_log(since_gen=0)
+    assert log.count() == s3["n_changes"]
+    assert {r["gen"] for r in store.read_log().select("gen").collect()} \
+        == {1}
