@@ -3389,6 +3389,53 @@ def sql_triple_delta() -> str:
         AND n.pred = o.pred AND n.obj = o.obj)"""
 
 
+def q_entity_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG read path (triples.py::entity_neighbors): 2-hop co-mention
+    neighborhood of two seed entities over the recrawl snapshot's
+    entity-link triples — hop = min shares-a-page distance, BFS with a
+    broadcast uri frontier and an un-broadcast url semi-join (hub
+    entities are linked from too many pages to ship)."""
+    from dbpedia_spotlight_spark.triples import entity_neighbors
+    kg = _snapshot_triples(spark, sf_dir, new=True)
+    return entity_neighbors(kg, ["dbr:Ent0", "dbr:Ent7"], hops=2)
+
+
+def sql_entity_neighbors() -> str:
+    """BFS unrolled as per-hop CTEs over the same generate_series
+    snapshot; links is referenced once per hop in both roles, so it is
+    AS MATERIALIZED (DuckDB would otherwise re-inline the fan-out)."""
+    return """
+  WITH fan AS MATERIALIZED (
+    SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS k
+    FROM documents WHERE doc_id % 2 = 0),
+  links AS MATERIALIZED (
+    SELECT DISTINCT
+      'https://host' || (doc_id % 13) || '.example/d/' || doc_id AS url,
+      'dbr:Ent' || ((doc_id * 7 + k
+                     + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                    % 50) AS uri
+    FROM fan),
+  hop0 AS (SELECT * FROM (VALUES ('dbr:Ent0'), ('dbr:Ent7')) v(uri)),
+  urls1 AS MATERIALIZED (
+    SELECT DISTINCT url FROM links
+    WHERE uri IN (SELECT uri FROM hop0)),
+  hop1 AS MATERIALIZED (
+    SELECT DISTINCT uri FROM links
+    WHERE url IN (SELECT url FROM urls1)
+      AND uri NOT IN (SELECT uri FROM hop0)),
+  urls2 AS MATERIALIZED (
+    SELECT DISTINCT url FROM links
+    WHERE uri IN (SELECT uri FROM hop1)),
+  hop2 AS (
+    SELECT DISTINCT uri FROM links
+    WHERE url IN (SELECT url FROM urls2)
+      AND uri NOT IN (SELECT uri FROM hop0
+                      UNION ALL SELECT uri FROM hop1))
+  SELECT uri, 0 AS hop FROM hop0
+  UNION ALL SELECT uri, 1 AS hop FROM hop1
+  UNION ALL SELECT uri, 2 AS hop FROM hop2"""
+
+
 def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniffing over planted raw page bytes
     (functions/charset.py): each document becomes a binary page whose

@@ -179,3 +179,69 @@ def kg_stats(triples: DataFrame) -> DataFrame:
         F.round(F.col("n_triples") / F.col("n_subjects"), 9)
          .alias("avg_out_degree"),
     )
+
+
+def match_triples(kg: DataFrame, subj: str | None = None,
+                  pred: str | None = None,
+                  obj: str | None = None) -> DataFrame:
+    """Triple-pattern read over a materialized snapshot: fix any subset
+    of (subj, pred, obj), leave the rest as variables. Pure equality
+    filters, so every bound position reaches the parquet scan as a
+    pushed filter — a point lookup reads only the row groups whose
+    min/max straddle the key, not the store."""
+    out = kg.select("subj", "pred", "obj")
+    for col, val in (("subj", subj), ("pred", pred), ("obj", obj)):
+        if val is not None:
+            out = out.filter(F.col(col) == val)
+    return out
+
+
+def link_incidence(kg: DataFrame) -> DataFrame:
+    """(url, uri) page→entity incidence derived from a snapshot's
+    entity-link triples (pred = itsrdf:taIdentRef); the bipartite form
+    every co-mention query walks."""
+    return (
+        provenance_url(kg.filter(F.col("pred") == PRED_IDENT)
+                       .select("subj", "pred", "obj"))
+        .select("url", F.col("obj").alias("uri"))
+        .dropDuplicates(["url", "uri"])
+    )
+
+
+def entity_neighbors(kg: DataFrame, seeds, hops: int = 1) -> DataFrame:
+    """Co-mention neighborhood of ``seeds`` in a materialized KG
+    snapshot: (uri, hop) where hop is the minimum number of
+    shares-a-page steps from any seed (seeds themselves are hop 0,
+    capped at ``hops``). Two entities are adjacent iff some url links
+    both — the read-path twin of ``operators.graph.cooccurrence_edges``
+    that works directly off the triple store, without re-running the
+    annotation pipeline.
+
+    Scale: the incidence table is materialized once (localCheckpoint)
+    and reused every hop — the per-hop cost is two semi-joins (on uri,
+    then url) plus an anti-join against the visited set. The uri
+    frontier is explicitly broadcast (entity sets stay small); the url
+    set is NOT — a hub entity is linked from millions of pages, so that
+    side goes through a shuffled semi-join AQE can still downgrade to
+    broadcast when it is actually small. BFS frontiers blow up on hub
+    entities — ``hops`` is the quadratic guard, the same role as the
+    LSH bucket cap."""
+    spark = kg.sparkSession
+    links = link_incidence(kg).localCheckpoint(eager=True)
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame([(u,) for u in seeds],
+                                      "uri string")
+    visited = seeds.select("uri").distinct() \
+        .withColumn("hop", F.lit(0)).localCheckpoint(eager=True)
+    frontier = visited.select("uri")
+    for h in range(1, hops + 1):
+        urls = (links.join(F.broadcast(frontier), "uri", "left_semi")
+                .select("url").distinct())
+        reached = (links.join(urls, "url", "left_semi")
+                   .select("uri").distinct())
+        frontier = reached.join(visited.select("uri"), "uri", "left_anti")
+        visited = visited.unionByName(
+            frontier.withColumn("hop", F.lit(h))).localCheckpoint(
+                eager=True)
+        frontier = frontier.localCheckpoint(eager=True)
+    return visited

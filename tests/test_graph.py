@@ -97,3 +97,39 @@ def test_kg_stats_report(spark):
                         "n_objects": 2, "max_out_degree": 2,
                         "avg_out_degree": 1.5}
     assert got["q"]["n_triples"] == 1 and got["q"]["avg_out_degree"] == 1.0
+
+
+def test_match_triples_and_entity_neighbors(spark):
+    """KG read path on a planted snapshot: pattern lookups push equality
+    filters; BFS hops are min shares-a-page distance with seeds at 0."""
+    from dbpedia_spotlight_spark.triples import (
+        PRED_IDENT, entity_neighbors, match_triples,
+    )
+    u = lambda i: f"https://h.example/p{i}"  # noqa: E731
+    rows = [
+        # p1 links A,B ; p2 links B,C ; p3 links C,D ; p4 links E (island)
+        (f"{u(1)}#char=0,1", PRED_IDENT, "dbr:A"),
+        (f"{u(1)}#char=2,3", PRED_IDENT, "dbr:B"),
+        (f"{u(2)}#char=0,1", PRED_IDENT, "dbr:B"),
+        (f"{u(2)}#char=2,3", PRED_IDENT, "dbr:C"),
+        (f"{u(3)}#char=0,1", PRED_IDENT, "dbr:C"),
+        (f"{u(3)}#char=2,3", PRED_IDENT, "dbr:D"),
+        (f"{u(4)}#char=0,1", PRED_IDENT, "dbr:E"),
+        # anchor triples must be ignored by the incidence walk
+        (f"{u(1)}#char=0,1", "nif:anchorOf", "a"),
+    ]
+    kg = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    got = {(r.subj, r.obj) for r in
+           match_triples(kg, pred=PRED_IDENT, obj="dbr:B").collect()}
+    assert got == {(f"{u(1)}#char=2,3", "dbr:B"), (f"{u(2)}#char=0,1",
+                                                   "dbr:B")}
+
+    hops = {r.uri: r.hop for r in
+            entity_neighbors(kg, ["dbr:A"], hops=2).collect()}
+    # A=0; B co-paged with A=1; C co-paged with B=2; D needs 3; E island
+    assert hops == {"dbr:A": 0, "dbr:B": 1, "dbr:C": 2}
+
+    hops3 = {r.uri: r.hop for r in
+             entity_neighbors(kg, ["dbr:A"], hops=3).collect()}
+    assert hops3["dbr:D"] == 3 and "dbr:E" not in hops3

@@ -52,6 +52,9 @@ ROTATED = [
     ("sitemap_frontier", Q.q_sitemap_frontier, Q.sql_sitemap_frontier),
     # round-4 addition: per-predicate KG health metrics
     ("kg_stats", Q.q_kg_stats, Q.sql_kg_stats),
+    # round-4 addition: KG read path — 2-hop co-mention BFS over the
+    # materialized snapshot (unrolled per-hop CTEs in DuckDB)
+    ("entity_neighbors", Q.q_entity_neighbors, Q.sql_entity_neighbors),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
