@@ -3436,6 +3436,45 @@ def sql_entity_neighbors() -> str:
   UNION ALL SELECT uri, 2 AS hop FROM hop2"""
 
 
+def q_fetch_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (sources/sitemap.py::fetch_rounds) over a
+    skewed synthetic frontier: even doc_ids pile onto mega-host s0 (the
+    Common-Crawl shape), odd ones spread over s1..s6. Round assignment
+    must be a pure projection after one per-host count join — no
+    per-host window sort — and replay exactly in SQL."""
+    from dbpedia_spotlight_spark.sources.sitemap import fetch_rounds
+    d = _docs(spark, sf_dir)
+    hid = F.when(F.col("doc_id") % 2 == 0, F.lit(0))         .otherwise(F.col("doc_id") % 7)
+    frontier = d.select(
+        F.concat(F.lit("https://s"), hid.cast("string"),
+                 F.lit(".example/p/"), F.col("doc_id").cast("string"))
+        .alias("canon_url"))
+    return fetch_rounds(frontier, per_host_limit=25).select(
+        "canon_url", "host", "n_rounds", "fetch_round")
+
+
+def sql_fetch_rounds() -> str:
+    """Mirror: per-host ceil-count rounds + the 60-bit md5-prefix bucket
+    modulo (DuckDB parses '0x…' strings in BIGINT casts; / on integers
+    is float division, so ceil(COUNT(*)/25) matches Spark's double
+    division + ceil)."""
+    return """
+  WITH f AS MATERIALIZED (
+    SELECT 'https://s'
+           || (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 7 END)
+           || '.example/p/' || doc_id AS canon_url,
+           's' || (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 7 END)
+           || '.example' AS host
+    FROM documents),
+  c AS (
+    SELECT host, CAST(ceil(COUNT(*) / 25) AS INT) AS n_rounds
+    FROM f GROUP BY host)
+  SELECT f.canon_url, f.host, c.n_rounds,
+         CAST(CAST('0x' || substr(md5(f.canon_url || '#fetch'), 1, 15)
+                   AS BIGINT) % c.n_rounds AS INT) AS fetch_round
+  FROM f JOIN c USING (host)"""
+
+
 def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniffing over planted raw page bytes
     (functions/charset.py): each document becomes a binary page whose

@@ -180,3 +180,41 @@ def expand_index(entries: DataFrame) -> DataFrame:
                 canonical_url_col(F.col("loc")).alias("canon_url"))
         .dropDuplicates(["canon_url"])
     )
+
+
+def fetch_rounds(frontier: DataFrame, per_host_limit: int = 100,
+                 url_col: str = "canon_url",
+                 salt: str = "fetch") -> DataFrame:
+    """Politeness scheduling: split the frontier into fetch rounds so
+    one round touches ≈ ``per_host_limit`` urls per host (a crawler
+    drains round 0 everywhere, then round 1, … — per-host request rate
+    is bounded by round pacing, not by a per-host queue).
+
+    Skew design: the obvious ``row_number() over (partition by host)``
+    funnels a mega-host's millions of frontier urls through ONE sort
+    task. Instead: one map-side-combinable per-host count, one join to
+    attach ``n_rounds = ceil(n/limit)``, and a pure-projection round
+    assignment ``md5bucket(url#salt) % n_rounds`` — deterministic,
+    layout-independent (same property as ``operators.sampling``), and
+    replayable in SQL. Rounds hold ~limit urls per host in expectation
+    (multinomial, not exact-capped); the exact-cap window form is only
+    safe for small frontiers.
+
+    Output: frontier columns + (host, n_rounds, fetch_round)."""
+    if per_host_limit < 1:
+        raise ValueError("per_host_limit must be >= 1")
+    from dbpedia_spotlight_spark.operators.webstats import host_col
+    f = frontier.withColumn("host", F.lower(host_col(F.col(url_col))))
+    counts = (f.groupBy("host").agg(F.count("*").alias("_n"))
+              .withColumn("n_rounds",
+                          F.ceil(F.col("_n") / per_host_limit)
+                          .cast("int"))
+              .drop("_n"))
+    # 60-bit md5 prefix: exact in a signed long, mirrors in DuckDB via
+    # CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)
+    bucket = F.conv(F.substring(
+        F.md5(F.concat_ws("#", F.col(url_col), F.lit(salt))), 1, 15),
+        16, 10).cast("long")
+    return (f.join(counts, "host")
+            .withColumn("fetch_round",
+                        (bucket % F.col("n_rounds")).cast("int")))

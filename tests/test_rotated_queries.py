@@ -55,6 +55,8 @@ ROTATED = [
     # round-4 addition: KG read path — 2-hop co-mention BFS over the
     # materialized snapshot (unrolled per-hop CTEs in DuckDB)
     ("entity_neighbors", Q.q_entity_neighbors, Q.sql_entity_neighbors),
+    # round-4 addition: politeness fetch rounds over a skewed frontier
+    ("fetch_rounds", Q.q_fetch_rounds, Q.sql_fetch_rounds),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,

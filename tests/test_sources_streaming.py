@@ -626,3 +626,36 @@ def test_crawl_frontier_semantics(spark):
                    ("https://s.org/upd", "updated")}
     assert [r.loc for r in expand_index(entries).collect()] == [
         "https://s.org/sm2.xml"]
+
+
+def test_fetch_rounds_politeness(spark):
+    """Round scheduling: mega-host splits into ceil(n/limit) rounds of
+    ~limit urls each, small hosts stay single-round, every url appears
+    exactly once, and the assignment is layout-independent."""
+    from dbpedia_spotlight_spark.sources.sitemap import fetch_rounds
+
+    rows = [(f"https://big.example/p/{i}",) for i in range(300)] + \
+           [(f"https://tiny.example/p/{i}",) for i in range(10)]
+    f = spark.createDataFrame(rows, "canon_url string")
+    out = fetch_rounds(f, per_host_limit=50).collect()
+
+    assert len(out) == 310  # exactly-once cover
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r)
+    assert {r.n_rounds for r in by_host["big.example"]} == {6}
+    assert {r.n_rounds for r in by_host["tiny.example"]} == {1}
+    assert {r.fetch_round for r in by_host["tiny.example"]} == {0}
+    per_round = {}
+    for r in by_host["big.example"]:
+        assert 0 <= r.fetch_round < 6
+        per_round[r.fetch_round] = per_round.get(r.fetch_round, 0) + 1
+    # expectation-based cap: 300 urls over 6 hash buckets ≈ 50 each;
+    # 2x is far beyond multinomial fluctuation
+    assert all(n <= 100 for n in per_round.values()), per_round
+    assert len(per_round) == 6  # no empty round at this density
+
+    # layout independence: same assignment from a different partitioning
+    out2 = {(r.canon_url, r.fetch_round)
+            for r in fetch_rounds(f.repartition(13), 50).collect()}
+    assert out2 == {(r.canon_url, r.fetch_round) for r in out}
