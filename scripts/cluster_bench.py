@@ -119,11 +119,21 @@ def orchestrate() -> None:
             samples = []
     samples.append(dict(summary))
     best = max(samples, key=lambda s: s["efficiency"])
+    # two estimators, both shipped: the best single run (legs paired
+    # within one run), and min-per-level across ALL runs — the
+    # conservative form that only credits speed actually observed at
+    # each level, immune to a slow 1-worker leg inflating the ratio
+    t1_min = min(s["local_cluster_1x4"]["sec"] for s in samples)
+    t4_min = min(s["local_cluster_4x4"]["sec"] for s in samples)
     out = {
         **best,
         "policy": "best of n_samples interleaved runs (external host "
                   "contention; every sample listed)",
         "n_samples": len(samples),
+        "min_per_level": {
+            "sec_1x4": t1_min, "sec_4x4": t4_min,
+            "efficiency": round((t1_min / t4_min) / 4.0, 3),
+        },
         "samples": samples,
     }
     print(json.dumps(out))
