@@ -659,3 +659,41 @@ def test_fetch_rounds_politeness(spark):
     out2 = {(r.canon_url, r.fetch_round)
             for r in fetch_rounds(f.repartition(13), 50).collect()}
     assert out2 == {(r.canon_url, r.fetch_round) for r in out}
+
+
+def test_kg_watermark_carry_forward_and_backfill_gate(spark, web_pages,
+                                                      model_bc, tmp_path):
+    """The per-url warc_ts watermark sidecar (a) gates an out-of-order
+    batch-mode backfill of OLDER captures into a no-op, and (b) survives
+    a fold whose pages carry no warc_ts column at all."""
+    import datetime
+
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        KGStore, apply_pages_batch,
+    )
+
+    store = KGStore(spark, str(tmp_path / "kg"))
+    n0 = apply_pages_batch(spark, web_pages, model_bc, store, batch_id=0)
+    assert n0 > 0 and store.latest_gen() == 0
+    w0 = {r.url: r.warc_ts for r in store.read_url_watermarks().collect()}
+    assert len(w0) == web_pages.count()
+
+    # backfill: a crawl archive replays OLDER captures with different
+    # bytes — the gate must drop them before annotation (delta empty)
+    rows = web_pages.limit(3).collect()
+    stale = spark.createDataFrame(
+        [(r["url"], r["warc_ts"] - datetime.timedelta(days=30),
+          bytes(r["html"]) + b"<p>Alpha1 from the past</p>", r["text"],
+          r["lang"]) for r in rows], schema=web_pages.schema)
+    assert apply_pages_batch(spark, stale, model_bc, store, 1) == 0
+    assert store.latest_gen() == 0  # generation unchanged
+
+    # ts-less fold: new url, no warc_ts column anywhere in the batch —
+    # triples fold in, and the EXISTING watermarks carry forward
+    extra = spark.createDataFrame(
+        [("https://new.example/x", rows[0]["html"], rows[0]["text"],
+          "en")], "url string, html binary, text string, lang string")
+    n2 = apply_pages_batch(spark, extra, model_bc, store, 2)
+    assert n2 > 0 and store.latest_gen() == 1
+    w1 = {r.url: r.warc_ts for r in store.read_url_watermarks().collect()}
+    assert w1 == w0  # preserved verbatim
