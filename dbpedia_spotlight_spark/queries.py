@@ -3475,6 +3475,32 @@ def sql_fetch_rounds() -> str:
   FROM f JOIN c USING (host)"""
 
 
+def q_type_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdf:type statements of the materialized KG
+    (triples.py::type_triples): one (entity, rdf:type, type) per entity
+    LINKED somewhere in the corpus — the KG form of the per-entity
+    types the reference's /annotate responses carry. Oracle joins the
+    k=1 generative SQL against the inlined entity→type map (the same
+    technique as annotate_typed's whitelist)."""
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import type_triples
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0))
+    return type_triples(ann)
+
+
+def sql_type_triples() -> str:
+    pairs = [(r[0], t) for r in LEX.entity_rows() for t in r[3]]
+    values = ", ".join(f"('{u}', '{t}')" for u, t in pairs)
+    return f"""
+  SELECT DISTINCT g.uri AS subj, 'rdf:type' AS pred, t.typ AS obj
+  FROM ({_sql_generative(k=1)}) g
+  JOIN (VALUES {values}) t(uri, typ) ON t.uri = g.uri"""
+
+
 def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniffing over planted raw page bytes
     (functions/charset.py): each document becomes a binary page whose

@@ -245,3 +245,19 @@ def entity_neighbors(kg: DataFrame, seeds, hops: int = 1) -> DataFrame:
                 eager=True)
         frontier = frontier.localCheckpoint(eager=True)
     return visited
+
+
+def type_triples(annotations: DataFrame) -> DataFrame:
+    """(entity, rdf:type, ontology type) statements for every entity
+    linked anywhere in the corpus — the reference's /annotate responses
+    carry per-entity types; the KG materialization of that is one
+    type triple per linked (entity, type). One explode + distinct on
+    the (uri, type) key: cardinality = |linked entities| × avg types,
+    nothing keys on url/doc, so corpus-side skew never reaches the
+    exchange."""
+    return (
+        annotations.select("uri", F.explode("types").alias("obj"))
+        .dropDuplicates(["uri", "obj"])
+        .select(F.col("uri").alias("subj"),
+                F.lit("rdf:type").alias("pred"), "obj")
+    )

@@ -57,6 +57,8 @@ ROTATED = [
     ("entity_neighbors", Q.q_entity_neighbors, Q.sql_entity_neighbors),
     # round-4 addition: politeness fetch rounds over a skewed frontier
     ("fetch_rounds", Q.q_fetch_rounds, Q.sql_fetch_rounds),
+    # round-4 addition: rdf:type statements of the materialized KG
+    ("type_triples", Q.q_type_triples, Q.sql_type_triples),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
