@@ -97,6 +97,24 @@ ENTITY_TYPES: dict[str, list[str]] = {
     "Stream_(river)": ["Place"],
 }
 
+# subClassOf edges over the entity types above — the fixture's slice of
+# the DBpedia class hierarchy (depth 2, with diamond-free chains) used
+# by the ontology-closure / type-inference oracle pair. Both the Spark
+# callable and the DuckDB mirror inline THESE rows, so the engines can
+# only agree if the closure + rdfs:9 join semantics are correct.
+TYPE_HIERARCHY: list[tuple[str, str]] = [
+    ("Software", "Work"),
+    ("Work", "Thing"),
+    ("Artifact", "Object"),
+    ("Object", "Thing"),
+    ("Place", "Location"),
+    ("Location", "Thing"),
+    ("Phenomenon", "Event"),
+    ("Event", "Thing"),
+    ("Agent", "Thing"),
+    ("Concept", "Thing"),
+]
+
 # corpus vocabulary (token types); counts are nominal corpus frequencies
 VOCAB = (
     "key agg row scan slow fast table value part hash merge batch spark "

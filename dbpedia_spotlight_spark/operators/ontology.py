@@ -1,0 +1,154 @@
+"""Ontology reasoning over the materialized KG (north_rule "graph
+materialize" read/inference path).
+
+The reference's /annotate responses carry per-entity ontology types
+drawn from the DBpedia class hierarchy; ``triples.type_triples``
+materializes those as rdf:type statements. This module adds the two
+RDFS entailments a KG consumer expects over that store — subclass
+transitive closure (rdfs:11) and type inheritance (rdfs:9) — plus a
+SPARQL-style basic-graph-pattern matcher, so the materialized triple
+store is *queryable*, not just dumpable.
+
+Scale notes (10^12-doc build): the ontology side is structurally tiny —
+the DBpedia class hierarchy is <10^3 classes — so the closure and every
+closure join compile to broadcast hash joins; the corpus-scale side
+(type statements, BGP base patterns) is only ever filtered and joined,
+never collected. The closure loop is semi-naive (each round extends
+only last round's *new* paths, with an anti-join against everything
+known), so a DAG of depth d costs d rounds of frontier-sized joins, not
+d self-joins of the full closure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+
+RDF_TYPE = "rdf:type"
+RDFS_SUBCLASS = "rdfs:subClassOf"
+
+
+def subclass_closure(edges: DataFrame, max_depth: int = 20,
+                     checkpoint_dir: str | None = None) -> DataFrame:
+    """Transitive closure of a subClassOf DAG: (sub, sup, depth) with
+    depth = length of the SHORTEST subclass path (direct edges are
+    depth 1). rdfs:11 entailment.
+
+    Semi-naive iteration: round d joins only round d-1's new paths
+    against the direct edges, anti-joins the already-known set (which
+    also makes accidental cycles terminate instead of looping), and
+    stops on the first empty frontier. Per-round lineage is cut through
+    ``RoundCheckpointer`` — ``localCheckpoint`` by default, reliable
+    ``checkpoint_dir`` parquet generations for deep hierarchies (same
+    two modes as connected_components).
+
+    The emptiness probe is one action per round on a frontier that only
+    shrinks; class hierarchies are tiny (DBpedia: ~800 classes, depth
+    ~7), so every join here broadcasts under AQE."""
+    spark = edges.sparkSession
+    ck = RoundCheckpointer(spark, checkpoint_dir, name="subclass")
+    e = edges.select("sub", "sup").dropDuplicates() \
+        .filter(F.col("sub") != F.col("sup"))
+    # exactly ONE cut per round (the known set): RoundCheckpointer's
+    # dir mode keeps only the last two generations on disk, so a second
+    # cut per round would delete a generation the known frame still
+    # reads. The frontier is a filter over the checkpointed known set —
+    # free to recompute, never separately materialized.
+    known = ck.cut(e.withColumn("depth", F.lit(1)))
+    for d in range(2, max_depth + 1):
+        frontier = known.filter(F.col("depth") == d - 1)
+        nxt = (
+            frontier.select(F.col("sub"), F.col("sup").alias("mid"))
+            .join(e.withColumnRenamed("sub", "mid"), "mid")
+            .select("sub", "sup").dropDuplicates()
+            .filter(F.col("sub") != F.col("sup"))
+            .join(known.select("sub", "sup"), ["sub", "sup"], "left_anti")
+            .withColumn("depth", F.lit(d))
+        )
+        if nxt.isEmpty():
+            break
+        known = ck.cut(known.unionByName(nxt))
+    return known
+
+
+def infer_types(type_stmts: DataFrame, closure: DataFrame) -> DataFrame:
+    """rdfs:9 entailment: (x, rdf:type, C) ∧ (C ⊑* D) ⊢ (x, rdf:type, D).
+    Returns the DEDUCTIVE CLOSURE of the rdf:type statements — asserted
+    types plus every inherited supertype — as (subj, pred, obj) with
+    set semantics.
+
+    One explode-free plan: the corpus-scale statement stream is joined
+    once against the broadcast subclass closure (ontology side is
+    always the small side) and unioned with the asserted statements;
+    the distinct collapses diamond-inheritance duplicates. Nothing
+    keys on url/doc, so corpus skew never reaches the exchange."""
+    t = (type_stmts.filter(F.col("pred") == RDF_TYPE)
+         .select("subj", "obj").dropDuplicates())
+    inherited = (
+        t.join(F.broadcast(closure.select(F.col("sub").alias("obj"),
+                                          F.col("sup"))), "obj")
+        .select("subj", F.col("sup").alias("obj"))
+    )
+    return (
+        t.unionByName(inherited)
+        .dropDuplicates(["subj", "obj"])
+        .select("subj", F.lit(RDF_TYPE).alias("pred"), "obj")
+    )
+
+
+def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame, set[str]]:
+    """One triple pattern → (bindings frame, its variable set). Terms
+    starting with '?' are variables; everything else is a constant
+    equality filter that reaches the parquet scan as a pushed filter.
+    A variable repeated WITHIN the pattern (?x ?p ?x) becomes an
+    intra-row equality filter."""
+    df = kg.select("subj", "pred", "obj")
+    var_pos: dict[str, str] = {}
+    for pos, term in zip(("subj", "pred", "obj"), pat):
+        if term.startswith("?"):
+            var = term[1:]
+            if var in var_pos:
+                df = df.filter(F.col(pos) == F.col(var_pos[var]))
+            else:
+                var_pos[var] = pos
+        else:
+            df = df.filter(F.col(pos) == term)
+    out = df.select(*[F.col(p).alias(v) for v, p in var_pos.items()])
+    return out, set(var_pos)
+
+
+def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]]) -> DataFrame:
+    """SPARQL-style basic-graph-pattern match over a triple snapshot:
+    ``patterns`` is a conjunction of (s, p, o) patterns, '?name' terms
+    are variables; returns one column per variable and one row per
+    solution mapping (bag semantics, as SPARQL SELECT).
+
+    Join planning: patterns are seeded from the most-constant (most
+    selective) pattern, then greedily extended by a pattern sharing at
+    least one already-bound variable — shared variables become
+    equi-join keys, so Catalyst sees plain equi-joins it can reorder /
+    broadcast / AQE-skew-split like any other. A pattern with no shared
+    variable (a genuinely disconnected BGP) falls back to a cross join
+    only when nothing connected remains — the SPARQL product semantics,
+    kept as the documented last resort rather than a silent default.
+
+    The snapshot side stays declarative end-to-end: constants are
+    pushed filters on the scan, no collect, no UDFs."""
+    if not patterns:
+        raise ValueError("bgp_match requires at least one pattern")
+    frames = [_pattern_frame(kg, p) for p in patterns]
+    # most-bound pattern first: fewest variables ⇒ most constants
+    remaining = sorted(frames, key=lambda fv: len(fv[1]))
+    out, bound = remaining.pop(0)
+    while remaining:
+        idx = next((i for i, (_, v) in enumerate(remaining) if v & bound),
+                   None)
+        if idx is None:
+            nxt, nvars = remaining.pop(0)
+            out = out.crossJoin(nxt)
+        else:
+            nxt, nvars = remaining.pop(idx)
+            out = out.join(nxt, sorted(nvars & bound))
+        bound |= nvars
+    return out.select(*sorted(bound))

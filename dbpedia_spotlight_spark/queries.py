@@ -3501,6 +3501,81 @@ def sql_type_triples() -> str:
   JOIN (VALUES {values}) t(uri, typ) ON t.uri = g.uri"""
 
 
+def q_infer_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFS entailment over the materialized KG
+    (operators/ontology.py): subClassOf transitive closure (rdfs:11)
+    of the fixture's class hierarchy, then type inheritance (rdfs:9)
+    over the rdf:type statements of every linked entity. Oracle unrolls
+    the depth-2 closure as a self-join (TYPE_HIERARCHY chains are depth
+    2 by construction — deepening the fixture hierarchy requires
+    another unroll round there)."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_types, subclass_closure)
+    edges = spark.createDataFrame(LEX.TYPE_HIERARCHY,
+                                  "sub string, sup string")
+    return infer_types(q_type_triples(spark, sf_dir),
+                       subclass_closure(edges))
+
+
+def sql_infer_types() -> str:
+    edge_vals = ", ".join(f"('{a}', '{b}')" for a, b in LEX.TYPE_HIERARCHY)
+    return f"""
+  WITH e AS (SELECT * FROM (VALUES {edge_vals}) v(sub, sup)),
+  clos AS (
+    SELECT sub, sup FROM e
+    UNION
+    SELECT a.sub, b.sup FROM e a JOIN e b ON a.sup = b.sub),
+  tt AS ({sql_type_triples()})
+  SELECT DISTINCT subj, 'rdf:type' AS pred, obj FROM (
+    SELECT subj, obj FROM tt
+    UNION
+    SELECT tt.subj AS subj, c.sup AS obj
+    FROM tt JOIN clos c ON c.sub = tt.obj) u"""
+
+
+def q_bgp_typed_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP over a full KG snapshot
+    (operators/ontology.py::bgp_match): conjunction
+    (?m nif:anchorOf ?sf) ∧ (?m itsrdf:taIdentRef ?e) ∧ (?e rdf:type ?t)
+    — every typed entity mention with its anchor text, joined purely
+    through shared-variable equi-joins over the triple store. The
+    snapshot is materialized once (localCheckpoint — the stored-table
+    stand-in; a production BGP reads the snapshot from the catalog, so
+    each pattern is a scan, not a pipeline re-run)."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_match
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import (
+        link_triples, mention_triples, type_triples)
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (
+        link_triples(ann).select("subj", "pred", "obj")
+        .unionByName(mention_triples(ann).select("subj", "pred", "obj"))
+        .unionByName(type_triples(ann))
+    )
+    return bgp_match(kg, [
+        ("?m", "nif:anchorOf", "?sf"),
+        ("?m", "itsrdf:taIdentRef", "?e"),
+        ("?e", "rdf:type", "?t"),
+    ])
+
+
+def sql_bgp_typed_mentions() -> str:
+    pairs = [(r[0], t) for r in LEX.entity_rows() for t in r[3]]
+    type_vals = ", ".join(f"('{u}', '{t}')" for u, t in pairs)
+    return f"""
+  WITH g AS ({_sql_generative(k=1)}),
+  m AS (
+    SELECT DISTINCT url || '#char=' || CAST("begin" AS VARCHAR) || ','
+           || CAST("end" AS VARCHAR) AS m, surface_form AS sf, uri AS e
+    FROM g)
+  SELECT m.e AS e, m.m AS m, m.sf AS sf, t.typ AS t
+  FROM m JOIN (VALUES {type_vals}) t(uri, typ) ON t.uri = m.e"""
+
+
 def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset sniffing over planted raw page bytes
     (functions/charset.py): each document becomes a binary page whose

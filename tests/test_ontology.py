@@ -1,0 +1,134 @@
+"""Ontology reasoning + BGP matching (operators/ontology.py): closure
+semantics on planted hierarchies (chains, diamonds, cycles), rdfs:9
+inheritance, and the pattern matcher's join planning / edge cases. The
+corpus-scale rotated pair (`infer_types`, `bgp_typed_mentions`) lives
+in test_rotated_queries.py; these are the operator-contract tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbpedia_spotlight_spark.operators.ontology import (
+    RDF_TYPE,
+    bgp_match,
+    infer_types,
+    subclass_closure,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "sub string, sup string")
+
+
+def test_closure_chain_depths(spark):
+    clos = subclass_closure(_edges(spark, [
+        ("a", "b"), ("b", "c"), ("c", "d")]))
+    got = {(r.sub, r.sup): r.depth for r in clos.collect()}
+    assert got == {
+        ("a", "b"): 1, ("b", "c"): 1, ("c", "d"): 1,
+        ("a", "c"): 2, ("b", "d"): 2,
+        ("a", "d"): 3,
+    }
+
+
+def test_closure_diamond_takes_min_depth(spark):
+    # a ⊑ {b, c} ⊑ d plus a direct shortcut a ⊑ d: shortest path wins
+    clos = subclass_closure(_edges(spark, [
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")]))
+    got = {(r.sub, r.sup): r.depth for r in clos.collect()}
+    assert got[("a", "d")] == 1
+    assert got[("b", "d")] == 1 and got[("a", "b")] == 1
+
+
+def test_closure_cycle_terminates_without_self_paths(spark):
+    clos = subclass_closure(_edges(spark, [
+        ("a", "b"), ("b", "c"), ("c", "a")]))
+    rows = {(r.sub, r.sup) for r in clos.collect()}
+    # every distinct ordered pair, never (x, x)
+    assert rows == {("a", "b"), ("b", "c"), ("c", "a"),
+                    ("a", "c"), ("b", "a"), ("c", "b")}
+
+
+def test_closure_deep_chain_with_checkpoint_dir(spark, tmp_path):
+    n = 24
+    clos = subclass_closure(
+        _edges(spark, [(f"c{i}", f"c{i+1}") for i in range(n)]),
+        max_depth=n + 2, checkpoint_dir=str(tmp_path))
+    assert clos.count() == n * (n + 1) // 2
+    deep = clos.filter((F.col("sub") == "c0") & (F.col("sup") == f"c{n}"))
+    assert deep.collect()[0].depth == n
+
+
+def test_infer_types_inherits_through_closure(spark):
+    clos = subclass_closure(_edges(spark, [
+        ("Politician", "Person"), ("Person", "Agent")]))
+    stmts = spark.createDataFrame(
+        [("e1", RDF_TYPE, "Politician"), ("e2", RDF_TYPE, "Agent"),
+         ("e1", "otherPred", "ignored")],
+        "subj string, pred string, obj string")
+    got = {(r.subj, r.obj) for r in infer_types(stmts, clos).collect()}
+    assert got == {("e1", "Politician"), ("e1", "Person"), ("e1", "Agent"),
+                   ("e2", "Agent")}
+    assert infer_types(stmts, clos).select("pred").distinct().collect()[0][
+        0] == RDF_TYPE
+
+
+KG = [
+    ("m1", "nif:anchorOf", "spark"),
+    ("m1", "itsrdf:taIdentRef", "Apache_Spark"),
+    ("m2", "itsrdf:taIdentRef", "Apache_Spark"),
+    ("Apache_Spark", "rdf:type", "Software"),
+    ("m3", "itsrdf:taIdentRef", "Customer"),
+    ("Customer", "rdf:type", "Agent"),
+    ("loop", "selfPred", "loop"),
+]
+
+
+def _kg(spark):
+    return spark.createDataFrame(KG, "subj string, pred string, obj string")
+
+
+def test_bgp_two_pattern_join(spark):
+    out = bgp_match(_kg(spark), [
+        ("?m", "itsrdf:taIdentRef", "?e"),
+        ("?e", "rdf:type", "Software"),
+    ])
+    assert out.columns == ["e", "m"]
+    assert {(r.e, r.m) for r in out.collect()} == {
+        ("Apache_Spark", "m1"), ("Apache_Spark", "m2")}
+
+
+def test_bgp_constant_only_and_repeated_var(spark):
+    # fully-bound pattern: zero variables, acts as an ASK (row count)
+    assert bgp_match(_kg(spark), [
+        ("Customer", "rdf:type", "Agent")]).count() == 1
+    # ?x in subj AND obj of one pattern = intra-row equality
+    out = bgp_match(_kg(spark), [("?x", "selfPred", "?x")])
+    assert [r.x for r in out.collect()] == ["loop"]
+
+
+def test_bgp_disconnected_patterns_fall_back_to_product(spark):
+    out = bgp_match(_kg(spark), [
+        ("?e", "rdf:type", "?t"),
+        ("?m", "nif:anchorOf", "spark"),
+    ])
+    assert out.count() == 2  # 2 typed entities × 1 anchor row
+    assert set(out.columns) == {"e", "t", "m"}
+
+
+def test_bgp_three_pattern_plan_is_all_equijoins(spark):
+    out = bgp_match(_kg(spark), [
+        ("?m", "nif:anchorOf", "?sf"),
+        ("?m", "itsrdf:taIdentRef", "?e"),
+        ("?e", "rdf:type", "?t"),
+    ])
+    assert {(r.m, r.sf, r.e, r.t) for r in out.collect()} == {
+        ("m1", "spark", "Apache_Spark", "Software")}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bgp_empty_patterns_raise(spark):
+    with pytest.raises(ValueError):
+        bgp_match(_kg(spark), [])

@@ -59,6 +59,11 @@ ROTATED = [
     ("fetch_rounds", Q.q_fetch_rounds, Q.sql_fetch_rounds),
     # round-4 addition: rdf:type statements of the materialized KG
     ("type_triples", Q.q_type_triples, Q.sql_type_triples),
+    # round-4 addition: RDFS closure + type inheritance (rdfs:9/11)
+    ("infer_types", Q.q_infer_types, Q.sql_infer_types),
+    # round-4 addition: SPARQL-style BGP over the full triple snapshot
+    ("bgp_typed_mentions", Q.q_bgp_typed_mentions,
+     Q.sql_bgp_typed_mentions),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
