@@ -247,6 +247,40 @@ def entity_neighbors(kg: DataFrame, seeds, hops: int = 1) -> DataFrame:
     return visited
 
 
+def canonicalize_triples(kg: DataFrame, sameas: DataFrame,
+                         checkpoint_dir: str | None = None) -> DataFrame:
+    """owl:sameAs canonicalization of a triple snapshot (north_rule
+    "canonicalization"): every entity in a sameAs equivalence class is
+    rewritten to the class's canonical member (min URI — deterministic,
+    layout-independent), on BOTH the subj and obj positions, and the
+    collapsed duplicates are dropped.
+
+    sameAs is symmetric+transitive, so equivalence classes are the
+    connected components of the (a, b) identity graph — computed with
+    the same min-label propagation as dedup resolution
+    (operators/components.py), broadcast-joined back onto the triple
+    stream (identity graphs are tiny next to the corpus; mention subjs
+    like 'url#char=…' simply never match and pass through). This is
+    redirect closure's (K1) KG-side twin: K1 canonicalizes *before*
+    linking via the lexicon; this repairs an already-materialized
+    snapshot when new sameAs evidence arrives."""
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components)
+    nodes = (sameas.select(F.col("a").alias("id"))
+             .unionByName(sameas.select(F.col("b").alias("id"))).distinct())
+    labels = connected_components(nodes, sameas,
+                                  checkpoint_dir=checkpoint_dir)
+    canon = labels.select(F.col("id"), F.col("comp").alias("canon"))
+    out = kg
+    for pos in ("subj", "obj"):
+        out = (
+            out.join(F.broadcast(canon.withColumnRenamed("id", pos)), pos,
+                     "left")
+            .withColumn(pos, F.coalesce("canon", pos)).drop("canon")
+        )
+    return out.dropDuplicates(["subj", "pred", "obj"])
+
+
 def type_triples(annotations: DataFrame) -> DataFrame:
     """(entity, rdf:type, ontology type) statements for every entity
     linked anywhere in the corpus — the reference's /annotate responses

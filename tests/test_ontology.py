@@ -132,3 +132,25 @@ def test_bgp_three_pattern_plan_is_all_equijoins(spark):
 def test_bgp_empty_patterns_raise(spark):
     with pytest.raises(ValueError):
         bgp_match(_kg(spark), [])
+
+
+def test_canonicalize_triples_rewrites_both_positions(spark):
+    kg = spark.createDataFrame([
+        ("m1", "itsrdf:taIdentRef", "E_dup2"),
+        ("m2", "itsrdf:taIdentRef", "E_canon"),
+        ("E_dup1", "rdf:type", "Software"),
+        ("E_canon", "rdf:type", "Software"),
+        ("m3", "itsrdf:taIdentRef", "Other"),
+    ], "subj string, pred string, obj string")
+    # chain E_canon ~ E_dup1 ~ E_dup2: one class, canonical = min uri
+    sameas = spark.createDataFrame(
+        [("E_canon", "E_dup1"), ("E_dup1", "E_dup2")], "a string, b string")
+    from dbpedia_spotlight_spark.triples import canonicalize_triples
+    got = {(r.subj, r.pred, r.obj)
+           for r in canonicalize_triples(kg, sameas).collect()}
+    assert got == {
+        ("m1", "itsrdf:taIdentRef", "E_canon"),
+        ("m2", "itsrdf:taIdentRef", "E_canon"),
+        ("E_canon", "rdf:type", "Software"),  # dup1/canon rows collapsed
+        ("m3", "itsrdf:taIdentRef", "Other"),  # untouched passthrough
+    }
