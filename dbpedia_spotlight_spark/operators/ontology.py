@@ -118,7 +118,28 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
     return out, set(var_pos)
 
 
-def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]]) -> DataFrame:
+def _join_patterns(frames: list[tuple[DataFrame, set[str]]]) -> tuple[DataFrame, set[str]]:
+    """Greedy join of pattern frames: seed from the most-constant
+    (fewest-variable) pattern, then always extend by a pattern sharing
+    at least one bound variable; cross join only when nothing connected
+    remains."""
+    remaining = sorted(frames, key=lambda fv: len(fv[1]))
+    out, bound = remaining.pop(0)
+    while remaining:
+        idx = next((i for i, (_, v) in enumerate(remaining) if v & bound),
+                   None)
+        if idx is None:
+            nxt, nvars = remaining.pop(0)
+            out = out.crossJoin(nxt)
+        else:
+            nxt, nvars = remaining.pop(idx)
+            out = out.join(nxt, sorted(nvars & bound))
+        bound = bound | nvars
+    return out, bound
+
+
+def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
+              optional: list[list[tuple[str, str, str]]] | None = None) -> DataFrame:
     """SPARQL-style basic-graph-pattern match over a triple snapshot:
     ``patterns`` is a conjunction of (s, p, o) patterns, '?name' terms
     are variables; returns one column per variable and one row per
@@ -133,22 +154,26 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]]) -> DataFrame:
     only when nothing connected remains — the SPARQL product semantics,
     kept as the documented last resort rather than a silent default.
 
+    ``optional`` is a list of OPTIONAL groups (each its own list of
+    patterns). Each group is solved with the same planner, then LEFT
+    OUTER joined to the required solution on its shared variables — the
+    SPARQL OPTIONAL semantics: unmatched solutions survive with the
+    group's exclusive variables null. A group must share at least one
+    variable with the required part (an unconstrained OPTIONAL product
+    is almost always a query bug, so it raises instead of exploding).
+
     The snapshot side stays declarative end-to-end: constants are
     pushed filters on the scan, no collect, no UDFs."""
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
-    frames = [_pattern_frame(kg, p) for p in patterns]
-    # most-bound pattern first: fewest variables ⇒ most constants
-    remaining = sorted(frames, key=lambda fv: len(fv[1]))
-    out, bound = remaining.pop(0)
-    while remaining:
-        idx = next((i for i, (_, v) in enumerate(remaining) if v & bound),
-                   None)
-        if idx is None:
-            nxt, nvars = remaining.pop(0)
-            out = out.crossJoin(nxt)
-        else:
-            nxt, nvars = remaining.pop(idx)
-            out = out.join(nxt, sorted(nvars & bound))
-        bound |= nvars
+    out, bound = _join_patterns([_pattern_frame(kg, p) for p in patterns])
+    for group in optional or []:
+        gdf, gvars = _join_patterns([_pattern_frame(kg, p) for p in group])
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group shares no variable with the required "
+                f"patterns: {group}")
+        out = out.join(gdf, shared, "left")
+        bound = bound | gvars
     return out.select(*sorted(bound))

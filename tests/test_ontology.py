@@ -154,3 +154,26 @@ def test_canonicalize_triples_rewrites_both_positions(spark):
         ("E_canon", "rdf:type", "Software"),  # dup1/canon rows collapsed
         ("m3", "itsrdf:taIdentRef", "Other"),  # untouched passthrough
     }
+
+
+def test_bgp_optional_keeps_unmatched_solutions(spark):
+    # Apache_Spark is typed, Customer is typed, Other is not: an
+    # OPTIONAL type pattern must keep untyped entities with t = null
+    kg = spark.createDataFrame(KG + [("m4", "itsrdf:taIdentRef", "Other")],
+                               "subj string, pred string, obj string")
+    out = bgp_match(
+        kg, [("?m", "itsrdf:taIdentRef", "?e")],
+        optional=[[("?e", "rdf:type", "?t")]])
+    got = {(r.e, r.m, r.t) for r in out.collect()}
+    assert got == {
+        ("Apache_Spark", "m1", "Software"),
+        ("Apache_Spark", "m2", "Software"),
+        ("Customer", "m3", "Agent"),
+        ("Other", "m4", None),
+    }
+
+
+def test_bgp_optional_group_must_share_a_variable(spark):
+    with pytest.raises(ValueError):
+        bgp_match(_kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
+                  optional=[[("?x", "rdf:type", "?t")]])
