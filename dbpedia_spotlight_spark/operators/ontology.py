@@ -97,13 +97,40 @@ def infer_types(type_stmts: DataFrame, closure: DataFrame) -> DataFrame:
     )
 
 
+def predicate_closure(kg: DataFrame, predicate: str, max_depth: int = 20,
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """SPARQL 1.1 property path ``predicate+`` over a triple snapshot:
+    (subj, obj, depth) for every pair reachable through one or more
+    ``predicate`` edges, depth = shortest such path. The edge extraction
+    is a pushed equality filter on the scan; the iteration is the same
+    semi-naive loop as ``subclass_closure`` (cycle-safe via the
+    anti-join, lineage cut per round).
+
+    Pass a MATERIALIZED snapshot (stored table / checkpointed frame):
+    the loop runs one action per round, so a kg that is itself a heavy
+    pipeline would recompute per round."""
+    edges = (kg.filter(F.col("pred") == predicate)
+             .select(F.col("subj").alias("sub"), F.col("obj").alias("sup")))
+    return subclass_closure(edges, max_depth=max_depth,
+                            checkpoint_dir=checkpoint_dir)
+
+
 def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame, set[str]]:
     """One triple pattern → (bindings frame, its variable set). Terms
     starting with '?' are variables; everything else is a constant
     equality filter that reaches the parquet scan as a pushed filter.
     A variable repeated WITHIN the pattern (?x ?p ?x) becomes an
-    intra-row equality filter."""
-    df = kg.select("subj", "pred", "obj")
+    intra-row equality filter.
+
+    A constant predicate ending in '+' is a SPARQL 1.1 property path:
+    the pattern frame becomes the transitive closure of that predicate
+    (``predicate_closure``) instead of a base scan."""
+    if not pat[1].startswith("?") and pat[1].endswith("+"):
+        df = predicate_closure(kg, pat[1][:-1]).select(
+            F.col("sub").alias("subj"), F.lit(pat[1]).alias("pred"),
+            F.col("sup").alias("obj"))
+    else:
+        df = kg.select("subj", "pred", "obj")
     var_pos: dict[str, str] = {}
     for pos, term in zip(("subj", "pred", "obj"), pat):
         if term.startswith("?"):
@@ -139,7 +166,8 @@ def _join_patterns(frames: list[tuple[DataFrame, set[str]]]) -> tuple[DataFrame,
 
 
 def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
-              optional: list[list[tuple[str, str, str]]] | None = None) -> DataFrame:
+              optional: list[list[tuple[str, str, str]]] | None = None,
+              filters: list[str] | None = None) -> DataFrame:
     """SPARQL-style basic-graph-pattern match over a triple snapshot:
     ``patterns`` is a conjunction of (s, p, o) patterns, '?name' terms
     are variables; returns one column per variable and one row per
@@ -162,6 +190,14 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
     variable with the required part (an unconstrained OPTIONAL product
     is almost always a query bug, so it raises instead of exploding).
 
+    ``filters`` are SPARQL FILTER expressions — Spark SQL strings over
+    the variable columns (``"sup <> 'Thing'"``, ``"len(sf) > 3"``) —
+    applied at the end of the group, after OPTIONAL joins (the SPARQL
+    group-end placement, which also keeps filter-on-optional-variable
+    semantics: null bindings fail the filter). A filter that only
+    touches required variables is pushed below the left joins and into
+    the scans by Catalyst, so the end-of-group placement costs nothing.
+
     The snapshot side stays declarative end-to-end: constants are
     pushed filters on the scan, no collect, no UDFs."""
     if not patterns:
@@ -176,4 +212,6 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
                 f"patterns: {group}")
         out = out.join(gdf, shared, "left")
         bound = bound | gvars
+    for expr in filters or []:
+        out = out.filter(F.expr(expr))
     return out.select(*sorted(bound))

@@ -3877,6 +3877,86 @@ def sql_kg_stats() -> str:
   FROM a JOIN b ON a.pred = b.pred"""
 
 
+def q_bgp_path_supertypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property path + FILTER over the materialized snapshot
+    (operators/ontology.py::bgp_match with a 'rdfs:subClassOf+'
+    predicate and a group-end FILTER): every linked mention with its
+    asserted class and every PROPER supertype (Thing filtered out).
+    The closure runs inside the pattern planner (predicate_closure),
+    the rest is the usual shared-variable equi-join chain."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_match
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import link_triples, type_triples
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    sub = spark.createDataFrame(LEX.TYPE_HIERARCHY,
+                                "subj string, obj string") \
+        .select("subj", F.lit("rdfs:subClassOf").alias("pred"), "obj")
+    kg = (
+        link_triples(ann).select("subj", "pred", "obj")
+        .unionByName(type_triples(ann))
+        .unionByName(sub)
+    ).localCheckpoint(eager=True)
+    return bgp_match(kg, [
+        ("?m", "itsrdf:taIdentRef", "?e"),
+        ("?e", "rdf:type", "?c"),
+        ("?c", "rdfs:subClassOf+", "?sup"),
+    ], filters=["sup <> 'Thing'"])
+
+
+def sql_bgp_path_supertypes() -> str:
+    """Mirror: generative k=1 mentions × inlined type map × the
+    depth-2 closure unroll (TYPE_HIERARCHY chains are depth 2 — a
+    deeper fixture needs another unroll round here), minus Thing."""
+    pairs = [(r[0], t) for r in LEX.entity_rows() for t in r[3]]
+    type_vals = ", ".join(f"('{u}', '{t}')" for u, t in pairs)
+    edge_vals = ", ".join(f"('{a}', '{b}')" for a, b in LEX.TYPE_HIERARCHY)
+    return f"""
+  WITH g AS ({_sql_generative(k=1)}),
+  m AS (
+    SELECT DISTINCT url || '#char=' || CAST("begin" AS VARCHAR) || ','
+           || CAST("end" AS VARCHAR) AS m, uri AS e
+    FROM g),
+  e AS (SELECT * FROM (VALUES {edge_vals}) v(sub, sup)),
+  clos AS (
+    SELECT sub, sup FROM e
+    UNION
+    SELECT a.sub, b.sup FROM e a JOIN e b ON a.sup = b.sub)
+  SELECT t.typ AS c, m.e AS e, m.m AS m, clos.sup AS sup
+  FROM m
+  JOIN (VALUES {type_vals}) t(uri, typ) ON t.uri = m.e
+  JOIN clos ON clos.sub = t.typ
+  WHERE clos.sup <> 'Thing'"""
+
+
+def q_kg_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-property audit over the INFERRED type store
+    (triples.py::functional_violations on rdf:type after rdfs:9/11
+    entailment): every linked entity holds its asserted class plus the
+    inherited supertypes, so each subject carries 2-3 distinct objects
+    — the report is the per-subject cardinality with the min/max
+    object as the conflict sample."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_types, subclass_closure)
+    from dbpedia_spotlight_spark.triples import functional_violations
+    edges = spark.createDataFrame(LEX.TYPE_HIERARCHY,
+                                  "sub string, sup string")
+    inferred = infer_types(q_type_triples(spark, sf_dir),
+                           subclass_closure(edges))
+    return functional_violations(inferred, "rdf:type")
+
+
+def sql_kg_type_cardinality() -> str:
+    return f"""
+  WITH it AS ({sql_infer_types()})
+  SELECT subj, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+         min(obj) AS first_obj, max(obj) AS last_obj
+  FROM it GROUP BY subj HAVING count(DISTINCT obj) > 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -181,6 +181,29 @@ def kg_stats(triples: DataFrame) -> DataFrame:
     )
 
 
+def functional_violations(kg: DataFrame, predicate: str) -> DataFrame:
+    """Functional-property constraint check (owl:FunctionalProperty):
+    subjects holding MORE than one distinct object for ``predicate``,
+    as (subj, n_objects, first_obj, last_obj). Run per snapshot over
+    predicates the schema declares functional (a mention's taIdentRef,
+    a page's canonical URL) — a non-empty result is a build bug or an
+    upstream conflict to adjudicate, so the row carries the min/max
+    object as the conflict sample instead of a collect_set that a
+    pathological subject could balloon.
+
+    One pushed predicate filter, one map-side-combinable groupBy on
+    subj; nothing keys on url/host, so mega-host skew stays out of the
+    exchange."""
+    return (
+        kg.filter(F.col("pred") == predicate)
+        .groupBy("subj")
+        .agg(F.countDistinct("obj").cast("long").alias("n_objects"),
+             F.min("obj").alias("first_obj"),
+             F.max("obj").alias("last_obj"))
+        .filter(F.col("n_objects") > 1)
+    )
+
+
 def match_triples(kg: DataFrame, subj: str | None = None,
                   pred: str | None = None,
                   obj: str | None = None) -> DataFrame:

@@ -177,3 +177,60 @@ def test_bgp_optional_group_must_share_a_variable(spark):
     with pytest.raises(ValueError):
         bgp_match(_kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
                   optional=[[("?x", "rdf:type", "?t")]])
+
+
+def test_predicate_closure_over_snapshot(spark):
+    kg = spark.createDataFrame(
+        [("a", "rdfs:subClassOf", "b"), ("b", "rdfs:subClassOf", "c"),
+         ("a", "otherPred", "z")],
+        "subj string, pred string, obj string")
+    from dbpedia_spotlight_spark.operators.ontology import predicate_closure
+    got = {(r.sub, r.sup): r.depth
+           for r in predicate_closure(kg, "rdfs:subClassOf").collect()}
+    # otherPred edge never enters the closure
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 2}
+
+
+def test_bgp_property_path_predicate(spark):
+    kg = spark.createDataFrame(KG + [
+        ("Software", "rdfs:subClassOf", "Work"),
+        ("Work", "rdfs:subClassOf", "Thing"),
+        ("Agent", "rdfs:subClassOf", "Thing"),
+    ], "subj string, pred string, obj string")
+    out = bgp_match(kg, [
+        ("?e", "rdf:type", "?c"),
+        ("?c", "rdfs:subClassOf+", "?sup"),
+    ])
+    got = {(r.e, r.c, r.sup) for r in out.collect()}
+    assert got == {
+        ("Apache_Spark", "Software", "Work"),
+        ("Apache_Spark", "Software", "Thing"),
+        ("Customer", "Agent", "Thing"),
+    }
+
+
+def test_bgp_filters_apply_at_group_end(spark):
+    kg = spark.createDataFrame(KG + [("m4", "itsrdf:taIdentRef", "Other")],
+                               "subj string, pred string, obj string")
+    # required-var filter prunes entities; optional-var filter drops the
+    # null binding (SPARQL group-end FILTER semantics)
+    out = bgp_match(
+        kg, [("?m", "itsrdf:taIdentRef", "?e")],
+        optional=[[("?e", "rdf:type", "?t")]],
+        filters=["e <> 'Apache_Spark'", "t IS NOT NULL"])
+    assert {(r.e, r.m, r.t) for r in out.collect()} == {
+        ("Customer", "m3", "Agent")}
+
+
+def test_functional_violations_flags_multi_object_subjects(spark):
+    from dbpedia_spotlight_spark.triples import functional_violations
+    kg = spark.createDataFrame([
+        ("m1", "itsrdf:taIdentRef", "A"),
+        ("m1", "itsrdf:taIdentRef", "B"),
+        ("m1", "itsrdf:taIdentRef", "B"),   # dup object: still 2 distinct
+        ("m2", "itsrdf:taIdentRef", "A"),
+        ("m1", "nif:anchorOf", "x"),        # other predicate never counts
+    ], "subj string, pred string, obj string")
+    rows = functional_violations(kg, "itsrdf:taIdentRef").collect()
+    assert [(r.subj, r.n_objects, r.first_obj, r.last_obj)
+            for r in rows] == [("m1", 2, "A", "B")]

@@ -64,6 +64,13 @@ ROTATED = [
     # round-4 addition: SPARQL-style BGP over the full triple snapshot
     ("bgp_typed_mentions", Q.q_bgp_typed_mentions,
      Q.sql_bgp_typed_mentions),
+    # round-4 addition: SPARQL 1.1 property path + FILTER in the BGP
+    # planner (predicate_closure inside the pattern frame)
+    ("bgp_path_supertypes", Q.q_bgp_path_supertypes,
+     Q.sql_bgp_path_supertypes),
+    # round-4 addition: functional-property audit over inferred types
+    ("kg_type_cardinality", Q.q_kg_type_cardinality,
+     Q.sql_kg_type_cardinality),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
