@@ -215,3 +215,40 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
     for expr in filters or []:
         out = out.filter(F.expr(expr))
     return out.select(*sorted(bound))
+
+
+def construct(kg: DataFrame, patterns: list[tuple[str, str, str]],
+              template: list[tuple[str, str, str]],
+              optional: list[list[tuple[str, str, str]]] | None = None,
+              filters: list[str] | None = None) -> DataFrame:
+    """SPARQL CONSTRUCT — the rule-materialization form of KG
+    construction: solve the WHERE block with ``bgp_match``, then
+    instantiate every ``template`` triple per solution ('?var' terms
+    take the binding, other terms are constants) and union the
+    instantiations with set semantics (CONSTRUCT returns a GRAPH, so
+    duplicates collapse). A solution whose binding for a template
+    position is null (an unmatched OPTIONAL variable) skips that
+    template triple — the SPARQL incomplete-triple rule.
+
+    This is how derived predicates get materialized into the snapshot
+    (e.g. lift (mention→entity, entity→type) into a direct
+    mention→type edge) without a UDF: per template triple it is one
+    projection over the solution frame, so the whole thing stays in
+    whole-stage codegen; the final dropDuplicates is the one shuffle,
+    keyed on the constructed triple (never on url/host)."""
+    if not template:
+        raise ValueError("construct requires at least one template triple")
+    sols = bgp_match(kg, patterns, optional=optional, filters=filters)
+
+    def term(t: str) -> F.Column:
+        return F.col(t[1:]) if t.startswith("?") else F.lit(t)
+
+    out = None
+    for s, p, o in template:
+        tri = sols.select(term(s).alias("subj"), term(p).alias("pred"),
+                          term(o).alias("obj"))
+        tri = tri.filter(F.col("subj").isNotNull()
+                         & F.col("pred").isNotNull()
+                         & F.col("obj").isNotNull())
+        out = tri if out is None else out.unionByName(tri)
+    return out.dropDuplicates(["subj", "pred", "obj"])

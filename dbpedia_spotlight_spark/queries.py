@@ -3932,6 +3932,46 @@ def sql_bgp_path_supertypes() -> str:
   WHERE clos.sup <> 'Thing'"""
 
 
+def q_construct_mention_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT over the snapshot
+    (operators/ontology.py::construct): lift the 3-hop chain
+    mention→entity→class→supertype into a DIRECT (mention,
+    ex:mentionType, supertype) edge — rule-based materialization of a
+    derived predicate, the core KG-construction move. Same WHERE block
+    as bgp_path_supertypes; the template projects it to new triples
+    with set semantics."""
+    from dbpedia_spotlight_spark.operators.ontology import construct
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import link_triples, type_triples
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    sub = spark.createDataFrame(LEX.TYPE_HIERARCHY,
+                                "subj string, obj string") \
+        .select("subj", F.lit("rdfs:subClassOf").alias("pred"), "obj")
+    kg = (
+        link_triples(ann).select("subj", "pred", "obj")
+        .unionByName(type_triples(ann))
+        .unionByName(sub)
+    ).localCheckpoint(eager=True)
+    return construct(kg, [
+        ("?m", "itsrdf:taIdentRef", "?e"),
+        ("?e", "rdf:type", "?c"),
+        ("?c", "rdfs:subClassOf+", "?sup"),
+    ], template=[("?m", "ex:mentionType", "?sup")],
+        filters=["sup <> 'Thing'"])
+
+
+def sql_construct_mention_types() -> str:
+    """Mirror: the bgp_path_supertypes oracle reshaped through the
+    template — DISTINCT because CONSTRUCT returns a graph."""
+    return f"""
+  SELECT DISTINCT m AS subj, 'ex:mentionType' AS pred, sup AS obj
+  FROM ({sql_bgp_path_supertypes()})"""
+
+
 def q_kg_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-property audit over the INFERRED type store
     (triples.py::functional_violations on rdf:type after rdfs:9/11

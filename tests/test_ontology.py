@@ -234,3 +234,42 @@ def test_functional_violations_flags_multi_object_subjects(spark):
     rows = functional_violations(kg, "itsrdf:taIdentRef").collect()
     assert [(r.subj, r.n_objects, r.first_obj, r.last_obj)
             for r in rows] == [("m1", 2, "A", "B")]
+
+
+def test_construct_materializes_template_triples(spark):
+    from dbpedia_spotlight_spark.operators.ontology import construct
+    out = construct(
+        _kg(spark),
+        [("?m", "itsrdf:taIdentRef", "?e"), ("?e", "rdf:type", "?t")],
+        template=[("?m", "ex:mentionType", "?t"),
+                  ("?e", "ex:wasLinked", "true")])
+    got = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    # m1/m2 both link Apache_Spark: the entity-level template row
+    # collapses under set semantics
+    assert got == {
+        ("m1", "ex:mentionType", "Software"),
+        ("m2", "ex:mentionType", "Software"),
+        ("m3", "ex:mentionType", "Agent"),
+        ("Apache_Spark", "ex:wasLinked", "true"),
+        ("Customer", "ex:wasLinked", "true"),
+    }
+
+
+def test_construct_skips_null_optional_bindings(spark):
+    from dbpedia_spotlight_spark.operators.ontology import construct
+    kg = spark.createDataFrame(KG + [("m4", "itsrdf:taIdentRef", "Other")],
+                               "subj string, pred string, obj string")
+    out = construct(
+        kg, [("?m", "itsrdf:taIdentRef", "?e")],
+        template=[("?e", "ex:type", "?t")],
+        optional=[[("?e", "rdf:type", "?t")]])
+    got = {(r.subj, r.obj) for r in out.collect()}
+    # Other has no type: its incomplete template triple is not emitted
+    assert got == {("Apache_Spark", "Software"), ("Customer", "Agent")}
+
+
+def test_construct_empty_template_raises(spark):
+    from dbpedia_spotlight_spark.operators.ontology import construct
+    with pytest.raises(ValueError):
+        construct(_kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
+                  template=[])

@@ -71,6 +71,10 @@ ROTATED = [
     # round-4 addition: functional-property audit over inferred types
     ("kg_type_cardinality", Q.q_kg_type_cardinality,
      Q.sql_kg_type_cardinality),
+    # round-4 addition: SPARQL CONSTRUCT — derived-predicate
+    # materialization from the property-path WHERE block
+    ("construct_mention_types", Q.q_construct_mention_types,
+     Q.sql_construct_mention_types),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
