@@ -115,6 +115,148 @@ def predicate_closure(kg: DataFrame, predicate: str, max_depth: int = 20,
                             checkpoint_dir=checkpoint_dir)
 
 
+def entailment_counts(type_stmts: DataFrame, closure: DataFrame) -> DataFrame:
+    """Initial state for counting-based incremental maintenance of the
+    rdfs:9 entailment: (subj, obj, n_derivations), where the count is
+    the number of ASSERTED types of ``subj`` that derive (subj, rdf:type,
+    obj) — the asserted type itself (reflexive derivation) plus one per
+    asserted subtype reaching ``obj`` through the closure.
+    ``infer_types`` ≡ the rows with n_derivations > 0; the counts are
+    what make DELETION maintainable without recomputing (an entailed
+    type survives the removal of one asserted type iff another asserted
+    type still derives it).
+
+    Same shuffle budget as infer_types plus the counting groupBy —
+    map-side combinable, keyed on (subj, obj), never on url/host."""
+    t = (type_stmts.filter(F.col("pred") == RDF_TYPE)
+         .select("subj", "obj").dropDuplicates())
+    return _derivations(t, closure, F.lit(1)).groupBy("subj", "obj").agg(
+        F.sum("w").cast("long").alias("n_derivations"))
+
+
+def _derivations(asserted: DataFrame, closure: DataFrame,
+                 w: F.Column) -> DataFrame:
+    """Bag of (subj, obj, w) derivations of an asserted-type frame: the
+    self derivation plus one per closure supertype. Closure rows are
+    distinct pairs, so each asserted type derives each supertype exactly
+    once. ``w`` is +1 for inserts, the signed column for deltas."""
+    d1 = asserted.select("subj", "obj", w.alias("w"))
+    d2 = (asserted.withColumnRenamed("obj", "sub")
+          .join(F.broadcast(closure.select("sub", "sup")), "sub")
+          .select("subj", F.col("sup").alias("obj"), w.alias("w")))
+    return d1.unionByName(d2)
+
+
+def maintain_entailment(counts: DataFrame, type_delta: DataFrame,
+                        closure: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One counting-IVM step over the entailed type store: fold a delta
+    of ASSERTED rdf:type statements — (subj, obj, change) with change ∈
+    {'added', 'removed'}, the shape ``triples.triple_delta`` emits —
+    into the (subj, obj, n_derivations) state from
+    ``entailment_counts``. Returns ``(new_counts, entailed_delta)``
+    where entailed_delta is the added/removed rows of the ENTAILED view
+    (n_derivations crossing zero), in the same (subj, pred, obj, change)
+    shape, ready for a downstream delta log.
+
+    Precondition: the delta is consistent with the asserted store the
+    counts were built from ('removed' rows were present, 'added' rows
+    were absent) — exactly what triple_delta guarantees against the
+    snapshot it diffed. The DERIVATION work is delta-sized (signed
+    derivations of the delta through one broadcast closure join, one
+    counting groupBy on delta keys); the state merge is one full outer
+    join against the counts frame — the same state-sized-but-
+    co-partitionable merge shape as ``triples.apply_delta`` (bucket the
+    stored counts by subj and the join never re-shuffles the state).
+    What it never does is re-run the corpus-scale entailment: at a
+    10^12-doc build the entailed store follows each micro-batch for
+    the price of the batch plus one state merge."""
+    sign = (F.when(F.col("change") == "added", F.lit(1))
+            .otherwise(F.lit(-1)))
+    d = (type_delta.filter(F.col("pred") == RDF_TYPE)
+         if "pred" in type_delta.columns else type_delta)
+    d = d.select("subj", "obj", sign.alias("w"))
+    d_counts = (_derivations(d, closure, F.col("w"))
+                .groupBy("subj", "obj")
+                .agg(F.sum("w").cast("long").alias("dw")))
+    new_counts, crossing = _merge_counts(counts, d_counts,
+                                         ["subj", "obj"], "n_derivations")
+    entailed_delta = crossing.select(
+        "subj", F.lit(RDF_TYPE).alias("pred"), "obj", "change")
+    return new_counts, entailed_delta
+
+
+def _merge_counts(state: DataFrame, delta_counts: DataFrame,
+                  keys: list[str], n_col: str) -> tuple[DataFrame, DataFrame]:
+    """Shared counting-IVM merge: fold (keys…, dw) into (keys…, n_col),
+    drop keys reaching zero, and return ``(new_state, crossing)`` where
+    crossing carries the keys whose positivity flipped, with change ∈
+    {'added', 'removed'}. One full outer join keyed on ``keys`` —
+    co-partitionable with a bucketed state store."""
+    merged = (state.join(delta_counts, keys, "full")
+              .select(*keys,
+                      (F.coalesce(F.col(n_col), F.lit(0))
+                       + F.coalesce(F.col("dw"), F.lit(0)))
+                      .cast("long").alias("n_new"),
+                      F.coalesce(F.col(n_col), F.lit(0)).alias("n_old")))
+    new_state = (merged.filter(F.col("n_new") > 0)
+                 .select(*keys, F.col("n_new").alias(n_col)))
+    crossing = (
+        merged.filter((F.col("n_old") > 0) != (F.col("n_new") > 0))
+        .select(*keys,
+                F.when(F.col("n_new") > 0, F.lit("added"))
+                 .otherwise(F.lit("removed")).alias("change")))
+    return new_state, crossing
+
+
+def maintain_entity_presence(link_counts: DataFrame,
+                             link_delta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Counting state over the KG's entity-link triples: (uri, n_links)
+    with n_links = number of live mention→entity links (pred =
+    itsrdf:taIdentRef). Folding a snapshot delta returns the new state
+    plus the PRESENCE delta — entities whose link count crossed zero,
+    i.e. entered or left the KG — which is exactly when their asserted
+    rdf:type statements appear/disappear. Initial state: an empty
+    (uri string, n_links long) frame."""
+    from dbpedia_spotlight_spark.triples import PRED_IDENT
+    sign = (F.when(F.col("change") == "added", F.lit(1))
+            .otherwise(F.lit(-1)))
+    d = (link_delta.filter(F.col("pred") == PRED_IDENT)
+         .groupBy(F.col("obj").alias("uri"))
+         .agg(F.sum(sign).cast("long").alias("dw")))
+    return _merge_counts(link_counts, d, ["uri"], "n_links")
+
+
+def maintain_entailed_types(link_counts: DataFrame, type_counts: DataFrame,
+                            link_delta: DataFrame, entity_types: DataFrame,
+                            closure: DataFrame
+                            ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """End-to-end incremental KG-type construction: fold one snapshot
+    delta (the KG maintenance delta log's added/removed triples) into
+    the ENTAILED type store, without ever recomputing corpus-scale
+    entailment. Three delta-sized steps chained through two counting
+    states:
+
+    1. ``maintain_entity_presence`` — which entities entered/left the
+       KG (their live-link count crossed zero);
+    2. presence delta × broadcast ``entity_types`` (uri, typ — the
+       model store's type map) → the ASSERTED rdf:type delta;
+    3. ``maintain_entailment`` — counting rdfs:9 maintenance of the
+       inferred view through the broadcast subclass ``closure``.
+
+    Returns (new_link_counts, new_type_counts, entailed_delta); the
+    caller persists the two states per generation exactly like the
+    triple snapshot itself (see KGStore.advance)."""
+    new_links, presence = maintain_entity_presence(link_counts, link_delta)
+    type_delta = (presence
+                  .join(F.broadcast(entity_types), "uri")
+                  .select(F.col("uri").alias("subj"),
+                          F.lit(RDF_TYPE).alias("pred"),
+                          F.col("typ").alias("obj"), "change"))
+    new_types, entailed_delta = maintain_entailment(type_counts, type_delta,
+                                                    closure)
+    return new_links, new_types, entailed_delta
+
+
 def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame, set[str]]:
     """One triple pattern → (bindings frame, its variable set). Terms
     starting with '?' are variables; everything else is a constant

@@ -273,3 +273,157 @@ def test_construct_empty_template_raises(spark):
     with pytest.raises(ValueError):
         construct(_kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
                   template=[])
+
+
+def _entailed(counts_df):
+    return {(r.subj, r.obj) for r in counts_df.collect()}
+
+
+def test_entailment_counts_match_infer_types(spark):
+    from dbpedia_spotlight_spark.operators.ontology import (
+        entailment_counts, infer_types, subclass_closure)
+    clos = subclass_closure(_edges(spark, [
+        ("Politician", "Person"), ("Person", "Agent")]))
+    stmts = spark.createDataFrame(
+        [("e1", RDF_TYPE, "Politician"), ("e1", RDF_TYPE, "Person"),
+         ("e2", RDF_TYPE, "Agent")],
+        "subj string, pred string, obj string")
+    counts = entailment_counts(stmts, clos)
+    got = {(r.subj, r.obj): r.n_derivations for r in counts.collect()}
+    # e1/Person derived twice: asserted + inherited from Politician
+    assert got == {("e1", "Politician"): 1, ("e1", "Person"): 2,
+                   ("e1", "Agent"): 2, ("e2", "Agent"): 1}
+    assert _entailed(counts) == {
+        (r.subj, r.obj) for r in infer_types(stmts, clos).collect()}
+
+
+def test_maintain_entailment_removal_keeps_multi_derived(spark):
+    from dbpedia_spotlight_spark.operators.ontology import (
+        entailment_counts, maintain_entailment, subclass_closure)
+    clos = subclass_closure(_edges(spark, [
+        ("Politician", "Person"), ("Person", "Agent")]))
+    stmts = spark.createDataFrame(
+        [("e1", RDF_TYPE, "Politician"), ("e1", RDF_TYPE, "Person")],
+        "subj string, pred string, obj string")
+    counts = entailment_counts(stmts, clos)
+    delta = spark.createDataFrame(
+        [("e1", RDF_TYPE, "Politician", "removed")],
+        "subj string, pred string, obj string, change string")
+    new_counts, ent_delta = maintain_entailment(counts, delta, clos)
+    # Person/Agent survive (still derived from asserted Person);
+    # only Politician leaves the entailed view
+    assert {(r.subj, r.pred, r.obj, r.change)
+            for r in ent_delta.collect()} == {
+        ("e1", RDF_TYPE, "Politician", "removed")}
+    assert _entailed(new_counts) == {("e1", "Person"), ("e1", "Agent")}
+
+
+def test_maintain_entailment_matches_full_recompute_over_random_batches(spark):
+    import random
+    from dbpedia_spotlight_spark.operators.ontology import (
+        entailment_counts, infer_types, maintain_entailment,
+        subclass_closure)
+    rng = random.Random(7)
+    classes = [f"C{i}" for i in range(8)]
+    edges = [("C1", "C0"), ("C2", "C0"), ("C3", "C1"), ("C4", "C1"),
+             ("C5", "C2"), ("C6", "C3"), ("C7", "C5")]
+    clos = subclass_closure(_edges(spark, edges)).localCheckpoint()
+    schema = "subj string, pred string, obj string"
+    asserted: set[tuple[str, str]] = set()
+    counts = entailment_counts(spark.createDataFrame([], schema), clos)
+    for _ in range(5):
+        adds = {(f"e{rng.randrange(6)}", rng.choice(classes))
+                for _ in range(rng.randrange(1, 5))} - asserted
+        removes = {p for p in asserted if rng.random() < 0.3}
+        asserted = (asserted | adds) - removes
+        delta = spark.createDataFrame(
+            [(s, RDF_TYPE, o, "added") for s, o in sorted(adds)]
+            + [(s, RDF_TYPE, o, "removed") for s, o in sorted(removes)],
+            schema + ", change string")
+        counts, ent_delta = maintain_entailment(counts, delta, clos)
+        counts = counts.localCheckpoint()
+        full = infer_types(
+            spark.createDataFrame(
+                [(s, RDF_TYPE, o) for s, o in sorted(asserted)], schema),
+            clos)
+        assert _entailed(counts) == {(r.subj, r.obj)
+                                     for r in full.collect()}
+        # the emitted delta is exactly the entailed-view set difference
+        for r in ent_delta.collect():
+            assert (r.change == "added") == ((r.subj, r.obj)
+                                             in _entailed(counts))
+
+
+def test_maintain_entailed_types_follows_kg_delta_log(spark, lexicon,
+                                                      web_pages, model_bc,
+                                                      tmp_path):
+    """End-to-end incremental KG-type construction: fold the KG
+    maintenance delta log, generation by generation, through the two
+    counting states (entity presence, entailment) and land on exactly
+    the entailed view a full recompute over the final snapshot gives.
+    Generation 1 is a recrawl that replaces 2 urls' content with other
+    pages' html, so some entities' link counts genuinely move."""
+    import datetime
+
+    from dbpedia_spotlight_spark.operators.ontology import (
+        entailment_counts, infer_types, maintain_entailed_types,
+        subclass_closure)
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        KGStore, apply_pages_batch)
+    from dbpedia_spotlight_spark.triples import PRED_IDENT
+
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    rows = web_pages.select(*cols).orderBy("url").collect()
+    schema = web_pages.select(*cols).schema
+    store = KGStore(spark, str(tmp_path / "kg"))
+    apply_pages_batch(spark, spark.createDataFrame(rows, schema),
+                      model_bc, store, batch_id=0, cfg=cfg)
+    recrawl = [
+        (rows[i][0], rows[i][1] + datetime.timedelta(days=1),
+         bytes(rows[i + 7][2]), rows[i][3], rows[i][4])
+        for i in range(2)
+    ]
+    apply_pages_batch(spark, spark.createDataFrame(recrawl, schema),
+                      model_bc, store, batch_id=1, cfg=cfg)
+    assert store.latest_gen() == 1
+
+    ent_types = spark.createDataFrame(
+        lexicon.entities[["uri", "types"]].explode("types")
+        .rename(columns={"types": "typ"}))
+    closure = subclass_closure(spark.createDataFrame(
+        [(t, "owl:Thing") for t in
+         sorted(lexicon.entities["types"].explode().unique())],
+        "sub string, sup string")).localCheckpoint()
+
+    link_counts = spark.createDataFrame([], "uri string, n_links long")
+    type_counts = entailment_counts(
+        spark.createDataFrame([], "subj string, pred string, obj string"),
+        closure)
+    log = store.read_log()
+    for gen in sorted(r.gen for r in log.select("gen").distinct().collect()):
+        delta = log.filter(F.col("gen") == gen)
+        link_counts, type_counts, ent_delta = maintain_entailed_types(
+            link_counts, type_counts, delta, ent_types, closure)
+        link_counts = link_counts.localCheckpoint()
+        type_counts = type_counts.localCheckpoint()
+        if gen == 0:
+            assert ent_delta.filter(
+                F.col("change") == "added").count() > 0
+
+    live = (store.read().filter(F.col("pred") == PRED_IDENT)
+            .select(F.col("obj").alias("uri")).distinct())
+    asserted = (live.join(ent_types, "uri")
+                .select(F.col("uri").alias("subj"),
+                        F.lit(RDF_TYPE).alias("pred"),
+                        F.col("typ").alias("obj")))
+    expect = {(r.subj, r.obj)
+              for r in infer_types(asserted, closure).collect()}
+    assert _entailed(type_counts) == expect
+    # link-count state mirrors the live snapshot exactly
+    per_entity = {r.uri: r.n for r in
+                  store.read().filter(F.col("pred") == PRED_IDENT)
+                  .groupBy(F.col("obj").alias("uri"))
+                  .agg(F.count("*").alias("n")).collect()}
+    assert {r.uri: r.n_links for r in link_counts.collect()} == per_entity
