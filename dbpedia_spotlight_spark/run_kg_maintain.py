@@ -18,6 +18,11 @@ no-ops — see the module docstring). Two run shapes:
 * default (batch): ONE ``apply_pages_batch`` fold of the whole input —
   the spark-submit form of a scheduled recrawl merge.
 
+``--entail DIR`` additionally catches the counting-IVM entailed-type
+store (``EntailStore``) up to the new KG generation — asserted types of
+linked entities plus rdfs:9 inheritance through the ``--ontology``
+subClassOf edges, maintained per delta, never recomputed corpus-scale.
+
 Also callable in-process via ``main(argv, spark=...)`` (tests).
 """
 
@@ -52,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--expire-log", type=int, default=0,
                     help=">0: after the fold, drop delta_log partitions "
                          "older than the newest N generations")
+    ap.add_argument("--entail", default="",
+                    help="entailed-type state store root: after the "
+                         "fold, catch the counting-IVM entailment "
+                         "states up to the new KG generation")
+    ap.add_argument("--ontology", default="",
+                    help="parquet of (sub, sup) subClassOf edges; "
+                         "omitted = no hierarchy (entailed view = "
+                         "asserted types of linked entities)")
     ap.add_argument("--metrics-out", default="",
                     help="write the run stats JSON to this local path "
                          "as well as stdout")
@@ -114,6 +127,26 @@ def main(argv: list[str] | None = None,
         stats["n_changes"] = n_changes
         stats["n_added"] = m.get("n_added", 0)
         stats["n_removed"] = m.get("n_removed", 0)
+
+    if args.entail:
+        from pyspark.sql import functions as F
+
+        from dbpedia_spotlight_spark.operators.ontology import (
+            subclass_closure)
+        from dbpedia_spotlight_spark.streaming.kg_stream import EntailStore
+
+        entity_types = (
+            spark.read.parquet(f"{args.lexicon}/entities.parquet")
+            .select("uri", F.explode("types").alias("typ")))
+        if args.ontology:
+            closure = subclass_closure(
+                spark.read.parquet(args.ontology).select("sub", "sup")
+            ).localCheckpoint(eager=True)
+        else:
+            closure = spark.createDataFrame(
+                [], "sub string, sup string, depth int")
+        estore = EntailStore(spark, args.entail)
+        stats["entail"] = estore.catchup(store, entity_types, closure)
 
     if args.expire_log > 0:
         stats["log_partitions_dropped"] = store.expire_delta_log(

@@ -240,6 +240,77 @@ class KGStore:
         return dropped
 
 
+class EntailStore(KGStore):
+    """Generation store for the counting-IVM entailment states
+    (operators/ontology.py::maintain_entailed_types): per generation a
+    ``links`` frame (uri, n_links — live mention→entity link counts)
+    and a ``types`` frame (subj, obj, n_derivations — rdfs:9 derivation
+    counts). Reuses KGStore's pointer plumbing; the pointer's gen IS
+    the KG generation the state is caught up to, so ``catchup`` is
+    idempotent and resumable — it folds exactly the delta_log
+    partitions newer than its own pointer, one per KG generation, and
+    flips the pointer only after that generation's state is durable."""
+
+    _LINKS_DDL = "uri string, n_links long"
+    _TYPES_DDL = "subj string, obj string, n_derivations long"
+
+    def _read_state(self, name: str, ddl: str) -> DataFrame:
+        gen = self.latest_gen()
+        if gen is None:
+            return self.spark.createDataFrame([], ddl)
+        return self.spark.read.parquet(f"{self._gen_path(gen)}/{name}")
+
+    def read_links(self) -> DataFrame:
+        return self._read_state("links", self._LINKS_DDL)
+
+    def read_types(self) -> DataFrame:
+        return self._read_state("types", self._TYPES_DDL)
+
+    def read_entailed(self) -> DataFrame:
+        """The entailed rdf:type view (subj, pred, obj) — asserted plus
+        inherited types of every entity currently linked in the KG."""
+        return self.read_types().select(
+            "subj", F.lit("rdf:type").alias("pred"), "obj")
+
+    def catchup(self, kg_store: KGStore, entity_types: DataFrame,
+                closure: DataFrame) -> dict:
+        """Fold every KG delta_log generation newer than this store's
+        pointer through ``maintain_entailed_types``. Each folded
+        generation's states are written (parquet — also the lineage cut
+        for the next fold) before the pointer flips, and the previous
+        generation is dropped after — the same crash-consistent
+        flat-storage discipline as the triple snapshot itself."""
+        from dbpedia_spotlight_spark.operators.ontology import (
+            maintain_entailed_types)
+        since = self.latest_gen()
+        log = kg_store.read_log(since_gen=-1 if since is None else since)
+        gens = sorted(r.gen for r in log.select("gen").distinct().collect())
+        links, types = self.read_links(), self.read_types()
+        stats = {"gens_folded": 0, "entailed_added": 0,
+                 "entailed_removed": 0}
+        for g in gens:
+            links, types, ent_delta = maintain_entailed_types(
+                links, types, log.filter(F.col("gen") == g),
+                entity_types, closure)
+            links.write.mode("overwrite").parquet(
+                f"{self._gen_path(g)}/links")
+            types.write.mode("overwrite").parquet(
+                f"{self._gen_path(g)}/types")
+            by = {r["change"]: r["n"] for r in
+                  ent_delta.groupBy("change").agg(F.count("*").alias("n"))
+                  .collect()}
+            prev = self.latest_gen()
+            self._write_pointer(g, -1)
+            if prev is not None:
+                self._fs.delete(self._fs_path(self._gen_path(prev)), True)
+            links, types = self.read_links(), self.read_types()
+            stats["gens_folded"] += 1
+            stats["entailed_added"] += by.get("added", 0)
+            stats["entailed_removed"] += by.get("removed", 0)
+        stats["gen"] = self.latest_gen()
+        return stats
+
+
 def apply_pages_batch(spark: SparkSession, pages: DataFrame, model_bc,
                       store: KGStore, batch_id: int,
                       cfg: PipelineConfig | None = None,

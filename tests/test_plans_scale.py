@@ -611,3 +611,72 @@ def test_run_kg_maintain_main(spark, web_pages, lexicon, tmp_path):
     assert log.count() == s3["n_changes"]
     assert {r["gen"] for r in store.read_log().select("gen").collect()} \
         == {1}
+
+
+def test_run_kg_maintain_entail_catchup(spark, web_pages, lexicon, tmp_path):
+    """--entail keeps the counting-IVM entailed-type store caught up
+    with the KG generations: after two folds (initial crawl + recrawl)
+    the entailed view equals the full recompute over the live snapshot;
+    a re-run with no new KG generation folds nothing."""
+    import datetime
+
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_types, subclass_closure)
+    from dbpedia_spotlight_spark.run_kg_maintain import main
+    from dbpedia_spotlight_spark.streaming.kg_stream import EntailStore
+    from dbpedia_spotlight_spark.triples import PRED_IDENT
+
+    pages_dir = str(tmp_path / "pages")
+    lex_dir = str(tmp_path / "lexicon")
+    kg_dir = str(tmp_path / "kg")
+    ent_dir = str(tmp_path / "entail")
+    onto_dir = str(tmp_path / "ontology")
+    web_pages.write.mode("overwrite").parquet(pages_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+    types_present = sorted(lexicon.entities["types"].explode().unique())
+    onto = spark.createDataFrame(
+        [(t, "owl:Thing") for t in types_present], "sub string, sup string")
+    onto.write.mode("overwrite").parquet(onto_dir)
+
+    base = ["--lexicon", lex_dir, "--kg", kg_dir,
+            "--entail", ent_dir, "--ontology", onto_dir]
+    s1 = main(["--pages", pages_dir] + base, spark=spark)
+    assert s1["entail"]["gens_folded"] == 1 and s1["entail"]["gen"] == 0
+    assert s1["entail"]["entailed_added"] > 0
+    assert s1["entail"]["entailed_removed"] == 0
+
+    rows = web_pages.orderBy("url").limit(3).collect()
+    recrawl = spark.createDataFrame(
+        [(rows[i]["url"], rows[i]["warc_ts"] + datetime.timedelta(days=1),
+          bytes(rows[(i + 1) % 3]["html"]), rows[i]["text"],
+          rows[i]["lang"]) for i in range(3)],
+        schema=web_pages.schema)
+    pages2 = str(tmp_path / "pages2")
+    recrawl.write.mode("overwrite").parquet(pages2)
+    s2 = main(["--pages", pages2] + base, spark=spark)
+    assert s2["gen"] == 1 and s2["entail"]["gen"] == 1
+    assert s2["entail"]["gens_folded"] == 1
+
+    # entailed view == full recompute over the final snapshot
+    from dbpedia_spotlight_spark.streaming.kg_stream import KGStore
+    store = KGStore(spark, kg_dir)
+    estore = EntailStore(spark, ent_dir)
+    live = (store.read().filter(F.col("pred") == PRED_IDENT)
+            .select(F.col("obj").alias("uri")).distinct())
+    ent_types = (spark.read.parquet(f"{lex_dir}/entities.parquet")
+                 .select("uri", F.explode("types").alias("typ")))
+    asserted = (live.join(ent_types, "uri")
+                .select(F.col("uri").alias("subj"),
+                        F.lit("rdf:type").alias("pred"),
+                        F.col("typ").alias("obj")))
+    expect = {(r.subj, r.obj)
+              for r in infer_types(asserted, subclass_closure(onto))
+              .collect()}
+    got = {(r.subj, r.obj) for r in estore.read_entailed().collect()}
+    assert got == expect and len(got) > 0
+
+    # caught-up: nothing to fold, state untouched
+    s3 = main(["--pages", pages2] + base, spark=spark)
+    assert s3["n_changes"] == 0
+    assert s3["entail"]["gens_folded"] == 0 and s3["entail"]["gen"] == 1
