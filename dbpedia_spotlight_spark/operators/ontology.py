@@ -264,13 +264,34 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
     A variable repeated WITHIN the pattern (?x ?p ?x) becomes an
     intra-row equality filter.
 
-    A constant predicate ending in '+' is a SPARQL 1.1 property path:
-    the pattern frame becomes the transitive closure of that predicate
-    (``predicate_closure``) instead of a base scan."""
-    if not pat[1].startswith("?") and pat[1].endswith("+"):
-        df = predicate_closure(kg, pat[1][:-1]).select(
-            F.col("sub").alias("subj"), F.lit(pat[1]).alias("pred"),
+    Constant predicates support the cheap SPARQL 1.1 property-path
+    forms, each staying a pure scan transform:
+    - ``p+``   one-or-more: the pattern frame becomes the transitive
+      closure of ``p`` (``predicate_closure``) instead of a base scan;
+    - ``^p``   inverse: subj/obj swap — (s, ^p, o) ≡ (o, p, s);
+    - ``p|q``  alternation: an isin filter on the pred column.
+    The forms don't nest (``^p+``/``(p|q)+`` raise) — compose those by
+    materializing the inner step first."""
+    pred = pat[1]
+    if not pred.startswith("?") and pred.endswith("+"):
+        inner = pred[:-1]
+        if inner.startswith("^") or "|" in inner:
+            raise ValueError(f"unsupported nested property path: {pred}")
+        df = predicate_closure(kg, inner).select(
+            F.col("sub").alias("subj"), F.lit(pred).alias("pred"),
             F.col("sup").alias("obj"))
+    elif not pred.startswith("?") and pred.startswith("^"):
+        inner = pred[1:]
+        if inner.endswith("+") or "|" in inner:
+            raise ValueError(f"unsupported nested property path: {pred}")
+        df = (kg.filter(F.col("pred") == inner)
+              .select(F.col("obj").alias("subj"),
+                      F.lit(pred).alias("pred"),
+                      F.col("subj").alias("obj")))
+    elif not pred.startswith("?") and "|" in pred:
+        alts = pred.split("|")
+        df = (kg.filter(F.col("pred").isin(alts))
+              .select("subj", F.lit(pred).alias("pred"), "obj"))
     else:
         df = kg.select("subj", "pred", "obj")
     var_pos: dict[str, str] = {}

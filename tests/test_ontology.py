@@ -427,3 +427,21 @@ def test_maintain_entailed_types_follows_kg_delta_log(spark, lexicon,
                   .groupBy(F.col("obj").alias("uri"))
                   .agg(F.count("*").alias("n")).collect()}
     assert {r.uri: r.n_links for r in link_counts.collect()} == per_entity
+
+
+def test_bgp_inverse_and_alternation_paths(spark):
+    # inverse: (?e, ^taIdentRef, ?m) ≡ (?m, taIdentRef, ?e)
+    out = bgp_match(_kg(spark), [("?e", "^itsrdf:taIdentRef", "?m")])
+    assert {(r.e, r.m) for r in out.collect()} == {
+        ("Apache_Spark", "m1"), ("Apache_Spark", "m2"),
+        ("Customer", "m3")}
+    # alternation: anchor OR link rows of one mention
+    out = bgp_match(_kg(spark),
+                    [("m1", "nif:anchorOf|itsrdf:taIdentRef", "?x")])
+    assert {r.x for r in out.collect()} == {"spark", "Apache_Spark"}
+
+
+def test_bgp_nested_property_paths_raise(spark):
+    for bad in ("^itsrdf:taIdentRef+", "a|b+", "^a|b"):
+        with pytest.raises(ValueError):
+            bgp_match(_kg(spark), [("?s", bad, "?o")])
