@@ -131,6 +131,8 @@ HEADLINE = [
     "quality",
     "tpch_q5",                # 6-way join plumbing (subsumes q1/q3)
     "events_hourly",
+    "bgp_typed_mentions",     # KG read path: 3-pattern SPARQL BGP over
+                              # the materialized snapshot (round-4)
 ]
 
 
@@ -142,6 +144,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     # comparable even when a query rotates out of the 50-slot window)
     qs = dict(Q.queries())
     qs.setdefault("tpch_q5", Q.q_tpch_q5)
+    qs.setdefault("bgp_typed_mentions", Q.q_bgp_typed_mentions)
     # warm up JVM + Python workers + compile/broadcast the static model so
     # per-query times measure the steady-state plan, not one-time setup
     Q._docs(spark, sf_dir).limit(8).mapInPandas(
