@@ -445,3 +445,45 @@ def test_bgp_nested_property_paths_raise(spark):
     for bad in ("^itsrdf:taIdentRef+", "a|b+", "^a|b"):
         with pytest.raises(ValueError):
             bgp_match(_kg(spark), [("?s", bad, "?o")])
+
+
+def test_entail_store_catchup_heals_orphaned_generation(spark, lexicon,
+                                                        web_pages, model_bc,
+                                                        tmp_path):
+    """Crash contract: catchup writes a generation's states BEFORE
+    flipping the pointer, so a crash in between leaves an orphaned gen
+    dir. A re-run must refold that generation (mode=overwrite) and land
+    on the same state as an uninterrupted run."""
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        EntailStore, KGStore, apply_pages_batch)
+
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    pages = spark.createDataFrame(
+        web_pages.select(*cols).limit(6).collect(),
+        schema=web_pages.select(*cols).schema)
+    store = KGStore(spark, str(tmp_path / "kg"))
+    apply_pages_batch(spark, pages, model_bc, store, batch_id=0, cfg=cfg)
+
+    ent_types = spark.createDataFrame(
+        lexicon.entities[["uri", "types"]].explode("types")
+        .rename(columns={"types": "typ"}))
+    closure = spark.createDataFrame([], "sub string, sup string, depth int")
+
+    # simulate the torn state: gen-00000 dir holds garbage parquet,
+    # pointer never flipped
+    estore = EntailStore(spark, str(tmp_path / "entail"))
+    spark.createDataFrame([("junk", 99)], "uri string, n_links long") \
+        .write.parquet(f"{estore._gen_path(0)}/links")
+    assert estore.latest_gen() is None
+
+    stats = estore.catchup(store, ent_types, closure)
+    assert stats["gens_folded"] == 1 and stats["gen"] == 0
+    live = {r.uri for r in
+            store.read().filter(F.col("pred") == "itsrdf:taIdentRef")
+            .select(F.col("obj").alias("uri")).distinct().collect()}
+    assert {r.uri for r in estore.read_links().collect()} == live
+    assert "junk" not in {r.uri for r in estore.read_links().collect()}
