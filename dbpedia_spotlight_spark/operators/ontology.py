@@ -97,6 +97,15 @@ def infer_types(type_stmts: DataFrame, closure: DataFrame) -> DataFrame:
     )
 
 
+def _reflexive_terms(kg: DataFrame) -> DataFrame:
+    """(x, x) for every term occurring as subject or object — the
+    SPARQL zero-length-path domain. One distinct over the two term
+    columns of the snapshot."""
+    terms = (kg.select(F.col("subj").alias("t"))
+             .unionByName(kg.select(F.col("obj").alias("t"))).distinct())
+    return terms.select(F.col("t").alias("sub"), F.col("t").alias("sup"))
+
+
 def predicate_closure(kg: DataFrame, predicate: str, max_depth: int = 20,
                       checkpoint_dir: str | None = None) -> DataFrame:
     """SPARQL 1.1 property path ``predicate+`` over a triple snapshot:
@@ -264,20 +273,36 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
     A variable repeated WITHIN the pattern (?x ?p ?x) becomes an
     intra-row equality filter.
 
-    Constant predicates support the cheap SPARQL 1.1 property-path
-    forms, each staying a pure scan transform:
+    Constant predicates support the SPARQL 1.1 property-path forms:
     - ``p+``   one-or-more: the pattern frame becomes the transitive
       closure of ``p`` (``predicate_closure``) instead of a base scan;
+    - ``p*``   zero-or-more and ``p?`` zero-or-one: the one-or-more /
+      direct-edge frame unioned with the REFLEXIVE frame — per the
+      SPARQL zero-length-path rule, (x, x) for every term x occurring
+      as a subject or object anywhere in the graph, which costs one
+      distinct over the snapshot's two term columns (documented: these
+      two are the only forms whose cost is graph-sized rather than
+      predicate-sized);
     - ``^p``   inverse: subj/obj swap — (s, ^p, o) ≡ (o, p, s);
     - ``p|q``  alternation: an isin filter on the pred column.
     The forms don't nest (``^p+``/``(p|q)+`` raise) — compose those by
     materializing the inner step first."""
     pred = pat[1]
-    if not pred.startswith("?") and pred.endswith("+"):
+    if not pred.startswith("?") and pred[-1] in "+*?" and len(pred) > 1:
         inner = pred[:-1]
         if inner.startswith("^") or "|" in inner:
             raise ValueError(f"unsupported nested property path: {pred}")
-        df = predicate_closure(kg, inner).select(
+        if pred.endswith("+"):
+            step = predicate_closure(kg, inner).select("sub", "sup")
+        elif pred.endswith("*"):
+            step = predicate_closure(kg, inner).select("sub", "sup") \
+                .unionByName(_reflexive_terms(kg))
+        else:  # p? — direct edge or zero-length
+            step = (kg.filter(F.col("pred") == inner)
+                    .select(F.col("subj").alias("sub"),
+                            F.col("obj").alias("sup"))
+                    .unionByName(_reflexive_terms(kg)))
+        df = step.dropDuplicates(["sub", "sup"]).select(
             F.col("sub").alias("subj"), F.lit(pred).alias("pred"),
             F.col("sup").alias("obj"))
     elif not pred.startswith("?") and pred.startswith("^"):

@@ -487,3 +487,23 @@ def test_entail_store_catchup_heals_orphaned_generation(spark, lexicon,
             .select(F.col("obj").alias("uri")).distinct().collect()}
     assert {r.uri for r in estore.read_links().collect()} == live
     assert "junk" not in {r.uri for r in estore.read_links().collect()}
+
+
+def test_bgp_zero_or_more_and_zero_or_one_paths(spark):
+    kg = spark.createDataFrame([
+        ("a", "sub", "b"), ("b", "sub", "c"),
+        ("a", "other", "z"),
+    ], "subj string, pred string, obj string")
+    terms = {"a", "b", "c", "z"}
+    # p*: closure plus (x, x) for every term in the graph
+    out = bgp_match(kg, [("?x", "sub*", "?y")])
+    got = {(r.x, r.y) for r in out.collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")} | {
+        (t, t) for t in terms}
+    # p?: direct edges plus reflexive, no 2-step paths
+    out = bgp_match(kg, [("?x", "sub?", "?y")])
+    got = {(r.x, r.y) for r in out.collect()}
+    assert got == {("a", "b"), ("b", "c")} | {(t, t) for t in terms}
+    # constant endpoint prunes the reflexive domain
+    out = bgp_match(kg, [("a", "sub*", "?y")])
+    assert {r.y for r in out.collect()} == {"a", "b", "c"}
