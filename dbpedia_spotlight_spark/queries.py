@@ -3972,6 +3972,46 @@ def sql_construct_mention_types() -> str:
   FROM ({sql_bgp_path_supertypes()})"""
 
 
+def q_bgp_optional_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the snapshot
+    (operators/ontology.py::bgp_match): every linked entity with its
+    type IF it has a non-default one — the snapshot carries type
+    triples only for explicitly-typed entities (obj != 'Concept'), so
+    entities on the fixture default genuinely surface as t = NULL, the
+    unmatched-OPTIONAL contract. NULLs are rendered as a sentinel
+    string (cross-engine hash normalization for the compare harness)."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_match
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import link_triples, type_triples
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (
+        link_triples(ann).select("subj", "pred", "obj")
+        .unionByName(type_triples(ann).filter(F.col("obj") != "Concept"))
+    )
+    sol = bgp_match(kg, [("?m", "itsrdf:taIdentRef", "?e")],
+                    optional=[[("?e", "rdf:type", "?t")]])
+    return sol.select("e", "m",
+                      F.coalesce("t", F.lit("<none>")).alias("t"))
+
+
+def sql_bgp_optional_types() -> str:
+    pairs = [(r[0], t) for r in LEX.entity_rows() for t in r[3]
+             if t != "Concept"]
+    type_vals = ", ".join(f"('{u}', '{t}')" for u, t in pairs)
+    return f"""
+  WITH g AS ({_sql_generative(k=1)}),
+  m AS (
+    SELECT DISTINCT url || '#char=' || CAST("begin" AS VARCHAR) || ','
+           || CAST("end" AS VARCHAR) AS m, uri AS e
+    FROM g)
+  SELECT m.e AS e, m.m AS m, coalesce(t.typ, '<none>') AS t
+  FROM m LEFT JOIN (VALUES {type_vals}) t(uri, typ) ON t.uri = m.e"""
+
+
 def q_kg_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-property audit over the INFERRED type store
     (triples.py::functional_violations on rdf:type after rdfs:9/11

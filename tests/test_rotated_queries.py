@@ -75,6 +75,10 @@ ROTATED = [
     # materialization from the property-path WHERE block
     ("construct_mention_types", Q.q_construct_mention_types,
      Q.sql_construct_mention_types),
+    # round-4 addition: SPARQL OPTIONAL with genuine unmatched (NULL)
+    # bindings over the corpus snapshot
+    ("bgp_optional_types", Q.q_bgp_optional_types,
+     Q.sql_bgp_optional_types),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
