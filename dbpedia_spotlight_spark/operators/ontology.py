@@ -355,7 +355,11 @@ def _join_patterns(frames: list[tuple[DataFrame, set[str]]]) -> tuple[DataFrame,
 
 def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
               optional: list[list[tuple[str, str, str]]] | None = None,
-              filters: list[str] | None = None) -> DataFrame:
+              filters: list[str] | None = None,
+              values: tuple[list[str], list[tuple]] | None = None,
+              bind: dict[str, str] | None = None,
+              minus: list[list[tuple[str, str, str]]] | None = None,
+              ) -> DataFrame:
     """SPARQL-style basic-graph-pattern match over a triple snapshot:
     ``patterns`` is a conjunction of (s, p, o) patterns, '?name' terms
     are variables; returns one column per variable and one row per
@@ -386,11 +390,53 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
     touches required variables is pushed below the left joins and into
     the scans by Catalyst, so the end-of-group placement costs nothing.
 
+    ``values`` is a SPARQL VALUES block — ``(["?e", "?rank"],
+    [("dbr:A", "1"), ...])``: an inline solution table joined into the
+    group on its shared variables (the standard constrain-to-a-list
+    use), or crossed in when it binds only new variables (the SPARQL
+    product semantics). The inline table is driver-literal by
+    construction (a VALUES block is query text), so the join is always
+    a broadcast of a handful of rows. UNDEF rows are not supported —
+    pass complete tuples.
+
+    ``bind`` is an ordered {var: spark-SQL-expr} of SPARQL BIND
+    clauses, evaluated left-to-right after the required+VALUES join
+    (each expr may use previously-bound and previously-BINDed
+    variables). Rebinding an existing variable raises, as in SPARQL.
+    BINDs run before OPTIONAL/MINUS/FILTER so those can reference the
+    computed variables.
+
+    ``minus`` is a list of MINUS groups: solutions compatible with any
+    solution of the group on their shared variables are removed (LEFT
+    ANTI join). Per the SPARQL MINUS disjoint-domain rule, a group
+    sharing no variable with the solution removes nothing (and raises
+    here, since writing one is a query bug). Null bindings (from an
+    unmatched OPTIONAL) never match an anti-join key, which implements
+    the unbound-variable-is-compatible-only-if-nothing-else-shared
+    case conservatively: an all-null shared tuple survives.
+
     The snapshot side stays declarative end-to-end: constants are
     pushed filters on the scan, no collect, no UDFs."""
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
     out, bound = _join_patterns([_pattern_frame(kg, p) for p in patterns])
+    if values is not None:
+        vvars, rows = values
+        names = [v[1:] if v.startswith("?") else v for v in vvars]
+        if any(any(c is None for c in row) for row in rows):
+            raise ValueError("VALUES UNDEF rows are not supported")
+        vdf = out.sparkSession.createDataFrame(
+            rows, ", ".join(f"{n} string" for n in names))
+        shared = sorted(set(names) & bound)
+        out = (out.join(F.broadcast(vdf), shared) if shared
+               else out.crossJoin(F.broadcast(vdf)))
+        bound = bound | set(names)
+    for var, expr in (bind or {}).items():
+        name = var[1:] if var.startswith("?") else var
+        if name in bound:
+            raise ValueError(f"BIND would rebind ?{name}")
+        out = out.withColumn(name, F.expr(expr))
+        bound = bound | {name}
     for group in optional or []:
         gdf, gvars = _join_patterns([_pattern_frame(kg, p) for p in group])
         shared = sorted(gvars & bound)
@@ -400,9 +446,54 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
                 f"patterns: {group}")
         out = out.join(gdf, shared, "left")
         bound = bound | gvars
+    for group in minus or []:
+        gdf, gvars = _join_patterns([_pattern_frame(kg, p) for p in group])
+        shared = sorted(gvars & bound)
+        if not shared:
+            raise ValueError(
+                "MINUS group shares no variable with the solution — per "
+                f"SPARQL it would remove nothing: {group}")
+        out = out.join(gdf.select(*shared).dropDuplicates(shared),
+                       shared, "left_anti")
     for expr in filters or []:
         out = out.filter(F.expr(expr))
     return out.select(*sorted(bound))
+
+
+def bgp_union(kg: DataFrame, groups: list[dict | list],
+              filters: list[str] | None = None) -> DataFrame:
+    """SPARQL UNION of group graph patterns: each entry of ``groups``
+    is either a pattern list or a dict of ``bgp_match`` keyword args
+    (``{"patterns": [...], "optional": [...], ...}``). Solutions are
+    the bag union of the branch solutions; a variable bound in one
+    branch but not another is null (unbound) in the other branch's
+    rows — ``unionByName(allowMissingColumns=True)``, the exact SPARQL
+    UNION padding rule. ``filters`` apply after the union (group-end
+    FILTER over the union's solution sequence).
+
+    Each branch plans independently (its own greedy equi-join order),
+    so the union is as scalable as its widest branch; the union itself
+    is a zero-shuffle concatenation."""
+    if not groups:
+        raise ValueError("bgp_union requires at least one group")
+    sols = []
+    for g in groups:
+        kwargs = g if isinstance(g, dict) else {"patterns": g}
+        sols.append(bgp_match(kg, **kwargs))
+    out = sols[0]
+    for s in sols[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    for expr in filters or []:
+        out = out.filter(F.expr(expr))
+    return out.select(*sorted(out.columns))
+
+
+def ask(kg: DataFrame, patterns: list[tuple[str, str, str]],
+        **kwargs) -> bool:
+    """SPARQL ASK — does at least one solution exist? ``take(1)`` so
+    Spark stops at the first produced row (LocalLimit short-circuits
+    the scan) instead of counting the full solution set."""
+    return len(bgp_match(kg, patterns, **kwargs).take(1)) > 0
 
 
 def construct(kg: DataFrame, patterns: list[tuple[str, str, str]],

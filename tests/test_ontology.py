@@ -507,3 +507,103 @@ def test_bgp_zero_or_more_and_zero_or_one_paths(spark):
     # constant endpoint prunes the reflexive domain
     out = bgp_match(kg, [("a", "sub*", "?y")])
     assert {r.y for r in out.collect()} == {"a", "b", "c"}
+
+
+def test_bgp_union_pads_branch_exclusive_vars_with_null(spark):
+    from dbpedia_spotlight_spark.operators.ontology import bgp_union
+    out = bgp_union(_kg(spark), [
+        [("?m", "itsrdf:taIdentRef", "?e"), ("?e", "rdf:type", "Software")],
+        [("?m", "nif:anchorOf", "?sf")],
+    ])
+    assert out.columns == ["e", "m", "sf"]
+    got = {(r.e, r.m, r.sf) for r in out.collect()}
+    assert got == {
+        ("Apache_Spark", "m1", None),
+        ("Apache_Spark", "m2", None),
+        (None, "m1", "spark"),
+    }
+
+
+def test_bgp_union_accepts_kwarg_groups_and_group_end_filter(spark):
+    from dbpedia_spotlight_spark.operators.ontology import bgp_union
+    out = bgp_union(_kg(spark), [
+        {"patterns": [("?m", "itsrdf:taIdentRef", "?e")],
+         "optional": [[("?e", "rdf:type", "?t")]]},
+        {"patterns": [("?m", "nif:anchorOf", "?sf")],
+         "bind": {"?t": "'Anchor'"}},
+    ], filters=["t IS NOT NULL"])
+    got = {(r.m, r.t) for r in out.collect()}
+    # m3's entity Customer is typed Agent; anchor branch BINDs 'Anchor'
+    assert got == {("m1", "Software"), ("m2", "Software"),
+                   ("m3", "Agent"), ("m1", "Anchor")}
+
+
+def test_bgp_union_empty_groups_raise(spark):
+    from dbpedia_spotlight_spark.operators.ontology import bgp_union
+    with pytest.raises(ValueError):
+        bgp_union(_kg(spark), [])
+
+
+def test_bgp_values_constrains_and_products(spark):
+    # shared var: VALUES acts as an inline whitelist join
+    out = bgp_match(_kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
+                    values=(["?e"], [("Customer",)]))
+    assert {(r.e, r.m) for r in out.collect()} == {("Customer", "m3")}
+    # multi-column VALUES carries extra bindings alongside the key
+    out = bgp_match(_kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
+                    values=(["?e", "?lang"],
+                            [("Apache_Spark", "en"), ("Customer", "de")]))
+    got = {(r.m, r.e, r.lang) for r in out.collect()}
+    assert got == {("m1", "Apache_Spark", "en"), ("m2", "Apache_Spark", "en"),
+                   ("m3", "Customer", "de")}
+    # no shared var: SPARQL product semantics
+    out = bgp_match(_kg(spark), [("?m", "nif:anchorOf", "?sf")],
+                    values=(["?k"], [("x",), ("y",)]))
+    assert out.count() == 2
+    # UNDEF rows are rejected
+    with pytest.raises(ValueError):
+        bgp_match(_kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
+                  values=(["?e"], [(None,)]))
+
+
+def test_bgp_bind_computes_in_order_and_rejects_rebinding(spark):
+    out = bgp_match(
+        _kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
+        bind={"?elen": "length(e)", "?big": "elen > 8"},
+        filters=["big"])
+    got = {(r.e, r.elen, r.big) for r in out.collect()}
+    assert got == {("Apache_Spark", 12, True)}
+    with pytest.raises(ValueError):
+        bgp_match(_kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
+                  bind={"?e": "'x'"})
+
+
+def test_bgp_minus_removes_compatible_solutions(spark):
+    # MINUS the typed entities: only the untyped-entity mentions stay
+    kg = spark.createDataFrame(KG + [("m4", "itsrdf:taIdentRef", "Other")],
+                               "subj string, pred string, obj string")
+    out = bgp_match(kg, [("?m", "itsrdf:taIdentRef", "?e")],
+                    minus=[[("?e", "rdf:type", "?t")]])
+    assert {(r.e, r.m) for r in out.collect()} == {("Other", "m4")}
+    # disjoint-domain MINUS raises instead of silently removing nothing
+    with pytest.raises(ValueError):
+        bgp_match(kg, [("?m", "nif:anchorOf", "?sf")],
+                  minus=[[("?x", "rdf:type", "?t")]])
+
+
+def test_bgp_minus_keeps_null_shared_binding(spark):
+    # an unmatched-OPTIONAL null never matches an anti-join key: the
+    # unbound solution survives MINUS (conservative SPARQL compatibility)
+    kg = spark.createDataFrame(KG + [("m4", "itsrdf:taIdentRef", "Other")],
+                               "subj string, pred string, obj string")
+    out = bgp_match(kg, [("?m", "itsrdf:taIdentRef", "?e")],
+                    optional=[[("?e", "rdf:type", "?t")]],
+                    minus=[[("?x", "rdf:type", "?t")]])
+    got = {(r.m, r.t) for r in out.collect()}
+    assert got == {("m4", None)}
+
+
+def test_ask_short_circuits(spark):
+    from dbpedia_spotlight_spark.operators.ontology import ask
+    assert ask(_kg(spark), [("?m", "itsrdf:taIdentRef", "Apache_Spark")])
+    assert not ask(_kg(spark), [("?m", "itsrdf:taIdentRef", "NoSuch")])
