@@ -4012,6 +4012,106 @@ def sql_bgp_optional_types() -> str:
   FROM m LEFT JOIN (VALUES {type_vals}) t(uri, typ) ON t.uri = m.e"""
 
 
+def q_bgp_union_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION over the corpus snapshot
+    (operators/ontology.py::bgp_union): branch 1 = typed entity
+    mentions {?m itsrdf:taIdentRef ?e . ?e rdf:type ?t}, branch 2 =
+    anchor texts {?m nif:anchorOf ?sf}. Each branch binds a variable
+    the other doesn't (?t/?e vs ?sf), so the union genuinely exercises
+    the SPARQL padding rule — branch-exclusive variables are unbound
+    (NULL) in the other branch's rows; NULLs are rendered as '<none>'
+    sentinels for the cross-engine hash compare."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_union
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import (
+        link_triples, mention_triples, type_triples)
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (
+        link_triples(ann).select("subj", "pred", "obj")
+        .unionByName(mention_triples(ann).select("subj", "pred", "obj"))
+        .unionByName(type_triples(ann))
+    )
+    sol = bgp_union(kg, [
+        [("?m", "itsrdf:taIdentRef", "?e"), ("?e", "rdf:type", "?t")],
+        [("?m", "nif:anchorOf", "?sf")],
+    ])
+    none = F.lit("<none>")
+    return sol.select(
+        F.coalesce("e", none).alias("e"), "m",
+        F.coalesce("sf", none).alias("sf"),
+        F.coalesce("t", none).alias("t"))
+
+
+def sql_bgp_union_mentions() -> str:
+    pairs = [(r[0], t) for r in LEX.entity_rows() for t in r[3]]
+    type_vals = ", ".join(f"('{u}', '{t}')" for u, t in pairs)
+    return f"""
+  WITH g AS ({_sql_generative(k=1)}),
+  m AS (
+    SELECT DISTINCT url || '#char=' || CAST("begin" AS VARCHAR) || ','
+           || CAST("end" AS VARCHAR) AS m, surface_form AS sf, uri AS e
+    FROM g)
+  SELECT m.e AS e, m.m AS m, '<none>' AS sf, t.typ AS t
+  FROM m JOIN (VALUES {type_vals}) t(uri, typ) ON t.uri = m.e
+  UNION ALL
+  SELECT '<none>' AS e, m.m AS m, m.sf AS sf, '<none>' AS t
+  FROM m"""
+
+
+def q_bgp_values_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL VALUES + BIND + MINUS composed over the corpus snapshot
+    (operators/ontology.py::bgp_match): mentions are constrained by an
+    inline VALUES table carrying every lexicon entity with a planted
+    group label (entity_id mod 3 — the multi-column inline-join form),
+    BIND computes the URI length, and MINUS removes every solution
+    whose entity has an explicit (non-default) rdf:type statement —
+    non-vacuous both ways: the fixture lexicon links typed AND
+    default-typed entities, so MINUS removes some mentions and keeps
+    others."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_match
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import link_triples, type_triples
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (
+        link_triples(ann).select("subj", "pred", "obj")
+        .unionByName(type_triples(ann).filter(F.col("obj") != "Concept"))
+    )
+    rows = [(r[0], f"g{r[1] % 3}") for r in LEX.entity_rows()]
+    sol = bgp_match(
+        kg, [("?m", "itsrdf:taIdentRef", "?e")],
+        values=(["?e", "?grp"], rows),
+        bind={"?elen": "length(e)"},
+        minus=[[("?e", "rdf:type", "?t")]])
+    return sol.select("e", F.col("elen").cast("long").alias("elen"),
+                      "grp", "m")
+
+
+def sql_bgp_values_minus() -> str:
+    rows = [(r[0], f"g{r[1] % 3}") for r in LEX.entity_rows()]
+    val_rows = ", ".join(f"('{u}', '{g}')" for u, g in rows)
+    typed = sorted({r[0] for r in LEX.entity_rows()
+                    if any(t != "Concept" for t in r[3])})
+    typed_vals = ", ".join(f"('{u}')" for u in typed)
+    return f"""
+  WITH g AS ({_sql_generative(k=1)}),
+  m AS (
+    SELECT DISTINCT url || '#char=' || CAST("begin" AS VARCHAR) || ','
+           || CAST("end" AS VARCHAR) AS m, uri AS e
+    FROM g)
+  SELECT m.e AS e, CAST(length(m.e) AS BIGINT) AS elen, v.grp AS grp,
+         m.m AS m
+  FROM m JOIN (VALUES {val_rows}) v(e, grp) ON v.e = m.e
+  WHERE m.e NOT IN (SELECT uri FROM (VALUES {typed_vals}) t(uri))"""
+
+
 def q_kg_type_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-property audit over the INFERRED type store
     (triples.py::functional_violations on rdf:type after rdfs:9/11

@@ -79,6 +79,14 @@ ROTATED = [
     # bindings over the corpus snapshot
     ("bgp_optional_types", Q.q_bgp_optional_types,
      Q.sql_bgp_optional_types),
+    # round-4 addition: SPARQL UNION with branch-exclusive variables
+    # null-padded per the SPARQL padding rule
+    ("bgp_union_mentions", Q.q_bgp_union_mentions,
+     Q.sql_bgp_union_mentions),
+    # round-4 addition: SPARQL VALUES + BIND + MINUS composed (inline
+    # solution table, computed binding, anti-join removal)
+    ("bgp_values_minus", Q.q_bgp_values_minus,
+     Q.sql_bgp_values_minus),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
