@@ -152,3 +152,80 @@ def _pagerank_driver(edges: DataFrame, damping: float, n_iter: int) -> DataFrame
     return edges.sparkSession.createDataFrame(
         [(u, float(rank[idx[u]])) for u in nodes], "uri string, rank double"
     )
+
+
+def degree_stats(edges: DataFrame, weight_col: str = "n_docs") -> DataFrame:
+    """(uri, degree, weighted_degree) over the undirected co-mention
+    edge table (uri_a < uri_b canonical). One union + one groupBy on
+    uri — key cardinality |V|, map-side combinable."""
+    both = edges.select(
+        F.col("uri_a").alias("uri"), F.col(weight_col).alias("w"),
+    ).unionByName(edges.select(
+        F.col("uri_b").alias("uri"), F.col(weight_col).alias("w")))
+    return both.groupBy("uri").agg(
+        F.count("*").alias("degree"),
+        F.sum("w").alias("weighted_degree"),
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts (uri, n_triangles) over
+    the undirected edge table — vertices in no triangle are omitted.
+
+    Degree-ordered enumeration (the MapReduce-era standard for skewed
+    graphs): each edge is oriented from its lower-(degree, uri) endpoint
+    to the higher one, making the oriented graph a DAG in which every
+    triangle appears as exactly one wedge src→mid→dst closed by
+    src→dst. Orientation bounds per-vertex out-degree by O(sqrt(|E|))
+    on any graph, so the wedge join never explodes on a celebrity
+    entity the way id-ordering can — a mega-hub of degree d contributes
+    wedges only through its (few) higher-degree neighbors, not C(d, 2)
+    pairs. Two shuffles (wedge join on mid, closing semi-join on
+    src+dst), both plain equi-joins Catalyst can AQE-split on residual
+    skew. The rank is materialized as a zero-padded '%012d|%s' string
+    so lexicographic compare equals (degree, uri) tuple compare in both
+    Spark and any SQL mirror."""
+    e = edges.select("uri_a", "uri_b").distinct()
+    deg = degree_stats(e.withColumn("n_docs", F.lit(1))) \
+        .select("uri", F.format_string("%012d|%s", "degree", "uri")
+                .alias("rank"))
+    ranked = (
+        e.join(deg.withColumnRenamed("uri", "uri_a")
+               .withColumnRenamed("rank", "rank_a"), "uri_a")
+        .join(deg.withColumnRenamed("uri", "uri_b")
+              .withColumnRenamed("rank", "rank_b"), "uri_b"))
+    oriented = ranked.select(
+        F.when(F.col("rank_a") < F.col("rank_b"), F.col("uri_a"))
+        .otherwise(F.col("uri_b")).alias("src"),
+        F.when(F.col("rank_a") < F.col("rank_b"), F.col("uri_b"))
+        .otherwise(F.col("uri_a")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closer = oriented.select(F.col("src").alias("a"),
+                             F.col("dst").alias("c"))
+    tris = wedges.join(closer, ["a", "c"], "left_semi")
+    verts = tris.select(F.col("a").alias("uri")) \
+        .unionByName(tris.select(F.col("b").alias("uri"))) \
+        .unionByName(tris.select(F.col("c").alias("uri")))
+    return verts.groupBy("uri").agg(F.count("*").alias("n_triangles"))
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex: 2·tri(v) / (deg(v)·
+    (deg(v)−1)) over the undirected co-mention graph; degree-1 vertices
+    get 0.0. One broadcast-scale join of the triangle counts onto the
+    degree table."""
+    deg = degree_stats(edges.select(
+        "uri_a", "uri_b").withColumn("n_docs", F.lit(1)))
+    tri = triangle_counts(edges)
+    d = F.col("degree").cast("double")
+    return (deg.join(tri, "uri", "left")
+            .select("uri", "degree",
+                    F.coalesce("n_triangles", F.lit(0))
+                    .alias("n_triangles"),
+                    F.when(F.col("degree") >= 2,
+                           2.0 * F.coalesce("n_triangles", F.lit(0))
+                           / (d * (d - 1.0)))
+                    .otherwise(F.lit(0.0)).alias("clustering")))

@@ -529,6 +529,54 @@ def sql_entity_graph_edges() -> str:
     )
 
 
+def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation + local clustering coefficient per entity
+    over the co-mention graph (operators/graph.py::triangle_counts,
+    clustering_coefficients — degree-ordered wedge enumeration, the
+    skew-safe form). Oracle enumerates triangles with the id-ordered
+    3-way self-join (equivalent result: both count each triangle once)
+    and recomputes 2·tri/(deg·(deg−1)); integer inputs make the double
+    division exactly rounded in both engines, round(9) absorbs ulps."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        clustering_coefficients, cooccurrence_edges)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    return clustering_coefficients(edges).select(
+        "uri", "degree", "n_triangles",
+        F.round("clustering", 9).alias("clustering"))
+
+
+def sql_entity_triangles() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  e AS (
+    SELECT x.uri AS uri_a, y.uri AS uri_b
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2),
+  deg AS (
+    SELECT uri, count(*) AS degree FROM (
+      SELECT uri_a AS uri FROM e UNION ALL SELECT uri_b AS uri FROM e)
+    GROUP BY uri),
+  tri AS (
+    SELECT x.uri_a AS a, x.uri_b AS b, y.uri_b AS c
+    FROM e x JOIN e y ON y.uri_a = x.uri_b
+    JOIN e z ON z.uri_a = x.uri_a AND z.uri_b = y.uri_b),
+  tc AS (
+    SELECT uri, count(*) AS n_triangles FROM (
+      SELECT a AS uri FROM tri UNION ALL SELECT b AS uri FROM tri
+      UNION ALL SELECT c AS uri FROM tri)
+    GROUP BY uri)
+  SELECT deg.uri AS uri, CAST(deg.degree AS BIGINT) AS degree,
+         CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+         round(CASE WHEN deg.degree >= 2
+               THEN 2.0 * coalesce(tc.n_triangles, 0)
+                    / (deg.degree * (deg.degree - 1.0))
+               ELSE 0.0 END, 9) AS clustering
+  FROM deg LEFT JOIN tc ON tc.uri = deg.uri"""
+    )
+
+
 def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank salience over the entity co-occurrence graph. The fixed
     10-iteration power method is mirrored in DuckDB as an unrolled chain

@@ -133,3 +133,76 @@ def test_match_triples_and_entity_neighbors(spark):
     hops3 = {r.uri: r.hop for r in
              entity_neighbors(kg, ["dbr:A"], hops=3).collect()}
     assert hops3["dbr:D"] == 3 and "dbr:E" not in hops3
+
+
+def _edge_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs],
+        "uri_a string, uri_b string, n_docs int")
+
+
+def test_degree_stats_counts_both_endpoints(spark):
+    from dbpedia_spotlight_spark.operators.graph import degree_stats
+    # path a-b-c: b has degree 2, endpoints 1; weighted uses n_docs
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 5)],
+        "uri_a string, uri_b string, n_docs int")
+    got = {r.uri: (r.degree, r.weighted_degree)
+           for r in degree_stats(edges).collect()}
+    assert got == {"a": (1, 3), "b": (2, 8), "c": (1, 5)}
+
+
+def test_triangle_counts_known_graphs(spark):
+    from dbpedia_spotlight_spark.operators.graph import triangle_counts
+    # K4: every vertex participates in C(3,2)=3 triangles
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d")]
+    got = {r.uri: r.n_triangles
+           for r in triangle_counts(_edge_df(spark, k4)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # 4-cycle without chords: no triangles at all
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    assert triangle_counts(_edge_df(spark, square)).count() == 0
+    # star: hub with many spokes but no spoke-spoke edges
+    star = [("hub", f"s{i}") for i in range(6)]
+    assert triangle_counts(_edge_df(spark, star)).count() == 0
+    # one triangle hanging off a path: only the triangle's 3 vertices
+    tri_tail = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = {r.uri: r.n_triangles
+           for r in triangle_counts(_edge_df(spark, tri_tail)).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_counts_match_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+    from dbpedia_spotlight_spark.operators.graph import triangle_counts
+    rng = random.Random(7)
+    verts = [f"v{i}" for i in range(18)]
+    edges = sorted({tuple(sorted(p))
+                    for p in itertools.combinations(verts, 2)
+                    if rng.random() < 0.3})
+    adj = {v: set() for v in verts}
+    for a, b in edges:
+        adj[a].add(b); adj[b].add(a)
+    expect: dict[str, int] = {}
+    for a, b, c in itertools.combinations(verts, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    got = {r.uri: r.n_triangles
+           for r in triangle_counts(_edge_df(spark, edges)).collect()}
+    assert got == expect
+
+
+def test_clustering_coefficients(spark):
+    from dbpedia_spotlight_spark.operators.graph import (
+        clustering_coefficients)
+    # triangle a-b-c plus pendant d on c: a,b fully clustered; c has
+    # deg 3 with 1 triangle -> 2*1/(3*2) = 1/3; d deg 1 -> 0.0
+    edges = _edge_df(spark, [("a", "b"), ("b", "c"), ("a", "c"),
+                             ("c", "d")])
+    got = {r.uri: (r.degree, r.n_triangles, round(r.clustering, 9))
+           for r in clustering_coefficients(edges).collect()}
+    assert got == {"a": (2, 1, 1.0), "b": (2, 1, 1.0),
+                   "c": (3, 1, round(1 / 3, 9)), "d": (1, 0, 0.0)}

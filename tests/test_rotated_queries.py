@@ -87,6 +87,10 @@ ROTATED = [
     # solution table, computed binding, anti-join removal)
     ("bgp_values_minus", Q.q_bgp_values_minus,
      Q.sql_bgp_values_minus),
+    # round-4 addition: degree-ordered triangle counting + local
+    # clustering coefficients over the entity co-mention graph
+    ("entity_triangles", Q.q_entity_triangles,
+     Q.sql_entity_triangles),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
