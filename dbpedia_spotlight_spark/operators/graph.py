@@ -229,3 +229,94 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
                            2.0 * F.coalesce("n_triangles", F.lit(0))
                            / (d * (d - 1.0)))
                     .otherwise(F.lit(0.0)).alias("clustering")))
+
+
+def hits(edges: DataFrame, n_iter: int = 10,
+         driver_threshold: int = 100_000,
+         checkpoint_dir: str | None = None,
+         weight_col: str = "n_docs") -> DataFrame:
+    """Kleinberg HITS over the DIRECTED host link graph
+    (``anchors.host_link_edges``: uri_a links-to uri_b). Returns
+    (uri, hub, authority); deterministic fixed-iteration synchronous
+    power method, L2-normalized after each half-step:
+    a(v) = Σ_{u→v} w·h(u), h(u) = Σ_{u→v} w·a(v).
+
+    Same scale dispatch as ``pagerank``: below ``driver_threshold``
+    edges the whole graph solves driver-side in numpy (10 shuffle
+    rounds of fixed overhead dwarf a small graph's math); above it, a
+    distributed join loop whose per-iteration shuffles key on host —
+    cardinality |hosts| ≪ |anchors|. The L2 norm is a one-row aggregate
+    crossed back in (broadcast), never a driver action inside the loop.
+    Hub and authority are joined into ONE frame before the
+    per-iteration lineage cut — a RoundCheckpointer generation may be
+    deleted once the next lands, so two frames must never be cut
+    through it separately (the surviving frame would read a deleted
+    generation)."""
+    if edges.limit(driver_threshold).count() < driver_threshold:
+        return _hits_driver(edges, n_iter, weight_col)
+    e = edges.select(F.col("uri_a").alias("src"),
+                     F.col("uri_b").alias("dst"),
+                     F.col(weight_col).cast("double").alias("w")).cache()
+    nodes = (e.select(F.col("src").alias("uri"))
+             .unionByName(e.select(F.col("dst").alias("uri")))
+             .distinct().cache())
+    from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+    ckpt = RoundCheckpointer(edges.sparkSession, checkpoint_dir, "hits")
+    scores = nodes.select("uri", F.lit(1.0).alias("hub"),
+                          F.lit(0.0).alias("authority"))
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        nrm = raw.agg(F.sqrt(F.sum(F.col(col) * F.col(col)))
+                      .alias("_nrm"))
+        return raw.crossJoin(F.broadcast(nrm)).select(
+            "uri",
+            F.when(F.col("_nrm") > 0.0, F.col(col) / F.col("_nrm"))
+            .otherwise(F.lit(0.0)).alias(col))
+
+    for _ in range(n_iter):
+        a_raw = (e.join(scores.select("uri", "hub"),
+                        e.src == F.col("uri"))
+                 .groupBy("dst")
+                 .agg(F.sum(F.col("w") * F.col("hub")).alias("s")))
+        a_raw = nodes.join(a_raw, nodes.uri == a_raw.dst, "left").select(
+            "uri", F.coalesce("s", F.lit(0.0)).alias("authority"))
+        auth = _normalize(a_raw, "authority")
+        h_raw = (e.join(auth, e.dst == auth.uri)
+                 .groupBy("src")
+                 .agg(F.sum(F.col("w") * F.col("authority")).alias("s")))
+        h_raw = nodes.join(h_raw, nodes.uri == h_raw.src, "left").select(
+            "uri", F.coalesce("s", F.lit(0.0)).alias("hub"))
+        hub = _normalize(h_raw, "hub")
+        scores = ckpt.cut(hub.join(auth, "uri")
+                          .select("uri", "hub", "authority"))
+    return scores
+
+
+def _hits_driver(edges: DataFrame, n_iter: int,
+                 weight_col: str) -> DataFrame:
+    """Small-graph HITS: one bounded collect, numpy index-add loop —
+    float semantics mirror the distributed form (IEEE mul/add/sqrt/div;
+    summation order differs by ~1e-16, absorbed by the contract's
+    round(9))."""
+    import numpy as np
+    import pandas as pd
+    pdf = edges.select("uri_a", "uri_b", weight_col).toPandas()
+    hosts = sorted(set(pdf["uri_a"]) | set(pdf["uri_b"]))
+    idx = {u: i for i, u in enumerate(hosts)}
+    src = pdf["uri_a"].map(idx).to_numpy()
+    dst = pdf["uri_b"].map(idx).to_numpy()
+    w = pdf[weight_col].to_numpy(dtype="float64")
+    n = len(hosts)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(n_iter):
+        a = np.zeros(n)
+        np.add.at(a, dst, w * h[src])
+        nrm = float(np.sqrt((a * a).sum()))
+        a = a / nrm if nrm > 0.0 else a
+        h = np.zeros(n)
+        np.add.at(h, src, w * a[dst])
+        nrm = float(np.sqrt((h * h).sum()))
+        h = h / nrm if nrm > 0.0 else h
+    out = pd.DataFrame({"uri": hosts, "hub": h, "authority": a})
+    return edges.sparkSession.createDataFrame(out)

@@ -577,6 +577,106 @@ def sql_entity_triangles() -> str:
     )
 
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the DIRECTED host link graph
+    (operators/graph.py::hits ∘ anchors.host_link_edges ∘
+    extract_anchors): deterministic HTML pages place every 5th word in
+    an <a href> whose target host derives from the word length
+    (h{len%5}.example when len%3==0, else t{len%7}.example), page urls
+    live on h{doc_id%5}.example — so the graph mixes hub-only,
+    authority-only and mixed-role hosts, with self-host links dropped
+    by the cross-host filter. The REAL HTMLParser extractor runs; the
+    oracle derives the same edges straight from word positions and
+    unrolls the 10 L2-normalized HITS iterations as CTE chains
+    (round(9) absorbs engine summation-order ulps, as entity_pagerank
+    established)."""
+    from dbpedia_spotlight_spark.operators.anchors import (
+        extract_anchors, host_link_edges)
+    from dbpedia_spotlight_spark.operators.graph import hits
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+
+    def tgt_host(w):
+        return F.when(
+            F.length(w) % 3 == 0,
+            F.concat(F.lit("h"), (F.length(w) % 5).cast("string")),
+        ).otherwise(
+            F.concat(F.lit("t"), (F.length(w) % 7).cast("string")))
+
+    frag = F.transform(
+        words,
+        lambda w, i: F.when(
+            (i % 5 == 0) & (F.length(w) > 0),
+            F.concat(F.lit('<a href="https://'), tgt_host(w),
+                     F.lit('.example/x">'), w, F.lit("</a>")),
+        ).otherwise(w),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example/p"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><body><p>"), F.array_join(frag, " "),
+                     F.lit("</p></body></html>")),
+            "utf-8",
+        ).alias("html"),
+    )
+    edges = host_link_edges(extract_anchors(pages))
+    return hits(edges).select(
+        "uri", F.round("hub", 9).alias("hub"),
+        F.round("authority", 9).alias("authority"))
+
+
+def sql_host_hits(n_iter: int = 10) -> str:
+    iters = []
+    prev_h = "h0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+  ar{k} AS MATERIALIZED (
+    SELECT n.uri AS uri, coalesce(sum(e.w * h.hub), 0.0::DOUBLE) AS s
+    FROM nodes n
+    LEFT JOIN e ON e.dst = n.uri
+    LEFT JOIN {prev_h} h ON h.uri = e.src
+    GROUP BY n.uri),
+  a{k} AS MATERIALIZED (
+    SELECT uri, CASE WHEN (SELECT sqrt(sum(s * s)) FROM ar{k}) > 0.0
+      THEN s / (SELECT sqrt(sum(s * s)) FROM ar{k}) ELSE 0.0 END
+      AS authority
+    FROM ar{k}),
+  hr{k} AS MATERIALIZED (
+    SELECT n.uri AS uri,
+           coalesce(sum(e.w * a.authority), 0.0::DOUBLE) AS s
+    FROM nodes n
+    LEFT JOIN e ON e.src = n.uri
+    LEFT JOIN a{k} a ON a.uri = e.dst
+    GROUP BY n.uri),
+  h{k} AS MATERIALIZED (
+    SELECT uri, CASE WHEN (SELECT sqrt(sum(s * s)) FROM hr{k}) > 0.0
+      THEN s / (SELECT sqrt(sum(s * s)) FROM hr{k}) ELSE 0.0 END AS hub
+    FROM hr{k})""")
+        prev_h = f"h{k}"
+    return f"""
+  WITH w AS MATERIALIZED (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents),
+  l AS MATERIALIZED (
+    SELECT 'h' || (doc_id % 5) || '.example' AS src,
+           (CASE WHEN length(w) % 3 = 0 THEN 'h' || (length(w) % 5)
+                 ELSE 't' || (length(w) % 7) END) || '.example' AS dst
+    FROM w WHERE (i - 1) % 5 = 0 AND w <> ''),
+  e AS MATERIALIZED (
+    SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+    FROM l WHERE src <> dst GROUP BY 1, 2),
+  nodes AS MATERIALIZED (
+    SELECT DISTINCT uri FROM (
+      SELECT src AS uri FROM e UNION ALL SELECT dst AS uri FROM e)),
+  h0 AS (SELECT uri, 1.0::DOUBLE AS hub FROM nodes),{",".join(iters)}
+  SELECT h.uri AS uri, round(h.hub, 9) AS hub,
+         round(a.authority, 9) AS authority
+  FROM h{n_iter} h JOIN a{n_iter} a ON a.uri = h.uri"""
+
+
 def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank salience over the entity co-occurrence graph. The fixed
     10-iteration power method is mirrored in DuckDB as an unrolled chain

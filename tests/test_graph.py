@@ -206,3 +206,55 @@ def test_clustering_coefficients(spark):
            for r in clustering_coefficients(edges).collect()}
     assert got == {"a": (2, 1, 1.0), "b": (2, 1, 1.0),
                    "c": (3, 1, round(1 / 3, 9)), "d": (1, 0, 0.0)}
+
+
+def _directed(spark, triples):
+    return spark.createDataFrame(
+        triples, "uri_a string, uri_b string, n_docs int")
+
+
+def test_hits_bipartite_hubs_and_authorities(spark):
+    from dbpedia_spotlight_spark.operators.graph import hits
+    # 2 pure hubs each linking the same 3 pure authorities: symmetric,
+    # so hubs share one hub score, authorities one authority score;
+    # pure hubs have authority 0 and vice versa. L2 norms: hubs
+    # 1/sqrt(2) each, authorities 1/sqrt(3) each.
+    edges = _directed(spark, [
+        ("h1", f"a{i}", 1) for i in range(3)] + [
+        ("h2", f"a{i}", 1) for i in range(3)])
+    got = {r.uri: (round(r.hub, 9), round(r.authority, 9))
+           for r in hits(edges).collect()}
+    import math
+    hub_s = round(1 / math.sqrt(2), 9)
+    auth_s = round(1 / math.sqrt(3), 9)
+    assert got == {"h1": (hub_s, 0.0), "h2": (hub_s, 0.0),
+                   "a0": (0.0, auth_s), "a1": (0.0, auth_s),
+                   "a2": (0.0, auth_s)}
+
+
+def test_hits_distributed_matches_driver(spark):
+    import random
+    from dbpedia_spotlight_spark.operators.graph import hits
+    rng = random.Random(3)
+    hosts = [f"host{i}.example" for i in range(12)]
+    edges = sorted({(rng.choice(hosts), rng.choice(hosts))
+                    for _ in range(40)})
+    edges = [(a, b, rng.randint(1, 4)) for a, b in edges if a != b]
+    df = _directed(spark, edges)
+    drv = {r.uri: (round(r.hub, 9), round(r.authority, 9))
+           for r in hits(df).collect()}
+    dist = {r.uri: (round(r.hub, 9), round(r.authority, 9))
+            for r in hits(df, driver_threshold=0).collect()}
+    assert drv == dist
+
+
+def test_hits_distributed_checkpoint_dir_mode(spark, tmp_path):
+    from dbpedia_spotlight_spark.operators.graph import hits
+    edges = _directed(spark, [("a", "b", 1), ("b", "c", 2),
+                              ("c", "a", 1), ("a", "c", 3)])
+    drv = {r.uri: (round(r.hub, 9), round(r.authority, 9))
+           for r in hits(edges).collect()}
+    dist = {r.uri: (round(r.hub, 9), round(r.authority, 9))
+            for r in hits(edges, driver_threshold=0,
+                          checkpoint_dir=str(tmp_path)).collect()}
+    assert drv == dist

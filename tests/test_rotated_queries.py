@@ -91,6 +91,10 @@ ROTATED = [
     # clustering coefficients over the entity co-mention graph
     ("entity_triangles", Q.q_entity_triangles,
      Q.sql_entity_triangles),
+    # round-4 addition: HITS hubs/authorities over the directed host
+    # link graph (real HTML anchor extraction; 10 L2-normalized
+    # iterations unrolled as MATERIALIZED CTE chains)
+    ("host_hits", Q.q_host_hits, Q.sql_host_hits),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
