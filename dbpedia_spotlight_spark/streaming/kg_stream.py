@@ -81,8 +81,20 @@ class KGStore:
         delta_log/            appended change-log batches (audit/replay)
     """
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(self, spark: SparkSession, root: str,
+                 retain_gens: int = 1) -> None:
+        """``retain_gens`` is the snapshot-retention knob (Iceberg's
+        expire-snapshots analogue): ``advance`` keeps the newest N
+        generation directories and drops older ones. Retained
+        generations time-travel for free (``read_asof`` reads the
+        directory); expired ones are reconstructed from the delta log,
+        so ``expire_delta_log`` bounds how far back ``read_asof`` can
+        reach — exactly the Iceberg snapshot/metadata lifecycle
+        split."""
+        if retain_gens < 1:
+            raise ValueError("retain_gens must be >= 1")
         self.spark = spark
+        self.retain_gens = retain_gens
         self.root = root.rstrip("/")
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
@@ -195,9 +207,63 @@ class KGStore:
               .write.mode("append").partitionBy("gen")
               .parquet(f"{self.root}/delta_log"))
         self._write_pointer(gen, batch_id, token)
-        if prev is not None:
-            self._fs.delete(self._fs_path(self._gen_path(prev)), True)
+        cutoff = gen - self.retain_gens + 1
+        for g in range(max(0, cutoff - 64), cutoff):
+            p = self._fs_path(self._gen_path(g))
+            if self._fs.exists(p):
+                self._fs.delete(p, True)
         return gen
+
+    def read_asof(self, gen: int) -> DataFrame:
+        """Time-travel read: the triple snapshot as of generation
+        ``gen``. A retained generation (within ``retain_gens``) is read
+        straight from its directory; an expired one is reconstructed
+        from the CURRENT snapshot by net-change reversal over the delta
+        log — for each triple changed in (gen, latest], its FIRST
+        change in the window decides its state at ``gen`` (set-diff
+        deltas alternate added/removed per triple, so first = 'removed'
+        ⟺ the triple existed at ``gen``):
+
+            asof = latest ⟂ changed  ∪  {t : first_change(t)='removed'}
+
+        One groupBy over the gen-pruned log tail + one anti-join —
+        cost ∝ |changes since gen|, never a snapshot-sized diff.
+        ``expire_delta_log`` bounds the reachable horizon; reading past
+        it raises rather than silently returning a wrong snapshot.
+
+        Two invariants this reversal rests on (both pytest-pinned):
+        (1) ``subj`` embeds the url (``triples.subj_col``), so the
+        per-gen change log is a genuine set-diff on (subj, pred, obj) —
+        one url's 'removed' can never be shadowed by another url still
+        asserting the same triple; (2) every advanced generation
+        appends ≥1 delta row (``apply_pages_batch`` keeps the current
+        generation on a no-op batch instead of advancing), so a gap at
+        ``gen+1`` in the log always means expiry, never an empty
+        delta — callers driving ``advance`` directly must preserve
+        that (skip the advance when the delta is empty)."""
+        latest = self.latest_gen()
+        if latest is None or gen < 0 or gen > latest:
+            raise ValueError(f"generation {gen} does not exist "
+                             f"(latest = {latest})")
+        p = self._fs_path(self._gen_path(gen))
+        if self._fs.exists(p):
+            return self.spark.read.parquet(
+                f"{self._gen_path(gen)}/triples").select(
+                "subj", "pred", "obj")
+        log = self.read_log(since_gen=gen)
+        lo = log.select("gen").agg(F.min("gen").alias("lo")).collect()[0].lo
+        if lo is None or lo != gen + 1:
+            raise ValueError(
+                f"delta_log no longer reaches generation {gen} "
+                f"(oldest retained log gen = {lo}) — expired by "
+                "expire_delta_log")
+        changed = log.groupBy("subj", "pred", "obj").agg(
+            F.min_by("change", "gen").alias("first_change"))
+        keys = ["subj", "pred", "obj"]
+        kept = self.read().join(changed.select(*keys), keys, "left_anti")
+        was_present = changed.filter(
+            F.col("first_change") == "removed").select(*keys)
+        return kept.unionByName(was_present)
 
     def read_log(self, since_gen: int = -1) -> DataFrame:
         """Change-data feed: delta_log rows with ``gen > since_gen``

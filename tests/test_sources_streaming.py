@@ -697,3 +697,63 @@ def test_kg_watermark_carry_forward_and_backfill_gate(spark, web_pages,
     assert n2 > 0 and store.latest_gen() == 1
     w1 = {r.url: r.warc_ts for r in store.read_url_watermarks().collect()}
     assert w1 == w0  # preserved verbatim
+
+
+def test_kg_store_time_travel_and_retention(spark, tmp_path):
+    """retain_gens keeps N snapshot directories; read_asof serves a
+    retained generation from its directory and reconstructs an expired
+    one by net-change reversal over the delta log (including a triple
+    removed then re-added — the min_by first-change case); reading past
+    the expire_delta_log horizon raises instead of answering wrong."""
+    import pytest as _pytest
+
+    from dbpedia_spotlight_spark.streaming.kg_stream import KGStore
+
+    store = KGStore(spark, str(tmp_path / "kg"), retain_gens=2)
+
+    def triples(*rows):
+        return spark.createDataFrame(
+            [(s, "p", o) for s, o in rows],
+            "subj string, pred string, obj string")
+
+    def delta(*rows):
+        return spark.createDataFrame(
+            [(s.split("#")[0], s, "p", o, c) for s, o, c in rows],
+            "url string, subj string, pred string, obj string, "
+            "change string")
+
+    A, B, C = ("u1#a", "A"), ("u2#b", "B"), ("u3#c", "C")
+    # gen 0 {A} → gen 1 {A,B} → gen 2 {B,C} (A removed) → gen 3 {A,B,C}
+    # (A re-added: exercises first-change-wins in the reversal)
+    store.advance(triples(A), delta((*A, "added")), 0)
+    store.advance(triples(A, B), delta((*B, "added")), 1)
+    store.advance(triples(B, C),
+                  delta((*A, "removed"), (*C, "added")), 2)
+    store.advance(triples(A, B, C), delta((*A, "added")), 3)
+
+    def tset(df):
+        return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+    t = lambda *rows: {(s, "p", o) for s, o in rows}
+    # retention: only the newest retain_gens=2 snapshot dirs survive
+    kept_dirs = sorted(p.name for p in (tmp_path / "kg").iterdir()
+                       if p.name.startswith("gen-"))
+    assert kept_dirs == ["gen-00002", "gen-00003"]
+
+    assert tset(store.read_asof(3)) == t(A, B, C)   # directory read
+    assert tset(store.read_asof(2)) == t(B, C)      # directory read
+    assert tset(store.read_asof(1)) == t(A, B)      # log reversal
+    assert tset(store.read_asof(0)) == t(A)         # log reversal
+    for bad in (-1, 4):
+        with _pytest.raises(ValueError, match="does not exist"):
+            store.read_asof(bad)
+
+    # expire gens 0,1 from the log: gen 1 stays reachable (needs only
+    # changes in (1,3]), gen 0 now raises rather than reconstructing
+    assert store.expire_delta_log(keep_last=2) == 2
+    assert tset(store.read_asof(1)) == t(A, B)
+    with _pytest.raises(ValueError, match="no longer reaches"):
+        store.read_asof(0)
+
+    with _pytest.raises(ValueError, match="retain_gens"):
+        KGStore(spark, str(tmp_path / "kg2"), retain_gens=0)
