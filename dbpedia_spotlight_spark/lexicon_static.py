@@ -115,6 +115,20 @@ TYPE_HIERARCHY: list[tuple[str, str]] = [
     ("Concept", "Thing"),
 ]
 
+# rdfs:domain / rdfs:range declarations for the KG's emission
+# predicates — the property-schema fixture for the rdfs:2/3 entailment
+# pair. Both engines inline THESE rows; 'Concept' chains into
+# TYPE_HIERARCHY so the composed rdfs:2/3∘9 lift is exercised, while
+# 'nif:Phrase' (not in the hierarchy) pins the no-supertype case. Both
+# predicates declaring the same domain pins the cross-predicate dedup.
+PRED_DOMAINS: list[tuple[str, str]] = [
+    ("nif:anchorOf", "nif:Phrase"),
+    ("itsrdf:taIdentRef", "nif:Phrase"),
+]
+PRED_RANGES: list[tuple[str, str]] = [
+    ("itsrdf:taIdentRef", "Concept"),
+]
+
 # corpus vocabulary (token types); counts are nominal corpus frequencies
 VOCAB = (
     "key agg row scan slow fast table value part hash merge batch spark "

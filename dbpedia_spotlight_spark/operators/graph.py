@@ -63,6 +63,54 @@ def cooccurrence_edges(links: DataFrame, doc_col: str = "doc_id",
     )
 
 
+def pmi_edges(links: DataFrame, doc_col: str = "doc_id",
+              uri_col: str = "uri",
+              max_entities_per_doc: int = 1000) -> DataFrame:
+    """Association-weighted co-mention edges: (uri_a, uri_b, n_ab, n_a,
+    n_b, pmi, npmi) where n_ab = documents mentioning both, n_x =
+    documents mentioning x, over N = documents with ≥1 linked entity.
+
+        pmi  = ln( n_ab · N / (n_a · n_b) )
+        npmi = pmi / −ln(n_ab / N)     (1.0 when n_ab = N)
+
+    Raw co-mention counts rank hub entities first on frequency alone;
+    PMI is the standard correction (positive = co-occur more than
+    independence predicts), and NPMI bounds it to [−1, 1] so a single
+    threshold works across corpus sizes — the edge-significance score a
+    KG consumer filters on before clustering or embedding.
+
+    Plan: the pair expansion reuses ``cooccurrence_edges`` (one groupBy
+    per doc, quadratic guard); marginals are one countDistinct keyed on
+    uri; N rides in as a BROADCAST one-row join (no driver action, no
+    global window). The two marginal joins key on uri — entity-sized,
+    map-side prunable — so nothing here keys on url/host and corpus
+    skew never reaches an exchange. Scores are rounded to 9 decimals
+    (the cross-engine ulp contract used by every double-valued oracle)."""
+    links_d = links.select(doc_col, uri_col).distinct()
+    edges = cooccurrence_edges(links, doc_col, uri_col,
+                               max_entities_per_doc)
+    marg = links_d.groupBy(uri_col).agg(
+        F.countDistinct(doc_col).alias("n"))
+    total = links_d.agg(F.countDistinct(doc_col).alias("N"))
+    out = (
+        edges.withColumnRenamed("n_docs", "n_ab")
+        .join(marg.select(F.col(uri_col).alias("uri_a"),
+                          F.col("n").alias("n_a")), "uri_a")
+        .join(marg.select(F.col(uri_col).alias("uri_b"),
+                          F.col("n").alias("n_b")), "uri_b")
+        .join(F.broadcast(total))
+    )
+    pmi = F.log(F.col("n_ab") * F.col("N")
+                / (F.col("n_a") * F.col("n_b")))
+    npmi = F.when(F.col("n_ab") == F.col("N"), F.lit(1.0)) \
+        .otherwise(pmi / -F.log(F.col("n_ab") / F.col("N")))
+    return out.select(
+        "uri_a", "uri_b", "n_ab", "n_a", "n_b",
+        F.round(pmi, 9).alias("pmi"),
+        F.round(npmi, 9).alias("npmi"),
+    )
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85,
              n_iter: int = 10, driver_threshold: int = 100_000,
              checkpoint_dir: str | None = None) -> DataFrame:

@@ -27,6 +27,8 @@ from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
 
 RDF_TYPE = "rdf:type"
 RDFS_SUBCLASS = "rdfs:subClassOf"
+RDFS_DOMAIN = "rdfs:domain"
+RDFS_RANGE = "rdfs:range"
 
 
 def subclass_closure(edges: DataFrame, max_depth: int = 20,
@@ -95,6 +97,36 @@ def infer_types(type_stmts: DataFrame, closure: DataFrame) -> DataFrame:
         .dropDuplicates(["subj", "obj"])
         .select("subj", F.lit(RDF_TYPE).alias("pred"), "obj")
     )
+
+
+def infer_domain_range(kg: DataFrame, domains: DataFrame,
+                       ranges: DataFrame,
+                       closure: DataFrame | None = None) -> DataFrame:
+    """rdfs:2/3 entailment — the property-schema half of RDFS typing:
+
+        (s, p, o) ∧ (p rdfs:domain C) ⊢ (s, rdf:type, C)     [rdfs:2]
+        (s, p, o) ∧ (p rdfs:range  C) ⊢ (o, rdf:type, C)     [rdfs:3]
+
+    ``domains`` / ``ranges`` are (pred, cls) declaration frames — the
+    property vocabulary, structurally tiny like the class hierarchy, so
+    both joins broadcast and the corpus-scale statement stream is never
+    collected or exploded (a statement whose predicate declares k
+    classes yields k rows; real schemas declare 1). With ``closure``
+    (``subclass_closure`` output), the derived assertions are lifted
+    through rdfs:9 so domain/range classes inherit upward — the
+    composed rdfs:2/3∘9 chain a KG consumer expects. Returns (subj,
+    rdf:type, obj) with set semantics (a subject reached through
+    several predicates/positions types once)."""
+    stmts = kg.select("subj", "pred", "obj")
+    d = (stmts.join(F.broadcast(domains.select("pred", "cls")), "pred")
+         .select("subj", F.col("cls").alias("obj")))
+    r = (stmts.join(F.broadcast(ranges.select("pred", "cls")), "pred")
+         .select(F.col("obj").alias("subj"), F.col("cls").alias("obj")))
+    out = (d.unionByName(r).dropDuplicates(["subj", "obj"])
+           .select("subj", F.lit(RDF_TYPE).alias("pred"), "obj"))
+    if closure is not None:
+        out = infer_types(out, closure)
+    return out
 
 
 def _reflexive_terms(kg: DataFrame) -> DataFrame:
@@ -486,6 +518,36 @@ def bgp_union(kg: DataFrame, groups: list[dict | list],
     for expr in filters or []:
         out = out.filter(F.expr(expr))
     return out.select(*sorted(out.columns))
+
+
+def bgp_aggregate(kg: DataFrame, patterns: list[tuple[str, str, str]],
+                  group_by: list[str], aggregates: dict[str, str],
+                  having: str | None = None, **kwargs) -> DataFrame:
+    """SPARQL 1.1 aggregation: GROUP BY + aggregate projections +
+    HAVING over the solution sequence of a group graph pattern.
+    ``group_by`` lists '?var' grouping keys (empty = one global group,
+    the SPARQL implicit-group rule); ``aggregates`` is an ordered
+    {output_name: spark-SQL-aggregate-expr} (``{"n": "count(*)",
+    "n_e": "count(distinct e)"}``) over the variable columns; ``having``
+    filters the grouped rows (may reference the aggregate aliases).
+    Remaining kwargs (optional/filters/values/bind/minus) pass through
+    to ``bgp_match``.
+
+    SPARQL groups null bindings (an unmatched OPTIONAL variable) as a
+    key value like any other — exactly Spark's groupBy null semantics,
+    so nothing special is needed. The aggregation itself is ONE
+    map-side-combinable shuffle keyed on the grouping variables; when
+    those are entity/type-valued the key space is KG-sized, never
+    url/host-sized, so corpus skew does not reach this exchange."""
+    if not aggregates:
+        raise ValueError("bgp_aggregate requires at least one aggregate")
+    sols = bgp_match(kg, patterns, **kwargs)
+    keys = [v[1:] if v.startswith("?") else v for v in group_by]
+    aggs = [F.expr(expr).alias(name) for name, expr in aggregates.items()]
+    out = sols.groupBy(*keys).agg(*aggs) if keys else sols.agg(*aggs)
+    if having is not None:
+        out = out.filter(F.expr(having))
+    return out
 
 
 def ask(kg: DataFrame, patterns: list[tuple[str, str, str]],

@@ -4285,6 +4285,151 @@ def sql_kg_type_cardinality() -> str:
   FROM it GROUP BY subj HAVING count(DISTINCT obj) > 1"""
 
 
+def _sql_mention_frame() -> str:
+    """Shared oracle fragment: the distinct (mention-fragment, sf, uri)
+    rows of the k=1 generative KG snapshot — the relational image of
+    mention_triples ∪ link_triples keyed by the nif fragment id."""
+    return f"""
+  g AS ({_sql_generative(k=1)}),
+  m AS (
+    SELECT DISTINCT url || '#char=' || CAST("begin" AS VARCHAR) || ','
+           || CAST("end" AS VARCHAR) AS m, surface_form AS sf, uri AS e
+    FROM g)"""
+
+
+def q_infer_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdfs:2/3 property-schema entailment over the materialized KG
+    (operators/ontology.py::infer_domain_range): the fixture declares
+    domains for BOTH emission predicates (every mention fragment types
+    nif:Phrase exactly once — cross-predicate dedup) and range Concept
+    for the link predicate (every linked entity types Concept), then
+    the rdfs:9 closure lift adds Thing. Oracle replays the declaration
+    joins over the relational snapshot and unrolls the depth-2
+    closure."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_domain_range, subclass_closure)
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import link_triples, mention_triples
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (link_triples(ann).select("subj", "pred", "obj")
+          .unionByName(mention_triples(ann).select("subj", "pred", "obj")))
+    doms = spark.createDataFrame(LEX.PRED_DOMAINS, "pred string, cls string")
+    rans = spark.createDataFrame(LEX.PRED_RANGES, "pred string, cls string")
+    edges = spark.createDataFrame(LEX.TYPE_HIERARCHY,
+                                  "sub string, sup string")
+    return infer_domain_range(kg, doms, rans,
+                              closure=subclass_closure(edges))
+
+
+def sql_infer_domain_range() -> str:
+    dom_vals = ", ".join(f"('{p}', '{c}')" for p, c in LEX.PRED_DOMAINS)
+    ran_vals = ", ".join(f"('{p}', '{c}')" for p, c in LEX.PRED_RANGES)
+    edge_vals = ", ".join(f"('{a}', '{b}')" for a, b in LEX.TYPE_HIERARCHY)
+    return f"""
+  WITH {_sql_mention_frame()},
+  tri AS (
+    SELECT m AS subj, 'nif:anchorOf' AS pred, sf AS obj FROM m
+    UNION ALL
+    SELECT m, 'itsrdf:taIdentRef', e FROM m),
+  asserted AS (
+    SELECT t.subj AS subj, d.cls AS obj
+    FROM tri t JOIN (VALUES {dom_vals}) d(pred, cls) ON d.pred = t.pred
+    UNION
+    SELECT t.obj, r.cls
+    FROM tri t JOIN (VALUES {ran_vals}) r(pred, cls) ON r.pred = t.pred),
+  e AS (SELECT * FROM (VALUES {edge_vals}) v(sub, sup)),
+  clos AS (
+    SELECT sub, sup FROM e
+    UNION
+    SELECT a.sub, b.sup FROM e a JOIN e b ON a.sup = b.sub)
+  SELECT DISTINCT subj, 'rdf:type' AS pred, obj FROM (
+    SELECT subj, obj FROM asserted
+    UNION
+    SELECT a.subj, c.sup FROM asserted a JOIN clos c ON c.sub = a.obj) u"""
+
+
+def q_bgp_agg_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 aggregation (operators/ontology.py::bgp_aggregate):
+    GROUP BY ?t over the typed-mention BGP with COUNT(*) +
+    COUNT(DISTINCT ?e) and a HAVING gate on the mention count — the
+    per-class KG census a consumer runs first. The HAVING threshold is
+    non-vacuous at both driver SFs (rare classes drop)."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_aggregate
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import (
+        link_triples, mention_triples, type_triples)
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (link_triples(ann).select("subj", "pred", "obj")
+          .unionByName(mention_triples(ann).select("subj", "pred", "obj"))
+          .unionByName(type_triples(ann)))
+    return bgp_aggregate(
+        kg,
+        [("?m", "nif:anchorOf", "?sf"),
+         ("?m", "itsrdf:taIdentRef", "?e"),
+         ("?e", "rdf:type", "?t")],
+        group_by=["?t"],
+        aggregates={"n_mentions": "count(*)",
+                    "n_entities": "count(distinct e)"},
+        having="n_mentions >= 100")
+
+
+def sql_bgp_agg_type_counts() -> str:
+    pairs = [(r[0], t) for r in LEX.entity_rows() for t in r[3]]
+    type_vals = ", ".join(f"('{u}', '{t}')" for u, t in pairs)
+    return f"""
+  WITH {_sql_mention_frame()},
+  sol AS (
+    SELECT m.m AS m, m.e AS e, t.typ AS t
+    FROM m JOIN (VALUES {type_vals}) t(uri, typ) ON t.uri = m.e)
+  SELECT t, COUNT(*) AS n_mentions,
+         COUNT(DISTINCT e) AS n_entities
+  FROM sol GROUP BY t HAVING COUNT(*) >= 100"""
+
+
+def q_pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-weighted co-mention edges
+    (operators/graph.py::pmi_edges): PMI/NPMI over the doc-level
+    co-occurrence graph — marginals by one uri-keyed countDistinct, N
+    via a broadcast one-row join, scores rounded to the 9dp
+    cross-engine contract. Oracle recomputes pairs, marginals and both
+    logs relationally."""
+    from dbpedia_spotlight_spark.operators.graph import pmi_edges
+    return pmi_edges(q_annotate_prior(spark, sf_dir))
+
+
+def sql_pmi_edges() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  ed AS (
+    SELECT x.uri AS uri_a, y.uri AS uri_b,
+           CAST(count(*) AS BIGINT) AS n_ab
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2),
+  mg AS (SELECT uri, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+         FROM du GROUP BY uri),
+  tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS N FROM du)
+  SELECT e.uri_a, e.uri_b, e.n_ab, a.n AS n_a, b.n AS n_b,
+         ROUND(ln(e.n_ab * t.N / CAST(a.n * b.n AS DOUBLE)), 9) AS pmi,
+         CASE WHEN e.n_ab = t.N THEN 1.0
+              ELSE ROUND(ln(e.n_ab * t.N / CAST(a.n * b.n AS DOUBLE))
+                         / (-ln(e.n_ab / CAST(t.N AS DOUBLE))), 9)
+         END AS npmi
+  FROM ed e
+  JOIN mg a ON a.uri = e.uri_a
+  JOIN mg b ON b.uri = e.uri_b
+  CROSS JOIN tot t"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

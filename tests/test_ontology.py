@@ -607,3 +607,92 @@ def test_ask_short_circuits(spark):
     from dbpedia_spotlight_spark.operators.ontology import ask
     assert ask(_kg(spark), [("?m", "itsrdf:taIdentRef", "Apache_Spark")])
     assert not ask(_kg(spark), [("?m", "itsrdf:taIdentRef", "NoSuch")])
+
+
+def _kg(spark, rows):
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_infer_domain_range_entails_and_lifts_through_closure(spark):
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_domain_range)
+    kg = _kg(spark, [
+        ("m1", "anchor", "Spark"),
+        ("m1", "ident", "dbr:Spark"),
+        ("m2", "ident", "dbr:Flink"),
+        ("dbr:Spark", RDF_TYPE, "Software"),  # rdf:type stmt: no decl
+    ])
+    doms = spark.createDataFrame(
+        [("anchor", "Phrase"), ("ident", "Phrase")], "pred string, cls string")
+    rans = spark.createDataFrame(
+        [("ident", "Concept")], "pred string, cls string")
+
+    got = {(r.subj, r.pred, r.obj)
+           for r in infer_domain_range(kg, doms, rans).collect()}
+    # m1 types once despite two declaring predicates (set semantics)
+    assert got == {
+        ("m1", RDF_TYPE, "Phrase"), ("m2", RDF_TYPE, "Phrase"),
+        ("dbr:Spark", RDF_TYPE, "Concept"),
+        ("dbr:Flink", RDF_TYPE, "Concept"),
+    }
+
+    clos = subclass_closure(_edges(spark, [("Concept", "Thing")]))
+    lifted = {(r.subj, r.obj) for r in
+              infer_domain_range(kg, doms, rans, closure=clos).collect()}
+    # Concept lifts to Thing (rdfs:9 compose); Phrase has no supertype
+    assert ("dbr:Spark", "Thing") in lifted and ("m1", "Thing") not in lifted
+    assert lifted == {(s, o) for s, _, o in got} | {
+        ("dbr:Spark", "Thing"), ("dbr:Flink", "Thing")}
+
+
+def test_bgp_aggregate_groups_counts_and_having(spark):
+    from dbpedia_spotlight_spark.operators.ontology import bgp_aggregate
+    kg = _kg(spark, [
+        ("m1", "ident", "e1"), ("m2", "ident", "e1"),
+        ("m3", "ident", "e2"), ("m4", "ident", "e3"),
+        ("e1", RDF_TYPE, "A"), ("e2", RDF_TYPE, "A"),
+        ("e3", RDF_TYPE, "B"),
+    ])
+    pats = [("?m", "ident", "?e"), ("?e", RDF_TYPE, "?t")]
+    got = {(r.t, r.n_mentions, r.n_entities) for r in bgp_aggregate(
+        kg, pats, group_by=["?t"],
+        aggregates={"n_mentions": "count(*)",
+                    "n_entities": "count(distinct e)"}).collect()}
+    assert got == {("A", 3, 2), ("B", 1, 1)}
+
+    # HAVING over an aggregate alias
+    kept = bgp_aggregate(
+        kg, pats, group_by=["?t"], aggregates={"n_mentions": "count(*)"},
+        having="n_mentions >= 2").collect()
+    assert [(r.t, r.n_mentions) for r in kept] == [("A", 3)]
+
+    # empty group_by = one global group (SPARQL implicit group)
+    row = bgp_aggregate(kg, pats, group_by=[],
+                        aggregates={"n": "count(*)"}).collect()
+    assert [(r.n,) for r in row] == [(4,)]
+
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        bgp_aggregate(kg, pats, group_by=["?t"], aggregates={})
+
+
+def test_pmi_edges_match_hand_computation(spark):
+    import math
+
+    from dbpedia_spotlight_spark.operators.graph import pmi_edges
+    # N=4 docs: {a,b} ×2, {a,c}, {b} alone — a,b co-occur at chance,
+    # a,c positively associated
+    links = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "a"), (1, "b"), (2, "a"), (2, "c"),
+         (3, "b"), (2, "a")],  # duplicate mention collapses
+        "doc_id int, uri string")
+    got = {(r.uri_a, r.uri_b):
+           (r.n_ab, r.n_a, r.n_b, r.pmi, r.npmi)
+           for r in pmi_edges(links).collect()}
+    assert set(got) == {("a", "b"), ("a", "c")}
+    n_ab, n_a, n_b, pmi, npmi = got[("a", "b")]
+    assert (n_ab, n_a, n_b) == (2, 3, 3)
+    assert pmi == round(math.log(2 * 4 / 9), 9)
+    assert npmi == round(math.log(8 / 9) / -math.log(2 / 4), 9)
+    n_ab, n_a, n_b, pmi, npmi = got[("a", "c")]
+    assert (n_ab, n_a, n_b) == (1, 3, 1)
+    assert pmi == round(math.log(4 / 3), 9)

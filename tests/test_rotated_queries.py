@@ -95,6 +95,17 @@ ROTATED = [
     # link graph (real HTML anchor extraction; 10 L2-normalized
     # iterations unrolled as MATERIALIZED CTE chains)
     ("host_hits", Q.q_host_hits, Q.sql_host_hits),
+    # round-4 addition: rdfs:2/3 domain/range entailment composed with
+    # the rdfs:9 closure lift (property-schema half of RDFS typing)
+    ("infer_domain_range", Q.q_infer_domain_range,
+     Q.sql_infer_domain_range),
+    # round-4 addition: SPARQL 1.1 aggregation (GROUP BY + COUNT +
+    # COUNT DISTINCT + HAVING over the typed-mention BGP solutions)
+    ("bgp_agg_type_counts", Q.q_bgp_agg_type_counts,
+     Q.sql_bgp_agg_type_counts),
+    # round-4 addition: PMI/NPMI association weighting of the entity
+    # co-mention graph (broadcast one-row N join, 9dp log contract)
+    ("pmi_edges", Q.q_pmi_edges, Q.sql_pmi_edges),
     # round-4 second rotation OUT (3+ green rounds; coverage retained
     # through containing registry queries — see queries() docstring)
     ("candidates_generative", Q.q_candidates_generative,
