@@ -113,7 +113,8 @@ def pmi_edges(links: DataFrame, doc_col: str = "doc_id",
 
 def pagerank(edges: DataFrame, damping: float = 0.85,
              n_iter: int = 10, driver_threshold: int = 100_000,
-             checkpoint_dir: str | None = None) -> DataFrame:
+             checkpoint_dir: str | None = None,
+             weight_col: str = "n_docs") -> DataFrame:
     """PageRank over the undirected co-occurrence graph (each edge
     contributes both directions), deterministic fixed-iteration power
     method. Returns (uri, rank) with Σ rank = 1 (dangling mass
@@ -125,16 +126,20 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     dimension joins); larger graphs run the distributed join loop.
     ``checkpoint_dir`` switches the per-iteration lineage cut to
     reliable-checkpoint mode (flat storage for large n_iter — see
-    operators/iterate.py)."""
+    operators/iterate.py). ``weight_col`` selects the edge weight —
+    raw co-mention counts by default, or an association score such as
+    ``pmi_edges``' npmi (weights must be positive: filter npmi > 0
+    first, since a negative weight has no random-walk reading)."""
     if edges.limit(driver_threshold).count() < driver_threshold:
-        return _pagerank_driver(edges, damping, n_iter)
-    # directed edge list both ways, weighted by n_docs
+        return _pagerank_driver(edges, damping, n_iter, weight_col)
+    # directed edge list both ways (undirected graph: each edge feeds
+    # the walk in both directions)
     fwd = edges.select(F.col("uri_a").alias("src"),
                        F.col("uri_b").alias("dst"),
-                       F.col("n_docs").alias("w"))
+                       F.col(weight_col).alias("w"))
     rev = edges.select(F.col("uri_b").alias("src"),
                        F.col("uri_a").alias("dst"),
-                       F.col("n_docs").alias("w"))
+                       F.col(weight_col).alias("w"))
     directed = fwd.unionByName(rev)
     out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm = (
@@ -168,12 +173,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return ranks
 
 
-def _pagerank_driver(edges: DataFrame, damping: float, n_iter: int) -> DataFrame:
+def _pagerank_driver(edges: DataFrame, damping: float, n_iter: int,
+                     weight_col: str = "n_docs") -> DataFrame:
     """numpy power iteration for small graphs — identical math to the
     distributed loop (tests pin both against a python oracle)."""
     import numpy as np
 
-    rows = edges.select("uri_a", "uri_b", "n_docs").collect()
+    rows = edges.select("uri_a", "uri_b", weight_col).collect()
     nodes = sorted({u for r in rows for u in (r.uri_a, r.uri_b)})
     if not nodes:
         return edges.sparkSession.createDataFrame([], "uri string, rank double")
@@ -181,7 +187,7 @@ def _pagerank_driver(edges: DataFrame, damping: float, n_iter: int) -> DataFrame
     n = len(nodes)
     src, dst, w = [], [], []
     for r in rows:
-        a, b, ww = idx[r.uri_a], idx[r.uri_b], float(r.n_docs)
+        a, b, ww = idx[r.uri_a], idx[r.uri_b], float(r[weight_col])
         src += [a, b]
         dst += [b, a]
         w += [ww, ww]

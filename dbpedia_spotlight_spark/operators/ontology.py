@@ -550,6 +550,57 @@ def bgp_aggregate(kg: DataFrame, patterns: list[tuple[str, str, str]],
     return out
 
 
+def bgp_select(kg: DataFrame, patterns: list[tuple[str, str, str]],
+               select_vars: list[str] | None = None,
+               distinct: bool = False,
+               order_by: list[str | tuple[str, str]] | None = None,
+               limit: int | None = None, offset: int = 0,
+               **kwargs) -> DataFrame:
+    """SPARQL SELECT solution modifiers over a group graph pattern:
+    projection (``select_vars``, '?var' names; None = SELECT *), then
+    DISTINCT, ORDER BY (list of '?var' or ('?var', 'desc')), OFFSET,
+    LIMIT — applied in the SPARQL modifier order. Remaining kwargs pass
+    through to ``bgp_match``.
+
+    Determinism: a LIMIT/OFFSET page is only well-defined under a TOTAL
+    order — include a tie-breaking variable in ``order_by`` (as the
+    oracle pair does); SPARQL itself leaves tie order
+    implementation-defined. Plan shape: ORDER BY + LIMIT collapses to
+    TakeOrderedAndProject (a per-partition top-k + one k-row merge on
+    the driver — no global sort shuffle); an un-LIMITed ORDER BY is the
+    one genuinely global operation here, kept for the final
+    user-facing page, never mid-pipeline."""
+    sols = bgp_match(kg, patterns, **kwargs)
+    if select_vars is not None:
+        sols = sols.select(
+            *[v[1:] if v.startswith("?") else v for v in select_vars])
+    if distinct:
+        sols = sols.dropDuplicates()
+    if order_by:
+        cols = []
+        for o in order_by:
+            v, direction = o if isinstance(o, tuple) else (o, "asc")
+            c = F.col(v[1:] if v.startswith("?") else v)
+            cols.append(c.desc() if direction == "desc" else c.asc())
+        sols = sols.orderBy(*cols)
+    if offset:
+        sols = sols.offset(offset)
+    if limit is not None:
+        sols = sols.limit(limit)
+    return sols
+
+
+def describe(kg: DataFrame, uri: str) -> DataFrame:
+    """SPARQL DESCRIBE (concise-bounded form): every triple in which
+    the resource appears as subject or object. One OR-of-equalities
+    filter — pushed to the snapshot scan (parquet handles OR of
+    point predicates), so a DESCRIBE reads only the row groups whose
+    min/max straddle the uri."""
+    return (kg.filter((F.col("subj") == uri) | (F.col("obj") == uri))
+            .select("subj", "pred", "obj")
+            .dropDuplicates(["subj", "pred", "obj"]))
+
+
 def ask(kg: DataFrame, patterns: list[tuple[str, str, str]],
         **kwargs) -> bool:
     """SPARQL ASK — does at least one solution exist? ``take(1)`` so

@@ -4394,6 +4394,37 @@ def sql_bgp_agg_type_counts() -> str:
   FROM sol GROUP BY t HAVING COUNT(*) >= 100"""
 
 
+def q_bgp_select_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL SELECT solution modifiers
+    (operators/ontology.py::bgp_select): projection to (?sf, ?e),
+    DISTINCT (collapses the per-mention fan-out), total ORDER BY and an
+    OFFSET 5 / LIMIT 10 page — non-vacuous on the 22-pair lexicon at
+    both driver SFs (head and tail both dropped). ORDER BY + LIMIT
+    collapses to TakeOrderedAndProject (per-partition top-k, no global
+    sort shuffle)."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_select
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import link_triples, mention_triples
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (link_triples(ann).select("subj", "pred", "obj")
+          .unionByName(mention_triples(ann).select("subj", "pred", "obj")))
+    return bgp_select(
+        kg,
+        [("?m", "nif:anchorOf", "?sf"), ("?m", "itsrdf:taIdentRef", "?e")],
+        select_vars=["?sf", "?e"], distinct=True,
+        order_by=["?sf", "?e"], offset=5, limit=10)
+
+
+def sql_bgp_select_page() -> str:
+    return f"""
+  WITH {_sql_mention_frame()}
+  SELECT DISTINCT sf, e FROM m ORDER BY sf, e LIMIT 10 OFFSET 5"""
+
+
 def q_pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-weighted co-mention edges
     (operators/graph.py::pmi_edges): PMI/NPMI over the doc-level

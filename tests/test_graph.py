@@ -258,3 +258,37 @@ def test_hits_distributed_checkpoint_dir_mode(spark, tmp_path):
             for r in hits(edges, driver_threshold=0,
                           checkpoint_dir=str(tmp_path)).collect()}
     assert drv == dist
+
+
+@pytest.mark.parametrize("threshold", [100_000, 0])
+def test_pagerank_weight_col_npmi(spark, threshold):
+    """weight_col generalization: PageRank over fractional npmi weights
+    (positive-filtered) matches the python oracle on both paths, and
+    differs from the count-weighted ranking (the weights matter)."""
+    from dbpedia_spotlight_spark.operators.graph import pagerank
+    E = [("A", "B", 0.9), ("B", "C", 0.1), ("A", "C", 0.5)]
+    edges = spark.createDataFrame(
+        E, "uri_a string, uri_b string, npmi double")
+    got = {r.uri: r.rank for r in
+           pagerank(edges, n_iter=12, driver_threshold=threshold,
+                    weight_col="npmi").collect()}
+
+    nodes = sorted({u for a, b, _ in E for u in (a, b)})
+    out = {u: 0.0 for u in nodes}
+    adj = []
+    for a, b, w in E:
+        adj += [(a, b, w), (b, a, w)]
+    for s, _, w in adj:
+        out[s] += w
+    d, n = 0.85, len(nodes)
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(12):
+        nxt = {u: (1 - d) / n for u in nodes}
+        for s, t, w in adj:
+            nxt[t] += d * rank[s] * (w / out[s])
+        rank = nxt
+    for u in nodes:
+        assert abs(got[u] - rank[u]) < 1e-9, (u, got[u], rank[u])
+    # npmi weighting must reorder vs uniform weights: C hangs off the
+    # weak edges, so it ranks strictly below A here
+    assert got["A"] > got["C"]

@@ -696,3 +696,28 @@ def test_pmi_edges_match_hand_computation(spark):
     n_ab, n_a, n_b, pmi, npmi = got[("a", "c")]
     assert (n_ab, n_a, n_b) == (1, 3, 1)
     assert pmi == round(math.log(4 / 3), 9)
+
+
+def test_bgp_select_modifiers_and_describe(spark):
+    from dbpedia_spotlight_spark.operators.ontology import (
+        bgp_select, describe)
+    kg = _kg(spark, [
+        ("m1", "ident", "e1"), ("m2", "ident", "e1"),
+        ("m3", "ident", "e2"), ("m4", "ident", "e3"),
+        ("e1", RDF_TYPE, "A"), ("e2", RDF_TYPE, "A"),
+        ("e3", RDF_TYPE, "B"),
+    ])
+    pats = [("?m", "ident", "?e"), ("?e", RDF_TYPE, "?t")]
+    # projection + DISTINCT collapses the per-mention fan-out
+    got = bgp_select(kg, pats, select_vars=["?e", "?t"], distinct=True,
+                     order_by=["?e"]).collect()
+    assert [(r.e, r.t) for r in got] == [("e1", "A"), ("e2", "A"),
+                                         ("e3", "B")]
+    # ORDER BY desc + OFFSET + LIMIT page (total order via tie-break)
+    page = bgp_select(kg, pats, select_vars=["?m"],
+                      order_by=[("?m", "desc")], offset=1, limit=2)
+    assert [r.m for r in page.collect()] == ["m3", "m2"]
+    # DESCRIBE: subject and object occurrences, set semantics
+    desc = {(r.subj, r.pred, r.obj) for r in describe(kg, "e1").collect()}
+    assert desc == {("m1", "ident", "e1"), ("m2", "ident", "e1"),
+                    ("e1", RDF_TYPE, "A")}

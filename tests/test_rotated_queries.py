@@ -103,6 +103,9 @@ ROTATED = [
     # COUNT DISTINCT + HAVING over the typed-mention BGP solutions)
     ("bgp_agg_type_counts", Q.q_bgp_agg_type_counts,
      Q.sql_bgp_agg_type_counts),
+    # round-4 addition: SPARQL SELECT modifiers (projection + DISTINCT
+    # + total ORDER BY + OFFSET/LIMIT page)
+    ("bgp_select_page", Q.q_bgp_select_page, Q.sql_bgp_select_page),
     # round-4 addition: PMI/NPMI association weighting of the entity
     # co-mention graph (broadcast one-row N join, 9dp log contract)
     ("pmi_edges", Q.q_pmi_edges, Q.sql_pmi_edges),
