@@ -609,14 +609,14 @@ def test_ask_short_circuits(spark):
     assert not ask(_kg(spark), [("?m", "itsrdf:taIdentRef", "NoSuch")])
 
 
-def _kg(spark, rows):
+def _kg_rows(spark, rows):
     return spark.createDataFrame(rows, "subj string, pred string, obj string")
 
 
 def test_infer_domain_range_entails_and_lifts_through_closure(spark):
     from dbpedia_spotlight_spark.operators.ontology import (
         infer_domain_range)
-    kg = _kg(spark, [
+    kg = _kg_rows(spark, [
         ("m1", "anchor", "Spark"),
         ("m1", "ident", "dbr:Spark"),
         ("m2", "ident", "dbr:Flink"),
@@ -647,7 +647,7 @@ def test_infer_domain_range_entails_and_lifts_through_closure(spark):
 
 def test_bgp_aggregate_groups_counts_and_having(spark):
     from dbpedia_spotlight_spark.operators.ontology import bgp_aggregate
-    kg = _kg(spark, [
+    kg = _kg_rows(spark, [
         ("m1", "ident", "e1"), ("m2", "ident", "e1"),
         ("m3", "ident", "e2"), ("m4", "ident", "e3"),
         ("e1", RDF_TYPE, "A"), ("e2", RDF_TYPE, "A"),
@@ -701,7 +701,7 @@ def test_pmi_edges_match_hand_computation(spark):
 def test_bgp_select_modifiers_and_describe(spark):
     from dbpedia_spotlight_spark.operators.ontology import (
         bgp_select, describe)
-    kg = _kg(spark, [
+    kg = _kg_rows(spark, [
         ("m1", "ident", "e1"), ("m2", "ident", "e1"),
         ("m3", "ident", "e2"), ("m4", "ident", "e3"),
         ("e1", RDF_TYPE, "A"), ("e2", RDF_TYPE, "A"),
