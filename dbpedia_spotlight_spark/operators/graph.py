@@ -111,6 +111,63 @@ def pmi_edges(links: DataFrame, doc_col: str = "doc_id",
     )
 
 
+def maintain_comention(incidence: DataFrame, edge_counts: DataFrame,
+                       delta: DataFrame,
+                       max_entities_per_doc: int = 1000
+                       ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Counting-IVM maintenance of the co-mention graph over the KG
+    delta-log CDC feed (``KGStore.read_log`` rows: url, subj, pred,
+    obj, change) — the graph-side twin of
+    ``ontology.maintain_entailed_types``. Two counting states:
+
+    - ``incidence``: (url, uri, n_links) — live mention→entity link
+      count per page (init: empty frame of that schema);
+    - ``edge_counts``: (uri_a, uri_b, n_docs) with uri_a < uri_b —
+      the co-mention edge table, kept ≡ ``cooccurrence_edges`` over
+      the live incidence (pytest-pinned against full recompute).
+
+    One fold: link rows signed-summed per (url, uri); pages whose
+    ENTITY SET actually changed (an incidence count crossed zero —
+    not mere mention-count churn) are the only pages whose pair
+    contributions are recomputed, old set −1 / new set +1, merged into
+    the edge counts. Returns (new_incidence, new_edge_counts,
+    edge_delta) where edge_delta is the added/removed EDGES (n_docs
+    crossing zero) for a downstream graph-structure change log.
+
+    Cost ∝ delta + touched-pages × entities/page² — never a corpus
+    rescan, never keyed on host (the pair keys spread a mega-host's
+    pages over the entity-pair space). The same quadratic guard as the
+    batch operator applies per page. Callers persist both states per
+    generation exactly like EntailStore does its two frames."""
+    from dbpedia_spotlight_spark.operators.ontology import _merge_counts
+    from dbpedia_spotlight_spark.triples import PRED_IDENT
+    sign = (F.when(F.col("change") == "added", F.lit(1))
+            .otherwise(F.lit(-1)))
+    d = (delta.filter(F.col("pred") == PRED_IDENT)
+         .groupBy("url", F.col("obj").alias("uri"))
+         .agg(F.sum(sign).cast("long").alias("dw")))
+    new_inc, inc_crossing = _merge_counts(incidence, d,
+                                          ["url", "uri"], "n_links")
+    touched = inc_crossing.select("url").distinct()
+    old_pairs = cooccurrence_edges(
+        incidence.join(touched, "url", "left_semi"),
+        "url", "uri", max_entities_per_doc)
+    new_pairs = cooccurrence_edges(
+        new_inc.join(touched, "url", "left_semi"),
+        "url", "uri", max_entities_per_doc)
+    d_edges = (
+        new_pairs.select("uri_a", "uri_b", F.col("n_docs").alias("dw"))
+        .unionByName(old_pairs.select(
+            "uri_a", "uri_b", (-F.col("n_docs")).alias("dw")))
+        .groupBy("uri_a", "uri_b")
+        .agg(F.sum("dw").cast("long").alias("dw"))
+        .filter(F.col("dw") != 0)
+    )
+    new_edges, edge_delta = _merge_counts(edge_counts, d_edges,
+                                          ["uri_a", "uri_b"], "n_docs")
+    return new_inc, new_edges, edge_delta
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85,
              n_iter: int = 10, driver_threshold: int = 100_000,
              checkpoint_dir: str | None = None,

@@ -318,7 +318,10 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
     - ``^p``   inverse: subj/obj swap — (s, ^p, o) ≡ (o, p, s);
     - ``p|q``  alternation: an isin filter on the pred column.
     The forms don't nest (``^p+``/``(p|q)+`` raise) — compose those by
-    materializing the inner step first."""
+    materializing the inner step first. Sequence paths (``p/q``) are
+    handled one level up (``_expand_sequences``): they rewrite to
+    chained patterns before reaching here, so each step may be any of
+    the single-step forms above."""
     pred = pat[1]
     if not pred.startswith("?") and pred[-1] in "+*?" and len(pred) > 1:
         inner = pred[:-1]
@@ -363,6 +366,35 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
             df = df.filter(F.col(pos) == term)
     out = df.select(*[F.col(p).alias(v) for v, p in var_pos.items()])
     return out, set(var_pos)
+
+
+def _expand_sequences(patterns: list[tuple[str, str, str]],
+                      counter) -> list[tuple[str, str, str]]:
+    """SPARQL 1.1 sequence property paths: a constant predicate
+    containing '/' (``"p/q"``, ``"^p/q+"``) expands into chained
+    patterns through fresh internal variables — exactly the spec's
+    translation of sequence paths to triple patterns, so solution
+    multiplicity over distinct intermediates is preserved (bag
+    semantics). Each step may itself be any supported single-step form
+    (+ * ? ^ |). ``counter`` is shared across ALL groups of one query
+    so an internal variable can never collide with (and accidentally
+    join against) another group's. Predicates here are CURIE-style
+    (the KG's vocabulary); a full http IRI constant would need an
+    escape this DSL deliberately doesn't have."""
+    out = []
+    for s, p, o in patterns:
+        if p.startswith("?") or "/" not in p:
+            out.append((s, p, o))
+            continue
+        parts = p.split("/")
+        if any(not part for part in parts):
+            raise ValueError(f"empty step in sequence path: {p}")
+        cur = s
+        for i, part in enumerate(parts):
+            nxt = o if i == len(parts) - 1 else f"?__seq{next(counter)}"
+            out.append((cur, part, nxt))
+            cur = nxt
+    return out
 
 
 def _join_patterns(frames: list[tuple[DataFrame, set[str]]]) -> tuple[DataFrame, set[str]]:
@@ -451,7 +483,11 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
     pushed filters on the scan, no collect, no UDFs."""
     if not patterns:
         raise ValueError("bgp_match requires at least one pattern")
-    out, bound = _join_patterns([_pattern_frame(kg, p) for p in patterns])
+    import itertools
+    seq_counter = itertools.count()
+    out, bound = _join_patterns(
+        [_pattern_frame(kg, p)
+         for p in _expand_sequences(patterns, seq_counter)])
     if values is not None:
         vvars, rows = values
         names = [v[1:] if v.startswith("?") else v for v in vvars]
@@ -470,7 +506,9 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
         out = out.withColumn(name, F.expr(expr))
         bound = bound | {name}
     for group in optional or []:
-        gdf, gvars = _join_patterns([_pattern_frame(kg, p) for p in group])
+        gdf, gvars = _join_patterns(
+            [_pattern_frame(kg, p)
+             for p in _expand_sequences(group, seq_counter)])
         shared = sorted(gvars & bound)
         if not shared:
             raise ValueError(
@@ -479,7 +517,9 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
         out = out.join(gdf, shared, "left")
         bound = bound | gvars
     for group in minus or []:
-        gdf, gvars = _join_patterns([_pattern_frame(kg, p) for p in group])
+        gdf, gvars = _join_patterns(
+            [_pattern_frame(kg, p)
+             for p in _expand_sequences(group, seq_counter)])
         shared = sorted(gvars & bound)
         if not shared:
             raise ValueError(
@@ -489,7 +529,9 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
                        shared, "left_anti")
     for expr in filters or []:
         out = out.filter(F.expr(expr))
-    return out.select(*sorted(bound))
+    # sequence-path internals are existential, never projected
+    return out.select(
+        *sorted(v for v in bound if not v.startswith("__seq")))
 
 
 def bgp_union(kg: DataFrame, groups: list[dict | list],

@@ -4425,6 +4425,37 @@ def sql_bgp_select_page() -> str:
   SELECT DISTINCT sf, e FROM m ORDER BY sf, e LIMIT 10 OFFSET 5"""
 
 
+def q_bgp_sequence_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 sequence property path
+    (operators/ontology.py::_expand_sequences via bgp_match): one
+    pattern (?m itsrdf:taIdentRef/rdf:type ?t) — mention to ontology
+    type through the spec's fresh-variable translation, internal
+    variable never projected. Oracle: the two-hop join written out
+    relationally."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_match
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import (
+        link_triples, mention_triples, type_triples)
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (link_triples(ann).select("subj", "pred", "obj")
+          .unionByName(mention_triples(ann).select("subj", "pred", "obj"))
+          .unionByName(type_triples(ann)))
+    return bgp_match(kg, [("?m", "itsrdf:taIdentRef/rdf:type", "?t")])
+
+
+def sql_bgp_sequence_path() -> str:
+    pairs = [(r[0], t) for r in LEX.entity_rows() for t in r[3]]
+    type_vals = ", ".join(f"('{u}', '{t}')" for u, t in pairs)
+    return f"""
+  WITH {_sql_mention_frame()}
+  SELECT m.m AS m, t.typ AS t
+  FROM m JOIN (VALUES {type_vals}) t(uri, typ) ON t.uri = m.e"""
+
+
 def q_pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-weighted co-mention edges
     (operators/graph.py::pmi_edges): PMI/NPMI over the doc-level

@@ -721,3 +721,103 @@ def test_bgp_select_modifiers_and_describe(spark):
     desc = {(r.subj, r.pred, r.obj) for r in describe(kg, "e1").collect()}
     assert desc == {("m1", "ident", "e1"), ("m2", "ident", "e1"),
                     ("e1", RDF_TYPE, "A")}
+
+
+def test_bgp_sequence_property_paths(spark):
+    # m → entity → type in one sequence step; bag multiplicity per
+    # intermediate preserved (the SPARQL fresh-variable translation)
+    out = bgp_match(_kg(spark),
+                    [("?m", "itsrdf:taIdentRef/rdf:type", "?t")])
+    assert out.columns == ["m", "t"]  # __seq internals never projected
+    assert {(r.m, r.t) for r in out.collect()} == {
+        ("m1", "Software"), ("m2", "Software"), ("m3", "Agent")}
+
+    # each step may itself be a path form: inverse-first sequence
+    out = bgp_match(_kg(spark), [("?sf", "^nif:anchorOf/rdf:type", "?t")])
+    assert {(r.sf, r.t) for r in out.collect()} == set()  # m1 untyped
+    out = bgp_match(_kg(spark),
+                    [("?sf", "^nif:anchorOf/itsrdf:taIdentRef", "?e")])
+    assert {(r.sf, r.e) for r in out.collect()} == {("spark", "Apache_Spark")}
+
+    # sequence inside an OPTIONAL group; internals stay group-local
+    out = bgp_match(
+        _kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
+        optional=[[("?m", "itsrdf:taIdentRef/rdf:type", "?t")]])
+    got = {(r.m, r.t) for r in out.collect()}
+    assert got == {("m1", "Software"), ("m2", "Software"), ("m3", "Agent")}
+
+    with pytest.raises(ValueError, match="empty step"):
+        bgp_match(_kg(spark), [("?a", "p//q", "?b")])
+
+
+def test_maintain_comention_matches_full_recompute(spark):
+    """Randomized add/remove batches folded through maintain_comention
+    must keep the edge state ≡ cooccurrence_edges over the live
+    incidence, and emit exactly the structural edge delta."""
+    import random
+
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, maintain_comention)
+    from dbpedia_spotlight_spark.triples import PRED_IDENT
+
+    rng = random.Random(7)
+    urls = [f"u{i}" for i in range(5)]
+    ents = [f"e{i}" for i in range(6)]
+    live: set[tuple[str, str, str]] = set()  # (url, subj-frag, uri)
+    inc = spark.createDataFrame([], "url string, uri string, n_links long")
+    edges = spark.createDataFrame(
+        [], "uri_a string, uri_b string, n_docs long")
+
+    def fold(batch, inc, edges):
+        delta = spark.createDataFrame(
+            [(u, s, PRED_IDENT, e, c) for (u, s, e), c in batch],
+            "url string, subj string, pred string, obj string, "
+            "change string")
+        inc, edges, edge_delta = maintain_comention(inc, edges, delta)
+        inc = inc.localCheckpoint(eager=True)
+        edges = edges.localCheckpoint(eager=True)
+        return inc, edges, edge_delta
+
+    for step in range(6):
+        batch = []
+        # removals of present links, additions of absent ones
+        for cand in rng.sample(sorted(live), k=min(3, len(live))):
+            live.discard(cand)
+            batch.append((cand, "removed"))
+        for _ in range(4):
+            u = rng.choice(urls)
+            e = rng.choice(ents)
+            frag = f"{u}#char={rng.randrange(100)},{rng.randrange(100,200)}"
+            cand = (u, frag, e)
+            if cand not in live and not any(c[0] == cand for c in batch):
+                live.add(cand)
+                batch.append((cand, "added"))
+        if not batch:
+            continue
+        inc, edges, edge_delta = fold(batch, inc, edges)
+
+        links = spark.createDataFrame(
+            [(u, e) for (u, _, e) in live] or [(None, None)],
+            "url string, uri string").dropna()
+        expect = {(r.uri_a, r.uri_b, r.n_docs) for r in
+                  cooccurrence_edges(links, "url", "uri").collect()}
+        got = {(r.uri_a, r.uri_b, r.n_docs) for r in edges.collect()}
+        assert got == expect, f"divergence at step {step}"
+
+    # structural delta check: edge_delta must be EXACTLY the
+    # before/after key diff of the edge table
+    by_url = {}
+    for u, _, e in live:
+        by_url.setdefault(u, set()).add(e)
+    u_multi = next(u for u in urls if len(by_url.get(u, ())) >= 2)
+    drop = sorted(c for c in live if c[0] == u_multi)
+    before = {(r.uri_a, r.uri_b) for r in edges.collect()}
+    for c in drop:
+        live.discard(c)
+    inc, edges, edge_delta = fold([(c, "removed") for c in drop],
+                                  inc, edges)
+    after = {(r.uri_a, r.uri_b) for r in edges.collect()}
+    got_delta = {(r.uri_a, r.uri_b, r.change) for r in edge_delta.collect()}
+    expect_delta = ({(a, b, "removed") for a, b in before - after}
+                    | {(a, b, "added") for a, b in after - before})
+    assert got_delta == expect_delta and (before - after)

@@ -106,6 +106,9 @@ ROTATED = [
     # round-4 addition: SPARQL SELECT modifiers (projection + DISTINCT
     # + total ORDER BY + OFFSET/LIMIT page)
     ("bgp_select_page", Q.q_bgp_select_page, Q.sql_bgp_select_page),
+    # round-4 addition: SPARQL sequence property path (fresh-variable
+    # translation, internals unprojected)
+    ("bgp_sequence_path", Q.q_bgp_sequence_path, Q.sql_bgp_sequence_path),
     # round-4 addition: PMI/NPMI association weighting of the entity
     # co-mention graph (broadcast one-row N join, 9dp log contract)
     ("pmi_edges", Q.q_pmi_edges, Q.sql_pmi_edges),
