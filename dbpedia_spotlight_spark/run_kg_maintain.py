@@ -22,6 +22,9 @@ no-ops — see the module docstring). Two run shapes:
 store (``EntailStore``) up to the new KG generation — asserted types of
 linked entities plus rdfs:9 inheritance through the ``--ontology``
 subClassOf edges, maintained per delta, never recomputed corpus-scale.
+``--graph DIR`` does the same for the co-mention entity graph
+(``GraphStore``: page→entity incidence + co-occurrence edge counts,
+touched-pages-only pair recomputation).
 
 Also callable in-process via ``main(argv, spark=...)`` (tests).
 """
@@ -65,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="parquet of (sub, sup) subClassOf edges; "
                          "omitted = no hierarchy (entailed view = "
                          "asserted types of linked entities)")
+    ap.add_argument("--graph", default="",
+                    help="co-mention graph state store root: after the "
+                         "fold, catch the counting-IVM entity graph "
+                         "(incidence + edges) up to the new KG "
+                         "generation")
     ap.add_argument("--metrics-out", default="",
                     help="write the run stats JSON to this local path "
                          "as well as stdout")
@@ -147,6 +155,12 @@ def main(argv: list[str] | None = None,
                 [], "sub string, sup string, depth int")
         estore = EntailStore(spark, args.entail)
         stats["entail"] = estore.catchup(store, entity_types, closure)
+
+    if args.graph:
+        from dbpedia_spotlight_spark.streaming.kg_stream import GraphStore
+
+        gstore = GraphStore(spark, args.graph)
+        stats["graph"] = gstore.catchup(store)
 
     if args.expire_log > 0:
         stats["log_partitions_dropped"] = store.expire_delta_log(

@@ -162,6 +162,15 @@ class KGStore:
     def _gen_path(self, gen: int) -> str:
         return f"{self.root}/gen-{gen:05d}"
 
+    def _read_state(self, name: str, ddl: str) -> DataFrame:
+        """A named per-generation state frame of the live generation
+        (empty frame of ``ddl`` before the first fold) — shared by the
+        derived-state stores (EntailStore, GraphStore)."""
+        gen = self.latest_gen()
+        if gen is None:
+            return self.spark.createDataFrame([], ddl)
+        return self.spark.read.parquet(f"{self._gen_path(gen)}/{name}")
+
     # -- public API ------------------------------------------------------
     def read(self) -> DataFrame:
         """Current KG snapshot (empty triple set before the first batch)."""
@@ -320,12 +329,6 @@ class EntailStore(KGStore):
     _LINKS_DDL = "uri string, n_links long"
     _TYPES_DDL = "subj string, obj string, n_derivations long"
 
-    def _read_state(self, name: str, ddl: str) -> DataFrame:
-        gen = self.latest_gen()
-        if gen is None:
-            return self.spark.createDataFrame([], ddl)
-        return self.spark.read.parquet(f"{self._gen_path(gen)}/{name}")
-
     def read_links(self) -> DataFrame:
         return self._read_state("links", self._LINKS_DDL)
 
@@ -373,6 +376,62 @@ class EntailStore(KGStore):
             stats["gens_folded"] += 1
             stats["entailed_added"] += by.get("added", 0)
             stats["entailed_removed"] += by.get("removed", 0)
+        stats["gen"] = self.latest_gen()
+        return stats
+
+
+class GraphStore(KGStore):
+    """Generation store for the counting-IVM co-mention graph
+    (operators/graph.py::maintain_comention): per generation an
+    ``incidence`` frame (url, uri, n_links) and an ``edges`` frame
+    (uri_a, uri_b, n_docs ≡ ``cooccurrence_edges`` over the live
+    incidence). Same pointer discipline as EntailStore: the pointer's
+    gen IS the KG generation the graph is caught up to, each
+    generation's states are written durably before the pointer flips,
+    and an orphaned generation (crash between write and flip) heals on
+    the next catchup."""
+
+    _INC_DDL = "url string, uri string, n_links long"
+    _EDGE_DDL = "uri_a string, uri_b string, n_docs long"
+
+    def read_incidence(self) -> DataFrame:
+        return self._read_state("incidence", self._INC_DDL)
+
+    def read_edges(self) -> DataFrame:
+        return self._read_state("edges", self._EDGE_DDL)
+
+    def catchup(self, kg_store: KGStore,
+                max_entities_per_doc: int = 1000) -> dict:
+        """Fold every KG delta_log generation newer than this store's
+        pointer through ``maintain_comention`` — the co-mention graph
+        follows each crawl batch for the price of the batch's touched
+        pages, never a corpus-scale pair re-expansion."""
+        from dbpedia_spotlight_spark.operators.graph import (
+            maintain_comention)
+        since = self.latest_gen()
+        log = kg_store.read_log(since_gen=-1 if since is None else since)
+        gens = sorted(r.gen for r in log.select("gen").distinct().collect())
+        inc, edges = self.read_incidence(), self.read_edges()
+        stats = {"gens_folded": 0, "edges_added": 0, "edges_removed": 0}
+        for g in gens:
+            inc, edges, edge_delta = maintain_comention(
+                inc, edges, log.filter(F.col("gen") == g),
+                max_entities_per_doc)
+            inc.write.mode("overwrite").parquet(
+                f"{self._gen_path(g)}/incidence")
+            edges.write.mode("overwrite").parquet(
+                f"{self._gen_path(g)}/edges")
+            by = {r["change"]: r["n"] for r in
+                  edge_delta.groupBy("change").agg(F.count("*").alias("n"))
+                  .collect()}
+            prev = self.latest_gen()
+            self._write_pointer(g, -1)
+            if prev is not None:
+                self._fs.delete(self._fs_path(self._gen_path(prev)), True)
+            inc, edges = self.read_incidence(), self.read_edges()
+            stats["gens_folded"] += 1
+            stats["edges_added"] += by.get("added", 0)
+            stats["edges_removed"] += by.get("removed", 0)
         stats["gen"] = self.latest_gen()
         return stats
 

@@ -292,3 +292,55 @@ def test_pagerank_weight_col_npmi(spark, threshold):
     # npmi weighting must reorder vs uniform weights: C hangs off the
     # weak edges, so it ranks strictly below A here
     assert got["A"] > got["C"]
+
+
+def test_graph_store_follows_kg_delta_log(spark, web_pages, model_bc,
+                                          tmp_path):
+    """GraphStore.catchup folds the KG maintenance delta log through
+    maintain_comention and lands on exactly the co-mention graph a
+    full recompute over the final snapshot gives; a second catchup is
+    a no-op. (The --graph CLI wiring is driven in
+    test_plans_scale.py::test_run_kg_maintain_entail_catchup.)"""
+    import datetime
+
+    from dbpedia_spotlight_spark.operators.graph import cooccurrence_edges
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        GraphStore, KGStore, apply_pages_batch)
+    from dbpedia_spotlight_spark.triples import PRED_IDENT
+
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    rows = web_pages.select(*cols).orderBy("url").collect()
+    schema = web_pages.select(*cols).schema
+    store = KGStore(spark, str(tmp_path / "kg"))
+    apply_pages_batch(spark, spark.createDataFrame(rows, schema),
+                      model_bc, store, batch_id=0, cfg=cfg)
+    # recrawl replaces 2 urls' content → link sets genuinely move
+    recrawl = [
+        (rows[i][0], rows[i][1] + datetime.timedelta(days=1),
+         bytes(rows[i + 7][2]), rows[i][3], rows[i][4])
+        for i in range(2)
+    ]
+    apply_pages_batch(spark, spark.createDataFrame(recrawl, schema),
+                      model_bc, store, batch_id=1, cfg=cfg)
+    assert store.latest_gen() == 1
+
+    gstore = GraphStore(spark, str(tmp_path / "graph"))
+    stats = gstore.catchup(store)
+    assert stats["gens_folded"] == 2 and stats["gen"] == 1
+    assert stats["edges_added"] > 0
+
+    links = (store.read().filter(F.col("pred") == PRED_IDENT)
+             .select(F.substring_index("subj", "#char=", 1).alias("url"),
+                     F.col("obj").alias("uri")).distinct())
+    expect = {(r.uri_a, r.uri_b, r.n_docs) for r in
+              cooccurrence_edges(links, "url", "uri").collect()}
+    got = {(r.uri_a, r.uri_b, r.n_docs)
+           for r in gstore.read_edges().collect()}
+    assert got == expect and got
+
+    # caught up: a re-run folds nothing and changes nothing
+    assert gstore.catchup(store)["gens_folded"] == 0
+    assert {(r.uri_a, r.uri_b, r.n_docs)
+            for r in gstore.read_edges().collect()} == expect

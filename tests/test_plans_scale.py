@@ -639,12 +639,16 @@ def test_run_kg_maintain_entail_catchup(spark, web_pages, lexicon, tmp_path):
         [(t, "owl:Thing") for t in types_present], "sub string, sup string")
     onto.write.mode("overwrite").parquet(onto_dir)
 
+    graph_dir = str(tmp_path / "graph")
     base = ["--lexicon", lex_dir, "--kg", kg_dir,
-            "--entail", ent_dir, "--ontology", onto_dir]
+            "--entail", ent_dir, "--ontology", onto_dir,
+            "--graph", graph_dir]
     s1 = main(["--pages", pages_dir] + base, spark=spark)
     assert s1["entail"]["gens_folded"] == 1 and s1["entail"]["gen"] == 0
     assert s1["entail"]["entailed_added"] > 0
     assert s1["entail"]["entailed_removed"] == 0
+    assert s1["graph"]["gens_folded"] == 1
+    assert s1["graph"]["edges_added"] > 0
 
     rows = web_pages.orderBy("url").limit(3).collect()
     recrawl = spark.createDataFrame(
@@ -657,6 +661,7 @@ def test_run_kg_maintain_entail_catchup(spark, web_pages, lexicon, tmp_path):
     s2 = main(["--pages", pages2] + base, spark=spark)
     assert s2["gen"] == 1 and s2["entail"]["gen"] == 1
     assert s2["entail"]["gens_folded"] == 1
+    assert s2["graph"]["gen"] == 1 and s2["graph"]["gens_folded"] == 1
 
     # entailed view == full recompute over the final snapshot
     from dbpedia_spotlight_spark.streaming.kg_stream import KGStore
