@@ -348,6 +348,14 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
               .select(F.col("obj").alias("subj"),
                       F.lit(pred).alias("pred"),
                       F.col("subj").alias("obj")))
+    elif not pred.startswith("?") and pred.startswith("!"):
+        # negated property set !p / !p|q — any edge whose predicate is
+        # NOT in the set (SPARQL !(p|q)); still one pushed scan filter
+        alts = pred[1:].split("|")
+        if any(not a or a[-1] in "+*?" or a.startswith("^") for a in alts):
+            raise ValueError(f"unsupported form in negated set: {pred}")
+        df = (kg.filter(~F.col("pred").isin(alts))
+              .select("subj", F.lit(pred).alias("pred"), "obj"))
     elif not pred.startswith("?") and "|" in pred:
         alts = pred.split("|")
         df = (kg.filter(F.col("pred").isin(alts))
@@ -423,6 +431,8 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
               values: tuple[list[str], list[tuple]] | None = None,
               bind: dict[str, str] | None = None,
               minus: list[list[tuple[str, str, str]]] | None = None,
+              exists: list[list[tuple[str, str, str]]] | None = None,
+              not_exists: list[list[tuple[str, str, str]]] | None = None,
               ) -> DataFrame:
     """SPARQL-style basic-graph-pattern match over a triple snapshot:
     ``patterns`` is a conjunction of (s, p, o) patterns, '?name' terms
@@ -469,6 +479,18 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
     variables). Rebinding an existing variable raises, as in SPARQL.
     BINDs run before OPTIONAL/MINUS/FILTER so those can reference the
     computed variables.
+
+    ``exists`` / ``not_exists`` are lists of FILTER EXISTS / FILTER NOT
+    EXISTS groups: a solution survives iff the group has ≥1 / 0
+    solutions compatible on the shared variables — LEFT SEMI / LEFT
+    ANTI joins against the group's distinct shared-variable tuples,
+    evaluated at filter time (after OPTIONAL/BIND, with MINUS). The
+    substitution subtlety SPARQL defines for unbound variables is
+    handled conservatively like MINUS: a null shared binding never
+    matches, so EXISTS drops it and NOT EXISTS keeps it. Unlike MINUS,
+    a group sharing no variable is a constant condition — legal SPARQL
+    — so it collapses to keep-all/keep-none via one ``ask`` probe
+    instead of raising.
 
     ``minus`` is a list of MINUS groups: solutions compatible with any
     solution of the group on their shared variables are removed (LEFT
@@ -527,6 +549,19 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
                 f"SPARQL it would remove nothing: {group}")
         out = out.join(gdf.select(*shared).dropDuplicates(shared),
                        shared, "left_anti")
+    for keep, groups in ((True, exists or []), (False, not_exists or [])):
+        for group in groups:
+            gdf, gvars = _join_patterns(
+                [_pattern_frame(kg, p)
+                 for p in _expand_sequences(group, seq_counter)])
+            shared = sorted(gvars & bound)
+            if not shared:
+                # constant condition: one short-circuit probe
+                if (len(gdf.take(1)) > 0) != keep:
+                    out = out.filter(F.lit(False))
+                continue
+            out = out.join(gdf.select(*shared).dropDuplicates(shared),
+                           shared, "left_semi" if keep else "left_anti")
     for expr in filters or []:
         out = out.filter(F.expr(expr))
     # sequence-path internals are existential, never projected

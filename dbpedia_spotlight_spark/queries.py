@@ -4456,6 +4456,41 @@ def sql_bgp_sequence_path() -> str:
   FROM m JOIN (VALUES {type_vals}) t(uri, typ) ON t.uri = m.e"""
 
 
+def q_bgp_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER NOT EXISTS (bgp_match ``not_exists``): anchored
+    mentions whose entity carries NO rdf:type Software statement — the
+    anti-join filter form, non-vacuous because Software-typed mentions
+    exist at both driver SFs. Oracle: NOT EXISTS subquery over the
+    inlined type map."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_match
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import (
+        link_triples, mention_triples, type_triples)
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (link_triples(ann).select("subj", "pred", "obj")
+          .unionByName(mention_triples(ann).select("subj", "pred", "obj"))
+          .unionByName(type_triples(ann)))
+    return bgp_match(
+        kg,
+        [("?m", "nif:anchorOf", "?sf"), ("?m", "itsrdf:taIdentRef", "?e")],
+        not_exists=[[("?e", "rdf:type", "Software")]])
+
+
+def sql_bgp_not_exists() -> str:
+    sw = sorted({r[0] for r in LEX.entity_rows() if "Software" in r[3]})
+    sw_vals = ", ".join(f"('{u}')" for u in sw)
+    return f"""
+  WITH {_sql_mention_frame()}
+  SELECT m.e AS e, m.m AS m, m.sf AS sf
+  FROM m
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (VALUES {sw_vals}) t(uri) WHERE t.uri = m.e)"""
+
+
 def q_pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-weighted co-mention edges
     (operators/graph.py::pmi_edges): PMI/NPMI over the doc-level

@@ -821,3 +821,41 @@ def test_maintain_comention_matches_full_recompute(spark):
     expect_delta = ({(a, b, "removed") for a, b in before - after}
                     | {(a, b, "added") for a, b in after - before})
     assert got_delta == expect_delta and (before - after)
+
+
+def test_bgp_filter_exists_and_not_exists(spark):
+    pats = [("?m", "itsrdf:taIdentRef", "?e")]
+    # EXISTS: only mentions of typed entities survive
+    out = bgp_match(_kg(spark), pats,
+                    exists=[[("?e", "rdf:type", "?t")]])
+    assert {(r.m, r.e) for r in out.collect()} == {
+        ("m1", "Apache_Spark"), ("m2", "Apache_Spark"),
+        ("m3", "Customer")}
+    # NOT EXISTS with a constant: entities not typed Software
+    out = bgp_match(_kg(spark), pats,
+                    not_exists=[[("?e", "rdf:type", "Software")]])
+    assert {r.e for r in out.collect()} == {"Customer"}
+    # group variables never leak into the output
+    assert out.columns == ["e", "m"]
+    # constant-condition groups (no shared variable) short-circuit
+    assert bgp_match(_kg(spark), pats,
+                     exists=[[("loop", "selfPred", "loop")]]).count() == 3
+    assert bgp_match(_kg(spark), pats,
+                     not_exists=[[("loop", "selfPred", "loop")]]).count() == 0
+    assert bgp_match(_kg(spark), pats,
+                     exists=[[("nope", "selfPred", "nope")]]).count() == 0
+    # null shared binding (unmatched OPTIONAL) is kept by NOT EXISTS
+    out = bgp_match(
+        _kg(spark), pats,
+        optional=[[("?e", "rdf:type", "?t")]],
+        not_exists=[[("?t", "never:pred", "?z")]])
+    assert out.count() == 3
+
+
+def test_bgp_negated_property_set(spark):
+    out = bgp_match(_kg(spark),
+                    [("?s", "!itsrdf:taIdentRef|rdf:type", "?o")])
+    assert {(r.s, r.o) for r in out.collect()} == {
+        ("m1", "spark"), ("loop", "loop")}
+    with pytest.raises(ValueError, match="negated set"):
+        bgp_match(_kg(spark), [("?s", "!^p", "?o")])

@@ -109,6 +109,8 @@ ROTATED = [
     # round-4 addition: SPARQL sequence property path (fresh-variable
     # translation, internals unprojected)
     ("bgp_sequence_path", Q.q_bgp_sequence_path, Q.sql_bgp_sequence_path),
+    # round-4 addition: SPARQL FILTER NOT EXISTS (anti-join filter)
+    ("bgp_not_exists", Q.q_bgp_not_exists, Q.sql_bgp_not_exists),
     # round-4 addition: PMI/NPMI association weighting of the entity
     # co-mention graph (broadcast one-row N join, 9dp log contract)
     ("pmi_edges", Q.q_pmi_edges, Q.sql_pmi_edges),
