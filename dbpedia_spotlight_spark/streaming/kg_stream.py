@@ -274,6 +274,46 @@ class KGStore:
             F.col("first_change") == "removed").select(*keys)
         return kept.unionByName(was_present)
 
+    def diff(self, gen_a: int, gen_b: int) -> DataFrame:
+        """Net triple diff between two generations (Iceberg's
+        incremental-read shape): (subj, pred, obj, change) with change
+        reflecting presence at ``gen_b`` vs ``gen_a``. Pure log
+        aggregation — for each triple changed in (gen_a, gen_b],
+        presence at gen_a ⟺ its FIRST change is 'removed', presence at
+        gen_b ⟺ its LAST change is 'added' (same set-diff invariants as
+        ``read_asof``); rows where the two differ are the diff. A
+        remove-then-re-add inside the window correctly nets to nothing.
+        One gen-pruned scan + one groupBy, cost ∝ changes in the
+        window — never snapshot-sized, unlike diffing two ``read_asof``
+        frames."""
+        latest = self.latest_gen()
+        if (latest is None or gen_a < 0 or gen_b < gen_a
+                or gen_b > latest):
+            raise ValueError(
+                f"invalid generation window [{gen_a}, {gen_b}] "
+                f"(latest = {latest})")
+        empty = self.spark.createDataFrame(
+            [], "subj string, pred string, obj string, change string")
+        if gen_a == gen_b:
+            return empty
+        log = self.read_log(since_gen=gen_a).filter(F.col("gen") <= gen_b)
+        lo = log.select("gen").agg(F.min("gen").alias("lo")).collect()[0].lo
+        if lo is None or lo != gen_a + 1:
+            raise ValueError(
+                f"delta_log no longer reaches generation {gen_a} "
+                f"(oldest retained log gen = {lo}) — expired by "
+                "expire_delta_log")
+        g = log.groupBy("subj", "pred", "obj").agg(
+            F.min_by("change", "gen").alias("first_change"),
+            F.max_by("change", "gen").alias("last_change"))
+        return (
+            g.filter((F.col("first_change") == "removed")
+                     != (F.col("last_change") == "added"))
+            .select("subj", "pred", "obj",
+                    F.when(F.col("last_change") == "added",
+                           F.lit("added"))
+                     .otherwise(F.lit("removed")).alias("change")))
+
     def read_log(self, since_gen: int = -1) -> DataFrame:
         """Change-data feed: delta_log rows with ``gen > since_gen``
         (url, subj, pred, obj, change, batch_id, gen). Downstream

@@ -748,12 +748,30 @@ def test_kg_store_time_travel_and_retention(spark, tmp_path):
         with _pytest.raises(ValueError, match="does not exist"):
             store.read_asof(bad)
 
+    # diff between generations: log-aggregated net change. A's
+    # remove(g2)+re-add(g3) nets out of diff(1,3); diff(0,2) carries
+    # all three triples.
+    def dset(df):
+        return {(r.subj, r.obj, r.change) for r in df.collect()}
+
+    assert dset(store.diff(0, 2)) == {
+        ("u1#a", "A", "removed"), ("u2#b", "B", "added"),
+        ("u3#c", "C", "added")}
+    assert dset(store.diff(1, 3)) == {("u3#c", "C", "added")}
+    assert store.diff(2, 2).count() == 0
+    with _pytest.raises(ValueError, match="invalid generation"):
+        store.diff(2, 1)
+
     # expire gens 0,1 from the log: gen 1 stays reachable (needs only
-    # changes in (1,3]), gen 0 now raises rather than reconstructing
+    # changes in (1,3]), gen 0 now raises rather than reconstructing —
+    # for both read_asof and diff
     assert store.expire_delta_log(keep_last=2) == 2
     assert tset(store.read_asof(1)) == t(A, B)
+    assert dset(store.diff(1, 3)) == {("u3#c", "C", "added")}
     with _pytest.raises(ValueError, match="no longer reaches"):
         store.read_asof(0)
+    with _pytest.raises(ValueError, match="no longer reaches"):
+        store.diff(0, 3)
 
     with _pytest.raises(ValueError, match="retain_gens"):
         KGStore(spark, str(tmp_path / "kg2"), retain_gens=0)
