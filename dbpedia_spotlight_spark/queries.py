@@ -4491,6 +4491,35 @@ def sql_bgp_not_exists() -> str:
     SELECT 1 FROM (VALUES {sw_vals}) t(uri) WHERE t.uri = m.e)"""
 
 
+def q_mention_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant-supervision export (operators/export.py::
+    mention_contexts): every annotation with its exact span text and a
+    40-char window either side, sliced from the same text the offsets
+    index. Oracle replays the 1-based clipped substring arithmetic in
+    DuckDB over the generative mention rows."""
+    from dbpedia_spotlight_spark.operators.export import mention_contexts
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    pages = _web_pages_from_docs(spark, sf_dir)
+    ann = annotate(spark, pages, _static_model_bc(spark),
+                   PipelineConfig(disambiguator="generative",
+                                  confidence=0.0, support=0))
+    return mention_contexts(ann, pages, window=40)
+
+
+def sql_mention_contexts() -> str:
+    return f"""
+  WITH g AS ({_sql_generative(k=1)}),
+  d AS (SELECT source || '/' || doc_id AS url, text FROM documents)
+  SELECT g.url AS url, g."begin" AS begin, g."end" AS "end",
+         g.surface_form AS surface_form, g.uri AS uri,
+         substr(d.text, GREATEST(1, g."begin" - 39),
+                LEAST(40, g."begin")) AS left_ctx,
+         substr(d.text, g."begin" + 1, g."end" - g."begin")
+           AS mention_text,
+         substr(d.text, g."end" + 1, 40) AS right_ctx
+  FROM g JOIN d USING (url)"""
+
+
 def q_pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-weighted co-mention edges
     (operators/graph.py::pmi_edges): PMI/NPMI over the doc-level

@@ -859,3 +859,15 @@ def test_bgp_negated_property_set(spark):
         ("m1", "spark"), ("loop", "loop")}
     with pytest.raises(ValueError, match="negated set"):
         bgp_match(_kg(spark), [("?s", "!^p", "?o")])
+
+
+def test_bgp_select_order_limit_plan_is_top_k(spark):
+    """The docstring's plan claim, pinned: ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    global Sort + Exchange."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_select
+    page = bgp_select(_kg(spark), [("?m", "itsrdf:taIdentRef", "?e")],
+                      order_by=["?m"], limit=2)
+    plan = page._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -1012,3 +1012,26 @@ def test_robots_gate_longest_match_and_defaults(spark):
         "https://a.org/private/ok/y",
         "https://b.org/private/x",
     ]
+
+
+def test_mention_contexts_clips_at_document_edges(spark):
+    from dbpedia_spotlight_spark.operators.export import mention_contexts
+
+    text = "alpha beta gamma delta"
+    pages = spark.createDataFrame([("u1", text)], "url string, text string")
+    ann = spark.createDataFrame(
+        [("u1", 0, 5, "alpha", "dbr:A"),     # span at doc start
+         ("u1", 6, 10, "beta", "dbr:B"),     # interior, window clips left
+         ("u1", 17, 22, "delta", "dbr:D")],  # span at doc end
+        "url string, begin int, end int, surface_form string, uri string")
+    got = {r.surface_form: (r.left_ctx, r.mention_text, r.right_ctx)
+           for r in mention_contexts(ann, pages, window=4).collect()}
+    assert got["alpha"] == ("", "alpha", " bet")
+    assert got["beta"] == ("pha ", "beta", " gam")
+    assert got["delta"] == ("mma ", "delta", "")
+    # mention_text always reproduces the exact span bytes
+    assert all(v[1] == k for k, v in got.items())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="window"):
+        mention_contexts(ann, pages, window=-1)

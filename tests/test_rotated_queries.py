@@ -111,6 +111,8 @@ ROTATED = [
     ("bgp_sequence_path", Q.q_bgp_sequence_path, Q.sql_bgp_sequence_path),
     # round-4 addition: SPARQL FILTER NOT EXISTS (anti-join filter)
     ("bgp_not_exists", Q.q_bgp_not_exists, Q.sql_bgp_not_exists),
+    # round-4 addition: distant-supervision context-window export
+    ("mention_contexts", Q.q_mention_contexts, Q.sql_mention_contexts),
     # round-4 addition: PMI/NPMI association weighting of the entity
     # co-mention graph (broadcast one-row N join, 9dp log contract)
     ("pmi_edges", Q.q_pmi_edges, Q.sql_pmi_edges),
