@@ -1035,3 +1035,22 @@ def test_mention_contexts_clips_at_document_edges(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="window"):
         mention_contexts(ann, pages, window=-1)
+
+
+def test_mention_contexts_unicode_codepoint_offsets(spark):
+    """Pipeline offsets are python CODEPOINT positions; Spark's
+    substring counts codepoints too (and DuckDB's substr — the oracle
+    relies on it), so spans sliced around multi-byte characters must
+    equal the python slice exactly."""
+    from dbpedia_spotlight_spark.operators.export import mention_contexts
+
+    text = "héllo wörld — caffè crème brûlée ✓ done"
+    b, e = text.index("crème"), text.index("crème") + len("crème")
+    pages = spark.createDataFrame([("u1", text)], "url string, text string")
+    ann = spark.createDataFrame([("u1", b, e, "crème", "dbr:C")],
+                                "url string, begin int, end int, "
+                                "surface_form string, uri string")
+    r = mention_contexts(ann, pages, window=6).collect()[0]
+    assert r.mention_text == "crème" == text[b:e]
+    assert r.left_ctx == text[b - 6:b]
+    assert r.right_ctx == text[e:e + 6]
