@@ -344,3 +344,17 @@ def test_graph_store_follows_kg_delta_log(spark, web_pages, model_bc,
     assert gstore.catchup(store)["gens_folded"] == 0
     assert {(r.uri_a, r.uri_b, r.n_docs)
             for r in gstore.read_edges().collect()} == expect
+
+
+def test_pmi_edges_plan_shape(spark):
+    """Scale claims, pinned: the one-row N total rides in as a
+    broadcast (BroadcastNestedLoopJoin over exactly one row — never a
+    CartesianProduct), and the marginal joins are hash joins on uri."""
+    from dbpedia_spotlight_spark.operators.graph import pmi_edges
+    links = spark.createDataFrame(
+        [(i % 7, f"e{i % 5}") for i in range(40)],
+        "doc_id int, uri string")
+    plan = pmi_edges(links)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total only
+    assert plan.count("BroadcastNestedLoopJoin") == 1

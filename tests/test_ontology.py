@@ -871,3 +871,19 @@ def test_bgp_select_order_limit_plan_is_top_k(spark):
     plan = page._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_infer_domain_range_plan_broadcasts_declarations(spark):
+    """The (pred, cls) declaration frames are the broadcast side —
+    the corpus-scale statement stream never shuffles for these joins."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_domain_range)
+    kg = _kg(spark)
+    doms = spark.createDataFrame([("nif:anchorOf", "Phrase")],
+                                 "pred string, cls string")
+    rans = spark.createDataFrame([("itsrdf:taIdentRef", "Concept")],
+                                 "pred string, cls string")
+    plan = (infer_domain_range(kg, doms, rans)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
