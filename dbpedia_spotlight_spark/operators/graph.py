@@ -265,6 +265,55 @@ def _pagerank_driver(edges: DataFrame, damping: float, n_iter: int,
     )
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 10,
+                      weight_col: str = "n_docs",
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """Deterministic synchronous label-propagation communities over the
+    undirected weighted graph: labels start as each node's own uri;
+    every round each node adopts the label with the greatest total
+    incident edge weight among its neighbours, ties broken by the
+    lexicographically smallest label — both rules deterministic, so
+    the result is layout-independent (plain LPA's random tie-breaks are
+    not). Fixed ``n_iter`` rounds (synchronous LPA can oscillate on
+    bipartite structures; a fixed budget keeps the operator bounded and
+    reproducible — the GraphX semantics). Returns (uri, label); nodes
+    sharing a label form a community.
+
+    Per round: one edge×label join keyed on uri (|E| rows) + two
+    map-side-combinable aggregations keyed on (node, label) then node —
+    argmax via min(struct(-weight, label)), no window sort. Lineage is
+    cut per round (RoundCheckpointer: localCheckpoint default, reliable
+    checkpoint_dir like pagerank/components). Key cardinality is
+    entity-sized, never url/host-sized."""
+    directed = (
+        edges.select(F.col("uri_a").alias("src"),
+                     F.col("uri_b").alias("dst"),
+                     F.col(weight_col).cast("double").alias("w"))
+        .unionByName(edges.select(F.col("uri_b").alias("src"),
+                                  F.col("uri_a").alias("dst"),
+                                  F.col(weight_col).cast("double")
+                                  .alias("w")))
+    ).cache()
+    nodes = directed.select(F.col("src").alias("uri")).distinct().cache()
+    from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+    ckpt = RoundCheckpointer(edges.sparkSession, checkpoint_dir,
+                             "lpa-labels")
+    labels = nodes.select("uri", F.col("uri").alias("label"))
+    for _ in range(n_iter):
+        cand = (
+            directed.join(labels.withColumnRenamed("uri", "src"), "src")
+            .groupBy("dst", "label").agg(F.sum("w").alias("cw"))
+        )
+        best = (
+            cand.groupBy("dst")
+            .agg(F.min(F.struct((-F.col("cw")).alias("nw"),
+                                F.col("label").alias("label"))).alias("b"))
+            .select(F.col("dst").alias("uri"), F.col("b.label").alias("label"))
+        )
+        labels = ckpt.cut(best)
+    return labels
+
+
 def degree_stats(edges: DataFrame, weight_col: str = "n_docs") -> DataFrame:
     """(uri, degree, weighted_degree) over the undirected co-mention
     edge table (uri_a < uri_b canonical). One union + one groupBy on

@@ -4520,6 +4520,52 @@ def sql_mention_contexts() -> str:
   FROM g JOIN d USING (url)"""
 
 
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities
+    (operators/graph.py::label_propagation) over the doc-level
+    co-mention graph, 4 synchronous rounds. Oracle unrolls each round
+    as two CTEs (weighted label sum per neighbour, then the
+    max-weight/min-label argmin as a window rank) — integer edge
+    weights summed as doubles are exact in both engines, so parity is
+    value-exact, no rounding needed."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, label_propagation)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    return label_propagation(edges, n_iter=4)
+
+
+def sql_lpa_communities() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, 5):
+        rounds.append(f"""
+  c{i} AS (
+    SELECT u.dst, l.label, SUM(u.w) AS cw
+    FROM und u JOIN {prev} l ON l.uri = u.src GROUP BY 1, 2),
+  l{i} AS (
+    SELECT dst AS uri, label FROM (
+      SELECT dst, label,
+             ROW_NUMBER() OVER (PARTITION BY dst
+                                ORDER BY cw DESC, label) AS rn
+      FROM c{i}) WHERE rn = 1)""")
+        prev = f"l{i}"
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  ed AS (
+    SELECT x.uri AS uri_a, y.uri AS uri_b, count(*) AS n_docs
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2),
+  und AS (
+    SELECT uri_a AS src, uri_b AS dst, CAST(n_docs AS DOUBLE) AS w FROM ed
+    UNION ALL
+    SELECT uri_b, uri_a, CAST(n_docs AS DOUBLE) FROM ed),
+  l0 AS (SELECT DISTINCT src AS uri, src AS label FROM und),"""
+        + ",".join(rounds) + f"""
+  SELECT uri, label FROM {prev}""")
+
+
 def q_pmi_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Association-weighted co-mention edges
     (operators/graph.py::pmi_edges): PMI/NPMI over the doc-level

@@ -358,3 +358,50 @@ def test_pmi_edges_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total only
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    from dbpedia_spotlight_spark.operators.graph import label_propagation
+    import itertools
+    left = [f"a{i}" for i in range(4)]
+    right = [f"b{i}" for i in range(4)]
+    pairs = (list(itertools.combinations(left, 2))
+             + list(itertools.combinations(right, 2))
+             + [("a0", "b0")])  # weak bridge
+    edges = _edge_df(spark, pairs)
+    got = {r.uri: r.label
+           for r in label_propagation(edges, n_iter=8).collect()}
+    assert {got[u] for u in left} == {"a0"}
+    assert {got[u] for u in right} == {"b0"}
+
+
+def test_label_propagation_matches_python_oracle(spark):
+    """Exact update rule (max total incident weight, min-label ties,
+    synchronous rounds) replayed in python on a random weighted graph."""
+    import random
+    from dbpedia_spotlight_spark.operators.graph import label_propagation
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(14)]
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                    for _ in range(30)})
+    E = [(a, b, rng.randint(1, 5)) for a, b in pairs]
+    edges = spark.createDataFrame(
+        E, "uri_a string, uri_b string, n_docs int")
+    n_iter = 6
+    got = {r.uri: r.label
+           for r in label_propagation(edges, n_iter=n_iter).collect()}
+
+    adj = {}
+    for a, b, w in E:
+        adj.setdefault(a, []).append((b, float(w)))
+        adj.setdefault(b, []).append((a, float(w)))
+    labels = {u: u for u in adj}
+    for _ in range(n_iter):
+        nxt = {}
+        for u, nbrs in adj.items():
+            acc = {}
+            for v, w in nbrs:
+                acc[labels[v]] = acc.get(labels[v], 0.0) + w
+            nxt[u] = min(acc, key=lambda l: (-acc[l], l))
+        labels = nxt
+    assert got == labels

@@ -113,6 +113,9 @@ ROTATED = [
     ("bgp_not_exists", Q.q_bgp_not_exists, Q.sql_bgp_not_exists),
     # round-4 addition: distant-supervision context-window export
     ("mention_contexts", Q.q_mention_contexts, Q.sql_mention_contexts),
+    # round-4 addition: deterministic label-propagation communities
+    # (4 unrolled synchronous rounds, max-weight/min-label argmin)
+    ("lpa_communities", Q.q_lpa_communities, Q.sql_lpa_communities),
     # round-4 addition: PMI/NPMI association weighting of the entity
     # co-mention graph (broadcast one-row N join, 9dp log contract)
     ("pmi_edges", Q.q_pmi_edges, Q.sql_pmi_edges),
