@@ -314,6 +314,44 @@ def label_propagation(edges: DataFrame, n_iter: int = 10,
     return labels
 
 
+def k_core(edges: DataFrame, k: int, max_rounds: int = 50,
+           checkpoint_dir: str | None = None) -> DataFrame:
+    """The k-core of the undirected graph: the maximal subgraph in
+    which every node has degree ≥ k, found by iterated peeling (drop
+    all nodes with degree < k, recompute, repeat until stable — the
+    standard dense-subgraph / spam-farm detector over link graphs).
+    Returns the surviving (uri_a, uri_b, …) edge rows; ``entity_nodes``
+    of the result gives core membership.
+
+    Each round is one degree aggregation (map-side combinable, keyed on
+    uri) + two semi-joins filtering the edge list; the edge frame only
+    shrinks, and the loop stops at the first round that peels nothing
+    (or at ``max_rounds``, the runaway guard — peeling needs at most
+    |V| rounds, real graphs far fewer). Lineage is cut per round like
+    every iterative operator here."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+    ckpt = RoundCheckpointer(edges.sparkSession, checkpoint_dir, "kcore")
+    cur = ckpt.cut(edges.filter(F.col("uri_a") != F.col("uri_b")))
+    for _ in range(max_rounds):
+        deg = (
+            cur.select(F.col("uri_a").alias("uri"))
+            .unionByName(cur.select(F.col("uri_b").alias("uri")))
+            .groupBy("uri").agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("uri")
+        n_drop = deg.count() - keep.count()
+        if n_drop == 0:
+            break
+        cur = ckpt.cut(
+            cur.join(keep.withColumnRenamed("uri", "uri_a"), "uri_a",
+                     "left_semi")
+            .join(keep.withColumnRenamed("uri", "uri_b"), "uri_b",
+                  "left_semi"))
+    return cur
+
+
 def degree_stats(edges: DataFrame, weight_col: str = "n_docs") -> DataFrame:
     """(uri, degree, weighted_degree) over the undirected co-mention
     edge table (uri_a < uri_b canonical). One union + one groupBy on

@@ -405,3 +405,47 @@ def test_label_propagation_matches_python_oracle(spark):
             nxt[u] = min(acc, key=lambda l: (-acc[l], l))
         labels = nxt
     assert got == labels
+
+
+def test_k_core_peels_to_fixpoint(spark):
+    from dbpedia_spotlight_spark.operators.graph import k_core
+    import itertools
+    # K4 clique + a tail a0-t0-t1: 3-core = exactly the clique (the
+    # tail peels in two rounds — t1 first, then t0, then a0 keeps deg 3)
+    clique = list(itertools.combinations([f"a{i}" for i in range(4)], 2))
+    edges = _edge_df(spark, clique + [("a0", "t0"), ("t0", "t1")])
+    core = k_core(edges, k=3)
+    got = {(r.uri_a, r.uri_b) for r in core.collect()}
+    assert got == set(clique)
+    # k above the max degree empties the graph
+    assert k_core(edges, k=5).count() == 0
+    # k=1 only drops nothing here (no isolated self-loops)
+    assert k_core(edges, k=1).count() == edges.count()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        k_core(edges, k=0)
+
+
+def test_k_core_matches_python_oracle_on_random_graph(spark):
+    import random
+    from dbpedia_spotlight_spark.operators.graph import k_core
+    rng = random.Random(5)
+    nodes = [f"n{i:02d}" for i in range(16)]
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                    for _ in range(40)})
+    edges = _edge_df(spark, pairs)
+    for k in (2, 3, 4):
+        got = {(r.uri_a, r.uri_b) for r in k_core(edges, k=k).collect()}
+        cur = set(pairs)
+        while True:
+            deg = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            keep = {u for u, d in deg.items() if d >= k}
+            nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+            if nxt == cur:
+                break
+            cur = nxt
+        assert got == cur, f"k={k}"
