@@ -4630,9 +4630,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     annotate_generative), model_token_counts (M4 ⊂ model_build),
     vocab_counts (⊂ quality_gopher gram stats) and tpch_q5 (generic
     relational plumbing; part_type_stats keeps the join/agg slice) out
-    — all four stay DuckDB-mirrored in tests/test_rotated_queries.py."""
+    — all four stay DuckDB-mirrored in tests/test_rotated_queries.py.
+    Round-4 third rotation: infer_domain_range (rdfs:2/3 property-schema
+    entailment) + bgp_agg_type_counts (SPARQL 1.1 aggregation) in — the
+    session's new operator families now carry hard driver signal;
+    uri_counts + pair_counts out (M1/M2, green since round 1, both
+    recomputed inside the model_build ★ oracle and still DuckDB-mirrored
+    in tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "infer_domain_range": q_infer_domain_range,
+        "bgp_agg_type_counts": q_bgp_agg_type_counts,
         "pii_counts": q_pii_counts,
         "hash_split": q_hash_split,
         "warc_source": q_warc_source,
@@ -4656,8 +4664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotate_confident": q_annotate_confident,
         "candidates_topk": q_candidates_topk,
         "link_triples": q_link_triples,
-        "uri_counts": q_uri_counts,
-        "pair_counts": q_pair_counts,
         "sf_totals": q_sf_totals,
         "redirect_closure": q_redirect_closure,
         "entity_graph_nodes": q_entity_graph_nodes,
@@ -4695,6 +4701,8 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "infer_domain_range": sql_infer_domain_range(),
+        "bgp_agg_type_counts": sql_bgp_agg_type_counts(),
         "pii_counts": sql_pii_counts(),
         "hash_split": sql_hash_split(),
         "warc_source": sql_warc_source(),
@@ -4717,8 +4725,6 @@ def oracle_sql() -> dict[str, str]:
         "annotate_confident": sql_annotate_confident(),
         "candidates_topk": sql_candidates_topk(),
         "link_triples": sql_link_triples(),
-        "uri_counts": sql_uri_counts(),
-        "pair_counts": sql_pair_counts(),
         "sf_totals": sql_sf_totals(),
         "redirect_closure": sql_redirect_closure(),
         "entity_graph_nodes": sql_entity_graph_nodes(),

@@ -95,14 +95,10 @@ ROTATED = [
     # link graph (real HTML anchor extraction; 10 L2-normalized
     # iterations unrolled as MATERIALIZED CTE chains)
     ("host_hits", Q.q_host_hits, Q.sql_host_hits),
-    # round-4 addition: rdfs:2/3 domain/range entailment composed with
-    # the rdfs:9 closure lift (property-schema half of RDFS typing)
-    ("infer_domain_range", Q.q_infer_domain_range,
-     Q.sql_infer_domain_range),
-    # round-4 addition: SPARQL 1.1 aggregation (GROUP BY + COUNT +
-    # COUNT DISTINCT + HAVING over the typed-mention BGP solutions)
-    ("bgp_agg_type_counts", Q.q_bgp_agg_type_counts,
-     Q.sql_bgp_agg_type_counts),
+    # round-4 third rotation OUT: M1/M2 (green since round 1, both
+    # recomputed inside the model_build registry oracle)
+    ("uri_counts", Q.q_uri_counts, Q.sql_uri_counts),
+    ("pair_counts", Q.q_pair_counts, Q.sql_pair_counts),
     # round-4 addition: SPARQL SELECT modifiers (projection + DISTINCT
     # + total ORDER BY + OFFSET/LIMIT page)
     ("bgp_select_page", Q.q_bgp_select_page, Q.sql_bgp_select_page),
