@@ -162,6 +162,27 @@ class KGStore:
     def _gen_path(self, gen: int) -> str:
         return f"{self.root}/gen-{gen:05d}"
 
+    def _pending_gens(self, kg_store: "KGStore") -> tuple[DataFrame, list[int]]:
+        """The KG delta_log tail this derived store has not folded yet,
+        as (log frame, sorted gen list) — guarded against a truncated
+        log: if ``expire_delta_log`` dropped partitions this store
+        still needs (its pointer lags the retention window), folding
+        the surviving tail would SILENTLY build a wrong state, so it
+        raises instead. Generations are contiguous by construction
+        (every advance appends ≥1 row; expiry drops a prefix), so the
+        check is one min() against pointer+1 (or 0 for a fresh store)."""
+        since = self.latest_gen()
+        log = kg_store.read_log(since_gen=-1 if since is None else since)
+        gens = sorted(r.gen for r in log.select("gen").distinct().collect())
+        need = 0 if since is None else since + 1
+        if gens and gens[0] != need:
+            raise ValueError(
+                f"KG delta_log no longer reaches generation {need} "
+                f"(oldest retained = {gens[0]}) — expired past this "
+                "derived store's pointer; rebuild the state from the "
+                "current snapshot instead of folding a truncated log")
+        return log, gens
+
     def _read_state(self, name: str, ddl: str) -> DataFrame:
         """A named per-generation state frame of the live generation
         (empty frame of ``ddl`` before the first fold) — shared by the
@@ -391,9 +412,7 @@ class EntailStore(KGStore):
         flat-storage discipline as the triple snapshot itself."""
         from dbpedia_spotlight_spark.operators.ontology import (
             maintain_entailed_types)
-        since = self.latest_gen()
-        log = kg_store.read_log(since_gen=-1 if since is None else since)
-        gens = sorted(r.gen for r in log.select("gen").distinct().collect())
+        log, gens = self._pending_gens(kg_store)
         links, types = self.read_links(), self.read_types()
         stats = {"gens_folded": 0, "entailed_added": 0,
                  "entailed_removed": 0}
@@ -448,9 +467,7 @@ class GraphStore(KGStore):
         pages, never a corpus-scale pair re-expansion."""
         from dbpedia_spotlight_spark.operators.graph import (
             maintain_comention)
-        since = self.latest_gen()
-        log = kg_store.read_log(since_gen=-1 if since is None else since)
-        gens = sorted(r.gen for r in log.select("gen").distinct().collect())
+        log, gens = self._pending_gens(kg_store)
         inc, edges = self.read_incidence(), self.read_edges()
         stats = {"gens_folded": 0, "edges_added": 0, "edges_removed": 0}
         for g in gens:

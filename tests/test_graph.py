@@ -449,3 +449,32 @@ def test_k_core_matches_python_oracle_on_random_graph(spark):
                 break
             cur = nxt
         assert got == cur, f"k={k}"
+
+
+def test_derived_store_catchup_refuses_truncated_log(spark, web_pages,
+                                                     model_bc, tmp_path):
+    """expire_delta_log past a derived store's pointer must make
+    catchup raise, never silently fold the surviving tail into a wrong
+    state."""
+    import datetime
+
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        GraphStore, KGStore, apply_pages_batch)
+
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    rows = web_pages.select(*cols).orderBy("url").limit(6).collect()
+    schema = web_pages.select(*cols).schema
+    store = KGStore(spark, str(tmp_path / "kg"))
+    apply_pages_batch(spark, spark.createDataFrame(rows, schema),
+                      model_bc, store, batch_id=0, cfg=cfg)
+    recrawl = [(rows[0][0], rows[0][1] + datetime.timedelta(days=1),
+                bytes(rows[3][2]), rows[0][3], rows[0][4])]
+    apply_pages_batch(spark, spark.createDataFrame(recrawl, schema),
+                      model_bc, store, batch_id=1, cfg=cfg)
+    assert store.expire_delta_log(keep_last=1) == 1  # gen-0 log gone
+
+    gstore = GraphStore(spark, str(tmp_path / "graph"))  # fresh: needs gen 0
+    with pytest.raises(ValueError, match="no longer reaches generation 0"):
+        gstore.catchup(store)
