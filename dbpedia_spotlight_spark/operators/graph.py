@@ -265,6 +265,65 @@ def _pagerank_driver(edges: DataFrame, damping: float, n_iter: int,
     )
 
 
+def personalized_pagerank(edges: DataFrame, seeds, damping: float = 0.85,
+                          n_iter: int = 10, weight_col: str = "n_docs",
+                          checkpoint_dir: str | None = None) -> DataFrame:
+    """Personalized PageRank: the random walk teleports to the SEED set
+    (uniformly) instead of to every node — the 'entities related to X'
+    KG query, ranking by walk proximity to the seeds rather than global
+    salience. ``seeds`` is a list of uris or a (uri) DataFrame; seeds
+    absent from the graph are ignored, an empty effective seed set
+    raises. Returns (uri, rank) with Σ rank = 1.
+
+    Same iteration shape as ``pagerank`` (undirected weighted
+    expansion, one uri-keyed join + map-side-combinable agg per round,
+    lineage cut per round); the teleport vector rides as a column on
+    the broadcast-joined node frame, so personalization adds zero extra
+    shuffles. Every node in an edge list has degree ≥ 1, so there is
+    no dangling mass to redistribute."""
+    spark = edges.sparkSession
+    seed_df = (seeds.select("uri") if isinstance(seeds, DataFrame)
+               else spark.createDataFrame([(s,) for s in seeds],
+                                          "uri string")).distinct()
+    directed = (
+        edges.select(F.col("uri_a").alias("src"),
+                     F.col("uri_b").alias("dst"),
+                     F.col(weight_col).cast("double").alias("w"))
+        .unionByName(edges.select(F.col("uri_b").alias("src"),
+                                  F.col("uri_a").alias("dst"),
+                                  F.col(weight_col).cast("double")
+                                  .alias("w")))
+    )
+    out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = (directed.join(out_w, "src")
+            .select("src", "dst",
+                    (F.col("w") / F.col("out_w")).alias("p")).cache())
+    nodes = directed.select(F.col("src").alias("uri")).distinct()
+    n_seeds = nodes.join(F.broadcast(seed_df), "uri", "left_semi").count()
+    if n_seeds == 0:
+        raise ValueError("no seed occurs in the graph")
+    nodes_t = nodes.join(
+        F.broadcast(seed_df.withColumn("t", F.lit(1.0 / n_seeds))),
+        "uri", "left").fillna({"t": 0.0}).cache()
+    from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, "ppr-ranks")
+    ranks = nodes_t.select("uri", F.col("t").alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            norm.join(ranks, norm.src == ranks.uri)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("mass"))
+        )
+        ranks = ckpt.cut(
+            nodes_t.join(contrib, nodes_t.uri == contrib.dst, "left")
+            .select(
+                "uri",
+                ((1.0 - damping) * F.col("t")
+                 + damping * F.coalesce("mass", F.lit(0.0))).alias("rank"))
+        )
+    return ranks
+
+
 def label_propagation(edges: DataFrame, n_iter: int = 10,
                       weight_col: str = "n_docs",
                       checkpoint_dir: str | None = None) -> DataFrame:

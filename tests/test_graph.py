@@ -478,3 +478,66 @@ def test_derived_store_catchup_refuses_truncated_log(spark, web_pages,
     gstore = GraphStore(spark, str(tmp_path / "graph"))  # fresh: needs gen 0
     with pytest.raises(ValueError, match="no longer reaches generation 0"):
         gstore.catchup(store)
+
+
+def test_personalized_pagerank_concentrates_near_seed(spark):
+    from dbpedia_spotlight_spark.operators.graph import (
+        pagerank, personalized_pagerank)
+    # path a-b-c-d-e seeded at 'a': rank decays with distance from the
+    # seed, unlike global pagerank (where interior nodes dominate)
+    path = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = _edge_df(spark, path)
+    ppr = {r.uri: r.rank
+           for r in personalized_pagerank(edges, ["a"], n_iter=20)
+           .collect()}
+    assert abs(sum(ppr.values()) - 1.0) < 1e-6
+    # proximity to the seed: each node outranks its mirror across the
+    # path (the seed's degree-1 endpoint feeds b, so a vs b ordering is
+    # not monotonic — but seed-side always beats far-side)
+    assert ppr["a"] > ppr["e"] and ppr["b"] > ppr["d"]
+    assert ppr["b"] > ppr["c"] > ppr["d"] > ppr["e"]
+    gpr = {r.uri: r.rank
+           for r in pagerank(edges, n_iter=20,
+                             driver_threshold=0).collect()}
+    # global PR on the symmetric path has no such asymmetry
+    assert abs(gpr["a"] - gpr["e"]) < 1e-9 and abs(gpr["b"] - gpr["d"]) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(edges, ["zzz"])
+
+
+def test_personalized_pagerank_matches_python_oracle(spark):
+    import random
+    from dbpedia_spotlight_spark.operators.graph import (
+        personalized_pagerank)
+    rng = random.Random(3)
+    nodes = [f"n{i:02d}" for i in range(10)]
+    pairs = sorted({tuple(sorted(rng.sample(nodes, 2)))
+                    for _ in range(18)})
+    E = [(a, b, rng.randint(1, 4)) for a, b in pairs]
+    edges = spark.createDataFrame(
+        E, "uri_a string, uri_b string, n_docs int")
+    seeds = ["n00", "n03"]
+    n_iter, d = 12, 0.85
+    got = {r.uri: r.rank
+           for r in personalized_pagerank(edges, seeds,
+                                          n_iter=n_iter).collect()}
+
+    adj, out = {}, {}
+    for a, b, w in E:
+        adj.setdefault(a, []).append((b, float(w)))
+        adj.setdefault(b, []).append((a, float(w)))
+        out[a] = out.get(a, 0.0) + w
+        out[b] = out.get(b, 0.0) + w
+    present = [s for s in seeds if s in adj]
+    t = {u: (1.0 / len(present) if u in present else 0.0) for u in adj}
+    rank = dict(t)
+    for _ in range(n_iter):
+        nxt = {u: (1 - d) * t[u] for u in adj}
+        for s, nbrs in adj.items():
+            for v, w in nbrs:
+                nxt[v] += d * rank[s] * (w / out[s])
+        rank = nxt
+    for u in adj:
+        assert abs(got[u] - rank[u]) < 1e-9, (u, got[u], rank[u])
