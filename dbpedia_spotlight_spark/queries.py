@@ -4520,6 +4520,114 @@ def sql_mention_contexts() -> str:
   FROM g JOIN d USING (url)"""
 
 
+def _top_support_uris(n: int) -> list[str]:
+    """Deterministic seed choice shared by both engines: the n
+    highest-support lexicon entities (ties broken by uri) — guaranteed
+    present in the co-mention graph at every SF (high-support ⇒ linked
+    somewhere in any non-trivial corpus slice)."""
+    rows = sorted(LEX.entity_rows(), key=lambda r: (-r[2], r[0]))
+    return [r[0] for r in rows[:n]]
+
+
+def q_describe_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE (operators/ontology.py::describe): every triple
+    about the highest-support lexicon entity over the full KG snapshot
+    — link triples carry it as OBJECT, rdf:type triples as SUBJECT, so
+    both positions of the OR-of-equalities filter are non-vacuous."""
+    from dbpedia_spotlight_spark.operators.ontology import describe
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.triples import (
+        link_triples, mention_triples, type_triples)
+    ann = annotate(
+        spark, _web_pages_from_docs(spark, sf_dir),
+        _static_model_bc(spark),
+        PipelineConfig(disambiguator="generative", confidence=0.0,
+                       support=0)).localCheckpoint(eager=True)
+    kg = (link_triples(ann).select("subj", "pred", "obj")
+          .unionByName(mention_triples(ann).select("subj", "pred", "obj"))
+          .unionByName(type_triples(ann)))
+    return describe(kg, _top_support_uris(1)[0])
+
+
+def sql_describe_entity() -> str:
+    pairs = [(r[0], t) for r in LEX.entity_rows() for t in r[3]]
+    type_vals = ", ".join(f"('{u}', '{t}')" for u, t in pairs)
+    uri = _top_support_uris(1)[0]
+    return f"""
+  WITH {_sql_mention_frame()},
+  tri AS (
+    SELECT m AS subj, 'nif:anchorOf' AS pred, sf AS obj FROM m
+    UNION
+    SELECT m, 'itsrdf:taIdentRef', e FROM m
+    UNION
+    SELECT DISTINCT m.e, 'rdf:type', t.typ
+    FROM m JOIN (VALUES {type_vals}) t(uri, typ) ON t.uri = m.e)
+  SELECT DISTINCT subj, pred, obj FROM tri
+  WHERE subj = '{uri}' OR obj = '{uri}'"""
+
+
+def q_ppr_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py::
+    personalized_pagerank): walk proximity to the two highest-support
+    entities over the co-mention graph, 10 iterations, 9dp rounded.
+    Oracle unrolls the teleport-vector iteration as CTE chains — the
+    same MATERIALIZED-hint structure as the global pagerank oracle."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, personalized_pagerank)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    ppr = personalized_pagerank(edges, _top_support_uris(2), n_iter=10)
+    return ppr.select("uri", F.round("rank", 9).alias("rank"))
+
+
+def sql_ppr_related(n_iter: int = 10) -> str:
+    seed_vals = ", ".join(f"('{u}')" for u in _top_support_uris(2))
+    iters = []
+    prev = "r0"
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+  r{k} AS (
+    SELECT nm.dst AS uri,
+           (1.0::DOUBLE - 0.85::DOUBLE) * sp.t
+             + 0.85::DOUBLE * sum(nm.p * r.rank) AS rank
+    FROM norm nm
+    JOIN {prev} r ON nm.src = r.uri
+    JOIN sp ON sp.uri = nm.dst
+    GROUP BY nm.dst, sp.t
+  )""")
+        prev = f"r{k}"
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS MATERIALIZED (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  eg AS (
+    SELECT x.uri AS uri_a, y.uri AS uri_b, count(*) AS n_docs
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2
+  ),
+  directed AS MATERIALIZED (
+    SELECT uri_a AS src, uri_b AS dst, CAST(n_docs AS DOUBLE) AS w FROM eg
+    UNION ALL
+    SELECT uri_b AS src, uri_a AS dst, CAST(n_docs AS DOUBLE) AS w FROM eg
+  ),
+  outw AS (SELECT src, sum(w) AS ow FROM directed GROUP BY src),
+  norm AS MATERIALIZED (
+    SELECT d.src, d.dst, d.w / o.ow AS p
+    FROM directed d JOIN outw o ON d.src = o.src
+  ),
+  nodes AS (SELECT DISTINCT src AS uri FROM directed),""" + f"""
+  seeds AS (SELECT * FROM (VALUES {seed_vals}) s(uri)),
+  ns AS MATERIALIZED (
+    SELECT count(*) AS n FROM nodes JOIN seeds USING (uri)),
+  sp AS MATERIALIZED (
+    SELECT n.uri,
+           CASE WHEN s.uri IS NOT NULL
+                THEN 1.0::DOUBLE / (SELECT n FROM ns)
+                ELSE 0.0::DOUBLE END AS t
+    FROM nodes n LEFT JOIN seeds s ON s.uri = n.uri),
+  r0 AS (SELECT uri, t AS rank FROM sp),""" + ",".join(iters) + f"""
+  SELECT uri, round(rank, 9) AS rank FROM r{n_iter}""")
+
+
 def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic label-propagation communities
     (operators/graph.py::label_propagation) over the doc-level

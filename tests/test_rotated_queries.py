@@ -109,6 +109,11 @@ ROTATED = [
     ("bgp_not_exists", Q.q_bgp_not_exists, Q.sql_bgp_not_exists),
     # round-4 addition: distant-supervision context-window export
     ("mention_contexts", Q.q_mention_contexts, Q.sql_mention_contexts),
+    # round-4 addition: SPARQL DESCRIBE over the full snapshot
+    ("describe_entity", Q.q_describe_entity, Q.sql_describe_entity),
+    # round-4 addition: personalized PageRank (seed-teleport walk
+    # proximity; 10 unrolled iterations, 9dp contract)
+    ("ppr_related", Q.q_ppr_related, Q.sql_ppr_related),
     # round-4 addition: deterministic label-propagation communities
     # (4 unrolled synchronous rounds, max-weight/min-label argmin)
     ("lpa_communities", Q.q_lpa_communities, Q.sql_lpa_communities),
