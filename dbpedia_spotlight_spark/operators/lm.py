@@ -1,0 +1,141 @@
+"""In-Spark n-gram language-model training + perplexity scoring — the
+CCNet-style quality signal (Wenzek et al. 2020 score Common Crawl with a
+KenLM n-gram model and keep the low-perplexity head/middle buckets).
+
+No KenLM wheel here and none needed: an interpolated add-α bigram LM is
+pure relational algebra end-to-end, so BOTH training and scoring stay
+JVM-side with zero UDFs:
+
+- **train** (:func:`train_bigram_lm`): two map-side-combinable counts
+  over the reference corpus — C(w) unigrams and C(w1,w2) bigrams — plus
+  the vocab size. One shuffle each, keyed on the token / token pair;
+  at 100 TB the combiners reduce each partition to vocab-sized state
+  before the exchange.
+- **score** (:func:`doc_perplexity`): explode each doc into its
+  (BOS-prefixed) bigram stream, LEFT join the count tables (absent →
+  0 via coalesce — that IS the smoothing path, no OOV special-casing),
+  then one avg keyed on doc id.  The count tables are vocab-sized, so
+  Catalyst/AQE broadcasts them; the corpus side shuffles only once for
+  the final per-doc aggregate.
+
+  p(w2|w1) = (C(w1,w2) + α) / (C(w1) + α·(V+1))      (add-α, +1 = OOV)
+
+Cross-engine contract: per-bigram ln p is exact in both engines (same
+doubles, same division); the per-doc mean is rounded to 9dp like the
+PMI/score contracts elsewhere in this repo, and perplexity is derived
+from the already-rounded mean so both engines exponentiate the same
+number.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, functions as F
+
+from .decontam import _norm
+
+BOS = "<s>"
+
+
+class BigramLM(NamedTuple):
+    """A trained bigram LM as two count DataFrames + scalars. The
+    frames are vocab-sized (NOT corpus-sized) — persist or write them
+    once, broadcast at score time."""
+    unigrams: DataFrame   # (w, c)     — includes BOS with c = n_docs
+    bigrams: DataFrame    # (w1, w2, c)
+    vocab_size: int       # distinct non-BOS tokens in training
+    alpha: float
+
+
+def _token_arr(text_col) -> F.Column:
+    return F.split(_norm(text_col), " ")
+
+
+def _bigram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — each doc's token stream with one BOS prepended, so
+    every real token is predicted exactly once (n_bigrams = n_tokens)."""
+    toks = F.concat(F.array(F.lit(BOS)), _token_arr(F.col(text_col)))
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(F.element_at(toks, i + 1).alias("w1"),
+                               F.element_at(toks, i + 2).alias("w2")),
+        )).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+
+
+def train_bigram_lm(ref_docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    alpha: float = 0.1) -> BigramLM:
+    """Count-train on a reference corpus (typically a high-quality
+    slice — the CCNet 'target domain'). Two aggregations, both
+    map-side combinable; the single action is the scalar vocab count."""
+    bg = _bigram_stream(ref_docs, id_col, text_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    unigrams = (bg.groupBy(F.col("w1").alias("w"))
+                  .agg(F.count("*").alias("c")))
+    vocab = (bg.filter(F.col("w2") != BOS)
+               .select(F.countDistinct("w2").alias("v")).first()["v"])
+    return BigramLM(unigrams=unigrams, bigrams=bigrams,
+                    vocab_size=int(vocab), alpha=alpha)
+
+
+def doc_perplexity(docs: DataFrame, lm: BigramLM,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Score every doc: (id, n_tokens, avg_lnp, perplexity).
+
+    avg_lnp = mean over the doc's bigrams of ln p(w2|w1), rounded to
+    9dp (the repo's cross-engine float contract); perplexity =
+    exp(−avg_lnp) of the rounded mean. Lower perplexity = more like
+    the reference corpus."""
+    denom_v = float(lm.alpha) * (lm.vocab_size + 1)
+    stream = _bigram_stream(docs, id_col, text_col)
+    scored = (
+        stream
+        .join(F.broadcast(lm.bigrams.withColumnRenamed("c", "c_bg")),
+              ["w1", "w2"], "left")
+        .join(F.broadcast(lm.unigrams
+                          .withColumnRenamed("w", "w1")
+                          .withColumnRenamed("c", "c_ug")),
+              ["w1"], "left")
+        .select(
+            "id",
+            F.log((F.coalesce(F.col("c_bg"), F.lit(0)) + F.lit(lm.alpha))
+                  / (F.coalesce(F.col("c_ug"), F.lit(0)) + F.lit(denom_v)))
+            .alias("lnp"),
+        )
+    )
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("lnp"), 9).alias("avg_lnp"))
+            .select(F.col("id").alias(id_col), "n_tokens", "avg_lnp",
+                    F.round(F.exp(-F.col("avg_lnp")), 6).alias("perplexity")))
+
+
+def perplexity_buckets(scored: DataFrame, head_max: float,
+                       middle_max: float,
+                       ppl_col: str = "perplexity") -> DataFrame:
+    """CCNet head/middle/tail split by EXPLICIT thresholds (CCNet
+    derives them from a sample's percentiles once per language, then
+    applies them as constants — a pure projection, no global sort or
+    window at score time)."""
+    p = F.col(ppl_col)
+    return scored.withColumn(
+        "bucket",
+        F.when(p <= head_max, F.lit("head"))
+         .when(p <= middle_max, F.lit("middle"))
+         .otherwise(F.lit("tail")))
+
+
+def ppl_thresholds(scored: DataFrame, qs: tuple[float, float] = (1 / 3, 2 / 3),
+                   ppl_col: str = "perplexity") -> tuple[float, float]:
+    """Derive the CCNet bucket thresholds from a scored SAMPLE (exact
+    percentile — run this on a capped sample, not the full corpus; the
+    two floats then drive :func:`perplexity_buckets` as constants)."""
+    row = scored.select(
+        F.expr(f"percentile({ppl_col}, {qs[0]})").alias("a"),
+        F.expr(f"percentile({ppl_col}, {qs[1]})").alias("b")).first()
+    return float(row["a"]), float(row["b"])

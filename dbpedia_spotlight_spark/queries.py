@@ -4711,6 +4711,117 @@ def sql_pmi_edges() -> str:
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination + n-gram LM perplexity (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# DuckDB mirror of operators/decontam._norm: the pinned 1:1 casefold
+# translate + Java-\s whitespace collapse ('[ \t\n\x0b\f\r]' — RE2's \s
+# lacks \x0b, so the class is explicit).
+def _sql_decontam_norm(table: str = "documents") -> str:
+    from dbpedia_spotlight_spark.operators.textstats import (
+        CASEFOLD_FROM, CASEFOLD_TO,
+    )
+    return f"""
+  norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(translate(text, '{CASEFOLD_FROM}',
+                                         '{CASEFOLD_TO}'),
+                               '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS t
+    FROM {table})"""
+
+
+def _sql_word_ngrams(src: str, n: int) -> str:
+    """list_distinct word n-grams of normalized column ``t`` (mirror of
+    decontam.word_ngrams incl. the short-doc whole-text fallback)."""
+    toks = f"string_split({src}, ' ')"
+    return (f"list_distinct(CASE WHEN len({toks}) >= {n} THEN "
+            f"list_transform(range(0, len({toks}) - {n - 1}), "
+            f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')) "
+            f"ELSE [{src}] END)")
+
+
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): flag training
+    docs sharing ≥1 word 8-gram with a deterministic planted benchmark
+    (the first 12 normalized words of every doc_id ≡ 3 (mod 37) — the
+    GPT-3-style eval-leak shape). Plan: gram explode → broadcast hash
+    probe → one map-side-combinable count on doc_id; the oracle rebuilds
+    benchmark, grams and join relationally."""
+    from dbpedia_spotlight_spark.operators.decontam import (
+        _norm, benchmark_overlap,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 37 == 3).select(
+        F.array_join(F.slice(F.split(_norm(F.col("text")), " "), 1, 12), " ")
+        .alias("text"))
+    return benchmark_overlap(docs, bench, n=8).orderBy("id")
+
+
+def sql_decontam_overlap() -> str:
+    return f"""
+  WITH {_sql_decontam_norm()},
+  bench AS (
+    SELECT array_to_string(list_slice(string_split(t, ' '), 1, 12), ' ') AS bt
+    FROM norm WHERE doc_id % 37 = 3),
+  bgrams AS (
+    SELECT DISTINCT unnest({_sql_word_ngrams('bt', 8)}) AS gram FROM bench),
+  dgr AS (
+    SELECT doc_id, {_sql_word_ngrams('t', 8)} AS grams FROM norm),
+  dg AS (
+    SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM dgr)
+  SELECT dg.doc_id AS id, CAST(dg.n_grams AS INTEGER) AS n_grams,
+         CAST(count(*) AS BIGINT) AS n_hit,
+         count(*) / CAST(dg.n_grams AS DOUBLE) AS hit_frac
+  FROM dg JOIN bgrams USING (gram)
+  GROUP BY dg.doc_id, dg.n_grams
+  ORDER BY id"""
+
+
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality signal (operators/lm.py): add-α bigram LM
+    count-trained on the doc_id ≡ 0 (mod 5) reference slice, perplexity
+    scored over ALL docs — OOV tokens exercise the smoothing path
+    (coalesce-to-0 left joins). Zero UDFs on either stage; the oracle
+    replays train + score relationally. 9dp mean-ln contract, ppl
+    derived from the already-rounded mean."""
+    from dbpedia_spotlight_spark.operators.lm import (
+        doc_perplexity, train_bigram_lm,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 5 == 0), alpha=0.1)
+    return doc_perplexity(docs, lm).orderBy("doc_id")
+
+
+def sql_ngram_perplexity() -> str:
+    return f"""
+  WITH {_sql_decontam_norm()},
+  toks AS (
+    SELECT doc_id, list_prepend('<s>', string_split(t, ' ')) AS arr
+    FROM norm),
+  bg AS (
+    SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(arr))) AS u(i)),
+  ref AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+  ug AS (SELECT w1 AS w, count(*) AS c FROM ref GROUP BY 1),
+  bgc AS (SELECT w1, w2, count(*) AS c FROM ref GROUP BY 1, 2),
+  v AS (SELECT count(DISTINCT w2) AS v FROM ref WHERE w2 <> '<s>'),
+  scored AS (
+    SELECT bg.doc_id,
+           ln((coalesce(bgc.c, 0) + 0.1)
+              / (coalesce(ug.c, 0) + 0.1 * (v.v + 1))) AS lnp
+    FROM bg
+    LEFT JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+    LEFT JOIN ug ON ug.w = bg.w1
+    CROSS JOIN v)
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(lnp), 9) AS avg_lnp,
+         round(exp(-round(avg(lnp), 9)), 6) AS perplexity
+  FROM scored
+  GROUP BY doc_id
+  ORDER BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,135 @@
+"""Benchmark decontamination + n-gram LM perplexity (round-4 additions
+to the training-data suite). Cross-engine value parity lives in
+test_rotated_queries; these pin the semantics and the plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dbpedia_spotlight_spark.operators import decontam, lm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t)
+                                  for i, t in enumerate(rows)])
+
+
+CLEAN = "the quick brown fox jumps over the lazy dog near the river bank"
+EVAL_Q = "what is the capital city of the ancient kingdom of lydia"
+
+
+def test_planted_contamination_flagged_and_dropped(spark):
+    docs = _docs(spark, [
+        CLEAN,
+        "intro text " + EVAL_Q + " trailing words here",   # verbatim leak
+        "totally unrelated words about spark shuffles and joins going on",
+    ])
+    bench = spark.createDataFrame([Row(bench_id=0, text=EVAL_Q)])
+    rep = decontam.benchmark_overlap(docs, bench, n=8).toPandas()
+    assert list(rep["id"]) == [1]
+    assert rep["n_hit"].iloc[0] >= 1
+    kept = decontam.decontaminate(docs, bench, n=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 2]
+    # text columns pass through untouched
+    assert kept.columns == docs.columns
+
+
+def test_overlap_attribution_per_benchmark(spark):
+    docs = _docs(spark, ["aa " + EVAL_Q, CLEAN + " " + CLEAN])
+    bench = spark.createDataFrame([
+        Row(bench_id=7, text=EVAL_Q),
+        Row(bench_id=8, text=CLEAN),
+    ])
+    rep = decontam.overlap_by_benchmark(docs, bench, n=8).toPandas()
+    got = {(r.id, r.bench_id) for r in rep.itertuples()}
+    assert got == {(0, 7), (1, 8)}
+
+
+def test_short_benchmark_prompt_matches_verbatim_copy(spark):
+    # prompts shorter than n words fall back to whole-text grams
+    prompt = "two plus two"
+    docs = _docs(spark, [f"{prompt}", "something else entirely different"])
+    bench = spark.createDataFrame([Row(text=prompt)])
+    rep = decontam.benchmark_overlap(docs, bench, n=8).toPandas()
+    assert list(rep["id"]) == [0]
+
+
+def test_casefold_and_whitespace_insensitive(spark):
+    docs = _docs(spark, ["THE   Quick\tBROWN fox jumps over the lazy dog"])
+    bench = spark.createDataFrame(
+        [Row(text="the quick brown fox jumps over the lazy dog")])
+    assert decontam.benchmark_overlap(docs, bench, n=8).count() == 1
+
+
+def test_decontam_plan_broadcasts_benchmark(spark):
+    docs = _docs(spark, [CLEAN] * 4)
+    bench = spark.createDataFrame([Row(text=EVAL_Q)])
+    plan = decontam.benchmark_overlap(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------------- lm --
+
+REF = [
+    "the cat sat on the mat and the dog sat on the rug",
+    "the dog ran to the cat and the cat ran to the mat",
+    "a cat and a dog sat on a mat near the door",
+]
+
+
+def test_reference_like_text_scores_lower_perplexity(spark):
+    model = lm.train_bigram_lm(_docs(spark, REF))
+    probe = _docs(spark, [
+        "the cat sat on the mat",                  # in-domain
+        "zq xv wk jj qqq zzz plmb vrt nnn ddd",    # OOV gibberish
+    ])
+    out = (lm.doc_perplexity(probe, model)
+           .orderBy("doc_id").toPandas())
+    assert out["perplexity"].iloc[0] < out["perplexity"].iloc[1]
+    assert (out["n_tokens"] == [6, 10]).all()
+
+
+def test_perplexity_matches_hand_computation(spark):
+    import math
+    model = lm.train_bigram_lm(_docs(spark, ["a b a b"]), alpha=0.5)
+    # BOS stream [<s>, a, b, a, b] → pairs (<s>,a)(a,b)(b,a)(a,b), so
+    # C(w1): <s>:1 a:2 b:1; C(<s>,a)=1 C(a,b)=2 C(b,a)=1; V=2
+    V = 2
+    al = 0.5
+
+    def p(cbg, cug):
+        return (cbg + al) / (cug + al * (V + 1))
+
+    probe = _docs(spark, ["a b c"])
+    # bigrams: (<s>,a)(a,b)(b,c) → p(1,1), p(2,2), p(0,1)
+    expect_avg = (math.log(p(1, 1)) + math.log(p(2, 2))
+                  + math.log(p(0, 1))) / 3
+    row = lm.doc_perplexity(probe, model).first()
+    assert row["avg_lnp"] == pytest.approx(round(expect_avg, 9), abs=1e-9)
+    assert row["perplexity"] == pytest.approx(
+        round(math.exp(-round(expect_avg, 9)), 6), abs=1e-6)
+
+
+def test_buckets_and_thresholds(spark):
+    model = lm.train_bigram_lm(_docs(spark, REF))
+    probe = _docs(spark, REF + ["zq xv wk jj qqq zzz plmb vrt nnn ddd"])
+    scored = lm.doc_perplexity(probe, model)
+    lo, hi = lm.ppl_thresholds(scored)
+    assert lo <= hi
+    b = lm.perplexity_buckets(scored, lo, hi).toPandas()
+    assert set(b["bucket"]) <= {"head", "middle", "tail"}
+    # gibberish doc must land in the tail
+    assert b.sort_values("doc_id")["bucket"].iloc[-1] == "tail"
+
+
+def test_lm_training_and_scoring_are_udf_free(spark):
+    model = lm.train_bigram_lm(_docs(spark, REF))
+    plan = lm.doc_perplexity(_docs(spark, REF), model) \
+        ._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+                   "MapInPandas"):
+        assert marker not in plan
+    # count tables ride in as broadcasts, corpus side shuffles once
+    assert "BroadcastHashJoin" in plan

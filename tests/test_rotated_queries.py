@@ -128,6 +128,12 @@ ROTATED = [
      Q.sql_model_token_counts),
     ("vocab_counts", Q.q_vocab_counts, Q.sql_vocab_counts),
     ("tpch_q5", Q.q_tpch_q5, Q.sql_tpch_q5),
+    # round-4 session-8 addition: benchmark decontamination (GPT-3-style
+    # eval-leak n-gram overlap; planted bench = 12-word prefixes)
+    ("decontam_overlap", Q.q_decontam_overlap, Q.sql_decontam_overlap),
+    # round-4 session-8 addition: CCNet-style add-α bigram LM
+    # perplexity, trained AND scored relationally (zero UDFs)
+    ("ngram_perplexity", Q.q_ngram_perplexity, Q.sql_ngram_perplexity),
 ]
 
 
