@@ -81,6 +81,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "the corpus itself: parse them (RFC 9309 "
                          "prefix subset), drop disallowed urls and the "
                          "robots.txt rows (requires --url-col)")
+    ap.add_argument("--decontaminate", default="",
+                    help="parquet dir of benchmark/eval docs (text "
+                         "column): drop every corpus doc sharing a "
+                         "word n-gram with them (GPT-3 recipe)")
+    ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument("--ppl-ref", default="",
+                    help="parquet dir of reference docs to count-train "
+                         "the bigram LM on (or 'self' = the corpus "
+                         "itself); keeps only --ppl-keep perplexity "
+                         "buckets (CCNet head/middle/tail)")
+    ap.add_argument("--ppl-keep", default="head,middle")
     ap.add_argument("--clean-boilerplate", action="store_true",
                     help="C4-style boilerplate line filter BEFORE "
                          "content dedup (boilerplate changes content "
@@ -262,6 +273,43 @@ def main(argv: list[str] | None = None,
     if args.quality_gate or args.lang:
         docs = docs.localCheckpoint(eager=True)
         stats["after_quality_gate"] = docs.count()
+
+    # 3b. benchmark decontamination — AFTER dedup/quality (cheapest
+    # corpus), BEFORE the split (a leaked doc must not reach any split).
+    # One broadcast gram probe; clean docs never shuffle.
+    if args.decontaminate:
+        from dbpedia_spotlight_spark.operators.decontam import decontaminate
+        bench = spark.read.parquet(args.decontaminate)
+        before = stats.get("after_quality_gate", stats["after_near_dedup"])
+        docs = decontaminate(
+            docs, bench, n=args.decontam_ngram, id_col=id_col) \
+            .localCheckpoint(eager=True)
+        stats["after_decontam"] = docs.count()
+        stats["n_contaminated"] = before - stats["after_decontam"]
+
+    # 3c. perplexity gate (CCNet): train the bigram LM on the reference
+    # slice, score every doc, bucket by the scored corpus's own
+    # percentiles (at real scale: derive thresholds from a capped
+    # sample once, then pass them as constants — the projection path).
+    if args.ppl_ref:
+        from dbpedia_spotlight_spark.operators.lm import (
+            doc_perplexity, perplexity_buckets, ppl_thresholds,
+            train_bigram_lm,
+        )
+        ref = (docs if args.ppl_ref == "self"
+               else spark.read.parquet(args.ppl_ref))
+        model = train_bigram_lm(ref, id_col=id_col)
+        scored = doc_perplexity(docs, model, id_col=id_col) \
+            .localCheckpoint(eager=True)
+        lo, hi = ppl_thresholds(scored)
+        keep_buckets = set(args.ppl_keep.split(","))
+        keep_ids = (perplexity_buckets(scored, lo, hi)
+                    .filter(F.col("bucket").isin(*keep_buckets))
+                    .select(id_col))
+        docs = docs.join(keep_ids, id_col, "left_semi") \
+            .localCheckpoint(eager=True)
+        stats["ppl_thresholds"] = {"head_max": lo, "middle_max": hi}
+        stats["after_ppl_gate"] = docs.count()
 
     # 4. PII scrub (text rewrite, row count unchanged)
     if args.scrub_pii:

@@ -554,6 +554,38 @@ def test_run_curation_robots_txt_gate(spark, tmp_path):
     assert not any(u.endswith("robots.txt") for u in kept)
 
 
+def test_run_curation_decontam_and_ppl_stages(spark, tmp_path):
+    """--decontaminate drops exactly the docs sharing an n-gram with the
+    benchmark parquet; --ppl-ref self buckets by the corpus's own
+    perplexity percentiles and keeps head+middle."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus_dir = str(tmp_path / "corpus")
+    src.write.parquet(corpus_dir)
+    # benchmark = 12-word prefixes of three corpus docs → exactly those
+    # docs are contaminated (random word soup elsewhere)
+    bench_dir = str(tmp_path / "bench")
+    src.filter("doc_id IN (5, 17, 123)").select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 12), " ")
+        .alias("text")).write.parquet(bench_dir)
+
+    stats = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
+                  "--split", "", "--no-quality-gate", "--lang", "",
+                  "--decontaminate", bench_dir, "--ppl-ref", "self"],
+                 spark=spark)
+    assert stats["n_contaminated"] >= 3
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out" / "curated"))
+            .select("doc_id").collect()}
+    assert not {5, 17, 123} & kept
+    # ppl gate keeps the head+middle two-thirds (ties can nudge counts)
+    assert stats["after_ppl_gate"] < stats["after_decontam"]
+    assert stats["after_ppl_gate"] >= int(stats["after_decontam"] * 0.6)
+    assert stats["ppl_thresholds"]["head_max"] <= \
+        stats["ppl_thresholds"]["middle_max"]
+
+
 def test_run_kg_maintain_main(spark, web_pages, lexicon, tmp_path):
     """KG-maintenance entrypoint: batch fold, then an incremental
     stream drain over the same pages is a no-op (replace-idempotent),
