@@ -133,6 +133,8 @@ HEADLINE = [
     "events_hourly",
     "bgp_typed_mentions",     # KG read path: 3-pattern SPARQL BGP over
                               # the materialized snapshot (round-4)
+    "decontam_overlap",       # benchmark eval-leak gram probe (session 8)
+    "ngram_perplexity",       # relational bigram-LM scoring (session 8)
 ]
 
 
@@ -145,6 +147,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     qs = dict(Q.queries())
     qs.setdefault("tpch_q5", Q.q_tpch_q5)
     qs.setdefault("bgp_typed_mentions", Q.q_bgp_typed_mentions)
+    qs.setdefault("events_hourly", Q.q_events_hourly)  # rotated out s8
     # warm up JVM + Python workers + compile/broadcast the static model so
     # per-query times measure the steady-state plan, not one-time setup
     Q._docs(spark, sf_dir).limit(8).mapInPandas(

@@ -38,11 +38,12 @@ def _norm(text_col) -> F.Column:
         F.translate(text_col, CASEFOLD_FROM, CASEFOLD_TO), "\\s+", " "))
 
 
-def word_ngrams(text_col, n: int) -> F.Column:
-    """Distinct word n-grams of the normalized text as array<string>;
-    docs shorter than n words contribute their whole text as one gram
-    (so short benchmark prompts still match verbatim copies)."""
-    toks = F.split(_norm(text_col), " ")
+def _grams_of(toks, n: int) -> F.Column:
+    """Distinct word n-grams from a BOUND token-array column. Callers
+    must project the token array first (`F.split(_norm(...))` behind a
+    select) — referencing the split+translate tree inside the per-gram
+    lambda would re-evaluate it for every gram (HOF lambdas defeat CSE;
+    measured 6-8x on the driver corpus)."""
     size = F.size(toks)
     grams = F.when(size >= n, F.transform(
         F.sequence(F.lit(0), size - n),
@@ -51,12 +52,38 @@ def word_ngrams(text_col, n: int) -> F.Column:
     return F.array_distinct(grams)
 
 
+def word_ngrams(text_col, n: int) -> F.Column:
+    """Distinct word n-grams of the normalized text as array<string>;
+    docs shorter than n words contribute their whole text as one gram
+    (so short benchmark prompts still match verbatim copies).
+
+    Single-Column convenience form: the token array is let-bound via a
+    one-element transform so normalize+split runs once per row, not
+    once per gram. The two-step projected form (`select` the split,
+    then :func:`_grams_of`) is faster still and is what the operators
+    below use."""
+    return F.element_at(F.transform(
+        F.array(F.split(_norm(text_col), " ")),
+        lambda toks: _grams_of(toks, n)), 1)
+
+
+def _with_grams(df: DataFrame, text_col: str, n: int,
+                **keep) -> DataFrame:
+    """Project the normalized token array ONCE, then derive the distinct
+    gram array from the bound column — the fast two-step form.
+    ``keep`` maps output-name → source column name to carry through."""
+    first = [F.col(src).alias(name) for name, src in keep.items()]
+    return (df.select(*first, F.split(_norm(F.col(text_col)), " ")
+                      .alias("_toks"))
+              .select(*keep, _grams_of(F.col("_toks"), n).alias("grams")))
+
+
 def benchmark_grams(benchmark: DataFrame, n: int = 8,
                     text_col: str = "text") -> DataFrame:
     """Distinct n-grams over the whole benchmark set — one column
     ``gram``. Eval sets are small; the result is meant to broadcast."""
-    return (benchmark
-            .select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    return (_with_grams(benchmark, text_col, n)
+            .select(F.explode("grams").alias("gram"))
             .distinct())
 
 
@@ -72,12 +99,14 @@ def benchmark_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     keyed on the doc id. Clean docs don't appear (anti-join them via
     :func:`decontaminate`); at web scale almost every doc is clean, so
     the aggregate input is tiny."""
-    g = docs.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(F.col(text_col), n).alias("grams"),
-    ).select(
+    # explode_OUTER: plain explode's Generate adds an implicit
+    # size(grams)>0 filter that Catalyst pushes below the token-array
+    # projection, re-inlining the normalize+split tree once PER GRAM
+    # (measured 9x on the driver corpus). The gram array is never
+    # empty, and the inner join drops any null row anyway.
+    g = _with_grams(docs, text_col, n, id=id_col).select(
         "id", F.size("grams").alias("n_grams"),
-        F.explode("grams").alias("gram"),
+        F.explode_outer("grams").alias("gram"),
     )
     bg = benchmark_grams(benchmark, n, bench_text_col)
     return (g.join(F.broadcast(bg), "gram")
@@ -97,14 +126,10 @@ def overlap_by_benchmark(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     id through the broadcast, everything else matches
     :func:`benchmark_overlap`. A gram shared by several benchmark items
     counts once per item (the audit wants per-item leak counts)."""
-    g = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-    )
-    bg = (benchmark
-          .select(F.col(bench_id_col).alias("bench_id"),
-                  F.explode(word_ngrams(F.col(bench_text_col), n))
-                  .alias("gram"))
+    g = _with_grams(docs, text_col, n, id=id_col) \
+        .select("id", F.explode_outer("grams").alias("gram"))
+    bg = (_with_grams(benchmark, bench_text_col, n, bench_id=bench_id_col)
+          .select("bench_id", F.explode("grams").alias("gram"))
           .distinct())
     return (g.join(F.broadcast(bg), "gram")
              .groupBy("id", "bench_id")

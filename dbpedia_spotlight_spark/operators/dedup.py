@@ -53,13 +53,20 @@ def _tokens(text_col) -> F.Column:
 
 def shingles(text_col, k: int = 3) -> F.Column:
     """Word k-shingles as an array<string> — native expressions only
-    (transform over sequence), no UDF in the scan."""
-    toks = _tokens(text_col)
-    n = F.size(toks)
-    return F.when(n >= k, F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )).otherwise(F.array(F.concat_ws(" ", toks)))
+    (transform over sequence), no UDF in the scan.
+
+    The token array is let-bound through a one-element transform so
+    lower+split evaluates once per ROW: referencing the split tree
+    directly inside the per-shingle lambda re-evaluates it per shingle
+    (HOF lambdas defeat CSE — measured 2x end-to-end on jaccard_pairs)."""
+    def build(toks):
+        n = F.size(toks)
+        return F.when(n >= k, F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.element_at(
+        F.transform(F.array(_tokens(text_col)), build), 1)
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",

@@ -54,10 +54,17 @@ def _token_arr(text_col) -> F.Column:
 
 def _bigram_stream(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2) — each doc's token stream with one BOS prepended, so
-    every real token is predicted exactly once (n_bigrams = n_tokens)."""
-    toks = F.concat(F.array(F.lit(BOS)), _token_arr(F.col(text_col)))
+    every real token is predicted exactly once (n_bigrams = n_tokens).
+    The BOS'd token array is projected ONCE before the per-bigram
+    lambda — referencing the normalize+split tree inside the lambda
+    would re-evaluate it per bigram (HOF lambdas defeat CSE; measured
+    6-8x on the driver corpus)."""
+    bos_toks = F.concat(F.array(F.lit(BOS)), _token_arr(F.col(text_col)))
+    toks = F.col("_toks")
     return docs.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).alias("id"), bos_toks.alias("_toks"),
+    ).select(
+        "id",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.size(toks) - 2),
             lambda i: F.struct(F.element_at(toks, i + 1).alias("w1"),

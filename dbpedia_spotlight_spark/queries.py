@@ -4740,6 +4740,61 @@ def _sql_word_ngrams(src: str, n: int) -> str:
             f"ELSE [{src}] END)")
 
 
+def q_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL cardinality sketch (operators/sketches.py):
+    approximate distinct user_id per event_type at p=8. The estimator
+    sums registers in EXACT integer space (DECIMAL(38,0) / HUGEINT)
+    before its one double division, so both engines produce the
+    identical 4dp estimate; the oracle rebuilds hash → register →
+    estimate relationally, including the linear-counting branch."""
+    from dbpedia_spotlight_spark.operators.sketches import (
+        distinct_count_approx,
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (distinct_count_approx(events, ["event_type"], "user_id", p=8)
+            .orderBy("event_type"))
+
+
+def sql_hll_users(p: int = 8) -> str:
+    from dbpedia_spotlight_spark.operators.sketches import HASH_BITS, _alpha
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    num = _alpha(m) * m * m * float(1 << HASH_BITS)
+    return f"""
+  WITH h AS (
+    SELECT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             AS h60
+    FROM events),
+  reg AS (
+    SELECT event_type, (h60 >> {w_bits}) AS bucket,
+           CASE WHEN (h60 & ((1::BIGINT << {w_bits}) - 1)) = 0
+                THEN {w_bits + 1}
+                ELSE {w_bits + 1}
+                     - length(bin(h60 & ((1::BIGINT << {w_bits}) - 1)))
+           END AS rho
+    FROM h),
+  regs AS (
+    SELECT event_type, bucket, max(rho) AS rho
+    FROM reg GROUP BY 1, 2),
+  agg AS (
+    SELECT event_type, count(*) AS n_present,
+           sum(1::HUGEINT << ({HASH_BITS} - rho))
+             + ({m} - count(*))::HUGEINT * (1::HUGEINT << {HASH_BITS})
+             AS s_int
+    FROM regs GROUP BY 1)
+  SELECT event_type,
+         round(CASE WHEN {num!r} / CAST(s_int AS DOUBLE) <= {2.5 * m!r}
+                         AND ({m} - n_present) > 0
+                    THEN {float(m)!r}
+                         * ln({float(m)!r}
+                              / CAST({m} - n_present AS DOUBLE))
+                    ELSE {num!r} / CAST(s_int AS DOUBLE)
+               END, 4) AS est
+  FROM agg
+  ORDER BY event_type"""
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): flag training
     docs sharing ≥1 word 8-gram with a deterministic planted benchmark
@@ -4855,9 +4910,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     session's new operator families now carry hard driver signal;
     uri_counts + pair_counts out (M1/M2, green since round 1, both
     recomputed inside the model_build ★ oracle and still DuckDB-mirrored
-    in tests/test_rotated_queries.py)."""
+    in tests/test_rotated_queries.py).
+    Round-4 fourth rotation (session 8): decontam_overlap (benchmark
+    eval-leak n-gram overlap) + ngram_perplexity (relational bigram-LM
+    CCNet quality signal) in — both new operator families on real
+    driver tables; frame_sample (trivial deterministic grid, now
+    superseded by the REAL y4m frame_features + its pytest battery) and
+    events_hourly (green since round 1; streaming twin keeps the
+    semantics pinned) out — both stay DuckDB-mirrored in
+    tests/test_rotated_queries.py."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "decontam_overlap": q_decontam_overlap,
+        "ngram_perplexity": q_ngram_perplexity,
         "infer_domain_range": q_infer_domain_range,
         "bgp_agg_type_counts": q_bgp_agg_type_counts,
         "pii_counts": q_pii_counts,
@@ -4869,9 +4934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "salted_user_topk": q_salted_user_topk,
         "sessionize": q_sessionize,
-        "events_hourly": q_events_hourly,
         "part_type_stats": q_part_type_stats,
-        "frame_sample": q_frame_sample,
         "annotate_stemmed": q_annotate_stemmed,
         "ann_ivf": q_ann_ivf,
         "dedup_components": q_dedup_components,
@@ -4920,6 +4983,8 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "decontam_overlap": sql_decontam_overlap(),
+        "ngram_perplexity": sql_ngram_perplexity(),
         "infer_domain_range": sql_infer_domain_range(),
         "bgp_agg_type_counts": sql_bgp_agg_type_counts(),
         "pii_counts": sql_pii_counts(),
@@ -4931,9 +4996,7 @@ def oracle_sql() -> dict[str, str]:
         "image_features": sql_image_features(),
         "salted_user_topk": sql_salted_user_topk(),
         "sessionize": sql_sessionize(),
-        "events_hourly": sql_events_hourly(),
         "part_type_stats": sql_part_type_stats(),
-        "frame_sample": sql_frame_sample(),
         "annotate_stemmed": sql_annotate_stemmed(),
         "ann_ivf": sql_ann_ivf(),
         "dedup_components": sql_dedup_components(),

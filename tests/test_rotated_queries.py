@@ -128,13 +128,18 @@ ROTATED = [
      Q.sql_model_token_counts),
     ("vocab_counts", Q.q_vocab_counts, Q.sql_vocab_counts),
     ("tpch_q5", Q.q_tpch_q5, Q.sql_tpch_q5),
-    # round-4 session-8 addition: benchmark decontamination (GPT-3-style
-    # eval-leak n-gram overlap; planted bench = 12-word prefixes)
-    ("decontam_overlap", Q.q_decontam_overlap, Q.sql_decontam_overlap),
-    # round-4 session-8 addition: CCNet-style add-α bigram LM
-    # perplexity, trained AND scored relationally (zero UDFs)
-    ("ngram_perplexity", Q.q_ngram_perplexity, Q.sql_ngram_perplexity),
+    # round-4 fourth rotation OUT (session 8): frame_sample's grid is
+    # superseded by real y4m frame_features; events_hourly green since
+    # round 1 with a streaming twin
+    ("frame_sample", Q.q_frame_sample, Q.sql_frame_sample),
+    ("events_hourly", Q.q_events_hourly, Q.sql_events_hourly),
+    # round-4 session-8 addition: mergeable HLL cardinality sketch
+    # (integer-exact register sum, value-identical across engines)
+    ("hll_users", Q.q_hll_users, Q.sql_hll_users),
 ]
+# session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
+# 50-slot registry (fourth rotation) — covered by test_entry_contract's
+# registry mirror, not duplicated here.
 
 
 @pytest.fixture(scope="module")

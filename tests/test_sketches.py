@@ -1,0 +1,76 @@
+"""HyperLogLog sketch operator (round-4 session-8): mergeability is
+exact, estimates hit the published error bound, everything stays
+JVM-side. Cross-engine value parity lives in test_rotated_queries."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from dbpedia_spotlight_spark.operators import sketches as sk
+
+
+def _ids(spark, n, card, key="a", seed=7):
+    rnd = random.Random(seed)
+    return spark.createDataFrame(
+        [Row(k=key, item=str(rnd.randrange(card))) for _ in range(n)])
+
+
+def test_estimate_within_error_bound(spark):
+    df = _ids(spark, 60_000, 50_000)
+    exact = df.select(F.countDistinct("item")).first()[0]
+    est = sk.distinct_count_approx(df, ["k"], "item", p=12).first()["est"]
+    # published bound 1.04/sqrt(4096) ≈ 1.6%; allow 3 sigma
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_small_range_linear_counting(spark):
+    df = spark.createDataFrame([Row(k="b", item=str(i)) for i in range(40)])
+    est = sk.distinct_count_approx(df, ["k"], "item", p=12).first()["est"]
+    assert abs(est - 40) / 40 < 0.10
+
+
+def test_merge_is_exact_and_idempotent(spark):
+    df = _ids(spark, 20_000, 30_000)
+    h1 = df.filter(F.crc32("item") % 2 == 0)
+    h2 = df.filter(F.crc32("item") % 2 == 1)
+    whole = sk.hll_sketch(df, ["k"], "item", p=10) \
+        .orderBy("bucket").collect()
+    merged = sk.hll_merge(sk.hll_sketch(h1, ["k"], "item", p=10),
+                          sk.hll_sketch(h2, ["k"], "item", p=10)) \
+        .orderBy("bucket").collect()
+    assert whole == merged
+    # max is idempotent: re-merging a sketch with itself changes nothing
+    s = sk.hll_sketch(df, ["k"], "item", p=10)
+    again = sk.hll_merge(s, s).orderBy("bucket").collect()
+    assert whole == again
+
+
+def test_multi_key_estimates_track_exact(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("n")).collect()}
+    est = {r["event_type"]: r["est"] for r in
+           sk.distinct_count_approx(ev, ["event_type"], "user_id", p=8)
+             .collect()}
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) / exact[k] < 0.2, (k, e, exact[k])
+
+
+def test_sketch_is_udf_free_with_partial_agg(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = sk.distinct_count_approx(ev, ["event_type"], "user_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "InPandas" not in plan
+    # both aggregates are partial before their exchange
+    assert plan.count("partial_") >= 2
+
+
+def test_p_out_of_range_raises(spark):
+    ev = spark.createDataFrame([Row(k="a", item="x")])
+    with pytest.raises(ValueError):
+        sk.hll_sketch(ev, ["k"], "item", p=30)
