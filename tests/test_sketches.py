@@ -74,3 +74,48 @@ def test_p_out_of_range_raises(spark):
     ev = spark.createDataFrame([Row(k="a", item="x")])
     with pytest.raises(ValueError):
         sk.hll_sketch(ev, ["k"], "item", p=30)
+
+
+# -------------------------------------------------------------- stream --
+
+def test_sketch_store_stream_equals_batch(spark, tmp_path):
+    """Drain the events table through maintain_sketch_stream in two
+    slices: the store's registers equal the one-shot batch sketch
+    row-for-row, and re-folding a slice is a no-op (idempotent max)."""
+    from dbpedia_spotlight_spark.streaming.sketch_stream import (
+        SketchStore, maintain_sketch_stream,
+    )
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    ev.filter("event_id % 2 = 0").write.parquet(src)
+    store = SketchStore(str(tmp_path / "store"), ["event_type"],
+                        "user_id", p=8)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = maintain_sketch_stream(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    # second slice arrives later
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(src)
+    q2 = maintain_sketch_stream(
+        spark.readStream.schema(ev.schema).parquet(src), store,
+        str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+
+    got = (spark.read.parquet(store.path)
+           .orderBy("event_type", "bucket").collect())
+    want = (sk.hll_sketch(ev, ["event_type"], "user_id", p=8)
+            .orderBy("event_type", "bucket").collect())
+    assert got == want
+
+    # idempotence: folding slice 1 AGAIN changes nothing
+    store.fold(ev.filter("event_id % 2 = 1"))
+    again = (spark.read.parquet(store.path)
+             .orderBy("event_type", "bucket").collect())
+    assert again == want
+
+    est = {r["event_type"]: r["est"]
+           for r in store.counts(spark).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.2
