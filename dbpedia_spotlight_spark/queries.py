@@ -4795,6 +4795,48 @@ def sql_hll_users(p: int = 8) -> str:
   ORDER BY event_type"""
 
 
+def q_text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed text embeddings (operators/embed.py): signed
+    hashed-TF, L2-normalized, dim=16 for the oracle (the norm² is an
+    exact integer by construction, so both engines round identical
+    values; dim kept small to keep the oracle grid join readable)."""
+    from dbpedia_spotlight_spark.operators.embed import text_embeddings
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # exploded scalar shape (doc_id, i, x): the driver's value-hash
+    # compares scalar cells, not arrays
+    return (text_embeddings(docs, dim=16)
+            .select("doc_id", F.posexplode("embedding").alias("i", "x"))
+            .orderBy("doc_id", "i"))
+
+
+def sql_text_embeddings(dim: int = 16) -> str:
+    return f"""
+  WITH {_sql_decontam_norm()},
+  toks AS (
+    SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm),
+  h AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+    FROM toks),
+  c AS (
+    SELECT doc_id, (h % {dim})::INT AS bucket,
+           sum(CASE WHEN (h >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS c
+    FROM h GROUP BY 1, 2),
+  grid AS (
+    SELECT d.doc_id, r.i::INT AS i
+    FROM (SELECT DISTINCT doc_id FROM norm) d, range(0, {dim}) r(i)),
+  raw AS (
+    SELECT g.doc_id, g.i, coalesce(c.c, 0.0) AS x
+    FROM grid g LEFT JOIN c ON c.doc_id = g.doc_id AND c.bucket = g.i),
+  n AS (
+    SELECT doc_id, sqrt(sum(x * x)) AS nrm FROM raw GROUP BY 1)
+  SELECT raw.doc_id, raw.i,
+         CASE WHEN n.nrm > 0 THEN round(raw.x / n.nrm, 9)
+              ELSE raw.x END AS x
+  FROM raw JOIN n ON n.doc_id = raw.doc_id
+  ORDER BY raw.doc_id, raw.i"""
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): flag training
     docs sharing ≥1 word 8-gram with a deterministic planted benchmark

@@ -136,6 +136,9 @@ ROTATED = [
     # round-4 session-8 addition: mergeable HLL cardinality sketch
     # (integer-exact register sum, value-identical across engines)
     ("hll_users", Q.q_hll_users, Q.sql_hll_users),
+    # round-4 session-8 addition: feature-hashed text embeddings
+    # (signed hashed-TF, integer-exact norm, bit-identical vectors)
+    ("text_embeddings", Q.q_text_embeddings, Q.sql_text_embeddings),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
