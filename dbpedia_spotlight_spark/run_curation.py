@@ -81,6 +81,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "the corpus itself: parse them (RFC 9309 "
                          "prefix subset), drop disallowed urls and the "
                          "robots.txt rows (requires --url-col)")
+    ap.add_argument("--semantic-dedup", type=float, default=0.0,
+                    metavar="COSINE",
+                    help="extra near-dedup stage on feature-hashed text "
+                         "embeddings (SemDeDup shape, no encoder "
+                         "model): drop cosine->=COSINE neighbors via "
+                         "hyperplane-LSH candidates + exact verify + "
+                         "min-id keeper; 0 disables")
+    ap.add_argument("--semantic-dim", type=int, default=64)
     ap.add_argument("--decontaminate", default="",
                     help="parquet dir of benchmark/eval docs (text "
                          "column): drop every corpus doc sharing a "
@@ -253,6 +261,29 @@ def main(argv: list[str] | None = None,
     )
     stats["n_dup_clusters"] = csizes["n_dup_clusters"]
     stats["max_cluster"] = csizes["max_cluster"]
+
+    # 2b. semantic near-dedup (SemDeDup shape): feature-hashed text
+    # embeddings → hyperplane-LSH candidate pairs → exact cosine verify
+    # → min-label components → min-id keeper. Catches paraphrase-level
+    # clones the shingle stages miss; every stage bucketed/capped.
+    if args.semantic_dedup > 0:
+        from dbpedia_spotlight_spark.operators.dedup import (
+            embedding_near_dup,
+        )
+        from dbpedia_spotlight_spark.operators.embed import text_embeddings
+        emb = text_embeddings(docs, dim=args.semantic_dim, id_col=id_col) \
+            .withColumnRenamed(id_col, "vec_id") \
+            .localCheckpoint(eager=True)
+        sem_pairs = embedding_near_dup(
+            emb, threshold=args.semantic_dedup).select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"))
+        sem_keep = dedup_keep(docs.select(F.col(id_col).alias("id")),
+                              sem_pairs)
+        docs = docs.join(
+            sem_keep.filter("keep").select(F.col("id").alias(id_col)),
+            id_col, "left_semi").localCheckpoint(eager=True)
+        stats["after_semantic_dedup"] = docs.count()
 
     # 3. quality gate and language gate — independent flags (the lang
     # gate must not silently vanish under --no-quality-gate)

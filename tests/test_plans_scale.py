@@ -586,6 +586,41 @@ def test_run_curation_decontam_and_ppl_stages(spark, tmp_path):
         stats["ppl_thresholds"]["middle_max"]
 
 
+def test_run_curation_semantic_dedup_stage(spark, tmp_path):
+    """--semantic-dedup catches a word-order-shuffled clone (bag-of-words
+    cosine 1.0) that the shingle stages structurally miss (3-gram
+    Jaccard ~0 after shuffling), and keeps the min-id original."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter("doc_id < 60")
+    # word-shuffled clone of doc 7: same multiset of tokens
+    base = src.filter("doc_id = 7").first()
+    shuffled = " ".join(reversed(base["text"].split(" ")))
+    clone = spark.createDataFrame(
+        [(900007, shuffled, base["lang"], base["source"], len(shuffled))],
+        src.schema)
+    corpus_dir = str(tmp_path / "corpus")
+    src.unionByName(clone).write.parquet(corpus_dir)
+
+    common = ["--corpus", corpus_dir, "--split", "",
+              "--no-quality-gate", "--lang", ""]
+    # control: WITHOUT the stage the clone survives shingle dedup
+    s0 = main(common + ["--out", str(tmp_path / "out0")], spark=spark)
+    kept0 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out0" / "curated"))
+             .select("doc_id").collect()}
+    assert 900007 in kept0
+
+    s1 = main(common + ["--out", str(tmp_path / "out1"),
+                        "--semantic-dedup", "0.99"], spark=spark)
+    kept1 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out1" / "curated"))
+             .select("doc_id").collect()}
+    assert 900007 not in kept1 and 7 in kept1
+    assert s1["after_semantic_dedup"] == s0["output_rows"] - 1
+
+
 def test_run_kg_maintain_main(spark, web_pages, lexicon, tmp_path):
     """KG-maintenance entrypoint: batch fold, then an incremental
     stream drain over the same pages is a no-op (replace-idempotent),
