@@ -40,6 +40,28 @@ def hash_sample(df: DataFrame, frac: float, key_col: str,
     return df.filter(_gate(key_col, salt) < int(frac * _BUCKETS))
 
 
+def stratified_hash_sample(df: DataFrame, rates: dict[str, float],
+                           strat_col: str, key_col: str,
+                           default_rate: float = 0.0,
+                           salt: str = "stratified") -> DataFrame:
+    """Per-stratum sampling rates — the corpus-mixing primitive (e.g.
+    keep 100% of 'head' quality bucket, 50% of 'middle', 5% of 'tail';
+    or language rebalancing). Same salted-md5 gate as hash_sample, so
+    the decision is deterministic, layout-independent and append-stable
+    per (key, stratum); strata not named in ``rates`` keep
+    ``default_rate``. Pure projection + filter — no shuffle, no RNG."""
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    thresh = F.lit(int(default_rate * _BUCKETS))
+    for name in sorted(rates):
+        thresh = F.when(F.col(strat_col) == name,
+                        F.lit(int(rates[name] * _BUCKETS))).otherwise(thresh)
+    return df.filter(_gate(key_col, salt) < thresh)
+
+
 def hash_split(df: DataFrame, weights: dict[str, float], key_col: str,
                salt: str = "split",
                split_col: str = "split") -> DataFrame:

@@ -115,3 +115,77 @@ def distinct_count_approx(df: DataFrame, key_cols: list[str],
     per key with ~1.04/√2^p relative error and a mergeable
     intermediate."""
     return hll_count(hll_sketch(df, key_cols, item_col, p), key_cols, p)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable membership (the crawl-frontier "seen set")
+
+WORD_BITS = 60  # bits packed per word row; 60 keeps every mask positive
+                # in a signed 64-bit long on BOTH engines (1<<63 is the
+                # sign bit in Spark and an overflow hazard in DuckDB)
+
+
+def _bloom_positions(item_col, m_bits: int, k: int) -> F.Column:
+    """array of the k bit positions for an item: the j-th position is
+    the repo-standard 60-bit md5 of 'item#j' mod m."""
+    return F.array(*[
+        (md5_long(F.concat_ws("#", F.col(item_col).cast("string"),
+                              F.lit(str(j)))) % m_bits)
+        for j in range(k)
+    ])
+
+
+def bloom_build(df: DataFrame, item_col: str, m_bits: int = 1 << 20,
+                k: int = 5) -> DataFrame:
+    """Build the packed word table (word, bits) — one row per non-zero
+    60-bit word. ONE explode + ONE map-side-combinable bit_or keyed on
+    the word index; merge across days/crawls = union + bit_or (same
+    idempotent-fold contract as the HLL registers). False-positive rate
+    ≈ (1 − e^(−k·n/m))^k; never false-negative. ``m_bits`` need not
+    align to the word width — the last word is simply part-used."""
+    if m_bits < WORD_BITS:
+        raise ValueError(f"m_bits must be >= {WORD_BITS}")
+    pos = F.explode(_bloom_positions(item_col, m_bits, k)).alias("pos")
+    return (df.select(pos)
+              .select((F.col("pos") / WORD_BITS).cast("long").alias("word"),
+                      F.expr(f"shiftleft(1L, CAST(pos % {WORD_BITS} "
+                             "AS INT))").alias("mask"))
+              .groupBy("word")
+              .agg(F.expr("bit_or(mask)").alias("bits")))
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """union + keyed bit_or — the whole merge (associative, idempotent)."""
+    if not blooms:
+        raise ValueError("need at least one bloom")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
+def bloom_contains(df: DataFrame, bloom: DataFrame, item_col: str,
+                   m_bits: int = 1 << 20, k: int = 5) -> DataFrame:
+    """Adds ``maybe_seen``: true iff ALL k probe bits are set. The word
+    table is filter-sized (≤ m/60 rows) and broadcasts; the probe is k
+    word lookups per row + one item-keyed combinable min — a seen-set
+    gate for crawl frontiers that never shuffles the frontier's payload
+    columns (probe on ids, semi-join back)."""
+    probes = (df.select(F.col(item_col).alias("_item"))
+                .distinct()
+                .select("_item",
+                        F.explode(_bloom_positions("_item", m_bits, k))
+                        .alias("pos"))
+                .select("_item",
+                        (F.col("pos") / WORD_BITS).cast("long").alias("word"),
+                        F.expr(f"shiftleft(1L, CAST(pos % {WORD_BITS} "
+                               "AS INT))").alias("mask")))
+    hit = (probes.join(F.broadcast(bloom), "word", "left")
+           .select("_item",
+                   F.when(F.coalesce(F.col("bits"), F.lit(0))
+                          .bitwiseAND(F.col("mask")) == F.col("mask"), 1)
+                   .otherwise(0).alias("ok"))
+           .groupBy("_item")
+           .agg((F.min("ok") == 1).alias("maybe_seen")))
+    return df.join(hit.withColumnRenamed("_item", item_col),
+                   item_col, "left")

@@ -4837,6 +4837,65 @@ def sql_text_embeddings(dim: int = 16) -> str:
   ORDER BY raw.doc_id, raw.i"""
 
 
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom membership (operators/sketches.py): the seen-set
+    built from even-event user ids, probed with every user id plus a
+    shifted never-seen set — no false negatives by construction, and
+    the word table (60-bit packing, bit_or fold) is replayed exactly in
+    DuckDB."""
+    from dbpedia_spotlight_spark.operators.sketches import (
+        bloom_build, bloom_contains,
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seen = events.filter(F.col("event_id") % 2 == 0) \
+        .select(F.col("user_id").cast("string").alias("item"))
+    bloom = bloom_build(seen, "item", m_bits=1 << 16, k=5)
+    probes = (events.select(F.col("user_id").cast("long").alias("uid"))
+              .distinct()
+              .unionByName(
+                  events.select((F.col("user_id") + 1_000_000)
+                                .cast("long").alias("uid")).distinct())
+              .withColumn("item", F.col("uid").cast("string")))
+    return (bloom_contains(probes, bloom, "item", m_bits=1 << 16, k=5)
+            .select("uid", "maybe_seen").orderBy("uid"))
+
+
+def sql_bloom_seen(m_bits: int = 1 << 16, k: int = 5) -> str:
+    from dbpedia_spotlight_spark.operators.sketches import WORD_BITS
+    js = ", ".join(str(j) for j in range(k))
+    return f"""
+  WITH src AS (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS item
+    FROM events WHERE event_id % 2 = 0),
+  spos AS (
+    SELECT ('0x' || substr(md5(item || '#' || j::VARCHAR), 1, 15))::BIGINT
+             % {m_bits} AS pos
+    FROM src, UNNEST([{js}]) AS t(j)),
+  bloom AS (
+    SELECT pos // {WORD_BITS} AS word,
+           bit_or(1::BIGINT << (pos % {WORD_BITS})::INT) AS bits
+    FROM spos GROUP BY 1),
+  probes AS (
+    SELECT uid, CAST(uid AS VARCHAR) AS item FROM (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM events
+      UNION
+      SELECT DISTINCT CAST(user_id + 1000000 AS BIGINT) FROM events)),
+  ppos AS (
+    SELECT uid,
+           ('0x' || substr(md5(item || '#' || j::VARCHAR), 1, 15))::BIGINT
+             % {m_bits} AS pos
+    FROM probes, UNNEST([{js}]) AS t(j)),
+  checks AS (
+    SELECT p.uid,
+           CASE WHEN (coalesce(b.bits, 0) & (1::BIGINT
+                      << (p.pos % {WORD_BITS})::INT))
+                     = (1::BIGINT << (p.pos % {WORD_BITS})::INT)
+                THEN 1 ELSE 0 END AS ok
+    FROM ppos p LEFT JOIN bloom b ON b.word = p.pos // {WORD_BITS})
+  SELECT uid, min(ok) = 1 AS maybe_seen
+  FROM checks GROUP BY uid ORDER BY uid"""
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): flag training
     docs sharing ≥1 word 8-gram with a deterministic planted benchmark

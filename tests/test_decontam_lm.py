@@ -133,3 +133,42 @@ def test_lm_training_and_scoring_are_udf_free(spark):
         assert marker not in plan
     # count tables ride in as broadcasts, corpus side shuffles once
     assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------------ sampling --
+
+def test_stratified_hash_sample_rates_and_stability(spark):
+    from dbpedia_spotlight_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    df = spark.range(0, 30000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "head")
+         .when(F.col("id") % 3 == 1, "middle")
+         .otherwise("tail").alias("bucket"))
+    out = stratified_hash_sample(
+        df, {"head": 1.0, "middle": 0.5, "tail": 0.05}, "bucket", "id")
+    counts = {r["bucket"]: r["n"] for r in
+              out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert counts["head"] == 10000                     # rate 1.0 exact
+    assert abs(counts["middle"] - 5000) < 300
+    assert abs(counts["tail"] - 500) < 120
+    # layout independence: repartitioned input keeps the same rows
+    a = sorted(r["id"] for r in out.collect())
+    b = sorted(r["id"] for r in stratified_hash_sample(
+        df.repartition(13), {"head": 1.0, "middle": 0.5, "tail": 0.05},
+        "bucket", "id").collect())
+    assert a == b
+    # unnamed strata follow default_rate
+    none_kept = stratified_hash_sample(df, {"head": 1.0}, "bucket", "id") \
+        .filter("bucket != 'head'").count()
+    assert none_kept == 0
+
+
+def test_stratified_rate_validation(spark):
+    from dbpedia_spotlight_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    df = spark.range(3).withColumn("b", F.lit("x"))
+    with pytest.raises(ValueError):
+        stratified_hash_sample(df, {"x": 1.5}, "b", "id")

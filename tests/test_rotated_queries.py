@@ -139,6 +139,9 @@ ROTATED = [
     # round-4 session-8 addition: feature-hashed text embeddings
     # (signed hashed-TF, integer-exact norm, bit-identical vectors)
     ("text_embeddings", Q.q_text_embeddings, Q.sql_text_embeddings),
+    # round-4 session-8 addition: mergeable Bloom seen-set (60-bit word
+    # packing + bit_or fold replayed exactly; no false negatives)
+    ("bloom_seen", Q.q_bloom_seen, Q.sql_bloom_seen),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's

@@ -119,3 +119,48 @@ def test_sketch_store_stream_equals_batch(spark, tmp_path):
                .agg(F.countDistinct("user_id").alias("n")).collect()}
     for k in exact:
         assert abs(est[k] - exact[k]) / exact[k] < 0.2
+
+
+# --------------------------------------------------------------- bloom --
+
+def test_bloom_never_false_negative_and_fpr_in_range(spark):
+    seen = spark.createDataFrame(
+        [Row(u=f"https://h{i % 13}.org/p{i}") for i in range(5000)])
+    fresh = spark.createDataFrame(
+        [Row(u=f"https://new{i}.org/x{i}") for i in range(5000)])
+    bloom = sk.bloom_build(seen, "u", m_bits=1 << 16, k=5)
+    got = sk.bloom_contains(seen, bloom, "u", m_bits=1 << 16, k=5)
+    assert got.filter("NOT maybe_seen").count() == 0   # hard guarantee
+    fp = sk.bloom_contains(fresh, bloom, "u", m_bits=1 << 16, k=5) \
+        .filter("maybe_seen").count()
+    # theory: (1-e^(-kn/m))^k ≈ 0.32% → 16 of 5000; allow generous 4x
+    assert fp < 64
+
+
+def test_bloom_merge_equals_whole_and_is_idempotent(spark):
+    seen = spark.createDataFrame(
+        [Row(u=f"u{i}") for i in range(2000)])
+    h1 = seen.filter("u LIKE 'u1%'")
+    h2 = seen.filter("u NOT LIKE 'u1%'")
+    whole = sk.bloom_build(seen, "u", 1 << 16, 5).orderBy("word").collect()
+    merged = sk.bloom_merge(sk.bloom_build(h1, "u", 1 << 16, 5),
+                            sk.bloom_build(h2, "u", 1 << 16, 5)) \
+        .orderBy("word").collect()
+    assert whole == merged
+    b = sk.bloom_build(seen, "u", 1 << 16, 5)
+    assert sk.bloom_merge(b, b).orderBy("word").collect() == whole
+
+
+def test_bloom_frontier_gate_is_broadcast(spark):
+    seen = spark.createDataFrame([Row(u=f"u{i}") for i in range(500)])
+    bloom = sk.bloom_build(seen, "u", 1 << 16, 5)
+    plan = sk.bloom_contains(seen, bloom, "u", 1 << 16, 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_bloom_m_bits_validation(spark):
+    seen = spark.createDataFrame([Row(u="x")])
+    with pytest.raises(ValueError):
+        sk.bloom_build(seen, "u", m_bits=32)
