@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "itself); keeps only --ppl-keep perplexity "
                          "buckets (CCNet head/middle/tail)")
     ap.add_argument("--ppl-keep", default="head,middle")
+    ap.add_argument("--ppl-mix", default="",
+                    help="instead of the binary --ppl-keep gate, sample "
+                         "per bucket: 'head=1.0,middle=0.5,tail=0.05' "
+                         "(the CCNet mixing shape; deterministic "
+                         "stratified hash sampling)")
     ap.add_argument("--clean-boilerplate", action="store_true",
                     help="C4-style boilerplate line filter BEFORE "
                          "content dedup (boilerplate changes content "
@@ -333,10 +338,22 @@ def main(argv: list[str] | None = None,
         scored = doc_perplexity(docs, model, id_col=id_col) \
             .localCheckpoint(eager=True)
         lo, hi = ppl_thresholds(scored)
-        keep_buckets = set(args.ppl_keep.split(","))
-        keep_ids = (perplexity_buckets(scored, lo, hi)
-                    .filter(F.col("bucket").isin(*keep_buckets))
-                    .select(id_col))
+        bucketed = perplexity_buckets(scored, lo, hi)
+        if args.ppl_mix:
+            from dbpedia_spotlight_spark.operators.sampling import (
+                stratified_hash_sample,
+            )
+            rates = {}
+            for part in args.ppl_mix.split(","):
+                name, r = part.split("=")
+                rates[name] = float(r)
+            keep_ids = stratified_hash_sample(
+                bucketed, rates, "bucket", id_col).select(id_col)
+        else:
+            keep_buckets = set(args.ppl_keep.split(","))
+            keep_ids = (bucketed
+                        .filter(F.col("bucket").isin(*keep_buckets))
+                        .select(id_col))
         docs = docs.join(keep_ids, id_col, "left_semi") \
             .localCheckpoint(eager=True)
         stats["ppl_thresholds"] = {"head_max": lo, "middle_max": hi}

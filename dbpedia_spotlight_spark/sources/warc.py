@@ -176,3 +176,39 @@ def read_warc(spark: SparkSession, path: str,
                 rows, columns=[f.name for f in WARC_SCHEMA.fields])
 
     return files.select("path", "content").mapInPandas(run, WARC_SCHEMA)
+
+
+WET_SCHEMA = StructType([
+    StructField("warc_file", StringType()),
+    StructField("record_index", IntegerType()),
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("text", StringType()),
+])
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common-Crawl WET reader: ``conversion`` records (pre-extracted
+    plain text, no HTTP envelope) from .wet / .wet.gz shards —
+    (warc_file, record_index, url, warc_ts, text). Same
+    one-task-per-shard binaryFile scan as :func:`read_warc` (gzip WET is
+    non-splittable; parallelism = shard count) and the same tolerant
+    record parser; bodies decode as UTF-8-replace, the WET contract.
+    When the pipeline ingests WET instead of WARC, the html→text
+    extraction stage is skipped — this frame feeds annotate/curation
+    directly as the ``text`` column."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for fname, content in zip(b["path"], b["content"]):
+                for i, r in enumerate(parse_warc(content)):
+                    if r["warc_type"] != "conversion":
+                        continue
+                    rows.append((fname, i, r["url"], r["warc_ts"],
+                                 r["html"].decode("utf-8", "replace")))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WET_SCHEMA.fields])
+
+    return files.select("path", "content").mapInPandas(run, WET_SCHEMA)

@@ -585,6 +585,16 @@ def test_run_curation_decontam_and_ppl_stages(spark, tmp_path):
     assert stats["ppl_thresholds"]["head_max"] <= \
         stats["ppl_thresholds"]["middle_max"]
 
+    # --ppl-mix: CCNet mixing — head kept whole, tail subsampled
+    sm = main(["--corpus", corpus_dir, "--out", str(tmp_path / "outm"),
+               "--split", "", "--no-quality-gate", "--lang", "",
+               "--ppl-ref", "self",
+               "--ppl-mix", "head=1.0,middle=0.5,tail=0.05"],
+              spark=spark)
+    n = stats["input_rows"]
+    # ≈ n/3 + n/6 + n/60 ≈ 0.52n, generous band for tercile ties
+    assert 0.35 * n < sm["after_ppl_gate"] < 0.65 * n
+
 
 def test_run_curation_semantic_dedup_stage(spark, tmp_path):
     """--semantic-dedup catches a word-order-shuffled clone (bag-of-words

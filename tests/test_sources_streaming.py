@@ -775,3 +775,43 @@ def test_kg_store_time_travel_and_retention(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="retain_gens"):
         KGStore(spark, str(tmp_path / "kg2"), retain_gens=0)
+
+
+def test_read_wet_conversion_records(spark, tmp_path):
+    """WET shards (conversion records, no HTTP envelope) round-trip
+    through the same record parser; response records in the same shard
+    are ignored; gzip shards parse identically."""
+    import gzip as _gzip
+    from datetime import datetime
+    from dbpedia_spotlight_spark.sources.warc import build_warc, read_wet
+
+    recs = [
+        {"warc_type": "warcinfo", "body": b"software: test"},
+        {"warc_type": "conversion", "url": "https://a.org/1",
+         "warc_ts": datetime(2026, 1, 2, 3, 4, 5),
+         "body": "Extracted text one.\nSecond line.".encode()},
+        {"warc_type": "response", "url": "https://a.org/2",
+         "warc_ts": datetime(2026, 1, 2, 3, 4, 6),
+         "body": b"<html><body>raw</body></html>"},
+        {"warc_type": "conversion", "url": "https://a.org/3",
+         "warc_ts": datetime(2026, 1, 2, 3, 4, 7),
+         "body": "Drei über UTF-8.".encode()},
+    ]
+    raw = build_warc(recs)
+    d = tmp_path / "wet"
+    d.mkdir()
+    (d / "shard0.wet").write_bytes(raw)
+    (d / "shard1.wet.gz").write_bytes(_gzip.compress(raw))
+
+    out = read_wet(spark, str(d)).toPandas() \
+        .sort_values(["warc_file", "record_index"]).reset_index(drop=True)
+    assert len(out) == 4  # 2 conversion records x 2 shards
+    assert set(out["url"]) == {"https://a.org/1", "https://a.org/3"}
+    assert out[out["url"] == "https://a.org/3"]["text"].iloc[0] \
+        == "Drei über UTF-8."
+    # plain and gzip shards parse to identical records
+    a = out[out["warc_file"].str.contains("shard0")][
+        ["url", "text"]].reset_index(drop=True)
+    b = out[out["warc_file"].str.contains("shard1")][
+        ["url", "text"]].reset_index(drop=True)
+    assert a.equals(b)
