@@ -155,6 +155,44 @@ class ParquetCatalog:
                     f.write(json.dumps(s) + "\n")
         return [s["id"] for s in drop]
 
+    def compact_snapshot(self, spark: SparkSession, name: str,
+                         target_bytes: int = 128 << 20,
+                         min_files: int = 2) -> dict:
+        """Small-file compaction (Iceberg ``rewrite_data_files``):
+        rewrite the LATEST snapshot's parquet files into
+        ceil(total_bytes / target_bytes) files as a NEW snapshot.
+
+        Streaming/incremental writers (KG maintenance folds, resumable
+        units) accumulate one file per micro-batch/unit; at 100 TB that
+        is millions of sub-MB files — scan task explosion + namenode
+        pressure. Compaction is data-identical (the test pins row-set
+        equality), history-preserving (the old snapshot stays readable
+        until expired), and crash-safe (the new snapshot directory is
+        written fully before the metadata append commits it).
+
+        Returns {'files_before', 'files_after', 'snapshot_id'};
+        a no-op (already <= min_files) returns snapshot_id = None."""
+        snaps = self.snapshots(name)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {name!r}")
+        sid = snaps[-1]["id"]
+        snap_path = os.path.join(self.path(name), f"snap={sid}")
+        files = [f for f in os.listdir(snap_path)
+                 if f.endswith(".parquet")]
+        if len(files) <= min_files:
+            return {"files_before": len(files),
+                    "files_after": len(files), "snapshot_id": None}
+        total = sum(os.path.getsize(os.path.join(snap_path, f))
+                    for f in files)
+        n_out = max(1, -(-total // target_bytes))
+        df = spark.read.parquet(snap_path).repartition(int(n_out))
+        new_sid = self.write_snapshot(df, name)
+        new_path = os.path.join(self.path(name), f"snap={new_sid}")
+        after = len([f for f in os.listdir(new_path)
+                     if f.endswith(".parquet")])
+        return {"files_before": len(files), "files_after": after,
+                "snapshot_id": new_sid}
+
 
 def unit_of(url_col, n_units: int):
     """Deterministic work-unit assignment: stable hash bucket of url.

@@ -815,3 +815,25 @@ def test_read_wet_conversion_records(spark, tmp_path):
     b = out[out["warc_file"].str.contains("shard1")][
         ["url", "text"]].reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_catalog_compact_snapshot(spark, tmp_path):
+    """Compaction rewrites a many-small-files snapshot into few files as
+    a NEW snapshot — data identical, old snapshot still time-travelable,
+    metadata-commit-last so a crash mid-rewrite never corrupts reads."""
+    from dbpedia_spotlight_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(str(tmp_path))
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    sid0 = cat.write_snapshot(df.repartition(40), "t")     # 40 tiny files
+    out = cat.compact_snapshot(spark, "t", target_bytes=1 << 30)
+    assert out["files_before"] == 40
+    assert out["files_after"] < 5
+    assert out["snapshot_id"] == sid0 + 1
+    a = sorted(r["id"] for r in cat.read_snapshot(spark, "t").collect())
+    assert a == list(range(10_000))                        # data identical
+    b = cat.read_snapshot(spark, "t", sid0)                # history intact
+    assert b.count() == 10_000
+    # second compact is a no-op (already few files)
+    again = cat.compact_snapshot(spark, "t", target_bytes=1 << 30)
+    assert again["snapshot_id"] is None
