@@ -246,6 +246,70 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("payload", BinaryType()),   # PNG re-encoded
+])
+
+
+def _area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic area-average resize of (h, w[, ch]) uint8 pixels —
+    index-sliced block means, no interpolation libs."""
+    a = img if img.ndim == 3 else img[:, :, None]
+    h, w, ch = a.shape
+    ys = np.linspace(0, h, out_h + 1).astype(int)
+    xs = np.linspace(0, w, out_w + 1).astype(int)
+    out = np.empty((out_h, out_w, ch), dtype=np.uint8)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = a[y0:y1, x0:x1].reshape(-1, ch).mean(axis=0)
+    return out[:, :, 0] if img.ndim == 2 else out
+
+
+def resize_images(media: DataFrame, width: int = 64,
+                  height: int = 64) -> DataFrame:
+    """REAL thumbnailing pass: decode (PNG/BMP/PPM/PGM via the stdlib
+    codecs), area-resize to (width, height) preserving channels, and
+    re-encode as PNG — (media_id, width, height, payload). The last of
+    the brief's four multimodal verbs (decode / feature-extract /
+    resize / frame-sample), now real end-to-end.
+
+    Plumbing contract unchanged: one mapInPandas over (media_id,
+    payload), binary columns never shuffle (write the output straight
+    to storage, join on media_id only). Unsupported containers (JPEG…)
+    raise — no silent lossy fallback on a data-prep path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import codecs
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt = codecs.sniff_media(b)
+                if fmt == "png":
+                    img = codecs.decode_png(b)
+                elif fmt == "bmp":
+                    img = codecs.decode_bmp(b)
+                elif fmt in ("ppm", "pgm"):
+                    img = codecs.decode_pnm(b)
+                else:
+                    raise NotImplementedError(
+                        f"resize: unsupported image container {fmt!r}")
+                small = _area_resize(img, height, width)
+                rows.append((int(mid), width, height,
+                             codecs.encode_png(small)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(run, RESIZED_SCHEMA)
+
+
 FRAME_FEATURES_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("frame_idx", IntegerType()),

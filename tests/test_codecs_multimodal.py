@@ -266,3 +266,76 @@ def test_fake_media_unknown_format_still_raises(spark):
     from dbpedia_spotlight_spark.operators.multimodal import decode_audio
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00" * 16, fake=False)
+
+
+# ------------------------------------------------------------ property --
+
+try:
+    from hypothesis import given, settings, strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+
+if HAVE_HYP:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24), w=st.integers(1, 24),
+        ch=st.sampled_from([None, 2, 3, 4]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_roundtrip_property(h, w, ch, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch is None else (h, w, ch)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = codecs.decode_png(codecs.encode_png(img))
+        np.testing.assert_array_equal(out, img)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(1, 2000),
+        sampwidth=st.sampled_from([1, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_property(n, sampwidth, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.uniform(-1, 1, size=n)
+        out, rate = codecs.decode_wav(
+            codecs.encode_wav(x, rate=16000, sampwidth=sampwidth))
+        assert rate == 16000 and len(out) == n
+        tol = 2.5 / 128 if sampwidth == 1 else 2.5 / 32768
+        assert np.abs(out - x).max() <= tol
+
+
+def test_resize_images_real_roundtrip(spark):
+    from dbpedia_spotlight_spark.operators.multimodal import (
+        _area_resize, make_real_media, resize_images,
+    )
+    media = make_real_media(spark)
+    out = (resize_images(media, width=8, height=8)
+           .toPandas().sort_values("media_id").reset_index(drop=True))
+    imgs = media.toPandas()
+    assert list(out["media_id"]) == sorted(
+        imgs[imgs["kind"] == "image"]["media_id"])
+    # every output payload is a decodable 8x8 PNG equal to a direct
+    # decode+resize of the source
+    src = {int(r["media_id"]): bytes(r["payload"])
+           for _, r in imgs[imgs["kind"] == "image"].iterrows()}
+    for _, r in out.iterrows():
+        thumb = codecs.decode_png(bytes(r["payload"]))
+        assert thumb.shape[:2] == (8, 8)
+        b = src[int(r["media_id"])]
+        fmt = codecs.sniff_media(b)
+        raw = codecs.decode_png(b) if fmt == "png" else codecs.decode_bmp(b)
+        np.testing.assert_array_equal(thumb, _area_resize(raw, 8, 8))
+
+
+def test_resize_rejects_unsupported_container(spark):
+    from dbpedia_spotlight_spark.operators.multimodal import (
+        MEDIA_SCHEMA, resize_images,
+    )
+    media = spark.createDataFrame(
+        [(1, "image", "image/jpeg", b"\xff\xd8\xff junk", 4, 4, None)],
+        MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="unsupported image container"):
+        resize_images(media).collect()
