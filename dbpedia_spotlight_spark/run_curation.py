@@ -105,12 +105,68 @@ def build_parser() -> argparse.ArgumentParser:
                          "per bucket: 'head=1.0,middle=0.5,tail=0.05' "
                          "(the CCNet mixing shape; deterministic "
                          "stratified hash sampling)")
+    ap.add_argument("--stage-dir", default="",
+                    help="durable stage checkpoints: each materialized "
+                         "stage writes parquet + a _DONE marker here "
+                         "instead of a session-local checkpoint, and "
+                         "--resume skips every stage whose marker "
+                         "exists — a killed 100 TB run restarts at the "
+                         "first incomplete stage, not from the scan")
+    ap.add_argument("--resume", action="store_true",
+                    help="with --stage-dir: reuse completed stages")
     ap.add_argument("--clean-boilerplate", action="store_true",
                     help="C4-style boilerplate line filter BEFORE "
                          "content dedup (boilerplate changes content "
                          "hashes, so cleaning must precede hashing); "
                          "docs reduced to zero lines are dropped")
     return ap
+
+
+class _StageStore:
+    """Durable per-stage materialization: parquet + _DONE marker per
+    stage name. The marker commits LAST, so a crash mid-write leaves an
+    incomplete dir that a resumed run simply overwrites. Stage outputs
+    are deterministic (every keep-decision in this job is hash/min-id
+    based), so resuming composes with the determinism contract."""
+
+    def __init__(self, spark: SparkSession, root: str, resume: bool):
+        import os
+        self.spark = spark
+        self.root = root
+        self.resume = resume
+        os.makedirs(root, exist_ok=True)
+
+    def _paths(self, name: str) -> tuple[str, str]:
+        import os
+        return (os.path.join(self.root, f"stage_{name}"),
+                os.path.join(self.root, f"stage_{name}._DONE"))
+
+    def done(self, name: str) -> bool:
+        import os
+        return self.resume and os.path.exists(self._paths(name)[1])
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self._paths(name)[0])
+
+    def stats(self, name: str) -> dict:
+        import os
+        sidecar = self._paths(name)[1] + ".stats.json"
+        if not os.path.exists(sidecar):
+            return {}
+        with open(sidecar) as f:
+            return json.load(f)
+
+    def write_df(self, df: DataFrame, name: str) -> DataFrame:
+        data = self._paths(name)[0]
+        df.write.mode("overwrite").parquet(data)
+        return self.spark.read.parquet(data)
+
+    def commit(self, name: str, stats_delta: dict) -> None:
+        marker = self._paths(name)[1]
+        with open(marker + ".stats.json", "w") as f:
+            json.dump(stats_delta, f)
+        with open(marker, "w") as f:       # marker commits LAST
+            f.write("done\n")
 
 
 def _exact_keep(docs: DataFrame, id_col: str) -> DataFrame:
@@ -153,6 +209,27 @@ def main(argv: list[str] | None = None,
     docs = spark.read.parquet(args.corpus)
     id_col = args.id_col
     stats: dict = {"input_rows": docs.count()}
+    ck = (_StageStore(spark, args.stage_dir, args.resume)
+          if args.stage_dir else None)
+
+    def _mat(frame: DataFrame, name: str) -> DataFrame:
+        """Stage barrier: durable parquet under --stage-dir, else a
+        session-local checkpoint (today's behavior)."""
+        return (ck.write_df(frame, name) if ck
+                else frame.localCheckpoint(eager=True))
+
+    def _commit(name: str, delta: dict) -> None:
+        stats.update(delta)
+        if ck:
+            ck.commit(name, delta)
+
+    def _skip(name: str) -> bool:
+        nonlocal docs
+        if ck and ck.done(name):
+            docs = ck.read(name)
+            stats.update(ck.stats(name))
+            return True
+        return False
 
     # 0. recrawl dedup + host-skew observability. Newest capture per url
     # first: re-crawls are (near-)exact duplicates, so dropping them here
@@ -163,10 +240,10 @@ def main(argv: list[str] | None = None,
             canonicalize_urls,
         )
         docs = canonicalize_urls(docs, args.url_col)
-    if args.dedup_recrawls:
-        docs = latest_capture(docs, args.url_col, args.ts_col, id_col) \
-            .localCheckpoint(eager=True)
-        stats["after_recrawl_dedup"] = docs.count()
+    if args.dedup_recrawls and not _skip("recrawl"):
+        docs = _mat(latest_capture(docs, args.url_col, args.ts_col, id_col),
+                    "recrawl")
+        _commit("recrawl", {"after_recrawl_dedup": docs.count()})
     if args.url_col in docs.columns:
         skew = (
             host_skew_report(docs, url_col=args.url_col)
@@ -181,7 +258,7 @@ def main(argv: list[str] | None = None,
     # 0b. robots gate: noindex pages are the publisher's explicit
     # opt-out — they must never reach corpus emission. One mapInPandas
     # pass over (id, html); the html payload stays in the scan stage.
-    if args.robots_gate:
+    if args.robots_gate and not _skip("robots_meta"):
         if args.html_col not in docs.columns:
             raise SystemExit(
                 f"--robots-gate needs column '{args.html_col}'")
@@ -190,48 +267,50 @@ def main(argv: list[str] | None = None,
             robots_meta(docs, html_col=args.html_col, url_col=id_col)
             .filter(~F.col("noindex")).select(F.col("url").alias(id_col))
         )
-        docs = docs.join(allowed, id_col, "left_semi") \
-            .localCheckpoint(eager=True)
-        stats["after_robots_gate"] = docs.count()
+        docs = _mat(docs.join(allowed, id_col, "left_semi"),
+                    "robots_meta")
+        _commit("robots_meta", {"after_robots_gate": docs.count()})
 
     # 0b'. robots.txt gate: same opt-out contract as the meta gate but
     # host-level — the crawl's own /robots.txt captures become the
     # broadcast rules table; the corpus side never shuffles.
-    if args.robots_txt_gate:
+    if args.robots_txt_gate and not _skip("robots_txt"):
         if args.url_col not in docs.columns:
             raise SystemExit(
                 f"--robots-txt-gate needs column '{args.url_col}'")
         from dbpedia_spotlight_spark.operators.robots import apply_robots
-        docs = apply_robots(docs, url_col=args.url_col) \
-            .localCheckpoint(eager=True)
-        stats["after_robots_txt_gate"] = docs.count()
+        docs = _mat(apply_robots(docs, url_col=args.url_col),
+                    "robots_txt")
+        _commit("robots_txt", {"after_robots_txt_gate": docs.count()})
 
     # 0c. boilerplate line filter — BEFORE exact dedup: two captures
     # differing only in nav/footer noise become byte-identical once
     # cleaned, so cleaning first makes the dedup stages strictly more
     # effective. Zero-shuffle projection; empty survivors are dropped.
-    if args.clean_boilerplate:
+    if args.clean_boilerplate and not _skip("boilerplate"):
         from dbpedia_spotlight_spark.operators.boilerplate import (
             clean_boilerplate,
         )
-        docs = (
+        docs = _mat(
             clean_boilerplate(docs)
             .withColumn("text", F.col("clean_text")).drop("clean_text")
-            .filter(F.col("n_lines_kept") > 0)
-            .localCheckpoint(eager=True)
+            .filter(F.col("n_lines_kept") > 0),
+            "boilerplate_raw",
         )
         bp = docs.agg(F.sum("n_lines_dropped").alias("d"),
                       F.count("*").alias("n")).first()
-        stats["boilerplate_lines_dropped"] = bp["d"]
-        stats["after_boilerplate"] = bp["n"]
-        docs = docs.drop("n_lines_kept", "n_lines_dropped")
+        docs = _mat(docs.drop("n_lines_kept", "n_lines_dropped"),
+                    "boilerplate")
+        _commit("boilerplate", {"boilerplate_lines_dropped": bp["d"],
+                                "after_boilerplate": bp["n"]})
 
     # 1. exact dedup. Each stage ends with localCheckpoint(eager): the
     # stage-count stats and every later stage reuse the materialized
     # frame instead of re-executing the whole upstream lineage per
     # action (at real scale: persist to storage instead)
-    docs = _exact_keep(docs, id_col).localCheckpoint(eager=True)
-    stats["after_exact_dedup"] = docs.count()
+    if not _skip("exact_dedup"):
+        docs = _mat(_exact_keep(docs, id_col), "exact_dedup")
+        _commit("exact_dedup", {"after_exact_dedup": docs.count()})
 
     # 2. near-dedup: LSH candidates → EXACT Jaccard verify → components
     # → canonical keeper. Clustering raw LSH candidates would delete
@@ -242,36 +321,37 @@ def main(argv: list[str] | None = None,
     # are normal at web scale. The recall cost: a false-positive founder
     # severs that bucket's true pairs (other bands give more chances);
     # --dedup-pair-mode all restores full-recall quadratic candidates.
-    cand = minhash_candidate_pairs(
-        docs, n_hashes=args.minhash_hashes, bands=args.minhash_bands,
-        id_col=id_col, mode=args.dedup_pair_mode)
-    pairs = ngram_jaccard_pairs(
-        docs, threshold=args.jaccard_threshold, id_col=id_col,
-        candidates=cand)
-    keep = dedup_keep(docs.select(F.col(id_col).alias("id")), pairs)
-    docs = docs.join(
-        keep.filter("keep").select(F.col("id").alias(id_col)),
-        id_col, "left_semi").localCheckpoint(eager=True)
-    stats["after_near_dedup"] = docs.count()
-    # dedup observability: DUPLICATE-cluster summary (size >= 2 only —
-    # counting singletons would just repeat after_near_dedup). A sudden
-    # max_cluster blowup at scale usually means an FP-welding bug or a
-    # boilerplate family that needs a tighter threshold.
-    csizes = (
-        keep.groupBy("comp").agg(F.count("*").alias("sz"))
-        .filter(F.col("sz") >= 2)
-        .agg(F.count("*").alias("n_dup_clusters"),
-             F.coalesce(F.max("sz"), F.lit(0)).alias("max_cluster"))
-        .first()
-    )
-    stats["n_dup_clusters"] = csizes["n_dup_clusters"]
-    stats["max_cluster"] = csizes["max_cluster"]
-
+    if not _skip("near_dedup"):
+        cand = minhash_candidate_pairs(
+            docs, n_hashes=args.minhash_hashes, bands=args.minhash_bands,
+            id_col=id_col, mode=args.dedup_pair_mode)
+        pairs = ngram_jaccard_pairs(
+            docs, threshold=args.jaccard_threshold, id_col=id_col,
+            candidates=cand)
+        keep = dedup_keep(docs.select(F.col(id_col).alias("id")), pairs)
+        docs = _mat(docs.join(
+            keep.filter("keep").select(F.col("id").alias(id_col)),
+            id_col, "left_semi"), "near_dedup")
+        # dedup observability: DUPLICATE-cluster summary (size >= 2 —
+        # singletons would repeat after_near_dedup). A max_cluster
+        # blowup at scale usually means FP-welding or a boilerplate
+        # family needing a tighter threshold.
+        csizes = (
+            keep.groupBy("comp").agg(F.count("*").alias("sz"))
+            .filter(F.col("sz") >= 2)
+            .agg(F.count("*").alias("n_dup_clusters"),
+                 F.coalesce(F.max("sz"), F.lit(0)).alias("max_cluster"))
+            .first()
+        )
+        _commit("near_dedup", {
+            "after_near_dedup": docs.count(),
+            "n_dup_clusters": csizes["n_dup_clusters"],
+            "max_cluster": csizes["max_cluster"]})
     # 2b. semantic near-dedup (SemDeDup shape): feature-hashed text
     # embeddings → hyperplane-LSH candidate pairs → exact cosine verify
     # → min-label components → min-id keeper. Catches paraphrase-level
     # clones the shingle stages miss; every stage bucketed/capped.
-    if args.semantic_dedup > 0:
+    if args.semantic_dedup > 0 and not _skip("semantic_dedup"):
         from dbpedia_spotlight_spark.operators.dedup import (
             embedding_near_dup,
         )
@@ -285,18 +365,20 @@ def main(argv: list[str] | None = None,
             F.col("b").cast("long").alias("b"))
         sem_keep = dedup_keep(docs.select(F.col(id_col).alias("id")),
                               sem_pairs)
-        docs = docs.join(
+        docs = _mat(docs.join(
             sem_keep.filter("keep").select(F.col("id").alias(id_col)),
-            id_col, "left_semi").localCheckpoint(eager=True)
-        stats["after_semantic_dedup"] = docs.count()
+            id_col, "left_semi"), "semantic_dedup")
+        _commit("semantic_dedup",
+                {"after_semantic_dedup": docs.count()})
 
     # 3. quality gate and language gate — independent flags (the lang
     # gate must not silently vanish under --no-quality-gate)
-    if args.quality_gate:
+    gates_done = (args.quality_gate or args.lang) and _skip("gates")
+    if args.quality_gate and not gates_done:
         good = gopher_quality(docs.withColumnRenamed(id_col, "doc_id")) \
             .filter("passes").select(F.col("doc_id").alias(id_col))
         docs = docs.join(good, id_col, "left_semi")
-    if args.lang:
+    if args.lang and not gates_done:
         if "lang" in docs.columns:
             docs = docs.filter(F.col("lang") == args.lang)
         else:
@@ -306,28 +388,28 @@ def main(argv: list[str] | None = None,
                 guessed.filter(F.col("lang_guess") == args.lang)
                 .select(F.col("doc_id").alias(id_col)),
                 id_col, "left_semi")
-    if args.quality_gate or args.lang:
-        docs = docs.localCheckpoint(eager=True)
-        stats["after_quality_gate"] = docs.count()
+    if (args.quality_gate or args.lang) and not gates_done:
+        docs = _mat(docs, "gates")
+        _commit("gates", {"after_quality_gate": docs.count()})
 
     # 3b. benchmark decontamination — AFTER dedup/quality (cheapest
     # corpus), BEFORE the split (a leaked doc must not reach any split).
     # One broadcast gram probe; clean docs never shuffle.
-    if args.decontaminate:
+    if args.decontaminate and not _skip("decontam"):
         from dbpedia_spotlight_spark.operators.decontam import decontaminate
         bench = spark.read.parquet(args.decontaminate)
         before = stats.get("after_quality_gate", stats["after_near_dedup"])
-        docs = decontaminate(
-            docs, bench, n=args.decontam_ngram, id_col=id_col) \
-            .localCheckpoint(eager=True)
-        stats["after_decontam"] = docs.count()
-        stats["n_contaminated"] = before - stats["after_decontam"]
+        docs = _mat(decontaminate(
+            docs, bench, n=args.decontam_ngram, id_col=id_col), "decontam")
+        n = docs.count()
+        _commit("decontam", {"after_decontam": n,
+                             "n_contaminated": before - n})
 
     # 3c. perplexity gate (CCNet): train the bigram LM on the reference
     # slice, score every doc, bucket by the scored corpus's own
     # percentiles (at real scale: derive thresholds from a capped
     # sample once, then pass them as constants — the projection path).
-    if args.ppl_ref:
+    if args.ppl_ref and not _skip("ppl_gate"):
         from dbpedia_spotlight_spark.operators.lm import (
             doc_perplexity, perplexity_buckets, ppl_thresholds,
             train_bigram_lm,
@@ -354,10 +436,10 @@ def main(argv: list[str] | None = None,
             keep_ids = (bucketed
                         .filter(F.col("bucket").isin(*keep_buckets))
                         .select(id_col))
-        docs = docs.join(keep_ids, id_col, "left_semi") \
-            .localCheckpoint(eager=True)
-        stats["ppl_thresholds"] = {"head_max": lo, "middle_max": hi}
-        stats["after_ppl_gate"] = docs.count()
+        docs = _mat(docs.join(keep_ids, id_col, "left_semi"), "ppl_gate")
+        _commit("ppl_gate", {
+            "ppl_thresholds": {"head_max": lo, "middle_max": hi},
+            "after_ppl_gate": docs.count()})
 
     # 4. PII scrub (text rewrite, row count unchanged)
     if args.scrub_pii:

@@ -675,6 +675,37 @@ def test_bgp_aggregate_groups_counts_and_having(spark):
         bgp_aggregate(kg, pats, group_by=["?t"], aggregates={})
 
 
+def test_bgp_aggregate_full_sparql11_aggregate_set(spark):
+    """The complete SPARQL 1.1 aggregate vocabulary maps onto Spark SQL
+    aggregate exprs through bgp_aggregate: COUNT / SUM / MIN / MAX /
+    AVG (over a BIND-computed numeric), SAMPLE (any_value over a
+    one-value group — deterministic there), GROUP_CONCAT with separator
+    (sorted collect_list + array_join for a deterministic row)."""
+    from dbpedia_spotlight_spark.operators.ontology import bgp_aggregate
+    kg = _kg_rows(spark, [
+        ("m1", "ident", "e1"), ("m2", "ident", "e1"),
+        ("m3", "ident", "e2"),
+        ("e1", RDF_TYPE, "A"), ("e2", RDF_TYPE, "A"),
+    ])
+    pats = [("?m", "ident", "?e"), ("?e", RDF_TYPE, "?t")]
+    got = bgp_aggregate(
+        kg, pats, group_by=["?t"],
+        aggregates={
+            "n": "count(*)",
+            "sum_len": "sum(length(m))",
+            "min_m": "min(m)",
+            "max_m": "max(m)",
+            "avg_len": "avg(length(e))",
+            "sample_t": "any_value(t)",          # SAMPLE
+            "mentions": "array_join(sort_array(collect_list(m)), ';')",
+        }).first()                                # GROUP_CONCAT(m; ';')
+    assert (got["n"], got["sum_len"]) == (3, 6)
+    assert (got["min_m"], got["max_m"]) == ("m1", "m3")
+    assert got["avg_len"] == 2.0
+    assert got["sample_t"] == "A"
+    assert got["mentions"] == "m1;m2;m3"
+
+
 def test_pmi_edges_match_hand_computation(spark):
     import math
 

@@ -631,6 +631,48 @@ def test_run_curation_semantic_dedup_stage(spark, tmp_path):
     assert s1["after_semantic_dedup"] == s0["output_rows"] - 1
 
 
+def test_run_curation_stage_dir_resume(spark, tmp_path):
+    """--stage-dir + --resume: completed stages are reused, not
+    recomputed. Proof is behavioral — poison rows appended to the
+    corpus AFTER the first run must NOT appear in a resumed run's
+    output (every stage marker exists, so the resumed job never
+    re-reads past stage 0), and stage stats are restored from the
+    sidecars."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter("doc_id < 80")
+    corpus_dir = str(tmp_path / "corpus")
+    src.write.parquet(corpus_dir)
+    common = ["--corpus", corpus_dir, "--split", "", "--lang", "",
+              "--stage-dir", str(tmp_path / "stages")]
+    s1 = main(common + ["--out", str(tmp_path / "out1")], spark=spark)
+
+    # poison the corpus: new rows that WOULD survive every gate
+    spark.read.parquet(corpus_dir).limit(5) \
+        .withColumn("doc_id", F.col("doc_id") + 5_000_000) \
+        .withColumn("text", F.concat(F.col("text"), F.lit(" poison"))) \
+        .write.mode("append").parquet(corpus_dir)
+
+    s2 = main(common + ["--resume", "--out", str(tmp_path / "out2")],
+              spark=spark)
+    kept2 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out2" / "curated"))
+             .select("doc_id").collect()}
+    assert not any(i >= 5_000_000 for i in kept2)       # stages reused
+    assert s2["after_exact_dedup"] == s1["after_exact_dedup"]
+    assert s2["after_near_dedup"] == s1["after_near_dedup"]
+    assert s2["n_dup_clusters"] == s1["n_dup_clusters"]  # sidecar stats
+    assert s2["output_rows"] == s1["output_rows"]
+
+    # control: WITHOUT --resume the poison flows through
+    s3 = main(common + ["--out", str(tmp_path / "out3")], spark=spark)
+    kept3 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out3" / "curated"))
+             .select("doc_id").collect()}
+    assert any(i >= 5_000_000 for i in kept3)
+
+
 def test_run_kg_maintain_main(spark, web_pages, lexicon, tmp_path):
     """KG-maintenance entrypoint: batch fold, then an incremental
     stream drain over the same pages is a no-op (replace-idempotent),
