@@ -84,3 +84,43 @@ def hash_split(df: DataFrame, weights: dict[str, float], key_col: str,
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def pack_sequences(docs: DataFrame, budget: int,
+                   n_tokens_col: str = "n_tokens",
+                   id_col: str = "doc_id",
+                   n_shards: int = 1024,
+                   salt: str = "pack") -> DataFrame:
+    """Deterministic sequence packing: assign every doc to a training
+    pack of ≈ ``budget`` tokens (the GPT/T5 example-packing step).
+
+    Greedy boundary packing in a canonical order: docs hash into
+    ``n_shards`` shards (balanced, layout-independent), are ordered
+    within the shard by (hash, id) — a replayable total order — and a
+    running token cumsum assigns pack = floor(exclusive_cumsum /
+    budget). A doc longer than ``budget`` lands in its own pack(s)
+    downstream slice. One shuffle keyed on the shard; the window sort
+    touches |docs|/n_shards rows per task, so the global sort a naive
+    packer needs never happens.
+
+    Output: (id_col, n_tokens, shard, pack) — pack ids are unique per
+    (shard, pack) pair; consumers concatenate within a pack."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from pyspark.sql import Window
+    h = _gate(id_col, salt)
+    w = (Window.partitionBy("shard").orderBy("h", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (docs
+            .select(F.col(id_col),
+                    F.col(n_tokens_col).cast("long").alias("n_tokens"),
+                    (h % n_shards).cast("int").alias("shard"),
+                    h.alias("h"))
+            .withColumn("cum_before",
+                        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+            .select(id_col, "n_tokens", "shard",
+                    # integral div — no float rounding to drift between
+                    # engines (DuckDB CAST(double AS BIGINT) rounds,
+                    # Spark truncates)
+                    F.expr(f"cum_before div {int(budget)}")
+                    .alias("pack")))

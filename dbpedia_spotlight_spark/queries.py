@@ -4896,6 +4896,47 @@ def sql_bloom_seen(m_bits: int = 1 << 16, k: int = 5) -> str:
   FROM checks GROUP BY uid ORDER BY uid"""
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing (operators/sampling.py): docs
+    hash into 8 shards, canonical (hash, id) order, exclusive token
+    cumsum div 512 = pack id. Integral division on both engines (DuckDB
+    CAST(double AS BIGINT) rounds while Spark truncates — div/// avoid
+    the hazard entirely)."""
+    from dbpedia_spotlight_spark.operators.decontam import _norm
+    from dbpedia_spotlight_spark.operators.sampling import pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nt = docs.select(
+        "doc_id", F.size(F.split(_norm(F.col("text")), " "))
+        .alias("n_tokens"))
+    return (pack_sequences(nt, budget=512, n_shards=8)
+            .orderBy("doc_id"))
+
+
+def sql_pack_sequences(budget: int = 512, n_shards: int = 8) -> str:
+    return f"""
+  WITH {_sql_decontam_norm()},
+  nt AS (
+    SELECT doc_id, len(string_split(t, ' ')) AS n_tokens FROM norm),
+  g AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#pack'),
+                           1, 15))::BIGINT % 1048576 AS h
+    FROM nt),
+  sh AS (
+    SELECT doc_id, n_tokens, CAST(h % {n_shards} AS INTEGER) AS shard, h
+    FROM g),
+  cum AS (
+    SELECT doc_id, n_tokens, shard,
+           coalesce(sum(n_tokens) OVER (
+             PARTITION BY shard ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+    FROM sh)
+  SELECT doc_id, n_tokens, shard,
+         CAST(cum_before // {budget} AS BIGINT) AS pack
+  FROM cum ORDER BY doc_id"""
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators/decontam.py): flag training
     docs sharing ≥1 word 8-gram with a deterministic planted benchmark

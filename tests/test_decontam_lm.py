@@ -172,3 +172,27 @@ def test_stratified_rate_validation(spark):
     df = spark.range(3).withColumn("b", F.lit("x"))
     with pytest.raises(ValueError):
         stratified_hash_sample(df, {"x": 1.5}, "b", "id")
+
+
+def test_pack_sequences_budget_and_layout_independence(spark):
+    from dbpedia_spotlight_spark.operators.sampling import pack_sequences
+    docs = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 90 + 10).alias("n_tokens"))   # 10..99 tokens
+    out = pack_sequences(docs, budget=1000, n_shards=16)
+    # every pack's total stays within budget + one overflow doc
+    sizes = out.groupBy("shard", "pack") \
+        .agg(F.sum("n_tokens").alias("tot")).toPandas()
+    assert (sizes["tot"] <= 1000 + 99).all()
+    # non-final packs are well-filled (greedy boundary packing)
+    last = out.groupBy("shard").agg(F.max("pack").alias("mp")).toPandas()
+    full = sizes.merge(last, on="shard")
+    full = full[full["pack"] < full["mp"]]
+    assert (full["tot"] >= 1000 - 99).all()
+    # layout independence
+    a = out.orderBy("doc_id").collect()
+    b = pack_sequences(docs.repartition(13), budget=1000, n_shards=16) \
+        .orderBy("doc_id").collect()
+    assert a == b
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)

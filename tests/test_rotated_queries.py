@@ -142,6 +142,9 @@ ROTATED = [
     # round-4 session-8 addition: mergeable Bloom seen-set (60-bit word
     # packing + bit_or fold replayed exactly; no false negatives)
     ("bloom_seen", Q.q_bloom_seen, Q.sql_bloom_seen),
+    # round-4 session-8 addition: deterministic sequence packing
+    # (sharded exclusive cumsum, integral div — no float-cast drift)
+    ("pack_sequences", Q.q_pack_sequences, Q.sql_pack_sequences),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
