@@ -63,6 +63,13 @@ def text_embeddings(docs: DataFrame, dim: int = 64,
                            lambda i: F.coalesce(
                                F.element_at("m", i.cast("int")),
                                F.lit(0.0))).alias("raw")))
+    # null-text docs produce no tokens and would vanish from the
+    # aggregate — re-attach them with the zero vector (the DuckDB
+    # mirror's grid join gives the same rows)
+    ids = docs.select(F.col(id_col).alias("id")).distinct()
+    zeros = F.array(*[F.lit(0.0)] * dim)
+    vec = ids.join(vec, "id", "left") \
+             .select("id", F.coalesce(F.col("raw"), zeros).alias("raw"))
     nrm = F.sqrt(F.aggregate("raw", F.lit(0.0),
                              lambda acc, x: acc + x * x))
     return vec.select(

@@ -75,23 +75,30 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """
     if fake:
         return _fake_decode(payload)
+    a = _decode_raw(payload).astype(np.float64)
+    if a.ndim == 3 and a.shape[2] >= 3:   # RGB(A) → Rec.601 luma
+        a = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    elif a.ndim == 3:                     # gray+alpha: luma IS channel 0
+        a = a[:, :, 0]
+    return a
+
+
+def _decode_raw(payload: bytes) -> np.ndarray:
+    """Shared sniff/dispatch: bytes → raw pixel array (channels kept).
+    The ONE place format support lives — decode_image and resize_images
+    both route through here."""
     from ..functions import codecs
     fmt = codecs.sniff_media(payload or b"")
     if fmt == "png":
-        img = codecs.decode_png(payload)
-    elif fmt == "bmp":
-        img = codecs.decode_bmp(payload)
-    elif fmt in ("ppm", "pgm"):
-        img = codecs.decode_pnm(payload)
-    else:
-        raise NotImplementedError(
-            f"image format {fmt!r} needs PIL/opencv (not in this "
-            "container); supported real formats: png/bmp/ppm/pgm, or "
-            "pass fake=True for the deterministic test decoder")
-    a = img.astype(np.float64)
-    if a.ndim == 3:  # RGB(A) → Rec.601 luma; alpha ignored
-        a = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
-    return a
+        return codecs.decode_png(payload)
+    if fmt == "bmp":
+        return codecs.decode_bmp(payload)
+    if fmt in ("ppm", "pgm"):
+        return codecs.decode_pnm(payload)
+    raise NotImplementedError(
+        f"unsupported image container {fmt!r} — needs PIL/opencv (not "
+        "in this container); supported real formats: png/bmp/ppm/pgm, "
+        "or pass fake=True for the deterministic test decoder")
 
 
 def _resize_grid(img: np.ndarray, n: int = 8) -> np.ndarray:
@@ -102,15 +109,7 @@ def _resize_grid(img: np.ndarray, n: int = 8) -> np.ndarray:
     h, w = img.shape
     if (h, w) == (n, n):
         return img
-    ys = np.linspace(0, h, n + 1).astype(int)
-    xs = np.linspace(0, w, n + 1).astype(int)
-    out = np.empty((n, n), dtype=np.float64)
-    for i in range(n):
-        for j in range(n):
-            block = img[ys[i]:max(ys[i + 1], ys[i] + 1),
-                        xs[j]:max(xs[j + 1], xs[j] + 1)]
-            out[i, j] = block.mean()
-    return out
+    return _area_resize(img, n, n, dtype=np.float64)
 
 
 def image_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
@@ -254,14 +253,16 @@ RESIZED_SCHEMA = StructType([
 ])
 
 
-def _area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic area-average resize of (h, w[, ch]) uint8 pixels —
-    index-sliced block means, no interpolation libs."""
+def _area_resize(img: np.ndarray, out_h: int, out_w: int,
+                 dtype=np.uint8) -> np.ndarray:
+    """Deterministic area-average resize of (h, w[, ch]) pixels —
+    index-sliced block means, no interpolation libs. The ONE resampler
+    (the 8x8 feature grid is the grayscale float special case)."""
     a = img if img.ndim == 3 else img[:, :, None]
     h, w, ch = a.shape
     ys = np.linspace(0, h, out_h + 1).astype(int)
     xs = np.linspace(0, w, out_w + 1).astype(int)
-    out = np.empty((out_h, out_w, ch), dtype=np.uint8)
+    out = np.empty((out_h, out_w, ch), dtype=dtype)
     for i in range(out_h):
         y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
         for j in range(out_w):
@@ -289,17 +290,7 @@ def resize_images(media: DataFrame, width: int = 64,
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                fmt = codecs.sniff_media(b)
-                if fmt == "png":
-                    img = codecs.decode_png(b)
-                elif fmt == "bmp":
-                    img = codecs.decode_bmp(b)
-                elif fmt in ("ppm", "pgm"):
-                    img = codecs.decode_pnm(b)
-                else:
-                    raise NotImplementedError(
-                        f"resize: unsupported image container {fmt!r}")
-                small = _area_resize(img, height, width)
+                small = _area_resize(_decode_raw(b), height, width)
                 rows.append((int(mid), width, height,
                              codecs.encode_png(small)))
             yield pd.DataFrame(

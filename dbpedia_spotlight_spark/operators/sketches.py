@@ -52,6 +52,9 @@ def hll_sketch(df: DataFrame, key_cols: list[str], item_col: str,
     if not 4 <= p <= 18:
         raise ValueError("p must be in [4, 18]")
     w_bits = HASH_BITS - p
+    df = df.filter(F.col(item_col).isNotNull())  # COUNT(DISTINCT) skips
+    # nulls; an unfiltered null would add a (null, null) register row
+    # that inflates n_present without contributing to the sum
     h = md5_long(F.col(item_col).cast("string"))
     bucket = F.shiftright(h, w_bits).cast("int")
     w = h.bitwiseAND(F.lit((1 << w_bits) - 1))
@@ -94,9 +97,7 @@ def hll_count(sketch: DataFrame, key_cols: list[str],
          .groupBy(*key_cols)
          .agg(F.count("*").alias("n_present"),
               F.sum(F.expr(f"CAST(shiftleft(1L, {HASH_BITS} - rho) "
-                           "AS DECIMAL(38,0))")).alias("s_present"),
-              F.sum(F.when(F.col("rho") >= w_bits + 1, 1)
-                    .otherwise(0)).alias("n_saturated")))
+                           "AS DECIMAL(38,0))")).alias("s_present")))
     two60 = F.lit(1 << HASH_BITS).cast("decimal(38,0)")
     s_int = (F.col("s_present")
              + (F.lit(m) - F.col("n_present")).cast("decimal(38,0)") * two60)

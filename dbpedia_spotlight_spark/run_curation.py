@@ -141,6 +141,27 @@ class _StageStore:
         return (os.path.join(self.root, f"stage_{name}"),
                 os.path.join(self.root, f"stage_{name}._DONE"))
 
+    def check_config(self, shaping: dict) -> None:
+        """Fingerprint the stage-shaping flags. A resume against a dir
+        written under DIFFERENT flags raises (stale stages would
+        silently drop newly-requested work); a fresh run records it."""
+        import hashlib
+        import os
+        fp = hashlib.md5(
+            json.dumps(shaping, sort_keys=True, default=str).encode()
+        ).hexdigest()
+        path = os.path.join(self.root, "_config.fingerprint")
+        if os.path.exists(path):
+            with open(path) as f:
+                prior = f.read().strip()
+            if prior != fp and self.resume:
+                raise SystemExit(
+                    "--resume: stage dir was written under different "
+                    "flags — rerun without --resume or use a fresh "
+                    "--stage-dir")
+        with open(path, "w") as f:
+            f.write(fp + "\n")
+
     def done(self, name: str) -> bool:
         import os
         return self.resume and os.path.exists(self._paths(name)[1])
@@ -208,9 +229,22 @@ def main(argv: list[str] | None = None,
 
     docs = spark.read.parquet(args.corpus)
     id_col = args.id_col
-    stats: dict = {"input_rows": docs.count()}
     ck = (_StageStore(spark, args.stage_dir, args.resume)
           if args.stage_dir else None)
+    if ck:
+        # stage outputs are only reusable under the SAME stage-shaping
+        # flags — refuse a stale stage dir instead of silently dropping
+        # newly-enabled upstream stages (out/resume/stage-dir excluded)
+        shaping = {k: v for k, v in sorted(vars(args).items())
+                   if k not in ("out", "resume", "stage_dir")}
+        ck.check_config(shaping)
+    stats: dict = {}
+    if ck and args.resume and ck.stats("_input"):
+        stats["input_rows"] = ck.stats("_input")["input_rows"]
+    else:
+        stats["input_rows"] = docs.count()
+        if ck:
+            ck.commit("_input", {"input_rows": stats["input_rows"]})
 
     def _mat(frame: DataFrame, name: str) -> DataFrame:
         """Stage barrier: durable parquet under --stage-dir, else a
@@ -360,9 +394,7 @@ def main(argv: list[str] | None = None,
             .withColumnRenamed(id_col, "vec_id") \
             .localCheckpoint(eager=True)
         sem_pairs = embedding_near_dup(
-            emb, threshold=args.semantic_dedup).select(
-            F.col("a").cast("long").alias("a"),
-            F.col("b").cast("long").alias("b"))
+            emb, threshold=args.semantic_dedup).select("a", "b")
         sem_keep = dedup_keep(docs.select(F.col(id_col).alias("id")),
                               sem_pairs)
         docs = _mat(docs.join(
@@ -398,7 +430,9 @@ def main(argv: list[str] | None = None,
     if args.decontaminate and not _skip("decontam"):
         from dbpedia_spotlight_spark.operators.decontam import decontaminate
         bench = spark.read.parquet(args.decontaminate)
-        before = stats.get("after_quality_gate", stats["after_near_dedup"])
+        before = stats.get(
+            "after_quality_gate",
+            stats.get("after_semantic_dedup", stats["after_near_dedup"]))
         docs = _mat(decontaminate(
             docs, bench, n=args.decontam_ngram, id_col=id_col), "decontam")
         n = docs.count()
@@ -428,6 +462,11 @@ def main(argv: list[str] | None = None,
             rates = {}
             for part in args.ppl_mix.split(","):
                 name, r = part.split("=")
+                name = name.strip()
+                if name not in ("head", "middle", "tail"):
+                    raise SystemExit(
+                        f"--ppl-mix: unknown bucket {name!r} "
+                        "(expected head/middle/tail)")
                 rates[name] = float(r)
             keep_ids = stratified_hash_sample(
                 bucketed, rates, "bucket", id_col).select(id_col)

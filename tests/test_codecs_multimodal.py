@@ -339,3 +339,12 @@ def test_resize_rejects_unsupported_container(spark):
         MEDIA_SCHEMA)
     with pytest.raises(Exception, match="unsupported image container"):
         resize_images(media).collect()
+
+
+def test_decode_image_gray_alpha_png(spark):
+    """Regression (session-8 review): color-type-4 (gray+alpha) PNGs
+    crashed decode_image's luma collapse — luma is channel 0 there."""
+    from dbpedia_spotlight_spark.operators.multimodal import decode_image
+    ga = _img(ch=2, seed=3)
+    out = decode_image(codecs.encode_png(ga), fake=False)
+    np.testing.assert_array_equal(out, ga[:, :, 0].astype(np.float64))

@@ -68,3 +68,15 @@ def test_dim_validation(spark):
     with pytest.raises(ValueError):
         text_embeddings(
             spark.createDataFrame([Row(doc_id=1, text="x")]), dim=1)
+
+
+def test_null_text_docs_get_zero_vector(spark):
+    """Regression (session-8 review): null-text docs must appear with
+    the zero vector (the DuckDB mirror emits them), not vanish."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="hello world"), Row(doc_id=1, text=None)])
+    out = {r["doc_id"]: list(r["embedding"])
+           for r in text_embeddings(docs, dim=8).collect()}
+    assert set(out) == {0, 1}
+    assert out[1] == [0.0] * 8
+    assert any(x != 0.0 for x in out[0])

@@ -804,3 +804,25 @@ def test_run_kg_maintain_entail_catchup(spark, web_pages, lexicon, tmp_path):
     s3 = main(["--pages", pages2] + base, spark=spark)
     assert s3["n_changes"] == 0
     assert s3["entail"]["gens_folded"] == 0 and s3["entail"]["gen"] == 1
+
+
+def test_run_curation_resume_rejects_changed_flags(spark, tmp_path):
+    """Regression (session-8 review): resuming a stage dir written
+    under different stage-shaping flags must refuse, not silently drop
+    the newly-requested stages."""
+    import pytest as _pytest
+    from dbpedia_spotlight_spark.run_curation import main
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .filter("doc_id < 40")
+    corpus_dir = str(tmp_path / "corpus")
+    src.write.parquet(corpus_dir)
+    common = ["--corpus", corpus_dir, "--split", "", "--lang", "",
+              "--stage-dir", str(tmp_path / "stages")]
+    main(common + ["--out", str(tmp_path / "out1")], spark=spark)
+    with _pytest.raises(SystemExit, match="different flags"):
+        main(common + ["--resume", "--clean-boilerplate",
+                       "--out", str(tmp_path / "out2")], spark=spark)
+    # unchanged flags still resume fine
+    s = main(common + ["--resume", "--out", str(tmp_path / "out3")],
+             spark=spark)
+    assert s["output_rows"] > 0

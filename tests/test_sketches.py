@@ -164,3 +164,15 @@ def test_bloom_m_bits_validation(spark):
     seen = spark.createDataFrame([Row(u="x")])
     with pytest.raises(ValueError):
         sk.bloom_build(seen, "u", m_bits=32)
+
+
+def test_hll_ignores_null_items_like_count_distinct(spark):
+    """Regression (session-8 review): null items must not create a
+    null register that skews the estimate."""
+    rows = [Row(k="a", item=str(i)) for i in range(200)]
+    rows += [Row(k="a", item=None)] * 50
+    df = spark.createDataFrame(rows)
+    with_nulls = sk.distinct_count_approx(df, ["k"], "item", p=10).first()
+    without = sk.distinct_count_approx(
+        df.filter("item IS NOT NULL"), ["k"], "item", p=10).first()
+    assert with_nulls["est"] == without["est"]
