@@ -433,6 +433,7 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
               minus: list[list[tuple[str, str, str]]] | None = None,
               exists: list[list[tuple[str, str, str]]] | None = None,
               not_exists: list[list[tuple[str, str, str]]] | None = None,
+              subqueries: list[DataFrame] | None = None,
               ) -> DataFrame:
     """SPARQL-style basic-graph-pattern match over a triple snapshot:
     ``patterns`` is a conjunction of (s, p, o) patterns, '?name' terms
@@ -501,6 +502,15 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
     the unbound-variable-is-compatible-only-if-nothing-else-shared
     case conservatively: an all-null shared tuple survives.
 
+    ``subqueries`` are SPARQL 1.1 subselects: each is an already-solved
+    solutions DataFrame (typically from :func:`bgp_select` /
+    :func:`bgp_aggregate` — projection IS the subquery's variable
+    scope), evaluated bottom-up per the spec and joined into the group
+    on the shared variable COLUMNS; a subquery binding only new
+    variables crosses in (the SPARQL product rule). Being ordinary
+    DataFrames, Catalyst broadcasts the (usually aggregated, small)
+    subquery side.
+
     The snapshot side stays declarative end-to-end: constants are
     pushed filters on the scan, no collect, no UDFs."""
     if not patterns:
@@ -521,6 +531,10 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
         out = (out.join(F.broadcast(vdf), shared) if shared
                else out.crossJoin(F.broadcast(vdf)))
         bound = bound | set(names)
+    for sub in subqueries or []:
+        shared = sorted(set(sub.columns) & bound)
+        out = out.join(sub, shared) if shared else out.crossJoin(sub)
+        bound = bound | set(sub.columns)
     for var, expr in (bind or {}).items():
         name = var[1:] if var.startswith("?") else var
         if name in bound:

@@ -918,3 +918,32 @@ def test_infer_domain_range_plan_broadcasts_declarations(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_bgp_subquery_join_and_product(spark):
+    """SPARQL 1.1 subselects: a subquery's solutions frame joins into
+    the outer group on shared variables (here: per-type mention counts
+    aggregated bottom-up, then each entity row enriched with its
+    type's count), and a no-shared-variable subquery crosses in."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        bgp_aggregate, bgp_match,
+    )
+    kg = _kg_rows(spark, [
+        ("m1", "ident", "e1"), ("m2", "ident", "e1"),
+        ("m3", "ident", "e2"), ("m4", "ident", "e3"),
+        ("e1", RDF_TYPE, "A"), ("e2", RDF_TYPE, "A"),
+        ("e3", RDF_TYPE, "B"),
+    ])
+    sub = bgp_aggregate(
+        kg, [("?m", "ident", "?e"), ("?e", RDF_TYPE, "?t")],
+        group_by=["?t"], aggregates={"n_in_type": "count(*)"})
+    got = {(r.e, r.t, r.n_in_type) for r in bgp_match(
+        kg, [("?e", RDF_TYPE, "?t")], subqueries=[sub]).collect()}
+    assert got == {("e1", "A", 3), ("e2", "A", 3), ("e3", "B", 1)}
+
+    # disjoint subquery → product (the SPARQL rule)
+    glob = bgp_aggregate(kg, [("?m", "ident", "?x")], group_by=[],
+                         aggregates={"total": "count(*)"})
+    rows = bgp_match(kg, [("?e", RDF_TYPE, "?t")],
+                     subqueries=[glob]).collect()
+    assert len(rows) == 3 and all(r["total"] == 4 for r in rows)
