@@ -94,3 +94,67 @@ def clean_boilerplate(
             (F.size(lines) - F.size(kept)).cast("long"),
         )
     )
+
+
+def _line_word_count(line: Column) -> Column:
+    """Words in one line; a blank/whitespace-only line counts 0 (Spark
+    ``split('', ' +')`` yields ``['']`` — size 1 — so the blank case is
+    pinned explicitly to keep blank separators out of the dedup set)."""
+    t = F.trim(line)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " +")))
+
+
+def line_dedup(pages: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text",
+               out_col: str = "clean_text",
+               min_words: int = 2) -> DataFrame:
+    """CROSS-document line deduplication (the C4 'discard any line that
+    occurs elsewhere in the dataset' rule, kept-first form): a line
+    survives only where it first appears — first = minimum
+    (doc id, line index), a deterministic, layout-independent total
+    order. Catches syndicated footers / license blocks / navigation
+    chrome that per-document rules (``clean_boilerplate``) can't see.
+
+    Scale shape — page TEXTS never enter a shuffle:
+
+    1. posexplode → project ``(md5(line), id, idx)`` — 48-byte rows,
+       not lines;
+    2. ONE map-side-combinable ``min(struct(id, idx))`` per hash (the
+       shuffle carries |distinct lines| partials);
+    3. non-winners reduce to a per-doc sorted drop-index list — tiny
+       (only docs that lose lines, only integer indices), so the join
+       back onto ``pages`` is AQE-broadcastable and the corpus itself
+       stays on its scan partitions;
+    4. rebuild is a higher-order ``filter`` over the original
+       ``split(text)`` by index — pure projection, whole-stage codegen.
+
+    ``min_words``: lines with fewer words bypass dedup entirely (blank
+    separators and one-word bullets repeat naturally and should not be
+    globally unique; C4 §2.2 similarly gates on ≥3-sentence spans).
+    Returns the input columns plus ``out_col`` and ``n_lines_dropped``.
+    """
+    occ = (pages
+           .select(F.col(id_col).alias("_id"),
+                   F.posexplode(F.split(F.col(text_col), "\n"))
+                   .alias("_idx", "_line"))
+           .filter(_line_word_count(F.col("_line")) >= min_words)
+           .select("_id", "_idx", F.md5("_line").alias("_h")))
+    winners = (occ.groupBy("_h")
+               .agg(F.min(F.struct(F.col("_id"), F.col("_idx")))
+                    .alias("_w")))
+    drops = (occ.join(winners, "_h")
+             .filter((F.col("_id") != F.col("_w._id"))
+                     | (F.col("_idx") != F.col("_w._idx")))
+             .groupBy("_id")
+             .agg(F.sort_array(F.collect_list("_idx"))
+                  .alias("_drop_idxs")))
+    arr = F.split(F.col(text_col), "\n")
+    return (pages
+            .join(drops.withColumnRenamed("_id", id_col), id_col, "left")
+            .withColumn("_di", F.coalesce(F.col("_drop_idxs"),
+                                          F.array().cast("array<int>")))
+            .withColumn(out_col, F.array_join(
+                F.filter(arr, lambda x, i:
+                         ~F.array_contains(F.col("_di"), i)), "\n"))
+            .withColumn("n_lines_dropped", F.size("_di").cast("long"))
+            .drop("_drop_idxs", "_di"))

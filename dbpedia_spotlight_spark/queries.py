@@ -3345,6 +3345,71 @@ def sql_clean_boilerplate() -> str:
   FROM kept"""
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (operators/boilerplate.py::line_dedup,
+    kept-first) over the same synthesized multi-line pages as
+    q_clean_boilerplate — the planted nav bar / footers / 'Read more'
+    teaser repeat across EVERY page, so all but the min-doc_id copy of
+    each must drop. Texts never shuffle: only (md5, id, idx) triples do,
+    and the rebuild joins a per-doc integer drop-list back onto the
+    pages."""
+    from dbpedia_spotlight_spark.operators.boilerplate import line_dedup
+    return line_dedup(_boiler_pages(spark, sf_dir)).select(
+        "doc_id", "clean_text", "n_lines_dropped")
+
+
+def sql_line_dedup() -> str:
+    """Mirror of operators/boilerplate.py::line_dedup (min_words=2).
+    Winner = row_number()=1 ordered by (doc_id, idx) per LINE (the Spark
+    side groups on md5(line) only to shrink the shuffle payload; the
+    grouping key is semantically the line). Parallel unnest zips the
+    line array with its 0-based index; blank lines count 0 words (the
+    Spark ``_line_word_count`` pin); string_agg(ORDER BY idx) rebuilds,
+    with '' for a page whose every line dropped."""
+    return """
+  WITH pages AS (
+    SELECT doc_id,
+           'Home | About | Contact | Subscribe' || chr(10) ||
+           text || chr(10) ||
+           CASE WHEN doc_id % 3 = 0 THEN 'This site uses cookie tracking.'
+                ELSE substr(text, 1, 100) END || chr(10) ||
+           CASE WHEN doc_id % 5 = 0
+                THEN 'Please enable javascript to continue.'
+                ELSE 'Copyright 2024 example.org - all rights reserved.'
+           END || chr(10) || 'Read more' AS text
+    FROM documents),
+  arrs AS (
+    SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages),
+  lines AS (
+    SELECT doc_id,
+           unnest(generate_series(0, len(ls) - 1)) AS idx,
+           unnest(ls) AS line
+    FROM arrs),
+  elig AS (
+    SELECT doc_id, idx, line FROM lines
+    WHERE CASE WHEN trim(line) = '' THEN 0
+               ELSE len(string_split_regex(trim(line), ' +')) END >= 2),
+  ranked AS (
+    SELECT doc_id, idx,
+           row_number() OVER (PARTITION BY line
+                              ORDER BY doc_id, idx) AS rn
+    FROM elig),
+  drops AS (SELECT doc_id, idx FROM ranked WHERE rn > 1),
+  kept AS (
+    SELECT l.doc_id,
+           string_agg(l.line, chr(10) ORDER BY l.idx) AS clean_text,
+           COUNT(*) AS n_kept
+    FROM lines l LEFT JOIN drops d
+      ON l.doc_id = d.doc_id AND l.idx = d.idx
+    WHERE d.doc_id IS NULL
+    GROUP BY l.doc_id),
+  counts AS (SELECT doc_id, COUNT(*) AS n FROM lines GROUP BY doc_id)
+  SELECT c.doc_id,
+         COALESCE(k.clean_text, '') AS clean_text,
+         CAST(c.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_lines_dropped
+  FROM counts c LEFT JOIN kept k USING (doc_id)"""
+
+
 _WARC_FIXTURE = [
     # (url, iso_ts, status, html_body) — response records
     ("http://w.org/1", "2024-02-01 08:00:00", 200,

@@ -831,6 +831,50 @@ def test_clean_boilerplate_terminal_punct_mode(spark):
     assert (r["n_lines_kept"], r["n_lines_dropped"]) == (1, 1)
 
 
+def test_line_dedup_kept_first_semantics(spark):
+    """Cross-doc line dedup: the (min doc_id, min idx) copy survives,
+    later copies drop — including a repeat inside the SAME document;
+    blank separators and one-word bullets bypass (min_words=2); a doc
+    whose every eligible line loses rebuilds to just its bypassed
+    lines."""
+    from dbpedia_spotlight_spark.operators.boilerplate import line_dedup
+    footer = "all rights reserved by example org"
+    rows = [
+        (1, "unique first body line\n" + footer + "\n" + footer),
+        (2, footer + "\n\nanother unique body line\n- bullet"),
+        (3, footer),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup(df).orderBy("doc_id").collect()}
+    # doc 1 keeps the first footer copy, drops its own repeat
+    assert out[1]["clean_text"] == "unique first body line\n" + footer
+    assert out[1]["n_lines_dropped"] == 1
+    # doc 2 loses the footer (doc 1 owns it) but keeps the blank line
+    # and the one-word bullet untouched
+    assert out[2]["clean_text"] == "\nanother unique body line\n- bullet"
+    assert out[2]["n_lines_dropped"] == 1
+    # doc 3 is all-duplicate -> empty rebuild
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_lines_dropped"] == 1
+
+
+def test_line_dedup_layout_independent(spark):
+    """Keep-decisions depend only on (doc_id, idx) — reshuffling the
+    input partitioning changes nothing."""
+    from dbpedia_spotlight_spark.operators.boilerplate import line_dedup
+    dup = "shared navigation header line"
+    rows = [(i, dup + "\nbody %d only" % i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, line_dedup(df)
+                   .select("doc_id", "clean_text").collect()))
+    b = sorted(map(tuple, line_dedup(df.repartition(7, "text"))
+                   .select("doc_id", "clean_text").collect()))
+    assert a == b
+    assert a[0] == (0, dup + "\nbody 0 only")
+    assert a[5] == (5, "body 5 only")
+
+
 def test_parse_anchors_pure():
     from dbpedia_spotlight_spark.operators.anchors import parse_anchors
     html = ('<p>see <a href="https://a.org/X">the  <b>big</b> thing</a> '

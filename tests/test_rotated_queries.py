@@ -145,6 +145,9 @@ ROTATED = [
     # round-4 session-8 addition: deterministic sequence packing
     # (sharded exclusive cumsum, integral div — no float-cast drift)
     ("pack_sequences", Q.q_pack_sequences, Q.sql_pack_sequences),
+    # round-4 session-9 addition: C4 cross-document line dedup
+    # (kept-first by (doc_id, idx); texts never shuffle)
+    ("line_dedup", Q.q_line_dedup, Q.sql_line_dedup),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
