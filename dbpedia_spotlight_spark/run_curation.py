@@ -119,6 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
                          "content dedup (boilerplate changes content "
                          "hashes, so cleaning must precede hashing); "
                          "docs reduced to zero lines are dropped")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="CROSS-document line dedup (C4 kept-first "
+                         "rule): syndicated footers/license blocks "
+                         "survive only at their min-(doc,line) "
+                         "occurrence; runs after the per-doc "
+                         "boilerplate filter, before content dedup")
+    ap.add_argument("--line-dedup-min-words", type=int, default=2,
+                    help="lines shorter than this bypass line dedup")
     return ap
 
 
@@ -337,6 +345,29 @@ def main(argv: list[str] | None = None,
                     "boilerplate")
         _commit("boilerplate", {"boilerplate_lines_dropped": bp["d"],
                                 "after_boilerplate": bp["n"]})
+
+    # 0d. cross-document line dedup — after the per-doc boilerplate
+    # filter (no point globally deduplicating lines a cheap projection
+    # already drops), before content dedup (removing shared chrome
+    # makes true near-dups MORE similar, and re-crawl captures that
+    # differ only in a syndicated footer become byte-identical).
+    if args.line_dedup and not _skip("line_dedup"):
+        from dbpedia_spotlight_spark.operators.boilerplate import (
+            line_dedup,
+        )
+        docs = _mat(
+            line_dedup(docs, id_col=id_col,
+                       min_words=args.line_dedup_min_words)
+            .withColumn("text", F.col("clean_text")).drop("clean_text"),
+            "line_dedup_raw",
+        )
+        ld = docs.agg(F.sum("n_lines_dropped").alias("d"),
+                      F.count(F.when(F.trim("text") != "", 1))
+                      .alias("n")).first()
+        docs = _mat(docs.filter(F.trim("text") != "")
+                    .drop("n_lines_dropped"), "line_dedup")
+        _commit("line_dedup", {"cross_doc_lines_dropped": ld["d"],
+                               "after_line_dedup": ld["n"]})
 
     # 1. exact dedup. Each stage ends with localCheckpoint(eager): the
     # stage-count stats and every later stage reuse the materialized

@@ -453,6 +453,38 @@ def test_run_curation_robots_and_boilerplate_stages(spark, tmp_path):
     assert all("rights reserved" not in r["text"] for r in texts)
 
 
+def test_run_curation_line_dedup_stage(spark, tmp_path):
+    """--line-dedup: a syndicated license block planted at the top of
+    every page survives only in the min-doc_id page; bodies stay
+    intact; stats report the cross-document drop count."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    src = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter("doc_id < 20")
+    block = ("this content is licensed under creative commons "
+             "attribution terms")
+    corpus_dir = str(tmp_path / "corpus")
+    src.select(
+        "doc_id",
+        F.concat(F.lit(block + "\n"), F.col("text")).alias("text"),
+    ).write.parquet(corpus_dir)
+
+    stats = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
+                  "--line-dedup",
+                  "--lang", "", "--no-quality-gate", "--split", ""],
+                 spark=spark)
+    assert stats["cross_doc_lines_dropped"] == 19
+    assert stats["after_line_dedup"] == 20
+    rows = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(str(tmp_path / "out" / "curated"))
+            .select("doc_id", "text").collect()}
+    with_block = sorted(i for i, t in rows.items() if block in t)
+    assert with_block == [min(rows)]
+    # bodies untouched (block line removed, nothing else)
+    orig = {r["doc_id"]: r["text"] for r in src.collect()}
+    assert all(rows[i] == orig[i] for i in rows if i != min(rows))
+
+
 def test_run_pipeline_anchor_lexicon_emission(spark, web_pages, lexicon,
                                               tmp_path):
     """--anchor-lexicon: the annotate job also writes the pairCounts-
