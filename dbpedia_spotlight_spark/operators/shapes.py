@@ -1,0 +1,165 @@
+"""SHACL-core-lite shape validation over the materialized KG.
+
+A KG construction pipeline needs a *quality gate* on its own output the
+same way the text side has Gopher/C4 gates: published KGs ship with
+shape constraints (SHACL node shapes — W3C SHACL core) and CI rejects a
+build whose validation report regresses. This module implements the
+useful core as one relational pass: focus-node targeting
+(``sh:targetClass``, ``sh:targetSubjectsOf``) and per-path constraint
+components ``sh:minCount`` / ``sh:maxCount`` / ``sh:pattern`` /
+``sh:nodeKind`` / ``sh:class`` / ``sh:in`` / ``sh:hasValue``, plus
+SHACL's inverse paths. The output is the validation report as data —
+one row per violation, shaped like SHACL's ``sh:ValidationResult``
+(focusNode, sourceShape, resultPath, sourceConstraintComponent, value).
+
+Scale shape (10^9-entity KG): the shapes themselves are tiny (schema
+side); every constraint compiles to scans of the triple store with the
+predicate filter pushed down. Cardinality checks are one map-side-
+combinable ``count(distinct)`` per (focus, path); value checks are pure
+projections; ``sh:class`` is an anti-join against the (entity, type)
+slice keyed on the VALUE side (bounded by |typed entities|, never
+|triples|). Nothing collects; the per-constraint branches union into
+one plan so AQE sizes each exchange independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RDF_TYPE = "rdf:type"
+
+# sh:nodeKind heuristic over a plain string store: an IRI is a term
+# with a URI scheme prefix (RFC 3986 scheme = ALPHA *(ALPHA/DIGIT/+/-/.)
+# followed by ':'); everything else is a literal. A production store
+# with a real term dictionary would carry the kind as a column.
+_IRI_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+_REPORT_COLS = ("shape", "focus", "path", "component", "value", "got")
+
+
+def _focus(kg: DataFrame, types: DataFrame, shape: dict) -> DataFrame:
+    """Focus-node set of one shape: distinct single-column ``focus``."""
+    if "target_class" in shape:
+        return (types.filter(F.col("obj") == shape["target_class"])
+                .select(F.col("subj").alias("focus")).dropDuplicates())
+    if "target_subjects_of" in shape:
+        return (kg.filter(F.col("pred") == shape["target_subjects_of"])
+                .select(F.col("subj").alias("focus")).dropDuplicates())
+    raise ValueError(
+        f"shape {shape.get('shape')!r} needs target_class or "
+        "target_subjects_of")
+
+
+def _values(kg: DataFrame, path: str, inverse: bool) -> DataFrame:
+    """(focus, value) pairs reachable over ``path`` (inverse: focus is
+    the statement object). Predicate filter pushes to the scan."""
+    stmts = kg.filter(F.col("pred") == path)
+    if inverse:
+        return stmts.select(F.col("obj").alias("focus"),
+                            F.col("subj").alias("value"))
+    return stmts.select(F.col("subj").alias("focus"),
+                        F.col("obj").alias("value"))
+
+
+def _report(shape: str, path: str, component: str, rows: DataFrame,
+            value: bool) -> DataFrame:
+    sel = [F.lit(shape).alias("shape"), F.col("focus"),
+           F.lit(path).alias("path"), F.lit(component).alias("component")]
+    if value:
+        sel += [F.col("value"), F.lit(None).cast("long").alias("got")]
+    else:
+        sel += [F.lit(None).cast("string").alias("value"),
+                F.col("got").cast("long")]
+    return rows.select(*sel)
+
+
+def validate_shapes(kg: DataFrame, shapes: list[dict],
+                    types: DataFrame | None = None) -> DataFrame:
+    """Validate ``kg`` (subj, pred, obj) against SHACL-lite ``shapes``;
+    return the violation report (shape, focus, path, component, value,
+    got) — empty means conformant.
+
+    Each shape dict: ``shape`` (name), one of ``target_class`` /
+    ``target_subjects_of``, and ``constraints`` — a list of dicts with
+    ``path`` (+ ``inverse: True`` for ``^path``) and any of:
+
+    - ``min_count`` / ``max_count`` — distinct-value cardinality per
+      focus node (SHACL counts value nodes; set semantics);
+    - ``pattern`` — every value must match the regex;
+    - ``node_kind`` — ``"IRI"`` or ``"Literal"`` (scheme-prefix
+      heuristic, see ``_IRI_RE``);
+    - ``cls`` — every value must carry ``rdf:type cls`` (sh:class);
+    - ``in_set`` — every value must be one of the listed terms;
+    - ``has_value`` — at least one value equals the term (violation
+      row carries the MISSING term with got=NULL).
+
+    ``types`` defaults to the kg's own asserted rdf:type statements;
+    pass ``infer_types(...)`` output to validate against the RDFS
+    closure instead (entailed validation).
+    """
+    if types is None:
+        types = kg.filter(F.col("pred") == RDF_TYPE)
+    types = types.select("subj", "obj")
+    spark = kg.sparkSession
+    reports: list[DataFrame] = []
+    for shape in shapes:
+        name = shape["shape"]
+        focus = _focus(kg, types, shape)
+        for con in shape.get("constraints", ()):
+            path, inverse = con["path"], bool(con.get("inverse"))
+            disp = ("^" + path) if inverse else path
+            vals = _values(kg, path, inverse)
+            fvals = focus.join(vals, "focus")
+            if "min_count" in con or "max_count" in con:
+                counts = (fvals.groupBy("focus")
+                          .agg(F.countDistinct("value").alias("got")))
+                # focus nodes with ZERO values only exist on the focus
+                # frame — left join, coalesce to 0
+                counted = (focus.join(counts, "focus", "left")
+                           .withColumn("got", F.coalesce("got", F.lit(0))))
+                if "min_count" in con:
+                    reports.append(_report(
+                        name, disp, "minCount",
+                        counted.filter(F.col("got") < con["min_count"]),
+                        value=False))
+                if "max_count" in con:
+                    reports.append(_report(
+                        name, disp, "maxCount",
+                        counted.filter(F.col("got") > con["max_count"]),
+                        value=False))
+            if "pattern" in con:
+                reports.append(_report(
+                    name, disp, "pattern",
+                    fvals.filter(~F.col("value").rlike(con["pattern"])),
+                    value=True))
+            if "node_kind" in con:
+                is_iri = F.col("value").rlike(_IRI_RE)
+                bad = ~is_iri if con["node_kind"] == "IRI" else is_iri
+                reports.append(_report(
+                    name, disp, "nodeKind", fvals.filter(bad), value=True))
+            if "cls" in con:
+                typed = (types.filter(F.col("obj") == con["cls"])
+                         .select(F.col("subj").alias("value")))
+                reports.append(_report(
+                    name, disp, "class",
+                    fvals.join(typed, "value", "left_anti"), value=True))
+            if "in_set" in con:
+                reports.append(_report(
+                    name, disp, "in",
+                    fvals.filter(~F.col("value").isin(*con["in_set"])),
+                    value=True))
+            if "has_value" in con:
+                holders = (fvals.filter(F.col("value") == con["has_value"])
+                           .select("focus").dropDuplicates())
+                missing = (focus.join(holders, "focus", "left_anti")
+                           .withColumn("value", F.lit(con["has_value"])))
+                reports.append(_report(
+                    name, disp, "hasValue", missing, value=True))
+    if not reports:
+        return spark.createDataFrame(
+            [], "shape string, focus string, path string, "
+                "component string, value string, got long")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.dropDuplicates(list(_REPORT_COLS))

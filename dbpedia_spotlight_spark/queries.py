@@ -5083,6 +5083,143 @@ def sql_ngram_perplexity() -> str:
   ORDER BY doc_id"""
 
 
+def q_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-core-lite validation report (operators/shapes.py::
+    validate_shapes) over a KG planted from the documents table so
+    every constraint component fires on a known slice: entities are
+    ``e{doc_id % 40}``; id%4==3 are Orgs (focus exclusion), names are
+    missing for id%3==0 and doubled for id%5==1 (min/maxCount),
+    homepages lose the URI scheme at id%9==0 and use ftp:// on odd ids
+    (pattern + nodeKind), ex:knows edges leave even ids only — so every
+    even person violates the inverse-path minCount and knowees typed
+    Org violate sh:class — and ex:status carries an out-of-vocabulary
+    value at id%13==0 (sh:in) with 'active' only at id%3==0
+    (sh:hasValue)."""
+    from dbpedia_spotlight_spark.operators.shapes import validate_shapes
+    e = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 40).cast("int").alias("id"))
+         .dropDuplicates())
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    ent = F.concat(F.lit("e"), s_(F.col("id")))
+    hp = (F.when(F.col("id") % 9 == 0,
+                 F.concat(F.lit("no scheme page "), s_(F.col("id"))))
+          .when(F.col("id") % 2 == 0,
+                F.concat(F.lit("https://h"), s_(F.col("id")),
+                         F.lit(".example/")))
+          .otherwise(F.concat(F.lit("ftp://h"), s_(F.col("id")),
+                              F.lit(".example/"))))
+    st = (F.when(F.col("id") % 13 == 0,
+                 F.concat(F.lit("bogus"), s_(F.col("id"))))
+          .when(F.col("id") % 3 == 0, F.lit("active"))
+          .otherwise(F.lit("dormant")))
+    parts = [
+        e.select(ent.alias("subj"), F.lit("rdf:type").alias("pred"),
+                 F.when(F.col("id") % 4 == 3, "Org")
+                 .otherwise("Person").alias("obj")),
+        e.filter(F.col("id") % 3 != 0).select(
+            ent.alias("subj"), F.lit("foaf:name").alias("pred"),
+            F.concat(F.lit("Name "), s_(F.col("id"))).alias("obj")),
+        e.filter(F.col("id") % 5 == 1).select(
+            ent.alias("subj"), F.lit("foaf:name").alias("pred"),
+            F.concat(F.lit("Alias "), s_(F.col("id"))).alias("obj")),
+        e.select(ent.alias("subj"), F.lit("ex:homepage").alias("pred"),
+                 hp.alias("obj")),
+        e.filter(F.col("id") % 2 == 0).select(
+            ent.alias("subj"), F.lit("ex:knows").alias("pred"),
+            F.concat(F.lit("e"),
+                     s_((F.col("id") * 7 + 1) % 40)).alias("obj")),
+        e.select(ent.alias("subj"), F.lit("ex:status").alias("pred"),
+                 st.alias("obj")),
+    ]
+    kg = parts[0]
+    for p in parts[1:]:
+        kg = kg.unionByName(p)
+    shapes = [
+        {"shape": "PersonShape", "target_class": "Person",
+         "constraints": [
+             {"path": "foaf:name", "min_count": 1, "max_count": 1},
+             {"path": "ex:homepage", "pattern": "^https://",
+              "node_kind": "IRI"},
+             {"path": "ex:knows", "cls": "Person"},
+             {"path": "ex:knows", "inverse": True, "min_count": 1},
+         ]},
+        {"shape": "StatusShape", "target_subjects_of": "ex:status",
+         "constraints": [
+             {"path": "ex:status",
+              "in_set": ["active", "dormant", "archived"]},
+             {"path": "ex:status", "has_value": "active"},
+         ]},
+    ]
+    return validate_shapes(kg, shapes)
+
+
+def sql_shape_report() -> str:
+    """Mirror: regenerate the planted slices as per-predicate CTEs and
+    emit each constraint component's violation set directly — the
+    anti-joins (sh:class against the typed-Person set, inverse
+    minCount against the knowee set) run against the regenerated
+    tables, not closed-form id arithmetic, so missing ids at tiny SFs
+    stay exact."""
+    return """
+  WITH e AS (
+    SELECT DISTINCT CAST(doc_id % 40 AS INT) AS id FROM documents),
+  person AS (SELECT 'e' || id AS focus, id FROM e WHERE id % 4 <> 3),
+  nm AS (
+    SELECT id, (CASE WHEN id % 3 <> 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN id % 5 = 1 THEN 1 ELSE 0 END) AS got FROM e),
+  hp AS (
+    SELECT id, CASE WHEN id % 9 = 0 THEN 'no scheme page ' || id
+                    WHEN id % 2 = 0 THEN 'https://h' || id || '.example/'
+                    ELSE 'ftp://h' || id || '.example/' END AS v FROM e),
+  knows AS (
+    SELECT 'e' || id AS focus, 'e' || ((id * 7 + 1) % 40) AS v,
+           (id * 7 + 1) % 40 AS kid
+    FROM e WHERE id % 2 = 0),
+  known AS (SELECT DISTINCT kid FROM knows),
+  status AS (
+    SELECT 'e' || id AS focus,
+           CASE WHEN id % 13 = 0 THEN 'bogus' || id
+                WHEN id % 3 = 0 THEN 'active'
+                ELSE 'dormant' END AS v, id
+    FROM e)
+  SELECT DISTINCT * FROM (
+    SELECT 'PersonShape' AS shape, p.focus, 'foaf:name' AS path,
+           'minCount' AS component, CAST(NULL AS VARCHAR) AS value,
+           CAST(nm.got AS BIGINT) AS got
+    FROM person p JOIN nm ON nm.id = p.id WHERE nm.got < 1
+    UNION ALL
+    SELECT 'PersonShape', p.focus, 'foaf:name', 'maxCount', NULL,
+           CAST(nm.got AS BIGINT)
+    FROM person p JOIN nm ON nm.id = p.id WHERE nm.got > 1
+    UNION ALL
+    SELECT 'PersonShape', p.focus, 'ex:homepage', 'pattern', hp.v, NULL
+    FROM person p JOIN hp ON hp.id = p.id
+    WHERE NOT regexp_matches(hp.v, '^https://')
+    UNION ALL
+    SELECT 'PersonShape', p.focus, 'ex:homepage', 'nodeKind', hp.v, NULL
+    FROM person p JOIN hp ON hp.id = p.id
+    WHERE NOT regexp_matches(hp.v, '^[A-Za-z][A-Za-z0-9+.-]*:')
+    UNION ALL
+    SELECT 'PersonShape', k.focus, 'ex:knows', 'class', k.v, NULL
+    FROM knows k
+    JOIN person p ON p.focus = k.focus
+    LEFT JOIN person t ON t.focus = k.v
+    WHERE t.focus IS NULL
+    UNION ALL
+    SELECT 'PersonShape', p.focus, '^ex:knows', 'minCount', NULL,
+           CAST(0 AS BIGINT)
+    FROM person p LEFT JOIN known ON known.kid = p.id
+    WHERE known.kid IS NULL
+    UNION ALL
+    SELECT 'StatusShape', s.focus, 'ex:status', 'in', s.v, NULL
+    FROM status s WHERE s.v NOT IN ('active', 'dormant', 'archived')
+    UNION ALL
+    SELECT 'StatusShape', s.focus, 'ex:status', 'hasValue', 'active',
+           NULL
+    FROM status s WHERE s.v <> 'active'
+  )"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

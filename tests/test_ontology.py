@@ -947,3 +947,100 @@ def test_bgp_subquery_join_and_product(spark):
     rows = bgp_match(kg, [("?e", RDF_TYPE, "?t")],
                      subqueries=[glob]).collect()
     assert len(rows) == 3 and all(r["total"] == 4 for r in rows)
+
+
+# ------------------------------------------------------- SHACL-lite shapes
+
+def test_validate_shapes_all_components(spark):
+    from dbpedia_spotlight_spark.operators.shapes import validate_shapes
+    kg = _kg_rows(spark, [
+        ("p1", RDF_TYPE, "Person"),
+        ("p2", RDF_TYPE, "Person"),
+        ("p3", RDF_TYPE, "Person"),
+        ("o1", RDF_TYPE, "Org"),
+        ("p1", "foaf:name", "Ada"),
+        ("p2", "foaf:name", "Grace"),
+        ("p2", "foaf:name", "G."),              # maxCount 1 violated
+        # p3 has no name                        → minCount 1 violated
+        ("p1", "ex:homepage", "https://ada.example/"),
+        ("p2", "ex:homepage", "gopher noise"),  # pattern + nodeKind IRI
+        ("p1", "ex:knows", "p2"),
+        ("p2", "ex:knows", "o1"),               # sh:class Person violated
+        ("o1", "ex:member", "p3"),              # only p3 has ^ex:member
+    ])
+    shapes = [{
+        "shape": "PersonShape", "target_class": "Person",
+        "constraints": [
+            {"path": "foaf:name", "min_count": 1, "max_count": 1},
+            {"path": "ex:homepage", "pattern": "^https://",
+             "node_kind": "IRI"},
+            {"path": "ex:knows", "cls": "Person"},
+            {"path": "ex:member", "inverse": True, "has_value": "o1"},
+        ],
+    }]
+    rows = {(r.shape, r.focus, r.path, r.component, r.value, r.got)
+            for r in validate_shapes(kg, shapes).collect()}
+    assert rows == {
+        ("PersonShape", "p2", "foaf:name", "maxCount", None, 2),
+        ("PersonShape", "p3", "foaf:name", "minCount", None, 0),
+        ("PersonShape", "p2", "ex:homepage", "pattern",
+         "gopher noise", None),
+        ("PersonShape", "p2", "ex:homepage", "nodeKind",
+         "gopher noise", None),
+        ("PersonShape", "p2", "ex:knows", "class", "o1", None),
+        ("PersonShape", "p1", "^ex:member", "hasValue", "o1", None),
+        ("PersonShape", "p2", "^ex:member", "hasValue", "o1", None),
+    }
+
+
+def test_validate_shapes_subjects_target_in_set_and_literal(spark):
+    from dbpedia_spotlight_spark.operators.shapes import validate_shapes
+    kg = _kg_rows(spark, [
+        ("d1", "ex:status", "active"),
+        ("d2", "ex:status", "bogus"),
+        ("d1", "ex:label", "plain words"),
+        ("d2", "ex:label", "ex:notaliteral"),   # nodeKind Literal viol
+    ])
+    shapes = [{
+        "shape": "DocShape", "target_subjects_of": "ex:status",
+        "constraints": [
+            {"path": "ex:status", "in_set": ["active", "dormant"]},
+            {"path": "ex:label", "node_kind": "Literal"},
+        ],
+    }]
+    rows = {(r.focus, r.component, r.value)
+            for r in validate_shapes(kg, shapes).collect()}
+    assert rows == {("d2", "in", "bogus"),
+                    ("d2", "nodeKind", "ex:notaliteral")}
+
+
+def test_validate_shapes_conformant_and_entailed_types(spark):
+    """Empty report on a conformant KG; passing infer_types() output as
+    ``types`` switches focus targeting to the RDFS closure."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_types, subclass_closure)
+    from dbpedia_spotlight_spark.operators.shapes import validate_shapes
+    kg = _kg_rows(spark, [
+        ("p1", RDF_TYPE, "Politician"),
+        ("p1", "foaf:name", "Ada"),
+    ])
+    shape = [{"shape": "PersonShape", "target_class": "Person",
+              "constraints": [{"path": "foaf:name", "min_count": 1}]}]
+    # asserted types only: Politician is not Person → no focus nodes
+    assert validate_shapes(kg, shape).count() == 0
+    clos = subclass_closure(spark.createDataFrame(
+        [("Politician", "Person")], "sub string, sup string"))
+    ent = infer_types(kg.filter(F.col("pred") == RDF_TYPE), clos)
+    # entailed: p1 IS a Person and conforms
+    assert validate_shapes(kg, shape, types=ent).count() == 0
+    shape[0]["constraints"].append({"path": "ex:homepage", "min_count": 1})
+    viol = validate_shapes(kg, shape, types=ent).collect()
+    assert [(r.focus, r.component, r.got) for r in viol] == [
+        ("p1", "minCount", 0)]
+
+
+def test_validate_shapes_requires_a_target(spark):
+    from dbpedia_spotlight_spark.operators.shapes import validate_shapes
+    with pytest.raises(ValueError, match="needs target"):
+        validate_shapes(_kg_rows(spark, [("a", "b", "c")]),
+                        [{"shape": "S", "constraints": []}]).collect()

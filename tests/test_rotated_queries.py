@@ -148,6 +148,9 @@ ROTATED = [
     # round-4 session-9 addition: C4 cross-document line dedup
     # (kept-first by (doc_id, idx); texts never shuffle)
     ("line_dedup", Q.q_line_dedup, Q.sql_line_dedup),
+    # round-4 session-10 addition: SHACL-core-lite validation report
+    # over a planted KG (all 8 constraint components fire)
+    ("shape_report", Q.q_shape_report, Q.sql_shape_report),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
