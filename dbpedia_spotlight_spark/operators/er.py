@@ -1,0 +1,116 @@
+"""Entity resolution over a materialized KG: discover owl:sameAs edges.
+
+``canonicalize_triples`` (triples.py) repairs a snapshot GIVEN sameAs
+evidence; this module PRODUCES that evidence from the KG's own
+attribute assertions — the classic two-stage ER shape (blocking →
+pairwise verify), every stage bounded so no all-pairs plan can appear:
+
+1. **Blocking** (``er_candidates``): two entities are candidates iff
+   they share a (pred, obj) assertion on one of the caller's quasi-key
+   predicates (homepage, registered id, normalized name key, …). One
+   groupBy on the (pred, obj) block + in-block pair expansion — the
+   same shuffle shape as the LSH bucket expansion in
+   ``operators/dedup.py::minhash_candidate_pairs`` — and ``max_block``
+   drops pathological blocks: an obj shared by half the corpus is not
+   a key, it is boilerplate (the standard quadratic guard).
+2. **Verify** (``er_sameas``): a candidate pair survives iff it shares
+   ≥ ``min_shared`` distinct key assertions (two independent quasi-keys
+   agreeing is strong evidence on its own), OR its best name pair —
+   min Levenshtein across the two entities' casefolded name sets — is
+   within ``max_name_dist``. Levenshtein runs JVM-side
+   (``F.levenshtein``, whole-stage codegen); the name fan-out is
+   bounded by ``max_names`` names per entity (slice-after-sort, so the
+   kept subset is deterministic and layout-independent).
+
+Output ``(a, b, n_shared, name_dist)`` with ``a < b`` — feeds straight
+into ``connected_components`` / ``canonicalize_triples``.
+
+Scale shape (10^9-entity KG): the keyed slice is |entities| × |key
+preds| rows, blocks shuffle once on (pred, obj), pair expansion is
+C(block, 2) ≤ C(max_block, 2) per block, and the verify join fans out
+≤ max_names² name comparisons per CANDIDATE pair (never per entity
+pair). Nothing collects; no stage is quadratic in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def er_candidates(kg: DataFrame, key_preds: list[str],
+                  max_block: int = 64) -> DataFrame:
+    """Candidate (a, b, n_shared) pairs — a < b — of distinct subjects
+    sharing ≥1 quasi-key (pred, obj) assertion, counted over blocks
+    that pass the ``max_block`` cap (over-cap blocks are dropped whole:
+    their key carries no identifying signal)."""
+    keyed = (kg.filter(F.col("pred").isin(*key_preds))
+             .select("subj", "pred", "obj").dropDuplicates())
+    blocks = (
+        keyed.groupBy("pred", "obj")
+        .agg(F.sort_array(F.collect_set("subj")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_block))
+    )
+    n = F.size("ids")
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, n - i - 1),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    return (
+        blocks.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def _names(kg: DataFrame, name_pred: str, max_names: int) -> DataFrame:
+    """(subj, names) — up to ``max_names`` distinct casefolded names
+    per entity, smallest-first so the kept subset is deterministic."""
+    return (
+        kg.filter(F.col("pred") == name_pred)
+        .select("subj", F.lower(F.col("obj")).alias("name"))
+        .groupBy("subj")
+        .agg(F.slice(F.sort_array(F.collect_set("name")), 1,
+                     max_names).alias("names"))
+    )
+
+
+def er_sameas(kg: DataFrame, key_preds: list[str],
+              name_pred: str = "foaf:name", max_name_dist: int = 2,
+              min_shared: int = 2, max_block: int = 64,
+              max_names: int = 4) -> DataFrame:
+    """sameAs edges (a, b, n_shared, name_dist) with a < b: blocked
+    candidates verified by shared-key count or best-name Levenshtein.
+
+    ``name_dist`` is NULL when either side carries no name — such pairs
+    survive only on the ``min_shared`` rule, and the NULL is kept in
+    the output so downstream can audit which rule fired."""
+    cand = er_candidates(kg, key_preds, max_block)
+    names = _names(kg, name_pred, max_names)
+    j = (
+        cand
+        .join(names.select(F.col("subj").alias("a"),
+                           F.col("names").alias("names_a")), "a", "left")
+        .join(names.select(F.col("subj").alias("b"),
+                           F.col("names").alias("names_b")), "b", "left")
+    )
+    # min Levenshtein across the (≤ max_names²) name cross product,
+    # evaluated inside one higher-order expression — no explode, no
+    # extra shuffle; aggregate(..) folds the running minimum.
+    best = F.aggregate(
+        F.flatten(F.transform(
+            F.coalesce("names_a", F.array()),
+            lambda x: F.transform(F.coalesce("names_b", F.array()),
+                                  lambda y: F.levenshtein(x, y)),
+        )),
+        F.lit(None).cast("int"),
+        lambda acc, d: F.least(F.coalesce(acc, d), d),
+    )
+    return (
+        j.withColumn("name_dist", best)
+        .filter((F.col("n_shared") >= min_shared)
+                | (F.col("name_dist") <= max_name_dist))
+        .select("a", "b", "n_shared", "name_dist")
+    )

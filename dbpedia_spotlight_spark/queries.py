@@ -5220,6 +5220,122 @@ def sql_shape_report() -> str:
   )"""
 
 
+def q_er_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution sameAs discovery (operators/er.py::er_sameas)
+    over a KG planted from documents: entity E{id} (id = doc_id % 30)
+    with homepage + name; id%3==0 adds a true variant E{id}v (same
+    homepage, name one edit away), id%4==0 adds a false sharer E{id}x
+    (same homepage, unrelated name), id%6==0 gives E/Ev a second shared
+    quasi-key (vatid → the min_shared rule fires with NULL-name audit
+    rows impossible here but n_shared=2 visible), and id%5==0 plants an
+    over-cap 'country' block that the max_block=4 quadratic guard must
+    drop whole."""
+    from dbpedia_spotlight_spark.operators.er import er_sameas
+    e = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 30).cast("int").alias("id"))
+         .dropDuplicates())
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    ent = F.concat(F.lit("E"), s_(F.col("id")))
+    hp = F.concat(F.lit("https://e"), s_(F.col("id")), F.lit(".example/"))
+    vat = F.concat(F.lit("VAT"), s_(F.col("id")))
+    parts = [
+        e.select(ent.alias("subj"), F.lit("ex:homepage").alias("pred"),
+                 hp.alias("obj")),
+        e.filter(F.col("id") % 3 == 0).select(
+            F.concat(ent, F.lit("v")).alias("subj"),
+            F.lit("ex:homepage").alias("pred"), hp.alias("obj")),
+        e.filter(F.col("id") % 4 == 0).select(
+            F.concat(ent, F.lit("x")).alias("subj"),
+            F.lit("ex:homepage").alias("pred"), hp.alias("obj")),
+        e.filter(F.col("id") % 6 == 0).select(
+            ent.alias("subj"), F.lit("ex:vatid").alias("pred"),
+            vat.alias("obj")),
+        e.filter(F.col("id") % 6 == 0).select(
+            F.concat(ent, F.lit("v")).alias("subj"),
+            F.lit("ex:vatid").alias("pred"), vat.alias("obj")),
+        e.filter(F.col("id") % 5 == 0).select(
+            ent.alias("subj"), F.lit("ex:country").alias("pred"),
+            F.lit("X").alias("obj")),
+        e.select(ent.alias("subj"), F.lit("foaf:name").alias("pred"),
+                 F.concat(F.lit("Entity "), s_(F.col("id"))).alias("obj")),
+        e.filter(F.col("id") % 3 == 0).select(
+            F.concat(ent, F.lit("v")).alias("subj"),
+            F.lit("foaf:name").alias("pred"),
+            F.concat(F.lit("Entity "), s_(F.col("id")),
+                     F.lit(".")).alias("obj")),
+        e.filter(F.col("id") % 4 == 0).select(
+            F.concat(ent, F.lit("x")).alias("subj"),
+            F.lit("foaf:name").alias("pred"),
+            F.concat(F.lit("Org "), s_(F.col("id")),
+                     F.lit(" Holdings")).alias("obj")),
+    ]
+    kg = parts[0]
+    for p in parts[1:]:
+        kg = kg.unionByName(p)
+    return er_sameas(kg, ["ex:homepage", "ex:vatid", "ex:country"],
+                     max_name_dist=1, min_shared=2, max_block=4)
+
+
+def sql_er_sameas() -> str:
+    """Mirror: regenerate the planted KG, block on quasi-keys with the
+    same BETWEEN 2 AND 4 block guard, count shared keys per in-block
+    pair, take the min Levenshtein across the casefolded name sets
+    (every entity here carries ≤1 name, so the engine's max_names slice
+    is vacuous), and apply the identical keep rule."""
+    return """
+  WITH e AS (
+    SELECT DISTINCT CAST(doc_id % 30 AS INT) AS id FROM documents),
+  kg AS (
+    SELECT 'E' || id AS subj, 'ex:homepage' AS pred,
+           'https://e' || id || '.example/' AS obj FROM e
+    UNION ALL
+    SELECT 'E' || id || 'v', 'ex:homepage',
+           'https://e' || id || '.example/' FROM e WHERE id % 3 = 0
+    UNION ALL
+    SELECT 'E' || id || 'x', 'ex:homepage',
+           'https://e' || id || '.example/' FROM e WHERE id % 4 = 0
+    UNION ALL
+    SELECT 'E' || id, 'ex:vatid', 'VAT' || id FROM e WHERE id % 6 = 0
+    UNION ALL
+    SELECT 'E' || id || 'v', 'ex:vatid', 'VAT' || id
+    FROM e WHERE id % 6 = 0
+    UNION ALL
+    SELECT 'E' || id, 'ex:country', 'X' FROM e WHERE id % 5 = 0
+    UNION ALL
+    SELECT 'E' || id, 'foaf:name', 'Entity ' || id FROM e
+    UNION ALL
+    SELECT 'E' || id || 'v', 'foaf:name', 'Entity ' || id || '.'
+    FROM e WHERE id % 3 = 0
+    UNION ALL
+    SELECT 'E' || id || 'x', 'foaf:name', 'Org ' || id || ' Holdings'
+    FROM e WHERE id % 4 = 0),
+  keyed AS (
+    SELECT DISTINCT subj, pred, obj FROM kg
+    WHERE pred IN ('ex:homepage', 'ex:vatid', 'ex:country')),
+  blocks AS (
+    SELECT pred, obj FROM keyed GROUP BY pred, obj
+    HAVING count(*) BETWEEN 2 AND 4),
+  cand AS (
+    SELECT k1.subj AS a, k2.subj AS b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM keyed k1
+    JOIN keyed k2 ON k1.pred = k2.pred AND k1.obj = k2.obj
+                 AND k1.subj < k2.subj
+    JOIN blocks bl ON bl.pred = k1.pred AND bl.obj = k1.obj
+    GROUP BY 1, 2),
+  nm AS (
+    SELECT DISTINCT subj, lower(obj) AS name FROM kg
+    WHERE pred = 'foaf:name'),
+  dist AS (
+    SELECT c.a, c.b, c.n_shared,
+           CAST(min(levenshtein(na.name, nb.name)) AS INT) AS name_dist
+    FROM cand c
+    LEFT JOIN nm na ON na.subj = c.a
+    LEFT JOIN nm nb ON nb.subj = c.b
+    GROUP BY 1, 2, 3)
+  SELECT a, b, n_shared, name_dist
+  FROM dist WHERE n_shared >= 2 OR name_dist <= 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -151,6 +151,9 @@ ROTATED = [
     # round-4 session-10 addition: SHACL-core-lite validation report
     # over a planted KG (all 8 constraint components fire)
     ("shape_report", Q.q_shape_report, Q.sql_shape_report),
+    # round-4 session-10 addition: ER sameAs discovery (blocking +
+    # Levenshtein verify; over-cap block guard non-vacuous)
+    ("er_sameas", Q.q_er_sameas, Q.sql_er_sameas),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
