@@ -44,3 +44,71 @@ def mention_contexts(annotations: DataFrame, pages: DataFrame,
          .alias("mention_text"),
         F.expr(f"substring(_doc_text, end + 1, {w})").alias("right_ctx"),
     )
+
+
+def kg_embedding_examples(kg: DataFrame, n_neg: int = 4,
+                          salt: str = "kg-embed-v1",
+                          filtered: bool = True) -> DataFrame:
+    """KG-embedding training examples (TransE/DistMult-style): every
+    triple as a positive plus ``n_neg`` DETERMINISTIC corruptions —
+    head or tail replaced by a pseudo-uniformly drawn entity — as
+    negatives. Returns (subj, pred, obj, label, k): label 1/0, k the
+    negative's index (NULL on positives).
+
+    Corruption must be reproducible the same way sampling is
+    (operators/sampling.py): ``rand()`` would change the training set
+    under repartition or resume. Instead both choices come from
+    md5(subj#pred#obj#k#salt): bit-parity of one 60-bit hex slice picks
+    head-vs-tail, a second slice mod |entities| picks the replacement.
+    Entities get dense ids via ``dense_ids_by`` (bucketed two-phase
+    rank — no single-partition window), so the id↔entity mapping is
+    itself layout-independent and the draw replays in any engine with
+    md5.
+
+    ``filtered=True`` drops negatives that collide with a true triple
+    (the standard "filtered" setting — an unfiltered corrupt draw that
+    happens to be a real fact is a false negative label); corruptions
+    that draw the entity already in place are always dropped.
+
+    Scale shape: ids = one bucketed rank + a scalar count action;
+    negatives = ×n_neg sequence explode (no shuffle), ONE equi-join on
+    eid against the entity table, and the filtered anti-join keyed on
+    (subj, pred, obj). Nothing quadratic, nothing collects beyond the
+    entity count and the ≤|alphabet|² bucket offsets inside
+    dense_ids_by."""
+    from dbpedia_spotlight_spark.plans.model_build import dense_ids_by
+    if n_neg < 1:
+        raise ValueError("n_neg must be >= 1")
+    ents = dense_ids_by(
+        kg.select(F.col("subj").alias("term"))
+        .unionByName(kg.select(F.col("obj").alias("term")))
+        .dropDuplicates(), "term", "eid")
+    n = ents.count()
+    pos = kg.select("subj", "pred", "obj", F.lit(1).alias("label"),
+                    F.lit(None).cast("int").alias("k"))
+    negs = kg.select(
+        "subj", "pred", "obj",
+        F.explode(F.sequence(F.lit(1), F.lit(int(n_neg)))).alias("k"))
+    h = F.md5(F.concat_ws("#", F.col("subj"), F.col("pred"), F.col("obj"),
+                          F.col("k").cast("string"), F.lit(salt)))
+    negs = (
+        negs.withColumn("__h", h)
+        .withColumn("__head", F.conv(F.substring("__h", 1, 15), 16, 10)
+                    .cast("long") % 2 == 0)
+        .withColumn("eid", (F.conv(F.substring("__h", 17, 15), 16, 10)
+                            .cast("long") % n).cast("int"))
+        .join(ents, "eid")
+        .filter(F.when(F.col("__head"), F.col("term") != F.col("subj"))
+                .otherwise(F.col("term") != F.col("obj")))
+        .select(
+            F.when(F.col("__head"), F.col("term"))
+            .otherwise(F.col("subj")).alias("subj"),
+            "pred",
+            F.when(F.col("__head"), F.col("obj"))
+            .otherwise(F.col("term")).alias("obj"),
+            F.lit(0).alias("label"), "k")
+    )
+    if filtered:
+        negs = negs.join(kg.select("subj", "pred", "obj").dropDuplicates(),
+                         ["subj", "pred", "obj"], "left_anti")
+    return pos.unionByName(negs)

@@ -163,3 +163,25 @@ def validate_shapes(kg: DataFrame, shapes: list[dict],
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.dropDuplicates(list(_REPORT_COLS))
+
+
+def drop_nonconforming(kg: DataFrame, report: DataFrame) -> DataFrame:
+    """Gate application: the conforming snapshot — every triple whose
+    SUBJECT is a violating focus node is dropped (the KG-side analogue
+    of the text side's Gopher gate dropping whole documents, not
+    sentences). One anti-join against the distinct focus set; violating
+    entities may still appear as OBJECTS — dangling references are a
+    reporting concern (``kg_stats``), not a validity one."""
+    bad = report.select(F.col("focus").alias("subj")).dropDuplicates()
+    return kg.join(bad, "subj", "left_anti")
+
+
+def shape_summary(report: DataFrame) -> DataFrame:
+    """CI rollup of a validation report: violation count and distinct
+    violating focus nodes per (shape, path, component) — the number a
+    build gate compares against the previous snapshot's. Map-side-
+    combinable aggregates only."""
+    return (report.groupBy("shape", "path", "component")
+            .agg(F.count("*").alias("n_violations"),
+                 F.countDistinct("focus").alias("n_focus"))
+            .orderBy("shape", "path", "component"))

@@ -5336,6 +5336,71 @@ def sql_er_sameas() -> str:
   FROM dist WHERE n_shared >= 2 OR name_dist <= 1"""
 
 
+def q_kg_embed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training export (operators/export.py::
+    kg_embedding_examples) on a planted all-IRI snapshot: E{doc_id%24}
+    —p{id%3}→ E{(id*7+3)%24}. Positives pass through; 3 negatives per
+    triple via the md5 head/tail + replacement draw; trivial draws and
+    true-triple collisions (filtered setting) drop on both sides."""
+    from dbpedia_spotlight_spark.operators.export import (
+        kg_embedding_examples)
+    e = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 24).cast("int").alias("id"))
+         .dropDuplicates())
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    kg = e.select(
+        F.concat(F.lit("E"), s_(F.col("id"))).alias("subj"),
+        F.concat(F.lit("p"), s_(F.col("id") % 3)).alias("pred"),
+        F.concat(F.lit("E"), s_((F.col("id") * 7 + 3) % 24)).alias("obj"))
+    return kg_embedding_examples(kg, n_neg=3)
+
+
+def sql_kg_embed_examples() -> str:
+    """Mirror: regenerate the snapshot, dense entity ids by global term
+    order (row_number — the engine's bucketed rank is id-identical by
+    construction), replay the md5 hex-slice draws with the '0x' BIGINT
+    parse, drop trivial draws, anti-join true triples, union with the
+    positives."""
+    return """
+  WITH e AS (
+    SELECT DISTINCT CAST(doc_id % 24 AS INT) AS id FROM documents),
+  kg AS (
+    SELECT 'E' || id AS subj, 'p' || (id % 3) AS pred,
+           'E' || ((id * 7 + 3) % 24) AS obj
+    FROM e),
+  ents AS (
+    SELECT term,
+           CAST(row_number() OVER (ORDER BY term) - 1 AS INT) AS eid
+    FROM (SELECT subj AS term FROM kg
+          UNION SELECT obj FROM kg)),
+  nn AS (SELECT count(*) AS n FROM ents),
+  negraw AS (
+    SELECT subj, pred, obj, CAST(u.k AS INT) AS k,
+           md5(concat_ws('#', subj, pred, obj, CAST(u.k AS VARCHAR),
+                         'kg-embed-v1')) AS h
+    FROM kg, UNNEST(range(1, 4)) AS u(k)),
+  drawn AS (
+    SELECT nr.subj, nr.pred, nr.obj, nr.k,
+           CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) % 2 = 0 AS head,
+           CAST(CAST(concat('0x', substr(h, 17, 15)) AS BIGINT) % nn.n
+                AS INT) AS eid
+    FROM negraw nr CROSS JOIN nn),
+  neg AS (
+    SELECT CASE WHEN head THEN term ELSE d.subj END AS subj, d.pred,
+           CASE WHEN head THEN d.obj ELSE term END AS obj,
+           0 AS label, d.k
+    FROM drawn d JOIN ents ON ents.eid = d.eid
+    WHERE CASE WHEN head THEN term <> d.subj ELSE term <> d.obj END),
+  negf AS (
+    SELECT * FROM neg
+    WHERE NOT EXISTS (SELECT 1 FROM kg t
+                      WHERE t.subj = neg.subj AND t.pred = neg.pred
+                        AND t.obj = neg.obj))
+  SELECT subj, pred, obj, 1 AS label, CAST(NULL AS INT) AS k FROM kg
+  UNION ALL
+  SELECT subj, pred, obj, label, k FROM negf"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -1044,3 +1044,28 @@ def test_validate_shapes_requires_a_target(spark):
     with pytest.raises(ValueError, match="needs target"):
         validate_shapes(_kg_rows(spark, [("a", "b", "c")]),
                         [{"shape": "S", "constraints": []}]).collect()
+
+
+def test_drop_nonconforming_and_summary(spark):
+    from dbpedia_spotlight_spark.operators.shapes import (
+        drop_nonconforming, shape_summary, validate_shapes)
+    kg = _kg_rows(spark, [
+        ("p1", RDF_TYPE, "Person"),
+        ("p2", RDF_TYPE, "Person"),
+        ("p1", "foaf:name", "Ada"),
+        # p2 nameless → minCount violation; p2's OTHER assertions must
+        # also go, but p2 as an OBJECT stays (dangling ref is reported,
+        # not invalid)
+        ("p2", "ex:homepage", "https://b.example/"),
+        ("p1", "ex:knows", "p2"),
+    ])
+    shapes = [{"shape": "PersonShape", "target_class": "Person",
+               "constraints": [{"path": "foaf:name", "min_count": 1}]}]
+    report = validate_shapes(kg, shapes)
+    kept = {(r.subj, r.pred, r.obj)
+            for r in drop_nonconforming(kg, report).collect()}
+    assert kept == {("p1", RDF_TYPE, "Person"), ("p1", "foaf:name", "Ada"),
+                    ("p1", "ex:knows", "p2")}
+    [s] = shape_summary(report).collect()
+    assert (s.shape, s.path, s.component, s.n_violations, s.n_focus) == (
+        "PersonShape", "foaf:name", "minCount", 1, 1)

@@ -1098,3 +1098,62 @@ def test_mention_contexts_unicode_codepoint_offsets(spark):
     assert r.mention_text == "crème" == text[b:e]
     assert r.left_ctx == text[b - 6:b]
     assert r.right_ctx == text[e:e + 6]
+
+
+# -------------------------------------------------- KG-embedding export
+
+def _kge_kg(spark):
+    rows = [(f"E{i}", f"p{i % 2}", f"E{(i * 3 + 1) % 8}") for i in range(8)]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_kg_embedding_examples_shape_and_labels(spark):
+    from dbpedia_spotlight_spark.operators.export import (
+        kg_embedding_examples)
+    kg = _kge_kg(spark)
+    out = kg_embedding_examples(kg, n_neg=3).collect()
+    pos = [r for r in out if r.label == 1]
+    neg = [r for r in out if r.label == 0]
+    assert len(pos) == 8 and all(r.k is None for r in pos)
+    # positives pass through verbatim
+    assert {(r.subj, r.pred, r.obj) for r in pos} == {
+        (r.subj, r.pred, r.obj) for r in kg.collect()}
+    # ≤ n_neg negatives per positive (trivial + filtered draws drop)
+    assert 0 < len(neg) <= 24
+    assert all(r.k in (1, 2, 3) for r in neg)
+
+
+def test_kg_embedding_examples_filtered_and_nontrivial(spark):
+    from dbpedia_spotlight_spark.operators.export import (
+        kg_embedding_examples)
+    kg = _kge_kg(spark)
+    true_triples = {(r.subj, r.pred, r.obj) for r in kg.collect()}
+    neg = [r for r in kg_embedding_examples(kg, n_neg=4).collect()
+           if r.label == 0]
+    # filtered setting: no negative is a true triple
+    assert all((r.subj, r.pred, r.obj) not in true_triples for r in neg)
+    # every negative differs from SOME corruption of a true triple on
+    # exactly one side
+    for r in neg:
+        assert any(
+            (r.pred == p) and ((r.subj == s) != (r.obj == o))
+            for s, p, o in true_triples)
+
+
+def test_kg_embedding_examples_layout_independent(spark):
+    from dbpedia_spotlight_spark.operators.export import (
+        kg_embedding_examples)
+    kg = _kge_kg(spark)
+    a = sorted(map(tuple, kg_embedding_examples(kg, n_neg=2).collect()))
+    b = sorted(map(tuple, kg_embedding_examples(
+        kg.repartition(7), n_neg=2).collect()))
+    assert a == b
+
+
+def test_kg_embedding_examples_unfiltered_keeps_collisions(spark):
+    from dbpedia_spotlight_spark.operators.export import (
+        kg_embedding_examples)
+    kg = _kge_kg(spark)
+    nf = kg_embedding_examples(kg, n_neg=4, filtered=False)
+    f = kg_embedding_examples(kg, n_neg=4, filtered=True)
+    assert nf.filter("label = 0").count() >= f.filter("label = 0").count()

@@ -154,6 +154,9 @@ ROTATED = [
     # round-4 session-10 addition: ER sameAs discovery (blocking +
     # Levenshtein verify; over-cap block guard non-vacuous)
     ("er_sameas", Q.q_er_sameas, Q.sql_er_sameas),
+    # round-4 session-10 addition: TransE-style KG-embedding export
+    # (deterministic md5 negative sampling, filtered setting)
+    ("kg_embed_examples", Q.q_kg_embed_examples, Q.sql_kg_embed_examples),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
