@@ -722,7 +722,14 @@ def construct(kg: DataFrame, patterns: list[tuple[str, str, str]],
     if not template:
         raise ValueError("construct requires at least one template triple")
     sols = bgp_match(kg, patterns, optional=optional, filters=filters)
+    return _instantiate(sols, template)
 
+
+def _instantiate(sols: DataFrame,
+                 template: list[tuple[str, str, str]]) -> DataFrame:
+    """Instantiate template triples per solution row ('?var' terms take
+    the binding, other terms are constants); null bindings skip the
+    triple (the SPARQL incomplete-triple rule); set semantics."""
     def term(t: str) -> F.Column:
         return F.col(t[1:]) if t.startswith("?") else F.lit(t)
 
@@ -735,3 +742,38 @@ def construct(kg: DataFrame, patterns: list[tuple[str, str, str]],
                          & F.col("obj").isNotNull())
         out = tri if out is None else out.unionByName(tri)
     return out.dropDuplicates(["subj", "pred", "obj"])
+
+
+def update_kg(kg: DataFrame, patterns: list[tuple[str, str, str]],
+              delete: list[tuple[str, str, str]] | None = None,
+              insert: list[tuple[str, str, str]] | None = None,
+              optional: list[list[tuple[str, str, str]]] | None = None,
+              filters: list[str] | None = None) -> DataFrame:
+    """SPARQL 1.1 Update ``DELETE {..} INSERT {..} WHERE {..}`` over a
+    snapshot — the rule-based REPAIR move (rename a predicate, retarget
+    deprecated entities, drop rule-selected assertions and materialize
+    their replacements in one pass).
+
+    Spec semantics (SPARQL 1.1 Update §3.1.3): the WHERE block is
+    solved ONCE against the current graph; both template sets
+    instantiate from that same solution multiset; deletes apply before
+    inserts, so the result graph is ``(G ∖ D) ∪ I`` with set
+    semantics — a triple in both D and I survives.
+
+    Plan shape: one bgp_match (the usual broadcast equi-join chain),
+    one anti-join of the corpus-scale stream against the instantiated
+    delete set keyed on the full triple, one union + distinct for the
+    insert set. Returns the NEW snapshot frame; callers persist it as
+    the next generation (KGStore) — nothing mutates in place."""
+    if not delete and not insert:
+        raise ValueError("update_kg needs delete and/or insert templates")
+    sols = bgp_match(kg, patterns, optional=optional,
+                     filters=filters).localCheckpoint(eager=True)
+    out = kg.dropDuplicates(["subj", "pred", "obj"])
+    if delete:
+        out = out.join(_instantiate(sols, delete),
+                       ["subj", "pred", "obj"], "left_anti")
+    if insert:
+        out = out.unionByName(_instantiate(sols, insert)) \
+            .dropDuplicates(["subj", "pred", "obj"])
+    return out

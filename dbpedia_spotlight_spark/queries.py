@@ -5401,6 +5401,71 @@ def sql_kg_embed_examples() -> str:
   SELECT subj, pred, obj, label, k FROM negf"""
 
 
+def q_update_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 DELETE/INSERT WHERE (operators/ontology.py::
+    update_kg): migrate the deprecated ex:oldRef predicate to
+    itsrdf:taIdentRef, but ONLY where the target entity is typed Keep —
+    oldRef edges to Drop-typed entities must survive untouched, proving
+    the WHERE join (not a blanket predicate rename) drives the edit."""
+    from dbpedia_spotlight_spark.operators.ontology import update_kg
+    e = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 30).cast("int").alias("id"))
+         .dropDuplicates())
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    m = F.concat(F.lit("m"), s_(F.col("id")))
+    ent = F.concat(F.lit("E"), s_(F.col("id") % 15))
+    kg = (
+        e.filter(F.col("id") % 2 == 0).select(
+            m.alias("subj"), F.lit("ex:oldRef").alias("pred"),
+            ent.alias("obj"))
+        .unionByName(e.filter(F.col("id") % 2 == 1).select(
+            m.alias("subj"), F.lit("itsrdf:taIdentRef").alias("pred"),
+            ent.alias("obj")))
+        .unionByName(e.select(
+            ent.alias("subj"), F.lit("rdf:type").alias("pred"),
+            F.when(F.col("id") % 15 < 10, "Keep")
+            .otherwise("Drop").alias("obj")).dropDuplicates())
+    )
+    return update_kg(
+        kg, [("?m", "ex:oldRef", "?e"), ("?e", "rdf:type", "Keep")],
+        delete=[("?m", "ex:oldRef", "?e")],
+        insert=[("?m", "itsrdf:taIdentRef", "?e")])
+
+
+def sql_update_migrate() -> str:
+    """Mirror: solve the WHERE block as one self-join, materialize the
+    delete/insert instantiations, then (G ∖ D) ∪ I with set semantics
+    (EXCEPT / UNION are distinct in both engines)."""
+    return """
+  WITH e AS (
+    SELECT DISTINCT CAST(doc_id % 30 AS INT) AS id FROM documents),
+  kg AS (
+    SELECT 'm' || id AS subj, 'ex:oldRef' AS pred,
+           'E' || (id % 15) AS obj FROM e WHERE id % 2 = 0
+    UNION ALL
+    SELECT 'm' || id, 'itsrdf:taIdentRef', 'E' || (id % 15)
+    FROM e WHERE id % 2 = 1
+    UNION ALL
+    SELECT DISTINCT 'E' || (id % 15), 'rdf:type',
+           CASE WHEN id % 15 < 10 THEN 'Keep' ELSE 'Drop' END FROM e),
+  sols AS (
+    SELECT o.subj AS m, o.obj AS ent
+    FROM kg o
+    JOIN kg t ON t.subj = o.obj AND t.pred = 'rdf:type'
+             AND t.obj = 'Keep'
+    WHERE o.pred = 'ex:oldRef'),
+  d AS (SELECT DISTINCT m AS subj, 'ex:oldRef' AS pred, ent AS obj
+        FROM sols),
+  i AS (SELECT DISTINCT m AS subj, 'itsrdf:taIdentRef' AS pred,
+               ent AS obj
+        FROM sols)
+  SELECT subj, pred, obj FROM (
+    SELECT DISTINCT subj, pred, obj FROM kg
+    EXCEPT SELECT subj, pred, obj FROM d)
+  UNION
+  SELECT subj, pred, obj FROM i"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -1069,3 +1069,69 @@ def test_drop_nonconforming_and_summary(spark):
     [s] = shape_summary(report).collect()
     assert (s.shape, s.path, s.component, s.n_violations, s.n_focus) == (
         "PersonShape", "foaf:name", "minCount", 1, 1)
+
+
+# ------------------------------------------------------- SPARQL UPDATE
+
+def test_update_kg_delete_insert_where(spark):
+    """Predicate migration: rewrite every ex:oldRef edge to
+    itsrdf:taIdentRef in one DELETE/INSERT WHERE pass."""
+    from dbpedia_spotlight_spark.operators.ontology import update_kg
+    kg = _kg_rows(spark, [
+        ("m1", "ex:oldRef", "E1"),
+        ("m2", "ex:oldRef", "E2"),
+        ("m3", "itsrdf:taIdentRef", "E3"),
+        ("E1", RDF_TYPE, "Thing"),
+    ])
+    out = {(r.subj, r.pred, r.obj) for r in update_kg(
+        kg, [("?m", "ex:oldRef", "?e")],
+        delete=[("?m", "ex:oldRef", "?e")],
+        insert=[("?m", "itsrdf:taIdentRef", "?e")]).collect()}
+    assert out == {
+        ("m1", "itsrdf:taIdentRef", "E1"),
+        ("m2", "itsrdf:taIdentRef", "E2"),
+        ("m3", "itsrdf:taIdentRef", "E3"),
+        ("E1", RDF_TYPE, "Thing"),
+    }
+
+
+def test_update_kg_where_sees_prestate_and_filters(spark):
+    """WHERE matches the PRE-update graph once: a delete that would
+    invalidate another solution's match must not cascade."""
+    from dbpedia_spotlight_spark.operators.ontology import update_kg
+    kg = _kg_rows(spark, [
+        ("a", "ex:next", "b"),
+        ("b", "ex:next", "c"),
+        ("c", "ex:next", "d"),
+    ])
+    # delete every edge whose SOURCE is itself a target — b→c and c→d.
+    # naive sequential deletion of b→c would free c→d; spec says both go
+    out = {(r.subj, r.obj) for r in update_kg(
+        kg, [("?x", "ex:next", "?y"), ("?y", "ex:next", "?z")],
+        delete=[("?y", "ex:next", "?z")]).collect()}
+    assert out == {("a", "b")}
+
+
+def test_update_kg_insert_only_and_delete_only(spark):
+    from dbpedia_spotlight_spark.operators.ontology import update_kg
+    kg = _kg_rows(spark, [
+        ("e1", RDF_TYPE, "Person"), ("e1", "foaf:name", "Ada")])
+    ins = update_kg(kg, [("?e", RDF_TYPE, "Person")],
+                    insert=[("?e", RDF_TYPE, "Agent")])
+    assert ins.count() == 3
+    dele = update_kg(kg, [("?e", RDF_TYPE, "Person")],
+                     delete=[("?e", "foaf:name", "Ada")])
+    assert {(r.subj, r.pred, r.obj) for r in dele.collect()} == {
+        ("e1", RDF_TYPE, "Person")}
+    with pytest.raises(ValueError, match="delete and/or insert"):
+        update_kg(kg, [("?e", RDF_TYPE, "Person")])
+
+
+def test_update_kg_triple_in_both_delete_and_insert_survives(spark):
+    from dbpedia_spotlight_spark.operators.ontology import update_kg
+    kg = _kg_rows(spark, [("e1", RDF_TYPE, "Person")])
+    out = update_kg(kg, [("?e", RDF_TYPE, "Person")],
+                    delete=[("?e", RDF_TYPE, "Person")],
+                    insert=[("?e", RDF_TYPE, "Person")])
+    assert [(r.subj, r.pred, r.obj) for r in out.collect()] == [
+        ("e1", RDF_TYPE, "Person")]

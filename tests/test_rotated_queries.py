@@ -157,6 +157,9 @@ ROTATED = [
     # round-4 session-10 addition: TransE-style KG-embedding export
     # (deterministic md5 negative sampling, filtered setting)
     ("kg_embed_examples", Q.q_kg_embed_examples, Q.sql_kg_embed_examples),
+    # round-4 session-10 addition: SPARQL 1.1 DELETE/INSERT WHERE
+    # (type-gated predicate migration; (G ∖ D) ∪ I set semantics)
+    ("update_migrate", Q.q_update_migrate, Q.sql_update_migrate),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
