@@ -73,6 +73,25 @@ def build_parser() -> argparse.ArgumentParser:
                          "fold, catch the counting-IVM entity graph "
                          "(incidence + edges) up to the new KG "
                          "generation")
+    ap.add_argument("--shapes", default="",
+                    help="JSON file of SHACL-lite shape dicts "
+                         "(operators/shapes.py schema): validate the "
+                         "new snapshot, write the report parquet to "
+                         "<kg>/_shape_report/gen=N, record counts")
+    ap.add_argument("--max-violations", type=int, default=-1,
+                    help=">=0: fail the run (exit after metrics are "
+                         "written) when the shape report carries more "
+                         "than this many violations")
+    ap.add_argument("--er-keys", default="",
+                    help="comma list of quasi-key predicates: discover "
+                         "owl:sameAs edges over the new snapshot "
+                         "(operators/er.py) and write them to "
+                         "<kg>/_sameas/gen=N for downstream "
+                         "canonicalize_triples")
+    ap.add_argument("--er-name-pred", default="foaf:name")
+    ap.add_argument("--er-max-name-dist", type=int, default=2)
+    ap.add_argument("--er-min-shared", type=int, default=2)
+    ap.add_argument("--er-max-block", type=int, default=64)
     ap.add_argument("--metrics-out", default="",
                     help="write the run stats JSON to this local path "
                          "as well as stdout")
@@ -162,6 +181,42 @@ def main(argv: list[str] | None = None,
         gstore = GraphStore(spark, args.graph)
         stats["graph"] = gstore.catchup(store)
 
+    if args.shapes:
+        from dbpedia_spotlight_spark.operators.shapes import (
+            shape_summary, validate_shapes)
+        with open(args.shapes) as fh:
+            shape_defs = json.load(fh)
+        report = validate_shapes(store.read(), shape_defs)
+        out = f"{args.kg}/_shape_report/gen={store.latest_gen()}"
+        report.write.mode("overwrite").parquet(out)
+        # summarize from the written parquet: one bounded scan, and the
+        # metrics describe exactly what landed on disk
+        summ = shape_summary(spark.read.parquet(out)).collect()
+        stats["shapes"] = {
+            "out": out,
+            "n_violations": int(sum(r["n_violations"] for r in summ)),
+            "by_component": {
+                f'{r["shape"]}|{r["path"]}|{r["component"]}':
+                    int(r["n_violations"]) for r in summ},
+        }
+        stats["shapes"]["gate_passed"] = (
+            args.max_violations < 0
+            or stats["shapes"]["n_violations"] <= args.max_violations)
+
+    if args.er_keys:
+        from dbpedia_spotlight_spark.operators.er import er_sameas
+        edges = er_sameas(
+            store.read(),
+            [k for k in args.er_keys.split(",") if k],
+            name_pred=args.er_name_pred,
+            max_name_dist=args.er_max_name_dist,
+            min_shared=args.er_min_shared,
+            max_block=args.er_max_block)
+        out = f"{args.kg}/_sameas/gen={store.latest_gen()}"
+        edges.write.mode("overwrite").parquet(out)
+        stats["er"] = {"out": out,
+                       "n_edges": spark.read.parquet(out).count()}
+
     if args.expire_log > 0:
         stats["log_partitions_dropped"] = store.expire_delta_log(
             args.expire_log)
@@ -174,6 +229,11 @@ def main(argv: list[str] | None = None,
             json.dump(stats, fh)
     if own_session:
         spark.stop()
+    if args.shapes and not stats["shapes"]["gate_passed"]:
+        raise RuntimeError(
+            f"shape gate failed: {stats['shapes']['n_violations']} "
+            f"violations > --max-violations {args.max_violations} "
+            f"(report at {stats['shapes']['out']})")
     return stats
 
 

@@ -858,3 +858,56 @@ def test_run_curation_resume_rejects_changed_flags(spark, tmp_path):
     s = main(common + ["--resume", "--out", str(tmp_path / "out3")],
              spark=spark)
     assert s["output_rows"] > 0
+
+
+def test_run_kg_maintain_shapes_and_er(spark, web_pages, lexicon, tmp_path):
+    """--shapes validates the new generation (report parquet + gate);
+    --er-keys writes discovered sameAs edges beside the store."""
+    import json as _json
+
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.run_kg_maintain import main
+
+    pages_dir = str(tmp_path / "pages")
+    lex_dir = str(tmp_path / "lexicon")
+    kg_dir = str(tmp_path / "kg")
+    web_pages.write.mode("overwrite").parquet(pages_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+    # the store carries mention + link triples (types live in the
+    # EntailStore) — target the linking mentions: each links exactly
+    # one IRI entity → 0 violations
+    shapes_ok = [{"shape": "MentionShape",
+                  "target_subjects_of": "itsrdf:taIdentRef",
+                  "constraints": [{"path": "itsrdf:taIdentRef",
+                                   "min_count": 1, "max_count": 1,
+                                   "node_kind": "IRI"}]}]
+    sp = tmp_path / "shapes.json"
+    sp.write_text(_json.dumps(shapes_ok))
+    s1 = main(["--pages", pages_dir, "--lexicon", lex_dir, "--kg", kg_dir,
+               "--shapes", str(sp), "--max-violations", "0",
+               "--er-keys", "itsrdf:taIdentRef"], spark=spark)
+    assert s1["shapes"]["gate_passed"]
+    assert s1["shapes"]["n_violations"] == 0
+    rep = spark.read.parquet(s1["shapes"]["out"])
+    assert rep.columns == ["shape", "focus", "path", "component",
+                           "value", "got"]
+    edges = spark.read.parquet(s1["er"]["out"])
+    assert edges.columns == ["a", "b", "n_shared", "name_dist"]
+    assert s1["er"]["n_edges"] == edges.count()
+
+    # a constraint no entity can satisfy trips the gate AFTER the
+    # report + metrics land
+    shapes_bad = [{"shape": "MentionShape",
+                   "target_subjects_of": "itsrdf:taIdentRef",
+                   "constraints": [{"path": "ex:homepage",
+                                    "min_count": 1}]}]
+    sp.write_text(_json.dumps(shapes_bad))
+    metrics = tmp_path / "metrics.json"
+    with pytest.raises(RuntimeError, match="shape gate failed"):
+        main(["--pages", pages_dir, "--lexicon", lex_dir, "--kg", kg_dir,
+              "--shapes", str(sp), "--max-violations", "0",
+              "--metrics-out", str(metrics)], spark=spark)
+    with open(metrics) as fh:
+        m = _json.load(fh)
+    assert m["shapes"]["gate_passed"] is False
+    assert m["shapes"]["n_violations"] > 0
