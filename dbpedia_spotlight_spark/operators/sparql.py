@@ -1,0 +1,408 @@
+"""SPARQL 1.1 text front-end for the KG query machinery.
+
+``operators/ontology.py`` implements the SEMANTICS (BGP planning,
+OPTIONAL/FILTER/VALUES/BIND/MINUS/EXISTS, aggregation, modifiers,
+CONSTRUCT) against structured Python arguments; this module adds the
+SYNTAX: ``sparql(kg, "SELECT ?e WHERE { ... }")`` parses a practical
+SPARQL subset and dispatches to those operators, so a query is one
+pasted string instead of hand-built pattern lists. The parser produces
+arguments — every join/filter/aggregate decision stays in the planner,
+so the text path and the structured path yield the SAME Spark plan.
+
+Supported surface:
+
+- ``PREFIX`` declarations (declared prefixes expand to their IRI;
+  undeclared prefixed names pass through verbatim — matching the
+  engine's plain-string term convention, e.g. ``itsrdf:taIdentRef``);
+- ``SELECT [DISTINCT] * | ?v … | (expr AS ?alias) …`` — aggregate
+  expressions route to ``bgp_aggregate`` (with ``GROUP BY`` /
+  ``HAVING``), plain projections to ``bgp_select``;
+- ``WHERE { … }`` with triple patterns ('.'-separated, ``;`` / ``,``
+  predicate- and object-list abbreviations, ``a`` ≡ rdf:type, property
+  paths passed through in the predicate position), ``OPTIONAL {}``,
+  ``MINUS {}``, ``FILTER (expr)``, ``FILTER [NOT] EXISTS {}``,
+  ``VALUES`` (single-var and row forms), ``BIND (expr AS ?v)``;
+- ``ORDER BY [ASC|DESC](?v) …``, ``LIMIT``, ``OFFSET``;
+- ``ASK { … }`` (returns bool) and ``CONSTRUCT { template } WHERE {}``.
+
+FILTER / BIND / HAVING / aggregate expressions are Spark SQL over the
+variable columns after ``?var`` → column substitution, with the common
+SPARQL spellings mapped (``&&``/``||``/``!``, ``REGEX`` →
+``regexp_like``, ``STRLEN`` → ``length``, ``LCASE``/``UCASE``,
+``STR()`` dropped). Not covered (use the structured API):
+federation, named graphs, subqueries-in-text, UNDEF in VALUES.
+"""
+
+from __future__ import annotations
+
+import re
+from pyspark.sql import DataFrame
+
+_IRI, _LIT = "iri", "lit"
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'",
+            '"': '"'}
+
+
+class _Env:
+    def __init__(self) -> None:
+        self.prefixes: dict[str, str] = {}
+        self.slots: list[tuple[str, str]] = []
+
+
+def _protect(text: str, env: _Env) -> str:
+    """Replace <IRI>s and string literals with \\x00N\\x01 placeholders
+    and strip # comments, so every later stage can split on whitespace
+    and braces without tripping on quoted content."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "<":
+            j = text.find(">", i)
+            if j < 0:
+                raise ValueError("unterminated IRI")
+            env.slots.append((_IRI, text[i + 1:j]))
+            out.append(f"\x00{len(env.slots) - 1}\x01")
+            i = j + 1
+        elif c in "'\"":
+            buf: list[str] = []
+            j = i + 1
+            while j < n and text[j] != c:
+                if text[j] == "\\":
+                    buf.append(_ESCAPES.get(text[j + 1], text[j + 1]))
+                    j += 2
+                else:
+                    buf.append(text[j])
+                    j += 1
+            if j >= n:
+                raise ValueError("unterminated string literal")
+            env.slots.append((_LIT, "".join(buf)))
+            out.append(f"\x00{len(env.slots) - 1}\x01")
+            i = j + 1
+        elif c == "#":
+            j = text.find("\n", i)
+            i = n if j < 0 else j
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _braced(text: str, i: int) -> tuple[str, int]:
+    """Content of the balanced {...} group starting at/after ``i``;
+    returns (inner, index_after_close)."""
+    start = text.index("{", i)
+    depth = 0
+    for j in range(start, len(text)):
+        if text[j] == "{":
+            depth += 1
+        elif text[j] == "}":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1:j], j + 1
+    raise ValueError("unbalanced { } group")
+
+
+def _parened(text: str, i: int) -> tuple[str, int]:
+    start = text.index("(", i)
+    depth = 0
+    for j in range(start, len(text)):
+        if text[j] == "(":
+            depth += 1
+        elif text[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start + 1:j], j + 1
+    raise ValueError("unbalanced ( ) group")
+
+
+def _term(tok: str, env: _Env) -> str:
+    """One pattern term → the engine's plain-string convention."""
+    m = re.fullmatch(r"\x00(\d+)\x01", tok)
+    if m:
+        return env.slots[int(m.group(1))][1]
+    if tok.startswith("?"):
+        return tok
+    if tok == "a":
+        return "rdf:type"
+    if tok.startswith("^"):
+        return "^" + _term(tok[1:], env)
+    path_suffix = ""
+    if tok and tok[-1] in "+*?" and not tok.startswith("\x00"):
+        tok, path_suffix = tok[:-1], tok[-1]
+    m = re.fullmatch(r"([A-Za-z][\w-]*):(\S*)", tok)
+    if m and m.group(1) in env.prefixes:
+        tok = env.prefixes[m.group(1)] + m.group(2)
+    return tok + path_suffix
+
+
+_EXPR_MAP = [
+    (re.compile(r"&&"), " AND "),
+    (re.compile(r"\|\|"), " OR "),
+    (re.compile(r"!(?![=])"), " NOT "),
+    (re.compile(r"(?i)\bREGEX\s*\("), "regexp_like("),
+    (re.compile(r"(?i)\bSTRLEN\s*\("), "length("),
+    (re.compile(r"(?i)\bLCASE\s*\("), "lower("),
+    (re.compile(r"(?i)\bUCASE\s*\("), "upper("),
+    (re.compile(r"(?i)\bSTR\s*\(\s*(\?\w+)\s*\)"), r"\1"),
+]
+
+
+def _expr(expr: str, env: _Env) -> str:
+    """FILTER/BIND/HAVING/aggregate expression → Spark SQL."""
+    for pat, repl in _EXPR_MAP:
+        expr = pat.sub(repl, expr)
+    expr = re.sub(r"\?(\w+)", r"\1", expr)
+
+    def _slot(m: re.Match) -> str:
+        val = env.slots[int(m.group(1))][1]
+        return "'" + val.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    return re.sub(r"\x00(\d+)\x01", _slot, expr).strip()
+
+
+def _tokens(text: str) -> list[str]:
+    """Whitespace tokens with trailing '.', ';', ',' split off (unless
+    the token is a bare decimal number)."""
+    out: list[str] = []
+    for tok in text.split():
+        # peel separators off the right, preserving their order
+        tail: list[str] = []
+        while (len(tok) > 1 and tok[-1] in ".;,"
+               and not re.fullmatch(r"\d+\.\d*", tok)):
+            tail.append(tok[-1])
+            tok = tok[:-1]
+        out.append(tok)
+        out.extend(reversed(tail))
+    return out
+
+
+def _parse_patterns(body: str, env: _Env) -> list[tuple[str, str, str]]:
+    """'.'-separated triple patterns with ';' predicate lists and ','
+    object lists."""
+    triples: list[tuple[str, str, str]] = []
+    stmt: list[str] = []
+    for tok in _tokens(body) + ["."]:
+        if tok != ".":
+            stmt.append(tok)
+            continue
+        if not stmt:
+            continue
+        subj = _term(stmt[0], env)
+        i, pred = 1, None
+        while i < len(stmt):
+            if stmt[i] == ";":
+                i += 1
+                continue
+            if stmt[i] == ",":
+                if pred is None or not triples:
+                    raise ValueError("',' before any predicate-object")
+                triples.append((subj, pred, _term(stmt[i + 1], env)))
+                i += 2
+                continue
+            if i + 1 >= len(stmt):
+                raise ValueError(f"dangling term in pattern: {stmt}")
+            pred = _term(stmt[i], env)
+            triples.append((subj, pred, _term(stmt[i + 1], env)))
+            i += 2
+        stmt = []
+    return triples
+
+
+def _parse_group(body: str, env: _Env) -> dict:
+    """A group graph pattern → bgp_match kwargs (+ 'patterns')."""
+    parts: dict = {"patterns": [], "optional": [], "minus": [],
+                   "exists": [], "not_exists": [], "filters": [],
+                   "bind": {}, "values": None}
+    plain: list[str] = []
+    kw_re = re.compile(r"(?i)\b(OPTIONAL|MINUS|FILTER|VALUES|BIND)\b")
+    i = 0
+    while True:
+        m = kw_re.search(body, i)
+        if not m:
+            plain.append(body[i:])
+            break
+        plain.append(body[i:m.start()])
+        kw = m.group(1).upper()
+        if kw in ("OPTIONAL", "MINUS"):
+            inner, i = _braced(body, m.end())
+            parts["optional" if kw == "OPTIONAL" else "minus"].append(
+                _parse_patterns(inner, env))
+        elif kw == "FILTER":
+            m2 = re.match(r"(?is)\s*(NOT\s+)?EXISTS\b", body[m.end():])
+            if m2:
+                inner, i = _braced(body, m.end() + m2.end())
+                key = "not_exists" if m2.group(1) else "exists"
+                parts[key].append(_parse_patterns(inner, env))
+            else:
+                expr, i = _parened(body, m.end())
+                parts["filters"].append(_expr(expr, env))
+        elif kw == "BIND":
+            expr, i = _parened(body, m.end())
+            m2 = re.match(r"(?is)^(.*)\bAS\s+(\?\w+)\s*$", expr)
+            if not m2:
+                raise ValueError(f"BIND needs (expr AS ?var): {expr}")
+            parts["bind"][m2.group(2)] = _expr(m2.group(1), env)
+        else:  # VALUES
+            m2 = re.match(r"(?s)\s*(\?\w+|\([^)]*\))", body[m.end():])
+            if not m2:
+                raise ValueError("VALUES needs ?var or (vars)")
+            spec = m2.group(1)
+            inner, i = _braced(body, m.end() + m2.end())
+            if spec.startswith("?"):
+                vars_ = [spec]
+                rows = [( _term(t, env),) for t in _tokens(inner)]
+            else:
+                vars_ = [v for v in spec[1:-1].split() if v]
+                rows = []
+                j = 0
+                while True:
+                    try:
+                        row, j = _parened(inner, j)
+                    except ValueError:
+                        break
+                    rows.append(tuple(_term(t, env)
+                                      for t in _tokens(row)))
+            parts["values"] = (vars_, rows)
+    parts["patterns"] = _parse_patterns(" ".join(plain), env)
+    return parts
+
+
+def _group_kwargs(parts: dict) -> dict:
+    kw = {}
+    for key in ("optional", "minus", "exists", "not_exists", "filters"):
+        if parts[key]:
+            kw[key] = parts[key]
+    if parts["bind"]:
+        kw["bind"] = parts["bind"]
+    if parts["values"] is not None:
+        kw["values"] = parts["values"]
+    return kw
+
+
+def _parse_modifiers(tail: str, env: _Env) -> dict:
+    mods: dict = {"group_by": [], "having": None, "order_by": [],
+                  "limit": None, "offset": 0}
+    m = re.search(r"(?is)\bGROUP\s+BY\b(.*?)(?=\bHAVING\b|\bORDER\b"
+                  r"|\bLIMIT\b|\bOFFSET\b|$)", tail)
+    if m:
+        mods["group_by"] = re.findall(r"\?\w+", m.group(1))
+    m = re.search(r"(?is)\bHAVING\b\s*", tail)
+    if m:
+        expr, _ = _parened(tail, m.end() - 1)
+        mods["having"] = _expr(expr, env)
+    m = re.search(r"(?is)\bORDER\s+BY\b(.*?)(?=\bLIMIT\b|\bOFFSET\b|$)",
+                  tail)
+    if m:
+        for d, v in re.findall(r"(?i)(?:\b(ASC|DESC)\s*\(\s*)?(\?\w+)",
+                               m.group(1)):
+            mods["order_by"].append(
+                (v, "desc") if d.upper() == "DESC" else (v, "asc"))
+    m = re.search(r"(?i)\bLIMIT\s+(\d+)", tail)
+    if m:
+        mods["limit"] = int(m.group(1))
+    m = re.search(r"(?i)\bOFFSET\s+(\d+)", tail)
+    if m:
+        mods["offset"] = int(m.group(1))
+    return mods
+
+
+def sparql(kg: DataFrame, query: str):
+    """Run a SPARQL query string over a (subj, pred, obj) snapshot.
+    SELECT/CONSTRUCT return a DataFrame; ASK returns a bool."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        ask, bgp_aggregate, bgp_select, construct,
+    )
+    env = _Env()
+    text = _protect(query, env)
+    for m in re.finditer(r"(?i)\bPREFIX\s+([A-Za-z][\w-]*)?:\s*"
+                         r"\x00(\d+)\x01", text):
+        env.prefixes[m.group(1) or ""] = env.slots[int(m.group(2))][1]
+    form = re.search(r"(?i)\b(SELECT|ASK|CONSTRUCT)\b", text)
+    if not form:
+        raise ValueError("query must be SELECT, ASK or CONSTRUCT")
+    kind = form.group(1).upper()
+
+    if kind == "ASK":
+        body, _ = _braced(text, form.end())
+        parts = _parse_group(body, env)
+        return ask(kg, parts["patterns"], **_group_kwargs(parts))
+
+    if kind == "CONSTRUCT":
+        tmpl_body, after = _braced(text, form.end())
+        template = _parse_patterns(tmpl_body, env)
+        where = re.search(r"(?i)\bWHERE\b", text[after:])
+        if not where:
+            raise ValueError("CONSTRUCT needs a WHERE group")
+        body, _ = _braced(text, after + where.end())
+        parts = _parse_group(body, env)
+        kw = _group_kwargs(parts)
+        allowed = {k: v for k, v in kw.items()
+                   if k in ("optional", "filters")}
+        if set(kw) - set(allowed):
+            raise ValueError(
+                "CONSTRUCT supports OPTIONAL and FILTER groups only")
+        return construct(kg, parts["patterns"], template, **allowed)
+
+    # SELECT
+    where = re.search(r"(?i)\bWHERE\b", text, )
+    if not where or where.start() < form.end():
+        raise ValueError("SELECT needs a WHERE group")
+    sel = text[form.end():where.start()]
+    distinct = bool(re.match(r"(?is)\s*DISTINCT\b", sel))
+    if distinct:
+        sel = re.sub(r"(?is)^\s*DISTINCT\b", "", sel)
+    body, after = _braced(text, where.end())
+    parts = _parse_group(body, env)
+    kw = _group_kwargs(parts)
+    mods = _parse_modifiers(text[after:], env)
+
+    # projection items, in order: '*', '?var', or '(expr AS ?alias)'
+    items: list[tuple[str, str | None]] = []   # (name, agg_expr|None)
+    j = 0
+    sel = sel.strip()
+    while j < len(sel):
+        if sel[j].isspace():
+            j += 1
+        elif sel[j] == "*":
+            items = []
+            break
+        elif sel[j] == "?":
+            m = re.match(r"\?(\w+)", sel[j:])
+            items.append((m.group(1), None))
+            j += m.end()
+        elif sel[j] == "(":
+            inner, jn = _parened(sel, j)
+            m = re.match(r"(?is)^(.*)\bAS\s+\?(\w+)\s*$", inner)
+            if not m:
+                raise ValueError(f"projection needs (expr AS ?v): {inner}")
+            items.append((m.group(2), _expr(m.group(1), env)))
+            j = jn
+        else:
+            raise ValueError(f"unexpected SELECT item at: {sel[j:]!r}")
+
+    aggs = {name: expr for name, expr in items if expr is not None}
+    if aggs or mods["group_by"]:
+        if not aggs:
+            raise ValueError("GROUP BY without aggregate projections")
+        out = bgp_aggregate(kg, parts["patterns"],
+                            group_by=mods["group_by"], aggregates=aggs,
+                            having=mods["having"], **kw)
+        out = out.select(*[name for name, _ in items])
+        if distinct:
+            out = out.dropDuplicates()
+        if mods["order_by"]:
+            from pyspark.sql import functions as F
+            cols = [F.col(v[1:]).desc() if d == "desc" else F.col(v[1:])
+                    for v, d in mods["order_by"]]
+            out = out.orderBy(*cols)
+        if mods["offset"]:
+            out = out.offset(mods["offset"])
+        if mods["limit"] is not None:
+            out = out.limit(mods["limit"])
+        return out
+
+    select_vars = ["?" + name for name, _ in items] or None
+    return bgp_select(kg, parts["patterns"], select_vars=select_vars,
+                      distinct=distinct, order_by=mods["order_by"],
+                      limit=mods["limit"], offset=mods["offset"], **kw)

@@ -5466,6 +5466,55 @@ def sql_update_migrate() -> str:
   SELECT subj, pred, obj FROM i"""
 
 
+def q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL TEXT front-end (operators/sparql.py::sparql): a pasted
+    query string — join + FILTER + GROUP BY aggregates — over a KG
+    planted from documents. Exercises the parser→planner dispatch; the
+    oracle replays the algebra the text must lower to."""
+    from dbpedia_spotlight_spark.operators.sparql import sparql
+    e = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 60).cast("int").alias("id"))
+         .dropDuplicates())
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    kg = (
+        e.select(F.concat(F.lit("m"), s_(F.col("id"))).alias("subj"),
+                 F.lit("itsrdf:taIdentRef").alias("pred"),
+                 F.concat(F.lit("E"), s_(F.col("id") % 20)).alias("obj"))
+        .unionByName(e.select(
+            F.concat(F.lit("E"), s_(F.col("id") % 20)).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.concat(F.lit("T"),
+                     s_((F.col("id") % 20) % 4)).alias("obj"))
+            .dropDuplicates())
+    )
+    return sparql(kg, """
+        SELECT ?t (COUNT(*) AS ?n_links)
+               (COUNT(DISTINCT ?e) AS ?n_entities) WHERE {
+          ?m itsrdf:taIdentRef ?e .
+          ?e a ?t .
+          FILTER(?t != 'T0')
+        } GROUP BY ?t ORDER BY ?t""")
+
+
+def sql_sparql_text() -> str:
+    """Mirror: the relational algebra the query text lowers to —
+    link × type equi-join, the != filter, two-aggregate GROUP BY."""
+    return """
+  WITH e AS (
+    SELECT DISTINCT CAST(doc_id % 60 AS INT) AS id FROM documents),
+  links AS (
+    SELECT 'm' || id AS m, 'E' || (id % 20) AS ent FROM e),
+  types AS (
+    SELECT DISTINCT 'E' || (id % 20) AS ent,
+           'T' || ((id % 20) % 4) AS t FROM e)
+  SELECT types.t, CAST(count(*) AS BIGINT) AS n_links,
+         CAST(count(DISTINCT links.ent) AS BIGINT) AS n_entities
+  FROM links JOIN types ON types.ent = links.ent
+  WHERE types.t <> 'T0'
+  GROUP BY types.t
+  ORDER BY types.t"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

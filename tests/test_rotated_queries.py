@@ -160,6 +160,9 @@ ROTATED = [
     # round-4 session-10 addition: SPARQL 1.1 DELETE/INSERT WHERE
     # (type-gated predicate migration; (G ∖ D) ∪ I set semantics)
     ("update_migrate", Q.q_update_migrate, Q.sql_update_migrate),
+    # round-4 session-10 addition: SPARQL TEXT front-end (parser →
+    # planner dispatch; join + FILTER + GROUP BY aggregates)
+    ("sparql_text", Q.q_sparql_text, Q.sql_sparql_text),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's

@@ -1,0 +1,183 @@
+"""SPARQL text front-end (operators/sparql.py): the parser must
+dispatch to the same ontology operators the structured API uses —
+these tests mirror test_ontology.py expectations through query text."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbpedia_spotlight_spark.operators.sparql import sparql
+
+KG = [
+    ("m1", "nif:anchorOf", "Spark"),
+    ("m1", "itsrdf:taIdentRef", "Apache_Spark"),
+    ("m2", "nif:anchorOf", "Hadoop"),
+    ("m2", "itsrdf:taIdentRef", "Apache_Hadoop"),
+    ("m3", "nif:anchorOf", "Spark"),
+    ("m3", "itsrdf:taIdentRef", "Apache_Spark"),
+    ("Apache_Spark", "rdf:type", "Software"),
+    ("Apache_Hadoop", "rdf:type", "Software"),
+    ("Software", "rdfs:subClassOf", "Work"),
+    ("Work", "rdfs:subClassOf", "Thing"),
+]
+
+
+@pytest.fixture()
+def kg(spark):
+    return spark.createDataFrame(
+        KG, "subj string, pred string, obj string")
+
+
+def test_select_join_and_a_keyword(kg):
+    got = {(r.m, r.e) for r in sparql(kg, """
+        SELECT ?m ?e WHERE {
+          ?m itsrdf:taIdentRef ?e .
+          ?e a Software .
+        }""").collect()}
+    assert got == {("m1", "Apache_Spark"), ("m3", "Apache_Spark"),
+                   ("m2", "Apache_Hadoop")}
+
+
+def test_semicolon_and_comma_abbreviations(kg):
+    got = {(r.sf, r.e) for r in sparql(kg, """
+        SELECT ?sf ?e WHERE {
+          ?m nif:anchorOf ?sf ; itsrdf:taIdentRef ?e .
+        }""").collect()}
+    assert got == {("Spark", "Apache_Spark"), ("Hadoop", "Apache_Hadoop")}
+
+
+def test_distinct_order_limit_offset(kg):
+    rows = sparql(kg, """
+        SELECT DISTINCT ?e WHERE { ?m itsrdf:taIdentRef ?e }
+        ORDER BY DESC(?e) LIMIT 1""").collect()
+    assert [r.e for r in rows] == ["Apache_Spark"]
+    rows = sparql(kg, """
+        SELECT DISTINCT ?e WHERE { ?m itsrdf:taIdentRef ?e }
+        ORDER BY ?e LIMIT 1 OFFSET 1""").collect()
+    assert [r.e for r in rows] == ["Apache_Spark"]
+
+
+def test_filter_logic_and_string_functions(kg):
+    got = {r.sf for r in sparql(kg, """
+        SELECT ?sf WHERE {
+          ?m nif:anchorOf ?sf .
+          FILTER(?sf != 'Hadoop' && STRLEN(?sf) > 3)
+        }""").collect()}
+    assert got == {"Spark"}
+    got = {r.sf for r in sparql(kg, """
+        SELECT DISTINCT ?sf WHERE {
+          ?m nif:anchorOf ?sf . FILTER(REGEX(?sf, '^Ha'))
+        }""").collect()}
+    assert got == {"Hadoop"}
+
+
+def test_optional_keeps_unmatched(kg, spark):
+    kg2 = kg.unionByName(spark.createDataFrame(
+        [("m4", "nif:anchorOf", "Flink")],
+        "subj string, pred string, obj string"))
+    rows = {(r.sf, r.e) for r in sparql(kg2, """
+        SELECT ?sf ?e WHERE {
+          ?m nif:anchorOf ?sf .
+          OPTIONAL { ?m itsrdf:taIdentRef ?e }
+        }""").collect()}
+    assert ("Flink", None) in rows
+    assert ("Spark", "Apache_Spark") in rows
+
+
+def test_values_and_bind(kg):
+    got = {(r.e, r.len) for r in sparql(kg, """
+        SELECT ?e ?len WHERE {
+          ?m itsrdf:taIdentRef ?e .
+          VALUES ?e { Apache_Spark }
+          BIND(STRLEN(?e) AS ?len)
+        }""").collect()}
+    assert got == {("Apache_Spark", 12)}
+
+
+def test_aggregate_group_by_having(kg):
+    rows = sparql(kg, """
+        SELECT ?e (COUNT(*) AS ?n) WHERE {
+          ?m itsrdf:taIdentRef ?e .
+        } GROUP BY ?e HAVING (?n > 1)""").collect()
+    assert [(r.e, r.n) for r in rows] == [("Apache_Spark", 2)]
+
+
+def test_global_aggregate_without_group(kg):
+    [r] = sparql(kg, """
+        SELECT (COUNT(DISTINCT ?e) AS ?n_entities) WHERE {
+          ?m itsrdf:taIdentRef ?e .
+        }""").collect()
+    assert r.n_entities == 2
+
+
+def test_property_path_and_minus(kg):
+    got = {r.sup for r in sparql(kg, """
+        SELECT ?sup WHERE { Software rdfs:subClassOf+ ?sup }""").collect()}
+    assert got == {"Work", "Thing"}
+    got = {r.e for r in sparql(kg, """
+        SELECT ?e WHERE {
+          ?m itsrdf:taIdentRef ?e .
+          MINUS { ?n nif:anchorOf Hadoop . ?n itsrdf:taIdentRef ?e }
+        }""").collect()}
+    assert got == {"Apache_Spark"}
+
+
+def test_filter_not_exists(kg, spark):
+    kg2 = kg.unionByName(spark.createDataFrame(
+        [("m9", "itsrdf:taIdentRef", "Untyped_Entity")],
+        "subj string, pred string, obj string"))
+    got = {r.e for r in sparql(kg2, """
+        SELECT DISTINCT ?e WHERE {
+          ?m itsrdf:taIdentRef ?e .
+          FILTER NOT EXISTS { ?e rdf:type ?t }
+        }""").collect()}
+    assert got == {"Untyped_Entity"}
+
+
+def test_ask_and_construct(kg):
+    assert sparql(kg, "ASK { ?m itsrdf:taIdentRef Apache_Spark }") is True
+    assert sparql(kg, "ASK { ?m itsrdf:taIdentRef Missing }") is False
+    got = {(r.subj, r.pred, r.obj) for r in sparql(kg, """
+        CONSTRUCT { ?sf ex:linksTo ?e } WHERE {
+          ?m nif:anchorOf ?sf ; itsrdf:taIdentRef ?e .
+        }""").collect()}
+    assert got == {("Spark", "ex:linksTo", "Apache_Spark"),
+                   ("Hadoop", "ex:linksTo", "Apache_Hadoop")}
+
+
+def test_prefix_expansion_and_iri_terms(spark):
+    kg = spark.createDataFrame([
+        ("m1", "itsrdf:taIdentRef", "http://dbpedia.org/resource/Berlin"),
+        ("http://dbpedia.org/resource/Berlin", "rdf:type", "City"),
+    ], "subj string, pred string, obj string")
+    got = {r.m for r in sparql(kg, """
+        PREFIX dbr: <http://dbpedia.org/resource/>
+        SELECT ?m WHERE { ?m itsrdf:taIdentRef dbr:Berlin }""").collect()}
+    assert got == {"m1"}
+    got = {r.m for r in sparql(kg, """
+        SELECT ?m WHERE {
+          ?m itsrdf:taIdentRef <http://dbpedia.org/resource/Berlin>
+        }""").collect()}
+    assert got == {"m1"}
+
+
+def test_comments_and_string_escapes(spark):
+    kg = spark.createDataFrame(
+        [("a", "p", "it's here")], "subj string, pred string, obj string")
+    got = sparql(kg, """
+        # leading comment
+        SELECT ?s WHERE {
+          ?s p 'it\\'s here' .   # trailing comment
+        }""").collect()
+    assert [r.s for r in got] == ["a"]
+
+
+def test_parse_errors(kg):
+    with pytest.raises(ValueError, match="SELECT, ASK or CONSTRUCT"):
+        sparql(kg, "DESCRIBE ?x")
+    with pytest.raises(ValueError, match="WHERE"):
+        sparql(kg, "SELECT ?x")
+    with pytest.raises(ValueError, match="dangling term"):
+        sparql(kg, "SELECT ?x WHERE { ?x p }")
+    with pytest.raises(ValueError, match="GROUP BY without aggregate"):
+        sparql(kg, "SELECT ?e WHERE { ?m p ?e } GROUP BY ?e")
