@@ -318,10 +318,49 @@ def sparql(kg: DataFrame, query: str):
     for m in re.finditer(r"(?i)\bPREFIX\s+([A-Za-z][\w-]*)?:\s*"
                          r"\x00(\d+)\x01", text):
         env.prefixes[m.group(1) or ""] = env.slots[int(m.group(2))][1]
-    form = re.search(r"(?i)\b(SELECT|ASK|CONSTRUCT)\b", text)
+    form = re.search(r"(?i)\b(SELECT|ASK|CONSTRUCT|DESCRIBE|DELETE"
+                     r"|INSERT)\b", text)
     if not form:
-        raise ValueError("query must be SELECT, ASK or CONSTRUCT")
+        raise ValueError(
+            "query must be SELECT, ASK, CONSTRUCT, DESCRIBE or "
+            "DELETE/INSERT ... WHERE")
     kind = form.group(1).upper()
+
+    if kind == "DESCRIBE":
+        from dbpedia_spotlight_spark.operators.ontology import describe
+        m = re.match(r"\s*(\S+)", text[form.end():])
+        if not m or m.group(1).startswith("?"):
+            raise ValueError("DESCRIBE needs a concrete term")
+        return describe(kg, _term(m.group(1), env))
+
+    if kind in ("DELETE", "INSERT"):
+        from dbpedia_spotlight_spark.operators.ontology import update_kg
+        delete = insert = None
+        i = form.start()
+        while True:
+            m = re.match(r"(?is)\s*(DELETE|INSERT)\b", text[i:])
+            if not m:
+                break
+            body, j = _braced(text, i + m.end())
+            tmpl = _parse_patterns(body, env)
+            if m.group(1).upper() == "DELETE":
+                delete = tmpl
+            else:
+                insert = tmpl
+            i = j
+        mw = re.match(r"(?is)\s*WHERE\b", text[i:])
+        if not mw:
+            raise ValueError("DELETE/INSERT needs a WHERE group")
+        body, _ = _braced(text, i + mw.end())
+        parts = _parse_group(body, env)
+        kw = _group_kwargs(parts)
+        allowed = {k: v for k, v in kw.items()
+                   if k in ("optional", "filters")}
+        if set(kw) - set(allowed):
+            raise ValueError(
+                "DELETE/INSERT WHERE supports OPTIONAL and FILTER only")
+        return update_kg(kg, parts["patterns"], delete=delete,
+                         insert=insert, **allowed)
 
     if kind == "ASK":
         body, _ = _braced(text, form.end())

@@ -173,7 +173,9 @@ def test_comments_and_string_escapes(spark):
 
 
 def test_parse_errors(kg):
-    with pytest.raises(ValueError, match="SELECT, ASK or CONSTRUCT"):
+    with pytest.raises(ValueError, match="query must be"):
+        sparql(kg, "LOAD <http://x.example/data.nt>")
+    with pytest.raises(ValueError, match="concrete term"):
         sparql(kg, "DESCRIBE ?x")
     with pytest.raises(ValueError, match="WHERE"):
         sparql(kg, "SELECT ?x")
@@ -181,3 +183,27 @@ def test_parse_errors(kg):
         sparql(kg, "SELECT ?x WHERE { ?x p }")
     with pytest.raises(ValueError, match="GROUP BY without aggregate"):
         sparql(kg, "SELECT ?e WHERE { ?m p ?e } GROUP BY ?e")
+
+
+def test_describe_text(kg):
+    got = {(r.subj, r.pred, r.obj)
+           for r in sparql(kg, "DESCRIBE Apache_Spark").collect()}
+    assert ("Apache_Spark", "rdf:type", "Software") in got
+    assert ("m1", "itsrdf:taIdentRef", "Apache_Spark") in got
+
+
+def test_update_text_delete_insert_where(kg, spark):
+    kg2 = spark.createDataFrame([
+        ("m1", "ex:oldRef", "E1"),
+        ("m2", "itsrdf:taIdentRef", "E2"),
+    ], "subj string, pred string, obj string")
+    out = {(r.subj, r.pred, r.obj) for r in sparql(kg2, """
+        DELETE { ?m ex:oldRef ?e }
+        INSERT { ?m itsrdf:taIdentRef ?e }
+        WHERE { ?m ex:oldRef ?e }""").collect()}
+    assert out == {("m1", "itsrdf:taIdentRef", "E1"),
+                   ("m2", "itsrdf:taIdentRef", "E2")}
+    # delete-only form
+    out = {(r.subj, r.pred, r.obj) for r in sparql(kg2, """
+        DELETE { ?m ex:oldRef ?e } WHERE { ?m ex:oldRef ?e }""").collect()}
+    assert out == {("m2", "itsrdf:taIdentRef", "E2")}
