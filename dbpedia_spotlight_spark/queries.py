@@ -5515,6 +5515,65 @@ def sql_sparql_text() -> str:
   ORDER BY types.t"""
 
 
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction eval metrics (operators/ranking.py::
+    ranking_metrics) on a planted candidate pool: 25 queries × ≤8
+    candidates each, scores drawn from md5 hex slices (replayable both
+    engines), positive = candidate index 3. Ranks come from
+    higher/tied counts (no window, no sort) with the mean tie rule."""
+    from dbpedia_spotlight_spark.operators.ranking import ranking_metrics
+    ids = (_docs(spark, sf_dir)
+           .select((F.col("doc_id") % 200).cast("int").alias("id"))
+           .dropDuplicates())
+    idx = F.floor(F.col("id") / 25).cast("int")
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("#", F.lit("s"),
+                          F.col("id").cast("string"))), 1, 15),
+        16, 10).cast("long")
+    pool = ids.select(
+        F.concat(F.lit("q"), (F.col("id") % 25).cast("string"))
+        .alias("qid"),
+        F.concat(F.lit("c"), idx.cast("string")).alias("cand"),
+        (h % 1000 / 100.0).alias("score"),
+        (idx == 3).alias("is_positive"))
+    return ranking_metrics(pool, ks=(1, 3))
+
+
+def sql_ranking_eval() -> str:
+    """Mirror: same planted pool (md5 '0x' BIGINT parse), higher/tied
+    counts per positive, mean-tie rank, one global rollup at 9dp."""
+    return """
+  WITH ids AS (
+    SELECT DISTINCT CAST(doc_id % 200 AS INT) AS id FROM documents),
+  pool AS (
+    SELECT 'q' || (id % 25) AS qid, 'c' || (id // 25) AS cand,
+           CAST(CAST(concat('0x', substr(
+             md5(concat_ws('#', 's', CAST(id AS VARCHAR))), 1, 15))
+             AS BIGINT) % 1000 AS DOUBLE) / 100.0 AS score,
+           (id // 25) = 3 AS is_positive
+    FROM ids),
+  pos AS (SELECT qid, cand, score AS pos_s FROM pool
+          WHERE is_positive),
+  counted AS (
+    SELECT p.qid, pos.cand, pos.pos_s,
+           sum(CASE WHEN p.score > pos.pos_s THEN 1 ELSE 0 END)
+             AS n_higher,
+           sum(CASE WHEN p.score = pos.pos_s THEN 1 ELSE 0 END)
+             AS n_tied
+    FROM pool p JOIN pos ON pos.qid = p.qid
+    GROUP BY 1, 2, 3),
+  ranks AS (
+    SELECT n_higher + 1 + (n_tied - 1) / 2.0 AS rank FROM counted)
+  SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         round(avg(1.0 / rank), 9) AS mrr,
+         round(avg(rank), 9) AS mean_rank,
+         round(avg(CASE WHEN rank <= 1 THEN 1.0 ELSE 0.0 END), 9)
+           AS hits_at_1,
+         round(avg(CASE WHEN rank <= 3 THEN 1.0 ELSE 0.0 END), 9)
+           AS hits_at_3
+  FROM ranks"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

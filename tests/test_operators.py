@@ -1157,3 +1157,66 @@ def test_kg_embedding_examples_unfiltered_keeps_collisions(spark):
     nf = kg_embedding_examples(kg, n_neg=4, filtered=False)
     f = kg_embedding_examples(kg, n_neg=4, filtered=True)
     assert nf.filter("label = 0").count() >= f.filter("label = 0").count()
+
+
+# ------------------------------------------------------ ranking metrics
+
+def _scores(spark, rows):
+    return spark.createDataFrame(
+        rows, "qid string, cand string, score double, is_positive boolean")
+
+
+def test_positive_ranks_tie_modes(spark):
+    from dbpedia_spotlight_spark.operators.ranking import positive_ranks
+    rows = [
+        ("q1", "a", 3.0, False), ("q1", "b", 2.0, True),
+        ("q1", "c", 2.0, False), ("q1", "d", 1.0, False),
+    ]
+    for tie, want in (("optimistic", 2.0), ("pessimistic", 3.0),
+                      ("mean", 2.5)):
+        [r] = positive_ranks(_scores(spark, rows), tie=tie).collect()
+        assert (r.qid, r.cand, r.rank) == ("q1", "b", want), tie
+
+
+def test_ranking_metrics_known_values(spark):
+    from dbpedia_spotlight_spark.operators.ranking import ranking_metrics
+    rows = [
+        # q1: positive ranks 1 of 3
+        ("q1", "a", 9.0, True), ("q1", "b", 5.0, False),
+        ("q1", "c", 1.0, False),
+        # q2: positive ranks 4 of 4
+        ("q2", "a", 1.0, True), ("q2", "b", 5.0, False),
+        ("q2", "c", 4.0, False), ("q2", "d", 3.0, False),
+    ]
+    [m] = ranking_metrics(_scores(spark, rows), ks=(1, 3)).collect()
+    assert m.n_queries == 2
+    assert m.mrr == round((1 / 1 + 1 / 4) / 2, 9)
+    assert m.mean_rank == 2.5
+    assert m.hits_at_1 == 0.5 and m.hits_at_3 == 0.5
+
+
+def test_ranking_metrics_multi_positive_unfiltered(spark):
+    from dbpedia_spotlight_spark.operators.ranking import positive_ranks
+    rows = [
+        ("q1", "a", 9.0, True), ("q1", "b", 5.0, True),
+        ("q1", "c", 1.0, False),
+    ]
+    got = {(r.cand, r.rank) for r in
+           positive_ranks(_scores(spark, rows)).collect()}
+    # each positive ranked against the FULL pool (other positive incl.)
+    assert got == {("a", 1.0), ("b", 2.0)}
+
+
+def test_ranking_metrics_rejects_bad_tie(spark):
+    import pytest as _pytest
+    from dbpedia_spotlight_spark.operators.ranking import ranking_metrics
+    with _pytest.raises(ValueError, match="tie must be"):
+        ranking_metrics(_scores(spark, []), tie="bogus").collect()
+
+
+def test_ranking_plan_has_no_window_or_sort(spark):
+    from dbpedia_spotlight_spark.operators.ranking import ranking_metrics
+    df = _scores(spark, [("q1", "a", 1.0, True), ("q1", "b", 0.0, False)])
+    plan = (ranking_metrics(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Window" not in plan

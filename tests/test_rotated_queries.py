@@ -163,6 +163,9 @@ ROTATED = [
     # round-4 session-10 addition: SPARQL TEXT front-end (parser →
     # planner dispatch; join + FILTER + GROUP BY aggregates)
     ("sparql_text", Q.q_sparql_text, Q.sql_sparql_text),
+    # round-4 session-10 addition: link-prediction eval (MRR/Hits@k
+    # from higher/tied counts — no window, no sort)
+    ("ranking_eval", Q.q_ranking_eval, Q.sql_ranking_eval),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
