@@ -21,16 +21,19 @@ Supported surface:
   predicate- and object-list abbreviations, ``a`` ≡ rdf:type, property
   paths passed through in the predicate position), ``OPTIONAL {}``,
   ``MINUS {}``, ``FILTER (expr)``, ``FILTER [NOT] EXISTS {}``,
-  ``VALUES`` (single-var and row forms), ``BIND (expr AS ?v)``;
+  ``VALUES`` (single-var and row forms), ``BIND (expr AS ?v)``,
+  ``{ SELECT … }`` subselects, and whole-body
+  ``{ G1 } UNION { G2 }`` union groups;
 - ``ORDER BY [ASC|DESC](?v) …``, ``LIMIT``, ``OFFSET``;
-- ``ASK { … }`` (returns bool) and ``CONSTRUCT { template } WHERE {}``.
+- ``ASK { … }`` (returns bool), ``CONSTRUCT { template } WHERE {}``,
+  ``DESCRIBE <term>``, and ``DELETE {} INSERT {} WHERE {}`` updates.
 
 FILTER / BIND / HAVING / aggregate expressions are Spark SQL over the
 variable columns after ``?var`` → column substitution, with the common
 SPARQL spellings mapped (``&&``/``||``/``!``, ``REGEX`` →
 ``regexp_like``, ``STRLEN`` → ``length``, ``LCASE``/``UCASE``,
 ``STR()`` dropped). Not covered (use the structured API):
-federation, named graphs, subqueries-in-text, UNDEF in VALUES.
+federation, named graphs, UNDEF in VALUES.
 """
 
 from __future__ import annotations
@@ -209,13 +212,16 @@ def _parse_patterns(body: str, env: _Env) -> list[tuple[str, str, str]]:
     return triples
 
 
-def _parse_group(body: str, env: _Env) -> dict:
-    """A group graph pattern → bgp_match kwargs (+ 'patterns')."""
+def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
+    """A group graph pattern → bgp_match kwargs (+ 'patterns').
+    A bare ``{ SELECT … }`` block becomes a subselect (solved to a
+    DataFrame, joined on shared variables by the planner)."""
     parts: dict = {"patterns": [], "optional": [], "minus": [],
                    "exists": [], "not_exists": [], "filters": [],
-                   "bind": {}, "values": None}
+                   "bind": {}, "values": None, "subqueries": []}
     plain: list[str] = []
-    kw_re = re.compile(r"(?i)\b(OPTIONAL|MINUS|FILTER|VALUES|BIND)\b")
+    kw_re = re.compile(
+        r"(?i)\b(OPTIONAL|MINUS|FILTER|VALUES|BIND)\b|\{")
     i = 0
     while True:
         m = kw_re.search(body, i)
@@ -223,6 +229,17 @@ def _parse_group(body: str, env: _Env) -> dict:
             plain.append(body[i:])
             break
         plain.append(body[i:m.start()])
+        if m.group(0) == "{":
+            inner, i = _braced(body, m.start())
+            if not re.match(r"(?is)\s*SELECT\b", inner):
+                raise ValueError(
+                    "bare nested groups are supported only as "
+                    "{ SELECT ... } subselects or { } UNION { } "
+                    "branches")
+            if kg is None:
+                raise ValueError("subselect not allowed in this clause")
+            parts["subqueries"].append(_select_frame(kg, inner, env))
+            continue
         kw = m.group(1).upper()
         if kw in ("OPTIONAL", "MINUS"):
             inner, i = _braced(body, m.end())
@@ -270,7 +287,8 @@ def _parse_group(body: str, env: _Env) -> dict:
 
 def _group_kwargs(parts: dict) -> dict:
     kw = {}
-    for key in ("optional", "minus", "exists", "not_exists", "filters"):
+    for key in ("optional", "minus", "exists", "not_exists", "filters",
+                "subqueries"):
         if parts[key]:
             kw[key] = parts[key]
     if parts["bind"]:
@@ -310,9 +328,7 @@ def _parse_modifiers(tail: str, env: _Env) -> dict:
 def sparql(kg: DataFrame, query: str):
     """Run a SPARQL query string over a (subj, pred, obj) snapshot.
     SELECT/CONSTRUCT return a DataFrame; ASK returns a bool."""
-    from dbpedia_spotlight_spark.operators.ontology import (
-        ask, bgp_aggregate, bgp_select, construct,
-    )
+    from dbpedia_spotlight_spark.operators.ontology import ask, construct
     env = _Env()
     text = _protect(query, env)
     for m in re.finditer(r"(?i)\bPREFIX\s+([A-Za-z][\w-]*)?:\s*"
@@ -364,7 +380,7 @@ def sparql(kg: DataFrame, query: str):
 
     if kind == "ASK":
         body, _ = _braced(text, form.end())
-        parts = _parse_group(body, env)
+        parts = _parse_group(body, env, kg)
         return ask(kg, parts["patterns"], **_group_kwargs(parts))
 
     if kind == "CONSTRUCT":
@@ -384,28 +400,19 @@ def sparql(kg: DataFrame, query: str):
         return construct(kg, parts["patterns"], template, **allowed)
 
     # SELECT
-    where = re.search(r"(?i)\bWHERE\b", text, )
-    if not where or where.start() < form.end():
-        raise ValueError("SELECT needs a WHERE group")
-    sel = text[form.end():where.start()]
-    distinct = bool(re.match(r"(?is)\s*DISTINCT\b", sel))
-    if distinct:
-        sel = re.sub(r"(?is)^\s*DISTINCT\b", "", sel)
-    body, after = _braced(text, where.end())
-    parts = _parse_group(body, env)
-    kw = _group_kwargs(parts)
-    mods = _parse_modifiers(text[after:], env)
+    return _select_frame(kg, text[form.start():], env)
 
-    # projection items, in order: '*', '?var', or '(expr AS ?alias)'
-    items: list[tuple[str, str | None]] = []   # (name, agg_expr|None)
-    j = 0
+
+def _parse_projection(sel: str, env: _Env) -> list[tuple[str, str | None]]:
+    """SELECT items in order: [] for '*', else (name, agg_expr|None)."""
+    items: list[tuple[str, str | None]] = []
     sel = sel.strip()
+    j = 0
     while j < len(sel):
         if sel[j].isspace():
             j += 1
         elif sel[j] == "*":
-            items = []
-            break
+            return []
         elif sel[j] == "?":
             m = re.match(r"\?(\w+)", sel[j:])
             items.append((m.group(1), None))
@@ -419,7 +426,90 @@ def sparql(kg: DataFrame, query: str):
             j = jn
         else:
             raise ValueError(f"unexpected SELECT item at: {sel[j:]!r}")
+    return items
 
+
+def _try_union(kg: DataFrame, body: str, env: _Env) -> list[dict] | None:
+    """``{ G1 } UNION { G2 } …`` as the whole group body → bgp_union
+    branch dicts; None when the body is not that shape."""
+    branches: list[dict] = []
+    i = 0
+    while True:
+        m = re.match(r"(?s)\s*\{", body[i:])
+        if not m:
+            return None
+        inner, i = _braced(body, i + m.end() - 1)
+        if re.match(r"(?is)\s*SELECT\b", inner):
+            return None          # a subselect block, not a union branch
+        parts = _parse_group(inner, env, kg)
+        branches.append({"patterns": parts["patterns"],
+                         **_group_kwargs(parts)})
+        m = re.match(r"(?is)\s*UNION\b", body[i:])
+        if m:
+            i += m.end()
+            continue
+        if body[i:].strip():
+            return None          # trailing patterns → not a pure union
+        break
+    return branches if len(branches) >= 2 else None
+
+
+def _finish_select(sols: DataFrame, items: list[tuple[str, str | None]],
+                   distinct: bool, mods: dict) -> DataFrame:
+    """Apply projection/aggregation + solution modifiers to an
+    already-solved frame (the UNION path; single-group queries go
+    through bgp_select/bgp_aggregate instead)."""
+    from pyspark.sql import functions as F
+    aggs = [(n, e) for n, e in items if e is not None]
+    if aggs or mods["group_by"]:
+        if not aggs:
+            raise ValueError("GROUP BY without aggregate projections")
+        keys = [v[1:] for v in mods["group_by"]]
+        cols = [F.expr(e).alias(n) for n, e in aggs]
+        sols = sols.groupBy(*keys).agg(*cols) if keys else sols.agg(*cols)
+        if mods["having"]:
+            sols = sols.filter(F.expr(mods["having"]))
+        sols = sols.select(*[n for n, _ in items])
+    elif items:
+        sols = sols.select(*[n for n, _ in items])
+    if distinct:
+        sols = sols.dropDuplicates()
+    if mods["order_by"]:
+        cols = [F.col(v[1:]).desc() if d == "desc" else F.col(v[1:])
+                for v, d in mods["order_by"]]
+        sols = sols.orderBy(*cols)
+    if mods["offset"]:
+        sols = sols.offset(mods["offset"])
+    if mods["limit"] is not None:
+        sols = sols.limit(mods["limit"])
+    return sols
+
+
+def _select_frame(kg: DataFrame, text: str, env: _Env) -> DataFrame:
+    """``SELECT … WHERE { … } modifiers`` → solved DataFrame (used for
+    the top-level query and recursively for subselects)."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        bgp_aggregate, bgp_select, bgp_union,
+    )
+    form = re.search(r"(?i)\bSELECT\b", text)
+    where = re.search(r"(?i)\bWHERE\b", text)
+    if not form or not where or where.start() < form.end():
+        raise ValueError("SELECT needs a WHERE group")
+    sel = text[form.end():where.start()]
+    distinct = bool(re.match(r"(?is)\s*DISTINCT\b", sel))
+    if distinct:
+        sel = re.sub(r"(?is)^\s*DISTINCT\b", "", sel)
+    items = _parse_projection(sel, env)
+    body, after = _braced(text, where.end())
+    mods = _parse_modifiers(text[after:], env)
+
+    union_groups = _try_union(kg, body, env)
+    if union_groups is not None:
+        return _finish_select(bgp_union(kg, union_groups), items,
+                              distinct, mods)
+
+    parts = _parse_group(body, env, kg)
+    kw = _group_kwargs(parts)
     aggs = {name: expr for name, expr in items if expr is not None}
     if aggs or mods["group_by"]:
         if not aggs:
@@ -427,19 +517,9 @@ def sparql(kg: DataFrame, query: str):
         out = bgp_aggregate(kg, parts["patterns"],
                             group_by=mods["group_by"], aggregates=aggs,
                             having=mods["having"], **kw)
-        out = out.select(*[name for name, _ in items])
-        if distinct:
-            out = out.dropDuplicates()
-        if mods["order_by"]:
-            from pyspark.sql import functions as F
-            cols = [F.col(v[1:]).desc() if d == "desc" else F.col(v[1:])
-                    for v, d in mods["order_by"]]
-            out = out.orderBy(*cols)
-        if mods["offset"]:
-            out = out.offset(mods["offset"])
-        if mods["limit"] is not None:
-            out = out.limit(mods["limit"])
-        return out
+        return _finish_select(
+            out.select(*[name for name, _ in items]), [],
+            distinct, {**mods, "group_by": [], "having": None})
 
     select_vars = ["?" + name for name, _ in items] or None
     return bgp_select(kg, parts["patterns"], select_vars=select_vars,

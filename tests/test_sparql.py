@@ -207,3 +207,34 @@ def test_update_text_delete_insert_where(kg, spark):
     out = {(r.subj, r.pred, r.obj) for r in sparql(kg2, """
         DELETE { ?m ex:oldRef ?e } WHERE { ?m ex:oldRef ?e }""").collect()}
     assert out == {("m2", "itsrdf:taIdentRef", "E2")}
+
+
+def test_union_groups(kg):
+    got = {(r.e if r.e is not None else r.sup) for r in sparql(kg, """
+        SELECT * WHERE {
+          { ?m itsrdf:taIdentRef ?e . ?e a Software }
+          UNION
+          { Software rdfs:subClassOf ?sup }
+        }""").collect()}
+    assert got == {"Apache_Spark", "Apache_Hadoop", "Work"}
+    # aggregate over the union via the manual finish path
+    [r] = sparql(kg, """
+        SELECT (COUNT(*) AS ?n) WHERE {
+          { ?m nif:anchorOf Spark } UNION { ?m nif:anchorOf Hadoop }
+        }""").collect()
+    assert r.n == 3
+
+
+def test_subselect_in_text(kg):
+    """Per-type mention counts aggregated bottom-up, joined into the
+    outer group on the shared variable — mirrors the structured
+    test_bgp_subquery_join_and_product."""
+    got = {(r.e, r.t, r.n_in_type) for r in sparql(kg, """
+        SELECT ?e ?t ?n_in_type WHERE {
+          ?e a ?t .
+          { SELECT ?t (COUNT(*) AS ?n_in_type) WHERE {
+              ?m itsrdf:taIdentRef ?e2 . ?e2 a ?t .
+            } GROUP BY ?t }
+        }""").collect()}
+    assert got == {("Apache_Spark", "Software", 3),
+                   ("Apache_Hadoop", "Software", 3)}
