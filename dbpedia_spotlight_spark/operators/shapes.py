@@ -74,7 +74,8 @@ def _report(shape: str, path: str, component: str, rows: DataFrame,
 
 
 def validate_shapes(kg: DataFrame, shapes: list[dict],
-                    types: DataFrame | None = None) -> DataFrame:
+                    types: DataFrame | None = None,
+                    focus_filter: DataFrame | None = None) -> DataFrame:
     """Validate ``kg`` (subj, pred, obj) against SHACL-lite ``shapes``;
     return the violation report (shape, focus, path, component, value,
     got) — empty means conformant.
@@ -96,6 +97,11 @@ def validate_shapes(kg: DataFrame, shapes: list[dict],
     ``types`` defaults to the kg's own asserted rdf:type statements;
     pass ``infer_types(...)`` output to validate against the RDFS
     closure instead (entailed validation).
+
+    ``focus_filter`` (single-column ``focus`` frame) restricts
+    validation to those focus nodes — the incremental hook
+    ``validate_shapes_delta`` uses; every constraint scan then prunes
+    early on the (usually small, broadcastable) filter semi-join.
     """
     if types is None:
         types = kg.filter(F.col("pred") == RDF_TYPE)
@@ -105,6 +111,9 @@ def validate_shapes(kg: DataFrame, shapes: list[dict],
     for shape in shapes:
         name = shape["shape"]
         focus = _focus(kg, types, shape)
+        if focus_filter is not None:
+            focus = focus.join(focus_filter.select("focus"), "focus",
+                               "left_semi")
         for con in shape.get("constraints", ()):
             path, inverse = con["path"], bool(con.get("inverse"))
             disp = ("^" + path) if inverse else path
@@ -163,6 +172,54 @@ def validate_shapes(kg: DataFrame, shapes: list[dict],
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.dropDuplicates(list(_REPORT_COLS))
+
+
+def _affected_focus(kg: DataFrame, delta: DataFrame,
+                    shapes: list[dict]) -> DataFrame:
+    """Conservative superset of focus nodes whose report rows can
+    change under ``delta`` (added+removed triples): every delta subject
+    and object (own-triple constraints, focus membership, inverse
+    paths), plus — for sh:class constraints — every focus whose
+    constraint-path VALUE had an rdf:type change (the one cross-node
+    dependency in SHACL core)."""
+    d = delta.select("subj", "pred", "obj")
+    touched = (d.select(F.col("subj").alias("focus"))
+               .unionByName(d.select(F.col("obj").alias("focus"))))
+    typed_changed = (d.filter(F.col("pred") == RDF_TYPE)
+                     .select(F.col("subj").alias("value"))
+                     .dropDuplicates())
+    for shape in shapes:
+        for con in shape.get("constraints", ()):
+            if "cls" not in con:
+                continue
+            vals = _values(kg, con["path"], bool(con.get("inverse")))
+            touched = touched.unionByName(
+                vals.join(F.broadcast(typed_changed), "value",
+                          "left_semi").select("focus"))
+    return touched.dropDuplicates()
+
+
+def validate_shapes_delta(kg: DataFrame, delta: DataFrame,
+                          shapes: list[dict], old_report: DataFrame,
+                          types: DataFrame | None = None) -> DataFrame:
+    """Incremental validation: fold a triple delta into an existing
+    validation report WITHOUT revalidating the whole snapshot — the
+    report-side twin of the counting-IVM entailment maintenance.
+    ``kg`` is the POST-delta snapshot, ``delta`` the change log
+    (subj, pred, obj [, change, url] — both added and removed rows),
+    ``old_report`` the previous generation's report (same ``shapes``).
+
+    Affected focus nodes are recomputed exactly (``focus_filter``
+    prunes every constraint scan); untouched report rows carry over via
+    one anti-join. Result ≡ ``validate_shapes(kg, shapes)`` — the
+    equivalence is pytest-pinned. At 10^12-document scale a recrawl
+    delta touches a vanishing fraction of focus nodes, so per-gen
+    validation cost tracks |delta|, not |KG|."""
+    aff = _affected_focus(kg, delta, shapes)
+    fresh = validate_shapes(kg, shapes, types=types, focus_filter=aff)
+    kept = old_report.join(aff, "focus", "left_anti")
+    return kept.select(*_REPORT_COLS).unionByName(
+        fresh.select(*_REPORT_COLS))
 
 
 def drop_nonconforming(kg: DataFrame, report: DataFrame) -> DataFrame:

@@ -183,17 +183,42 @@ def main(argv: list[str] | None = None,
 
     if args.shapes:
         from dbpedia_spotlight_spark.operators.shapes import (
-            shape_summary, validate_shapes)
+            shape_summary, validate_shapes, validate_shapes_delta)
         with open(args.shapes) as fh:
             shape_defs = json.load(fh)
-        report = validate_shapes(store.read(), shape_defs)
-        out = f"{args.kg}/_shape_report/gen={store.latest_gen()}"
+        gen = store.latest_gen() or 0
+        sig = json.dumps(shape_defs, sort_keys=True)
+        shape_mode = "full"
+        report = None
+        if gen > 0:
+            # incremental when the IMMEDIATELY previous generation has
+            # a report built from the SAME shape definitions: fold this
+            # run's delta slice into it (tracks |delta|, not |KG|);
+            # any gap or shape change → full revalidation
+            try:
+                meta = spark.read.parquet(
+                    f"{args.kg}/_shape_report/gen={gen - 1}_meta")
+                if [r["sig"] for r in meta.collect()] == [sig]:
+                    prev = spark.read.parquet(
+                        f"{args.kg}/_shape_report/gen={gen - 1}")
+                    report = validate_shapes_delta(
+                        store.read(), store.read_log(since_gen=gen - 1),
+                        shape_defs, prev)
+                    shape_mode = "incremental"
+            except Exception:
+                report = None
+        if report is None:
+            report = validate_shapes(store.read(), shape_defs)
+        out = f"{args.kg}/_shape_report/gen={gen}"
         report.write.mode("overwrite").parquet(out)
+        spark.createDataFrame([(sig,)], "sig string").coalesce(1) \
+            .write.mode("overwrite").parquet(f"{out}_meta")
         # summarize from the written parquet: one bounded scan, and the
         # metrics describe exactly what landed on disk
         summ = shape_summary(spark.read.parquet(out)).collect()
         stats["shapes"] = {
             "out": out,
+            "mode": shape_mode,
             "n_violations": int(sum(r["n_violations"] for r in summ)),
             "by_component": {
                 f'{r["shape"]}|{r["path"]}|{r["component"]}':

@@ -1135,3 +1135,45 @@ def test_update_kg_triple_in_both_delete_and_insert_survives(spark):
                     insert=[("?e", RDF_TYPE, "Person")])
     assert [(r.subj, r.pred, r.obj) for r in out.collect()] == [
         ("e1", RDF_TYPE, "Person")]
+
+
+def test_validate_shapes_delta_equals_full_revalidation(spark):
+    """Incremental report after a recrawl delta ≡ full revalidation —
+    including the cross-node case: a TYPE change on a value node must
+    flip an sh:class verdict for an UNTOUCHED focus node."""
+    from dbpedia_spotlight_spark.operators.shapes import (
+        validate_shapes, validate_shapes_delta)
+    shapes = [{
+        "shape": "PersonShape", "target_class": "Person",
+        "constraints": [
+            {"path": "foaf:name", "min_count": 1},
+            {"path": "ex:knows", "cls": "Person"},
+        ],
+    }]
+    kg0_rows = [
+        ("p1", RDF_TYPE, "Person"), ("p1", "foaf:name", "Ada"),
+        ("p2", RDF_TYPE, "Person"), ("p2", "foaf:name", "Bo"),
+        ("p1", "ex:knows", "x1"),          # x1 untyped → class viol
+        ("x1", "foaf:name", "Mystery"),
+    ]
+    kg0 = _kg_rows(spark, kg0_rows)
+    report0 = validate_shapes(kg0, shapes)
+    assert {(r.focus, r.component) for r in report0.collect()} == {
+        ("p1", "class")}
+    # delta: x1 BECOMES a Person (fixes p1's class viol without
+    # touching p1), p2 loses its name (new minCount viol), p3 appears
+    # nameless (new focus, minCount viol)
+    added = [("x1", RDF_TYPE, "Person"), ("p3", RDF_TYPE, "Person")]
+    removed = [("p2", "foaf:name", "Bo")]
+    kg1 = _kg_rows(spark, [r for r in kg0_rows if r not in removed]
+                   + added)
+    delta = spark.createDataFrame(
+        [r + ("added",) for r in added] + [r + ("removed",)
+                                           for r in removed],
+        "subj string, pred string, obj string, change string")
+    inc = validate_shapes_delta(kg1, delta, shapes, report0)
+    full = validate_shapes(kg1, shapes)
+    assert (sorted(map(tuple, inc.collect()))
+            == sorted(map(tuple, full.collect())))
+    got = {(r.focus, r.component) for r in inc.collect()}
+    assert got == {("p2", "minCount"), ("p3", "minCount")}

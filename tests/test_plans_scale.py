@@ -895,8 +895,33 @@ def test_run_kg_maintain_shapes_and_er(spark, web_pages, lexicon, tmp_path):
     assert edges.columns == ["a", "b", "n_shared", "name_dist"]
     assert s1["er"]["n_edges"] == edges.count()
 
+    # recrawl fold -> generation 1: the report folds INCREMENTALLY
+    # (prev-gen report + same shape signature) and equals a full
+    # revalidation of the new snapshot
+    import datetime
+
+    from dbpedia_spotlight_spark.operators.shapes import validate_shapes
+    from dbpedia_spotlight_spark.streaming.kg_stream import KGStore
+    rows = web_pages.limit(2).collect()
+    recrawl = spark.createDataFrame(
+        [(r["url"], r["warc_ts"] + datetime.timedelta(days=1),
+          bytes(r["html"]) + b"<p>extra alpha0 text</p>", r["text"],
+          r["lang"]) for r in rows], schema=web_pages.schema)
+    pages2 = str(tmp_path / "pages2")
+    recrawl.write.mode("overwrite").parquet(pages2)
+    s2 = main(["--pages", pages2, "--lexicon", lex_dir, "--kg", kg_dir,
+               "--shapes", str(sp), "--max-violations", "0"], spark=spark)
+    assert s2["gen"] == 1 and s2["shapes"]["mode"] == "incremental"
+    assert s2["shapes"]["gate_passed"]
+    store = KGStore(spark, kg_dir)
+    full = validate_shapes(store.read(), shapes_ok)
+    inc = spark.read.parquet(s2["shapes"]["out"])
+    assert (sorted(map(tuple, inc.collect()))
+            == sorted(map(tuple, full.collect())))
+
     # a constraint no entity can satisfy trips the gate AFTER the
-    # report + metrics land
+    # report + metrics land; the shape signature changed, so the run
+    # must fall back to FULL revalidation (no stale carry-over)
     shapes_bad = [{"shape": "MentionShape",
                    "target_subjects_of": "itsrdf:taIdentRef",
                    "constraints": [{"path": "ex:homepage",
@@ -910,4 +935,5 @@ def test_run_kg_maintain_shapes_and_er(spark, web_pages, lexicon, tmp_path):
     with open(metrics) as fh:
         m = _json.load(fh)
     assert m["shapes"]["gate_passed"] is False
+    assert m["shapes"]["mode"] == "full"
     assert m["shapes"]["n_violations"] > 0
