@@ -5098,7 +5098,7 @@ def q_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbpedia_spotlight_spark.operators.shapes import validate_shapes
     e = (_docs(spark, sf_dir)
          .select((F.col("doc_id") % 40).cast("int").alias("id"))
-         .dropDuplicates())
+         .dropDuplicates().localCheckpoint(eager=True))
     s_ = lambda c: c.cast("string")  # noqa: E731
     ent = F.concat(F.lit("e"), s_(F.col("id")))
     hp = (F.when(F.col("id") % 9 == 0,
@@ -5233,7 +5233,7 @@ def q_er_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbpedia_spotlight_spark.operators.er import er_sameas
     e = (_docs(spark, sf_dir)
          .select((F.col("doc_id") % 30).cast("int").alias("id"))
-         .dropDuplicates())
+         .dropDuplicates().localCheckpoint(eager=True))
     s_ = lambda c: c.cast("string")  # noqa: E731
     ent = F.concat(F.lit("E"), s_(F.col("id")))
     hp = F.concat(F.lit("https://e"), s_(F.col("id")), F.lit(".example/"))
@@ -5346,7 +5346,7 @@ def q_kg_embed_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         kg_embedding_examples)
     e = (_docs(spark, sf_dir)
          .select((F.col("doc_id") % 24).cast("int").alias("id"))
-         .dropDuplicates())
+         .dropDuplicates().localCheckpoint(eager=True))
     s_ = lambda c: c.cast("string")  # noqa: E731
     kg = e.select(
         F.concat(F.lit("E"), s_(F.col("id"))).alias("subj"),
@@ -5410,7 +5410,7 @@ def q_update_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbpedia_spotlight_spark.operators.ontology import update_kg
     e = (_docs(spark, sf_dir)
          .select((F.col("doc_id") % 30).cast("int").alias("id"))
-         .dropDuplicates())
+         .dropDuplicates().localCheckpoint(eager=True))
     s_ = lambda c: c.cast("string")  # noqa: E731
     m = F.concat(F.lit("m"), s_(F.col("id")))
     ent = F.concat(F.lit("E"), s_(F.col("id") % 15))
@@ -5474,7 +5474,7 @@ def q_sparql_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbpedia_spotlight_spark.operators.sparql import sparql
     e = (_docs(spark, sf_dir)
          .select((F.col("doc_id") % 60).cast("int").alias("id"))
-         .dropDuplicates())
+         .dropDuplicates().localCheckpoint(eager=True))
     s_ = lambda c: c.cast("string")  # noqa: E731
     kg = (
         e.select(F.concat(F.lit("m"), s_(F.col("id"))).alias("subj"),
@@ -5524,7 +5524,7 @@ def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbpedia_spotlight_spark.operators.ranking import ranking_metrics
     ids = (_docs(spark, sf_dir)
            .select((F.col("doc_id") % 200).cast("int").alias("id"))
-           .dropDuplicates())
+           .dropDuplicates().localCheckpoint(eager=True))
     idx = F.floor(F.col("id") / 25).cast("int")
     h = F.conv(F.substring(
         F.md5(F.concat_ws("#", F.lit("s"),
