@@ -38,13 +38,33 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def er_candidates(kg: DataFrame, key_preds: list[str],
-                  max_block: int = 64) -> DataFrame:
+                  max_block: int = 64, mode: str = "all") -> DataFrame:
     """Candidate (a, b, n_shared) pairs — a < b — of distinct subjects
-    sharing ≥1 quasi-key (pred, obj) assertion, counted over blocks
-    that pass the ``max_block`` cap (over-cap blocks are dropped whole:
-    their key carries no identifying signal)."""
+    sharing ≥1 quasi-key (pred, obj) assertion.
+
+    ``mode="all"`` (default): every in-block pair, C(block, 2), over
+    blocks that pass the ``max_block`` cap (over-cap blocks are dropped
+    whole: their key carries no identifying signal). ``mode="star"``:
+    (block-min, member) founder edges only — block−1 pairs, LINEAR even
+    for a mega-block, no cap (the same tradeoff as the LSH star mode in
+    operators/dedup.py: star edges span the same connected components,
+    and the downstream verify keeps an edge only when the founder truly
+    matches, so a boilerplate key falls apart instead of welding
+    clusters — use it when ER output feeds connected_components)."""
+    if mode not in ("all", "star"):
+        raise ValueError(f"unknown mode: {mode} ('all' | 'star')")
     keyed = (kg.filter(F.col("pred").isin(*key_preds))
              .select("subj", "pred", "obj").dropDuplicates())
+    if mode == "star":
+        from pyspark.sql import Window
+        w = Window.partitionBy("pred", "obj")
+        return (
+            keyed.withColumn("founder", F.min("subj").over(w))
+            .filter(F.col("subj") != F.col("founder"))
+            .groupBy(F.col("founder").alias("a"),
+                     F.col("subj").alias("b"))
+            .agg(F.count("*").alias("n_shared"))
+        )
     blocks = (
         keyed.groupBy("pred", "obj")
         .agg(F.sort_array(F.collect_set("subj")).alias("ids"))
@@ -80,14 +100,16 @@ def _names(kg: DataFrame, name_pred: str, max_names: int) -> DataFrame:
 def er_sameas(kg: DataFrame, key_preds: list[str],
               name_pred: str = "foaf:name", max_name_dist: int = 2,
               min_shared: int = 2, max_block: int = 64,
-              max_names: int = 4) -> DataFrame:
+              max_names: int = 4, mode: str = "all") -> DataFrame:
     """sameAs edges (a, b, n_shared, name_dist) with a < b: blocked
     candidates verified by shared-key count or best-name Levenshtein.
 
     ``name_dist`` is NULL when either side carries no name — such pairs
     survive only on the ``min_shared`` rule, and the NULL is kept in
-    the output so downstream can audit which rule fired."""
-    cand = er_candidates(kg, key_preds, max_block)
+    the output so downstream can audit which rule fired. ``mode="star"``
+    emits verified founder edges instead of all pairs (see
+    ``er_candidates``) — the clustering form."""
+    cand = er_candidates(kg, key_preds, max_block, mode)
     names = _names(kg, name_pred, max_names)
     j = (
         cand

@@ -105,3 +105,37 @@ def test_er_plan_has_no_cartesian(spark):
     plan = (er_sameas(kg, ["ex:k"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_er_star_mode_survives_mega_blocks(spark):
+    """A block past max_block is dropped in 'all' mode but yields
+    linear founder edges in 'star' mode — the verify stage then keeps
+    only true matches, so the clone family still resolves."""
+    from dbpedia_spotlight_spark.operators.er import (
+        er_candidates, er_sameas)
+    rows = []
+    for i in range(8):                       # one 8-member homepage block
+        rows += [(f"E{i}", "ex:homepage", "https://big.example/"),
+                 (f"E{i}", "foaf:name",
+                  "Acme" if i < 3 else f"Other {i} Inc")]
+    kg = _kg(spark, rows)
+    assert er_candidates(kg, ["ex:homepage"], max_block=4).count() == 0
+    star = {(r.a, r.b) for r in er_candidates(
+        kg, ["ex:homepage"], mode="star").collect()}
+    assert star == {("E0", f"E{i}") for i in range(1, 8)}
+    verified = {(r.a, r.b) for r in er_sameas(
+        kg, ["ex:homepage"], max_name_dist=0, min_shared=2,
+        mode="star").collect()}
+    # only the founder's true clones (same name) survive the verify
+    assert verified == {("E0", "E1"), ("E0", "E2")}
+
+
+def test_er_star_counts_shared_keys_across_blocks(spark):
+    from dbpedia_spotlight_spark.operators.er import er_candidates
+    kg = _kg(spark, [
+        ("E1", "ex:homepage", "H"), ("E2", "ex:homepage", "H"),
+        ("E1", "ex:vatid", "V"), ("E2", "ex:vatid", "V"),
+    ])
+    [r] = er_candidates(kg, ["ex:homepage", "ex:vatid"],
+                        mode="star").collect()
+    assert (r.a, r.b, r.n_shared) == ("E1", "E2", 2)
