@@ -58,13 +58,22 @@ def er_candidates(kg: DataFrame, key_preds: list[str],
     if mode == "star":
         from pyspark.sql import Window
         w = Window.partitionBy("pred", "obj")
-        return (
+        edges = (
             keyed.withColumn("founder", F.min("subj").over(w))
             .filter(F.col("subj") != F.col("founder"))
-            .groupBy(F.col("founder").alias("a"),
-                     F.col("subj").alias("b"))
-            .agg(F.count("*").alias("n_shared"))
+            .select(F.col("founder").alias("a"),
+                    F.col("subj").alias("b"))
+            .dropDuplicates()
         )
+        # n_shared = TRUE shared-key count for the emitted pair (a
+        # per-founder-block count would undercount when another block
+        # containing the same pair has a smaller founder, silently
+        # failing the min_shared verify). Two joins bounded by
+        # |edges| × keys-per-entity — still linear.
+        k1 = keyed.select(F.col("subj").alias("a"), "pred", "obj")
+        k2 = keyed.select(F.col("subj").alias("b"), "pred", "obj")
+        return (edges.join(k1, "a").join(k2, ["b", "pred", "obj"])
+                .groupBy("a", "b").agg(F.count("*").alias("n_shared")))
     blocks = (
         keyed.groupBy("pred", "obj")
         .agg(F.sort_array(F.collect_set("subj")).alias("ids"))

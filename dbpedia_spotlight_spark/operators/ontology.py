@@ -386,12 +386,14 @@ def _expand_sequences(patterns: list[tuple[str, str, str]],
     semantics). Each step may itself be any supported single-step form
     (+ * ? ^ |). ``counter`` is shared across ALL groups of one query
     so an internal variable can never collide with (and accidentally
-    join against) another group's. Predicates here are CURIE-style
-    (the KG's vocabulary); a full http IRI constant would need an
-    escape this DSL deliberately doesn't have."""
+    join against) another group's. Predicates are normally CURIE-style
+    (the KG's vocabulary); a constant containing ``://`` is a full IRI
+    predicate and is passed through UNSPLIT (its slashes are not path
+    separators) — sequence paths cannot use full-IRI steps, the one
+    escape this DSL doesn't have."""
     out = []
     for s, p, o in patterns:
-        if p.startswith("?") or "/" not in p:
+        if p.startswith("?") or "/" not in p or "://" in p:
             out.append((s, p, o))
             continue
         parts = p.split("/")
@@ -769,7 +771,9 @@ def update_kg(kg: DataFrame, patterns: list[tuple[str, str, str]],
         raise ValueError("update_kg needs delete and/or insert templates")
     sols = bgp_match(kg, patterns, optional=optional,
                      filters=filters).localCheckpoint(eager=True)
-    out = kg.dropDuplicates(["subj", "pred", "obj"])
+    # ONE corpus-scale distinct: when inserts are present the post-union
+    # dedup subsumes the upfront one (the anti-join never adds rows)
+    out = kg if insert else kg.dropDuplicates(["subj", "pred", "obj"])
     if delete:
         out = out.join(_instantiate(sols, delete),
                        ["subj", "pred", "obj"], "left_anti")

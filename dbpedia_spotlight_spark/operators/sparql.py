@@ -119,19 +119,21 @@ def _parened(text: str, i: int) -> tuple[str, int]:
     raise ValueError("unbalanced ( ) group")
 
 
-def _term(tok: str, env: _Env) -> str:
-    """One pattern term → the engine's plain-string convention."""
-    m = re.fullmatch(r"\x00(\d+)\x01", tok)
+def _term(tok: str, env: _Env, pred: bool = False) -> str:
+    """One pattern term → the engine's plain-string convention.
+    ``pred`` enables predicate-position-only syntax (the ``a``
+    keyword)."""
+    m = re.fullmatch(r"\x00(\d+)\x01([+*?]?)", tok)
     if m:
-        return env.slots[int(m.group(1))][1]
+        return env.slots[int(m.group(1))][1] + m.group(2)
     if tok.startswith("?"):
         return tok
-    if tok == "a":
+    if pred and tok == "a":
         return "rdf:type"
     if tok.startswith("^"):
-        return "^" + _term(tok[1:], env)
+        return "^" + _term(tok[1:], env, pred)
     path_suffix = ""
-    if tok and tok[-1] in "+*?" and not tok.startswith("\x00"):
+    if tok and tok[-1] in "+*?":
         tok, path_suffix = tok[:-1], tok[-1]
     m = re.fullmatch(r"([A-Za-z][\w-]*):(\S*)", tok)
     if m and m.group(1) in env.prefixes:
@@ -205,7 +207,7 @@ def _parse_patterns(body: str, env: _Env) -> list[tuple[str, str, str]]:
                 continue
             if i + 1 >= len(stmt):
                 raise ValueError(f"dangling term in pattern: {stmt}")
-            pred = _term(stmt[i], env)
+            pred = _term(stmt[i], env, pred=True)
             triples.append((subj, pred, _term(stmt[i + 1], env)))
             i += 2
         stmt = []
@@ -220,8 +222,11 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
                    "exists": [], "not_exists": [], "filters": [],
                    "bind": {}, "values": None, "subqueries": []}
     plain: list[str] = []
+    # keyword must stand alone: not part of a prefixed name (ex:minus),
+    # a variable (?filter) or a placeholder — hence the :/?/word guards
     kw_re = re.compile(
-        r"(?i)\b(OPTIONAL|MINUS|FILTER|VALUES|BIND)\b|\{")
+        r"(?i)(?<![:?\w\x00])(OPTIONAL|MINUS|FILTER|VALUES|BIND)"
+        r"(?![\w:])|\{")
     i = 0
     while True:
         m = kw_re.search(body, i)

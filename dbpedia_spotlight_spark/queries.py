@@ -5083,6 +5083,14 @@ def sql_ngram_perplexity() -> str:
   ORDER BY doc_id"""
 
 
+def _union_all(parts: list[DataFrame]) -> DataFrame:
+    """unionByName fold for the planted-KG fixture builders."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHACL-core-lite validation report (operators/shapes.py::
     validate_shapes) over a KG planted from the documents table so
@@ -5131,9 +5139,7 @@ def q_shape_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(ent.alias("subj"), F.lit("ex:status").alias("pred"),
                  st.alias("obj")),
     ]
-    kg = parts[0]
-    for p in parts[1:]:
-        kg = kg.unionByName(p)
+    kg = _union_all(parts)
     shapes = [
         {"shape": "PersonShape", "target_class": "Person",
          "constraints": [
@@ -5269,9 +5275,7 @@ def q_er_sameas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("Org "), s_(F.col("id")),
                      F.lit(" Holdings")).alias("obj")),
     ]
-    kg = parts[0]
-    for p in parts[1:]:
-        kg = kg.unionByName(p)
+    kg = _union_all(parts)
     return er_sameas(kg, ["ex:homepage", "ex:vatid", "ex:country"],
                      max_name_dist=1, min_shared=2, max_block=4)
 

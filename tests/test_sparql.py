@@ -238,3 +238,36 @@ def test_subselect_in_text(kg):
         }""").collect()}
     assert got == {("Apache_Spark", "Software", 3),
                    ("Apache_Hadoop", "Software", 3)}
+
+
+def test_full_iri_predicates_and_path_suffix(spark):
+    """Declared-prefix and <IRI> predicates must stay UNSPLIT (their
+    slashes are not sequence-path separators), including with a path
+    modifier on a protected IRI."""
+    kg = spark.createDataFrame([
+        ("a", "http://ex.org/p", "b"),
+        ("b", "http://ex.org/p", "c"),
+    ], "subj string, pred string, obj string")
+    got = {r.y for r in sparql(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?y WHERE { a ex:p ?y }""").collect()}
+    assert got == {"b"}
+    got = {r.y for r in sparql(kg, """
+        SELECT ?y WHERE { a <http://ex.org/p>+ ?y }""").collect()}
+    assert got == {"b", "c"}
+
+
+def test_keyword_like_terms_not_misparsed(spark):
+    """ex:minus / ?filter must not trigger the MINUS/FILTER keyword
+    scanner."""
+    kg = spark.createDataFrame(
+        [("a", "ex:minus", "b"), ("b", "ex:p", "c")],
+        "subj string, pred string, obj string")
+    got = {(r.x, r.y, r.z) for r in sparql(kg, """
+        SELECT ?x ?y ?z WHERE {
+          ?x ex:minus ?y . OPTIONAL { ?y ex:p ?z }
+        }""").collect()}
+    assert got == {("a", "b", "c")}
+    got = {r.filter for r in sparql(kg, """
+        SELECT ?filter WHERE { a ex:minus ?filter }""").collect()}
+    assert got == {"b"}
