@@ -156,6 +156,137 @@ def predicate_closure(kg: DataFrame, predicate: str, max_depth: int = 20,
                             checkpoint_dir=checkpoint_dir)
 
 
+def infer_subproperties(kg: DataFrame, subprops: DataFrame,
+                        max_depth: int = 20,
+                        checkpoint_dir: str | None = None) -> DataFrame:
+    """rdfs:5/7 entailment — the property half of the RDFS hierarchy
+    rules (subclass twin: ``subclass_closure`` + ``infer_types``):
+
+        (p rdfs:subPropertyOf q) ∧ (q rdfs:subPropertyOf r)
+            ⊢ (p rdfs:subPropertyOf r)                        [rdfs:5]
+        (s, p, o) ∧ (p rdfs:subPropertyOf q) ⊢ (s, q, o)      [rdfs:7]
+
+    ``subprops`` is the (sub, sup) property-hierarchy frame — schema-
+    sized like the class hierarchy, so its rdfs:5 closure reuses the
+    ``subclass_closure`` fixpoint and the rdfs:7 lift is ONE broadcast
+    join against the corpus-scale statement stream (a statement whose
+    predicate has k strict superproperties yields k rows; real
+    vocabularies declare ~1). Returns only the DERIVED (s, q, o)
+    statements with set semantics — union+distinct with ``kg`` gives
+    the deductive closure, matching ``infer_domain_range``'s
+    contract."""
+    clo = subclass_closure(subprops, max_depth=max_depth,
+                           checkpoint_dir=checkpoint_dir)
+    return (
+        kg.select("subj", "pred", "obj")
+        .join(F.broadcast(clo.select(F.col("sub").alias("pred"),
+                                     F.col("sup").alias("__q"))), "pred")
+        .filter(F.col("__q") != F.col("pred"))
+        .select("subj", F.col("__q").alias("pred"), "obj")
+        .dropDuplicates()
+    )
+
+
+def infer_property_axioms(kg: DataFrame,
+                          inverses: DataFrame | None = None,
+                          symmetric: list[str] | None = None,
+                          transitive: list[str] | None = None,
+                          max_depth: int = 20,
+                          checkpoint_dir: str | None = None) -> DataFrame:
+    """OWL-RL property-axiom entailment over the statement stream —
+    the three rules that, with rdfs:2/3/5/7/9/11 (``infer_domain_range``,
+    ``infer_subproperties``, ``infer_types``) and owl:sameAs
+    (``triples.canonicalize_triples``), complete the materialization
+    rule set a DBpedia-style KG consumer expects:
+
+        (p owl:inverseOf q)        ∧ (s p o) ⊢ (o q s)   [prp-inv1/2]
+        (p a owl:SymmetricProperty) ∧ (s p o) ⊢ (o p s)   [prp-symp]
+        (p a owl:TransitiveProperty) ∧ (s p o)(o p z) ⊢ (s p z) [prp-trp]
+
+    ``inverses`` is a (pred, inv) declaration frame (one row per pair —
+    both directions are entailed); ``symmetric`` / ``transitive`` are
+    predicate lists. All three declaration sets are schema-sized: the
+    inverse/symmetric rules are ONE broadcast join / pushed-isin filter
+    + column swap over the corpus-scale stream (no shuffle at all), and
+    each transitive predicate runs ``predicate_closure``'s semi-naive
+    fixpoint over its own pushed-filter edge slice.
+
+    Rule interaction is handled by ordering, not a generic fixpoint:
+    inverse+symmetric first AUGMENT the stream, each transitive closure
+    runs over the augmented slice, and the inverse/symmetric rules are
+    applied once more to the new transitive edges. That alternation IS
+    the fixpoint here: the closure of a symmetrized edge set is itself
+    symmetric, and the inverse image of p's closure equals q's closure
+    of the inverse image — so no rule can fire again on the output
+    (deeper chains like q-subPropertyOf-r belong to
+    ``infer_subproperties``, composed upstream).
+
+    Returns the derived (subj, pred, obj) statements NOT already
+    asserted (one final anti-join on the triple key), with set
+    semantics — union with ``kg`` gives the deductive closure. Pass a
+    MATERIALIZED snapshot when using ``transitive`` (the fixpoint runs
+    one action per round, like ``predicate_closure``)."""
+    stmts = kg.select("subj", "pred", "obj")
+
+    def _swap(df: DataFrame, pred_col: str = "pred") -> DataFrame:
+        return df.select(F.col("obj").alias("subj"),
+                         F.col(pred_col).alias("pred"),
+                         F.col("subj").alias("obj"))
+
+    def _inv_sym(df: DataFrame) -> list[DataFrame]:
+        out = []
+        if inverses is not None:
+            both = (inverses.select("pred", "inv")
+                    .unionByName(inverses.select(
+                        F.col("inv").alias("pred"),
+                        F.col("pred").alias("inv")))
+                    .dropDuplicates())
+            out.append(_swap(df.join(F.broadcast(both), "pred"), "inv"))
+        if symmetric:
+            out.append(_swap(df.filter(F.col("pred").isin(
+                list(symmetric)))))
+        return out
+
+    derived = _inv_sym(stmts)
+    if transitive:
+        base = stmts
+        for extra in derived:
+            base = base.unionByName(extra)
+        for p in transitive:
+            clo = predicate_closure(base, p, max_depth=max_depth,
+                                    checkpoint_dir=checkpoint_dir)
+            # subclass_closure's fixpoint is deliberately irreflexive
+            # (cycle guard for class DAGs), but prp-trp DOES entail
+            # (x p x) whenever x sits on a p-cycle — i.e. some pair
+            # exists in the closure in both directions. One self-sized
+            # semi-join recovers exactly those.
+            pairs = clo.select("sub", "sup")
+            loops = (pairs.join(
+                pairs.select(F.col("sup").alias("sub"),
+                             F.col("sub").alias("sup")),
+                ["sub", "sup"], "left_semi")
+                .select("sub").distinct())
+            new = (clo.filter(F.col("depth") > 1)
+                   .select(F.col("sub").alias("subj"),
+                           F.lit(p).alias("pred"),
+                           F.col("sup").alias("obj"))
+                   .unionByName(loops.select(
+                       F.col("sub").alias("subj"),
+                       F.lit(p).alias("pred"),
+                       F.col("sub").alias("obj"))))
+            derived.append(new)
+            derived.extend(_inv_sym(new))
+    if not derived:
+        raise ValueError(
+            "infer_property_axioms needs at least one declaration "
+            "(inverses, symmetric or transitive)")
+    out = derived[0]
+    for d in derived[1:]:
+        out = out.unionByName(d)
+    return (out.dropDuplicates()
+            .join(stmts, ["subj", "pred", "obj"], "left_anti"))
+
+
 def entailment_counts(type_stmts: DataFrame, closure: DataFrame) -> DataFrame:
     """Initial state for counting-based incremental maintenance of the
     rdfs:9 entailment: (subj, obj, n_derivations), where the count is

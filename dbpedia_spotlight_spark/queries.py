@@ -5578,6 +5578,116 @@ def sql_ranking_eval() -> str:
   FROM ranks"""
 
 
+def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-RL property-axiom + rdfs:5/7 entailment (operators/
+    ontology.py::infer_property_axioms / infer_subproperties) over a KG
+    planted from documents: per 8-id lane, a 4-node ancestorOf CYCLE
+    (transitive closure incl. the self-loops prp-trp entails on
+    cycles), a symmetric adjacentTo edge, an inverse parentOf/childOf
+    pair in both assertion directions, and a relatedTo statement lifted
+    through the parentOf ⊑ relatedTo ⊑ linkedTo hierarchy."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_property_axioms, infer_subproperties)
+    e = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 40).cast("int").alias("id"))
+         .dropDuplicates().localCheckpoint(eager=True))
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    n = lambda c: F.concat(F.lit("n"), s_(c))  # noqa: E731
+    lane = F.col("id") % 8
+    kg = (
+        e.filter(lane < 3).select(
+            n(F.col("id")).alias("subj"),
+            F.lit("ex:ancestorOf").alias("pred"),
+            n(F.col("id") + 1).alias("obj"))
+        .unionByName(e.filter(lane == 3).select(
+            n(F.col("id")).alias("subj"),
+            F.lit("ex:ancestorOf").alias("pred"),
+            n(F.col("id") - 3).alias("obj")))
+        .unionByName(e.filter(lane == 4).select(
+            n(F.col("id")).alias("subj"),
+            F.lit("ex:adjacentTo").alias("pred"),
+            n(F.col("id") + 1).alias("obj")))
+        .unionByName(e.filter(lane == 5).select(
+            F.concat(F.lit("p"), s_(F.col("id"))).alias("subj"),
+            F.lit("ex:parentOf").alias("pred"),
+            F.concat(F.lit("q"), s_(F.col("id"))).alias("obj")))
+        .unionByName(e.filter(lane == 6).select(
+            F.concat(F.lit("q"), s_(F.col("id"))).alias("subj"),
+            F.lit("ex:childOf").alias("pred"),
+            F.concat(F.lit("p"), s_(F.col("id"))).alias("obj")))
+        .unionByName(e.filter(lane == 7).select(
+            F.concat(F.lit("r"), s_(F.col("id"))).alias("subj"),
+            F.lit("ex:relatedTo").alias("pred"),
+            F.concat(F.lit("s"), s_(F.col("id"))).alias("obj")))
+        .localCheckpoint(eager=True)  # the closure loop runs one
+        # action per round — never re-derive the planted frame
+    )
+    sub = spark.createDataFrame(
+        [("ex:parentOf", "ex:relatedTo"), ("ex:relatedTo", "ex:linkedTo")],
+        "sub string, sup string")
+    inv = spark.createDataFrame([("ex:parentOf", "ex:childOf")],
+                                "pred string, inv string")
+    return (
+        infer_subproperties(kg, sub)
+        .unionByName(infer_property_axioms(
+            kg, inverses=inv, symmetric=["ex:adjacentTo"],
+            transitive=["ex:ancestorOf"]))
+        .dropDuplicates()
+    )
+
+
+def sql_owl_entail() -> str:
+    """Mirror: the planted KG regenerated lane-by-lane; rdfs:7 lift and
+    the inverse/symmetric swaps as projections; the ancestorOf closure
+    as four unrolled join rounds (the planted cycles have diameter 4,
+    and round 4 yields exactly the prp-trp self-loops), minus the
+    asserted edges."""
+    return """
+  WITH e AS (
+    SELECT DISTINCT CAST(doc_id % 40 AS INT) AS id FROM documents),
+  kg AS (
+    SELECT 'n' || id AS subj, 'ex:ancestorOf' AS pred,
+           'n' || (id + 1) AS obj FROM e WHERE id % 8 < 3
+    UNION ALL
+    SELECT 'n' || id, 'ex:ancestorOf', 'n' || (id - 3)
+    FROM e WHERE id % 8 = 3
+    UNION ALL
+    SELECT 'n' || id, 'ex:adjacentTo', 'n' || (id + 1)
+    FROM e WHERE id % 8 = 4
+    UNION ALL
+    SELECT 'p' || id, 'ex:parentOf', 'q' || id FROM e WHERE id % 8 = 5
+    UNION ALL
+    SELECT 'q' || id, 'ex:childOf', 'p' || id FROM e WHERE id % 8 = 6
+    UNION ALL
+    SELECT 'r' || id, 'ex:relatedTo', 's' || id FROM e WHERE id % 8 = 7),
+  anc AS (SELECT subj AS s, obj AS o FROM kg
+          WHERE pred = 'ex:ancestorOf'),
+  c2 AS (SELECT DISTINCT a.s, b.o FROM anc a JOIN anc b ON b.s = a.o),
+  c3 AS (SELECT DISTINCT a.s, b.o FROM c2 a JOIN anc b ON b.s = a.o),
+  c4 AS (SELECT DISTINCT a.s, b.o FROM c3 a JOIN anc b ON b.s = a.o),
+  clo AS (SELECT s, o FROM anc UNION SELECT s, o FROM c2
+          UNION SELECT s, o FROM c3 UNION SELECT s, o FROM c4),
+  derived AS (
+    SELECT subj, 'ex:relatedTo' AS pred, obj FROM kg
+    WHERE pred = 'ex:parentOf'
+    UNION
+    SELECT subj, 'ex:linkedTo', obj FROM kg
+    WHERE pred IN ('ex:parentOf', 'ex:relatedTo')
+    UNION
+    SELECT obj, 'ex:childOf', subj FROM kg WHERE pred = 'ex:parentOf'
+    UNION
+    SELECT obj, 'ex:parentOf', subj FROM kg WHERE pred = 'ex:childOf'
+    UNION
+    SELECT obj, 'ex:adjacentTo', subj FROM kg
+    WHERE pred = 'ex:adjacentTo'
+    UNION
+    SELECT s, 'ex:ancestorOf', o FROM clo)
+  SELECT d.subj, d.pred, d.obj FROM derived d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM kg
+    WHERE kg.subj = d.subj AND kg.pred = d.pred AND kg.obj = d.obj)"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

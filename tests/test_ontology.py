@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 from dbpedia_spotlight_spark.operators.ontology import (
     RDF_TYPE,
     bgp_match,
+    infer_property_axioms,
+    infer_subproperties,
     infer_types,
     subclass_closure,
 )
@@ -1177,3 +1179,116 @@ def test_validate_shapes_delta_equals_full_revalidation(spark):
             == sorted(map(tuple, full.collect())))
     got = {(r.focus, r.component) for r in inc.collect()}
     assert got == {("p2", "minCount"), ("p3", "minCount")}
+
+
+# --- rdfs:5/7 subproperties + OWL property axioms -------------------
+
+def _kg(spark, triples):
+    return spark.createDataFrame(
+        triples, "subj string, pred string, obj string")
+
+
+def test_infer_subproperties_lifts_through_closure(spark):
+    # influenced ⊑ related ⊑ linked: rdfs:5 closes the hierarchy,
+    # rdfs:7 lifts each statement to every STRICT superproperty.
+    kg = _kg(spark, [
+        ("a", "ex:influenced", "b"),
+        ("c", "ex:related", "d"),
+        ("e", "ex:other", "f"),
+    ])
+    sub = spark.createDataFrame(
+        [("ex:influenced", "ex:related"), ("ex:related", "ex:linked")],
+        "sub string, sup string")
+    got = {(r.subj, r.pred, r.obj)
+           for r in infer_subproperties(kg, sub).collect()}
+    assert got == {
+        ("a", "ex:related", "b"), ("a", "ex:linked", "b"),
+        ("c", "ex:linked", "d"),
+    }
+
+
+def test_property_axioms_inverse_both_directions(spark):
+    kg = _kg(spark, [
+        ("a", "ex:parentOf", "b"),
+        ("c", "ex:childOf", "d"),
+    ])
+    inv = spark.createDataFrame([("ex:parentOf", "ex:childOf")],
+                                "pred string, inv string")
+    got = {(r.subj, r.pred, r.obj)
+           for r in infer_property_axioms(kg, inverses=inv).collect()}
+    assert got == {
+        ("b", "ex:childOf", "a"),
+        ("d", "ex:parentOf", "c"),
+    }
+
+
+def test_property_axioms_symmetric_excludes_asserted(spark):
+    # (b, knows, a) is already asserted — derived output must not
+    # repeat it (anti-join contract), only add the missing directions.
+    kg = _kg(spark, [
+        ("a", "ex:knows", "b"),
+        ("b", "ex:knows", "a"),
+        ("b", "ex:knows", "c"),
+        ("x", "ex:likes", "y"),
+    ])
+    got = {(r.subj, r.pred, r.obj) for r in infer_property_axioms(
+        kg, symmetric=["ex:knows"]).collect()}
+    assert got == {("c", "ex:knows", "b")}
+
+
+def test_property_axioms_transitive_chain(spark):
+    kg = _kg(spark, [
+        ("a", "ex:ancestorOf", "b"),
+        ("b", "ex:ancestorOf", "c"),
+        ("c", "ex:ancestorOf", "d"),
+        ("x", "ex:other", "y"),
+    ])
+    got = {(r.subj, r.pred, r.obj) for r in infer_property_axioms(
+        kg, transitive=["ex:ancestorOf"]).collect()}
+    assert got == {
+        ("a", "ex:ancestorOf", "c"),
+        ("a", "ex:ancestorOf", "d"),
+        ("b", "ex:ancestorOf", "d"),
+    }
+
+
+def test_property_axioms_symmetric_transitive_fixpoint(spark):
+    # connectedTo symmetric AND transitive: a-b, c-b ⊢ every ordered
+    # pair of {a,b,c} except self-loops — the one-alternation schedule
+    # must reach the genuine fixpoint.
+    kg = _kg(spark, [
+        ("a", "ex:connectedTo", "b"),
+        ("c", "ex:connectedTo", "b"),
+    ])
+    got = {(r.subj, r.obj) for r in infer_property_axioms(
+        kg, symmetric=["ex:connectedTo"],
+        transitive=["ex:connectedTo"]).collect()}
+    assert got == {("b", "a"), ("b", "c"),
+                   ("a", "c"), ("c", "a"),
+                   ("a", "a"), ("b", "b"), ("c", "c")}
+
+
+def test_property_axioms_inverse_of_transitive(spark):
+    # ancestorOf transitive with inverse descendantOf: the inverse
+    # image of the closure must land in descendantOf.
+    kg = _kg(spark, [
+        ("a", "ex:ancestorOf", "b"),
+        ("b", "ex:ancestorOf", "c"),
+        # z descendantOf b ⊢ b ancestorOf z ⊢ a ancestorOf z (chain)
+        ("z", "ex:descendantOf", "b"),
+    ])
+    inv = spark.createDataFrame([("ex:ancestorOf", "ex:descendantOf")],
+                                "pred string, inv string")
+    got = {(r.subj, r.pred, r.obj) for r in infer_property_axioms(
+        kg, inverses=inv, transitive=["ex:ancestorOf"]).collect()}
+    anc = {(s, o) for (s, p, o) in got if p == "ex:ancestorOf"}
+    dec = {(s, o) for (s, p, o) in got if p == "ex:descendantOf"}
+    assert anc == {("a", "c"), ("b", "z"), ("a", "z")}
+    # descendantOf = swap of the FULL ancestorOf closure, minus asserted
+    assert dec == {("b", "a"), ("c", "b"), ("c", "a"),
+                   ("z", "a")}
+
+
+def test_property_axioms_requires_a_declaration(spark):
+    with pytest.raises(ValueError):
+        infer_property_axioms(_kg(spark, [("a", "p", "b")]))

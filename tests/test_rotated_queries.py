@@ -166,6 +166,10 @@ ROTATED = [
     # round-4 session-10 addition: link-prediction eval (MRR/Hits@k
     # from higher/tied counts — no window, no sort)
     ("ranking_eval", Q.q_ranking_eval, Q.sql_ranking_eval),
+    # session-10 addition: OWL-RL property axioms (inverseOf /
+    # SymmetricProperty / TransitiveProperty incl. cycle self-loops)
+    # + rdfs:5/7 subproperty lift — closure unrolled 4 rounds in DuckDB
+    ("owl_entail", Q.q_owl_entail, Q.sql_owl_entail),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
