@@ -452,9 +452,29 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
     materializing the inner step first. Sequence paths (``p/q``) are
     handled one level up (``_expand_sequences``): they rewrite to
     chained patterns before reaching here, so each step may be any of
-    the single-step forms above."""
+    the single-step forms above.
+
+    A 4-element pattern is a QUAD: the 4th term (variable or constant)
+    matches the snapshot's ``graph`` column — SPARQL named-graph
+    semantics over a quad store (provenance: which page/generation
+    asserted the statement). Scan-transform predicate forms (inverse,
+    alternation, negated set) compose with quads — the graph column
+    just rides along the projection; the closure forms (``+ * ?``)
+    raise, since a per-graph transitive closure is a different
+    (grouped-fixpoint) computation this planner deliberately doesn't
+    hide behind path syntax."""
     pred = pat[1]
+    quad = len(pat) == 4
+    if quad and "graph" not in kg.columns:
+        raise ValueError(
+            "quad pattern over a triple snapshot without a 'graph' "
+            f"column: {pat}")
+    gcols = ["graph"] if quad else []
     if not pred.startswith("?") and pred[-1] in "+*?" and len(pred) > 1:
+        if quad:
+            raise ValueError(
+                f"property-path form inside a GRAPH pattern: {pat} — "
+                "materialize the per-graph closure explicitly instead")
         inner = pred[:-1]
         if inner.startswith("^") or "|" in inner:
             raise ValueError(f"unsupported nested property path: {pred}")
@@ -478,7 +498,7 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
         df = (kg.filter(F.col("pred") == inner)
               .select(F.col("obj").alias("subj"),
                       F.lit(pred).alias("pred"),
-                      F.col("subj").alias("obj")))
+                      F.col("subj").alias("obj"), *gcols))
     elif not pred.startswith("?") and pred.startswith("!"):
         # negated property set !p / !p|q — any edge whose predicate is
         # NOT in the set (SPARQL !(p|q)); still one pushed scan filter
@@ -486,15 +506,15 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
         if any(not a or a[-1] in "+*?" or a.startswith("^") for a in alts):
             raise ValueError(f"unsupported form in negated set: {pred}")
         df = (kg.filter(~F.col("pred").isin(alts))
-              .select("subj", F.lit(pred).alias("pred"), "obj"))
+              .select("subj", F.lit(pred).alias("pred"), "obj", *gcols))
     elif not pred.startswith("?") and "|" in pred:
         alts = pred.split("|")
         df = (kg.filter(F.col("pred").isin(alts))
-              .select("subj", F.lit(pred).alias("pred"), "obj"))
+              .select("subj", F.lit(pred).alias("pred"), "obj", *gcols))
     else:
-        df = kg.select("subj", "pred", "obj")
+        df = kg.select("subj", "pred", "obj", *gcols)
     var_pos: dict[str, str] = {}
-    for pos, term in zip(("subj", "pred", "obj"), pat):
+    for pos, term in zip(("subj", "pred", "obj", "graph"), pat):
         if term.startswith("?"):
             var = term[1:]
             if var in var_pos:
@@ -523,9 +543,12 @@ def _expand_sequences(patterns: list[tuple[str, str, str]],
     separators) — sequence paths cannot use full-IRI steps, the one
     escape this DSL doesn't have."""
     out = []
-    for s, p, o in patterns:
+    for pat in patterns:
+        s, p, o = pat[0], pat[1], pat[2]
+        tail = tuple(pat[3:])  # optional graph term rides along: the
+        # steps of a sequence path inside GRAPH g all match within g
         if p.startswith("?") or "/" not in p or "://" in p:
-            out.append((s, p, o))
+            out.append((s, p, o) + tail)
             continue
         parts = p.split("/")
         if any(not part for part in parts):
@@ -533,7 +556,7 @@ def _expand_sequences(patterns: list[tuple[str, str, str]],
         cur = s
         for i, part in enumerate(parts):
             nxt = o if i == len(parts) - 1 else f"?__seq{next(counter)}"
-            out.append((cur, part, nxt))
+            out.append((cur, part, nxt) + tail)
             cur = nxt
     return out
 
@@ -643,6 +666,12 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
     variables crosses in (the SPARQL product rule). Being ordinary
     DataFrames, Catalyst broadcasts the (usually aggregated, small)
     subquery side.
+
+    Every pattern (required, OPTIONAL, MINUS, EXISTS groups alike) may
+    be a 4-element QUAD whose last term matches the snapshot's
+    ``graph`` column — SPARQL ``GRAPH ?g { … }`` over a quad store; a
+    graph variable binds and projects like any other (see
+    ``triples.as_quads`` for the provenance-quad producer).
 
     The snapshot side stays declarative end-to-end: constants are
     pushed filters on the scan, no collect, no UDFs."""

@@ -26,14 +26,19 @@ Supported surface:
   ``{ G1 } UNION { G2 }`` union groups;
 - ``ORDER BY [ASC|DESC](?v) …``, ``LIMIT``, ``OFFSET``;
 - ``ASK { … }`` (returns bool), ``CONSTRUCT { template } WHERE {}``,
-  ``DESCRIBE <term>``, and ``DELETE {} INSERT {} WHERE {}`` updates.
+  ``DESCRIBE <term>``, and ``DELETE {} INSERT {} WHERE {}`` updates;
+- ``GRAPH ?g { … }`` / ``GRAPH <iri> { … }`` named-graph clauses over
+  a QUAD snapshot (a frame with a ``graph`` column —
+  ``triples.as_quads``): the group's patterns become 4-element quad
+  patterns; the graph variable binds/projects like any other. GRAPH
+  groups hold plain triple patterns (no nested keywords).
 
 FILTER / BIND / HAVING / aggregate expressions are Spark SQL over the
 variable columns after ``?var`` → column substitution, with the common
 SPARQL spellings mapped (``&&``/``||``/``!``, ``REGEX`` →
 ``regexp_like``, ``STRLEN`` → ``length``, ``LCASE``/``UCASE``,
 ``STR()`` dropped). Not covered (use the structured API):
-federation, named graphs, UNDEF in VALUES.
+federation, UNDEF in VALUES, property paths inside GRAPH groups.
 """
 
 from __future__ import annotations
@@ -225,8 +230,9 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
     # keyword must stand alone: not part of a prefixed name (ex:minus),
     # a variable (?filter) or a placeholder — hence the :/?/word guards
     kw_re = re.compile(
-        r"(?i)(?<![:?\w\x00])(OPTIONAL|MINUS|FILTER|VALUES|BIND)"
+        r"(?i)(?<![:?\w\x00])(OPTIONAL|MINUS|FILTER|VALUES|BIND|GRAPH)"
         r"(?![\w:])|\{")
+    quads: list[tuple] = []
     i = 0
     while True:
         m = kw_re.search(body, i)
@@ -246,6 +252,25 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
             parts["subqueries"].append(_select_frame(kg, inner, env))
             continue
         kw = m.group(1).upper()
+        if kw == "GRAPH":
+            # GRAPH <term> { plain patterns }: every pattern in the
+            # group becomes a QUAD — its 4th element is the graph term
+            # (variable or constant), matched against the snapshot's
+            # 'graph' column by the planner. Nested keywords inside a
+            # GRAPH group are not supported (wrap the GRAPH clause in
+            # the outer group instead).
+            m2 = re.match(r"\s*([^\s{]+)", body[m.end():])
+            if not m2:
+                raise ValueError("GRAPH needs a ?var or IRI term")
+            gterm = _term(m2.group(1), env)
+            inner, i = _braced(body, m.end() + m2.end())
+            if re.search(r"(?i)(?<![:?\w\x00])(OPTIONAL|MINUS|FILTER"
+                         r"|VALUES|BIND|GRAPH)(?![\w:])|\{", inner):
+                raise ValueError(
+                    "GRAPH groups support plain triple patterns only")
+            quads.extend(p + (gterm,)
+                         for p in _parse_patterns(inner, env))
+            continue
         if kw in ("OPTIONAL", "MINUS"):
             inner, i = _braced(body, m.end())
             parts["optional" if kw == "OPTIONAL" else "minus"].append(
@@ -286,7 +311,7 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
                     rows.append(tuple(_term(t, env)
                                       for t in _tokens(row)))
             parts["values"] = (vars_, rows)
-    parts["patterns"] = _parse_patterns(" ".join(plain), env)
+    parts["patterns"] = _parse_patterns(" ".join(plain), env) + quads
     return parts
 
 

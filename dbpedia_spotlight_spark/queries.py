@@ -5688,6 +5688,59 @@ def sql_owl_entail() -> str:
     WHERE kg.subj = d.subj AND kg.pred = d.pred AND kg.obj = d.obj)"""
 
 
+def q_graph_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL named-graph (quad) querying (operators/ontology.py quad
+    patterns + operators/sparql.py GRAPH clause) over a provenance quad
+    store planted from documents: links live in per-page graphs
+    ('u{id}'), types in a shared schema graph. The query counts, per
+    entity of type T1, the DISTINCT asserting pages — the 'how many
+    independent sources claim this link' provenance question a KG
+    consumer actually asks."""
+    from dbpedia_spotlight_spark.operators.sparql import sparql
+    e = (_docs(spark, sf_dir)
+         .select((F.col("doc_id") % 48).cast("int").alias("id"))
+         .dropDuplicates().localCheckpoint(eager=True))
+    s_ = lambda c: c.cast("string")  # noqa: E731
+    kg = (
+        e.select(F.concat(F.lit("m"), s_(F.col("id"))).alias("subj"),
+                 F.lit("itsrdf:taIdentRef").alias("pred"),
+                 F.concat(F.lit("E"), s_(F.col("id") % 12)).alias("obj"),
+                 F.concat(F.lit("u"), s_(F.col("id") % 7)).alias("graph"))
+        .unionByName(e.select(
+            F.concat(F.lit("E"), s_(F.col("id") % 12)).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.concat(F.lit("T"), s_((F.col("id") % 12) % 3)).alias("obj"),
+            F.lit("schema").alias("graph")).dropDuplicates())
+    )
+    return sparql(kg, """
+        SELECT ?e (COUNT(DISTINCT ?g) AS ?n_sources) WHERE {
+          GRAPH ?g { ?m itsrdf:taIdentRef ?e }
+          ?e a T1 .
+        } GROUP BY ?e""")
+
+
+def sql_graph_provenance() -> str:
+    """Mirror: the quad store regenerated, graph equality as a plain
+    column predicate, COUNT DISTINCT over the asserting graphs."""
+    return """
+  WITH e AS (
+    SELECT DISTINCT CAST(doc_id % 48 AS INT) AS id FROM documents),
+  quads AS (
+    SELECT 'm' || id AS subj, 'itsrdf:taIdentRef' AS pred,
+           'E' || (id % 12) AS obj, 'u' || (id % 7) AS graph FROM e
+    UNION ALL
+    SELECT DISTINCT 'E' || (id % 12), 'rdf:type',
+           'T' || ((id % 12) % 3), 'schema' FROM e),
+  links AS (SELECT subj, obj, graph FROM quads
+            WHERE pred = 'itsrdf:taIdentRef'),
+  t1 AS (SELECT DISTINCT subj AS ent FROM quads
+         WHERE pred = 'rdf:type' AND obj = 'T1')
+  SELECT l.obj AS e, CAST(count(DISTINCT l.graph) AS BIGINT)
+           AS n_sources
+  FROM links l JOIN t1 ON t1.ent = l.obj
+  GROUP BY l.obj"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -89,6 +89,26 @@ def provenance_url(triples: DataFrame) -> DataFrame:
         "url", F.substring_index(F.col("subj"), "#char=", 1))
 
 
+def as_quads(triples: DataFrame, graph: str | F.Column | None = None
+             ) -> DataFrame:
+    """(subj, pred, obj, graph) quad view of a triple frame — SPARQL
+    named-graph provenance. ``graph`` is a column name or Column
+    expression; by default the graph is the asserting page, recovered
+    from the NIF subj fragment like :func:`provenance_url` (the
+    natural provenance unit of this pipeline: every emitted statement
+    derives from exactly one crawled capture). A quad store is what
+    ``bgp_match`` 4-element patterns and the text front-end's
+    ``GRAPH ?g { … }`` clause query; it is a pure projection — no
+    shuffle, no schema migration of the existing triple stores."""
+    if graph is None:
+        g = F.substring_index(F.col("subj"), "#char=", 1)
+    elif isinstance(graph, str):
+        g = F.col(graph)
+    else:
+        g = graph
+    return triples.select("subj", "pred", "obj", g.alias("graph"))
+
+
 def triple_delta(old: DataFrame, new: DataFrame) -> DataFrame:
     """Incremental KG maintenance across crawl snapshots (north_rule:
     resumable construction; input_hint recrawl shape).

@@ -1183,15 +1183,10 @@ def test_validate_shapes_delta_equals_full_revalidation(spark):
 
 # --- rdfs:5/7 subproperties + OWL property axioms -------------------
 
-def _kg(spark, triples):
-    return spark.createDataFrame(
-        triples, "subj string, pred string, obj string")
-
-
 def test_infer_subproperties_lifts_through_closure(spark):
     # influenced ⊑ related ⊑ linked: rdfs:5 closes the hierarchy,
     # rdfs:7 lifts each statement to every STRICT superproperty.
-    kg = _kg(spark, [
+    kg = _kg_rows(spark, [
         ("a", "ex:influenced", "b"),
         ("c", "ex:related", "d"),
         ("e", "ex:other", "f"),
@@ -1208,7 +1203,7 @@ def test_infer_subproperties_lifts_through_closure(spark):
 
 
 def test_property_axioms_inverse_both_directions(spark):
-    kg = _kg(spark, [
+    kg = _kg_rows(spark, [
         ("a", "ex:parentOf", "b"),
         ("c", "ex:childOf", "d"),
     ])
@@ -1225,7 +1220,7 @@ def test_property_axioms_inverse_both_directions(spark):
 def test_property_axioms_symmetric_excludes_asserted(spark):
     # (b, knows, a) is already asserted — derived output must not
     # repeat it (anti-join contract), only add the missing directions.
-    kg = _kg(spark, [
+    kg = _kg_rows(spark, [
         ("a", "ex:knows", "b"),
         ("b", "ex:knows", "a"),
         ("b", "ex:knows", "c"),
@@ -1237,7 +1232,7 @@ def test_property_axioms_symmetric_excludes_asserted(spark):
 
 
 def test_property_axioms_transitive_chain(spark):
-    kg = _kg(spark, [
+    kg = _kg_rows(spark, [
         ("a", "ex:ancestorOf", "b"),
         ("b", "ex:ancestorOf", "c"),
         ("c", "ex:ancestorOf", "d"),
@@ -1256,7 +1251,7 @@ def test_property_axioms_symmetric_transitive_fixpoint(spark):
     # connectedTo symmetric AND transitive: a-b, c-b ⊢ every ordered
     # pair of {a,b,c} except self-loops — the one-alternation schedule
     # must reach the genuine fixpoint.
-    kg = _kg(spark, [
+    kg = _kg_rows(spark, [
         ("a", "ex:connectedTo", "b"),
         ("c", "ex:connectedTo", "b"),
     ])
@@ -1271,7 +1266,7 @@ def test_property_axioms_symmetric_transitive_fixpoint(spark):
 def test_property_axioms_inverse_of_transitive(spark):
     # ancestorOf transitive with inverse descendantOf: the inverse
     # image of the closure must land in descendantOf.
-    kg = _kg(spark, [
+    kg = _kg_rows(spark, [
         ("a", "ex:ancestorOf", "b"),
         ("b", "ex:ancestorOf", "c"),
         # z descendantOf b ⊢ b ancestorOf z ⊢ a ancestorOf z (chain)
@@ -1291,4 +1286,65 @@ def test_property_axioms_inverse_of_transitive(spark):
 
 def test_property_axioms_requires_a_declaration(spark):
     with pytest.raises(ValueError):
-        infer_property_axioms(_kg(spark, [("a", "p", "b")]))
+        infer_property_axioms(_kg_rows(spark, [("a", "p", "b")]))
+
+
+# --- quad (named-graph) patterns ------------------------------------
+
+def _quads(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+
+
+def test_bgp_quad_constant_and_variable_graph(spark):
+    kg = _quads(spark, [
+        ("a", "ex:p", "b", "g1"),
+        ("a", "ex:p", "c", "g2"),
+        ("b", "ex:q", "d", "g1"),
+    ])
+    got = {r.x for r in bgp_match(
+        kg, [("a", "ex:p", "?x", "g1")]).collect()}
+    assert got == {"b"}
+    got = {(r.x, r.g) for r in bgp_match(
+        kg, [("a", "ex:p", "?x", "?g")]).collect()}
+    assert got == {("b", "g1"), ("c", "g2")}
+    # shared graph variable joins the two patterns within one graph
+    got = {(r.x, r.y, r.g) for r in bgp_match(
+        kg, [("a", "ex:p", "?x", "?g"),
+             ("?x", "ex:q", "?y", "?g")]).collect()}
+    assert got == {("b", "d", "g1")}
+
+
+def test_bgp_quad_mixed_with_triple_patterns(spark):
+    # a triple pattern matches regardless of graph (the union/default
+    # graph view); the quad pattern pins its own graph
+    kg = _quads(spark, [
+        ("a", "ex:p", "b", "g1"),
+        ("b", "ex:q", "d", "g2"),
+    ])
+    got = {(r.x, r.y) for r in bgp_match(
+        kg, [("a", "ex:p", "?x", "g1"), ("?x", "ex:q", "?y")]).collect()}
+    assert got == {("b", "d")}
+
+
+def test_bgp_quad_requires_graph_column_and_no_paths(spark):
+    triples = _kg_rows(spark, [("a", "ex:p", "b")])
+    with pytest.raises(ValueError, match="graph"):
+        bgp_match(triples, [("a", "ex:p", "?x", "?g")])
+    kg = _quads(spark, [("a", "ex:p", "b", "g1")])
+    with pytest.raises(ValueError, match="GRAPH"):
+        bgp_match(kg, [("a", "ex:p+", "?x", "?g")])
+
+
+def test_bgp_quad_inverse_and_alternation_carry_graph(spark):
+    kg = _quads(spark, [
+        ("a", "ex:p", "b", "g1"),
+        ("c", "ex:q", "a", "g2"),
+    ])
+    # (a ^q ?x) ≡ (?x q a): the g2 assertion (c, q, a) answers it
+    got = {(r.x, r.g) for r in bgp_match(
+        kg, [("a", "^ex:q", "?x", "?g")]).collect()}
+    assert got == {("c", "g2")}
+    got = {(r.x, r.g) for r in bgp_match(
+        kg, [("a", "ex:p|ex:r", "?x", "?g")]).collect()}
+    assert got == {("b", "g1")}

@@ -170,6 +170,9 @@ ROTATED = [
     # SymmetricProperty / TransitiveProperty incl. cycle self-loops)
     # + rdfs:5/7 subproperty lift — closure unrolled 4 rounds in DuckDB
     ("owl_entail", Q.q_owl_entail, Q.sql_owl_entail),
+    # session-10 addition: named-graph (quad) provenance querying —
+    # GRAPH clause in the text front-end over an as_quads store
+    ("graph_provenance", Q.q_graph_provenance, Q.sql_graph_provenance),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's

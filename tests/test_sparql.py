@@ -271,3 +271,53 @@ def test_keyword_like_terms_not_misparsed(spark):
     got = {r.filter for r in sparql(kg, """
         SELECT ?filter WHERE { a ex:minus ?filter }""").collect()}
     assert got == {"b"}
+
+
+def test_graph_clause_variable_and_constant(spark):
+    """GRAPH ?g binds the provenance graph; GRAPH <iri> pins it."""
+    from dbpedia_spotlight_spark.triples import as_quads
+    triples = spark.createDataFrame([
+        ("http://a.example/p1#char=0,5", "itsrdf:taIdentRef", "dbr:X"),
+        ("http://b.example/p2#char=3,9", "itsrdf:taIdentRef", "dbr:X"),
+        ("http://b.example/p2#char=12,20", "itsrdf:taIdentRef", "dbr:Y"),
+    ], "subj string, pred string, obj string")
+    kg = as_quads(triples)
+    got = {(r.e, r.g) for r in sparql(kg, """
+        SELECT ?e ?g WHERE { GRAPH ?g { ?m itsrdf:taIdentRef ?e } }
+        """).collect()}
+    assert got == {("dbr:X", "http://a.example/p1"),
+                   ("dbr:X", "http://b.example/p2"),
+                   ("dbr:Y", "http://b.example/p2")}
+    got = {r.e for r in sparql(kg, """
+        SELECT ?e WHERE {
+          GRAPH <http://b.example/p2> { ?m itsrdf:taIdentRef ?e }
+        }""").collect()}
+    assert got == {"dbr:X", "dbr:Y"}
+
+
+def test_graph_clause_joins_outside_patterns(spark):
+    """Patterns outside GRAPH match the union graph and join on shared
+    vars; aggregates over the graph variable work."""
+    kg = spark.createDataFrame([
+        ("m1", "itsrdf:taIdentRef", "E1", "u1"),
+        ("m2", "itsrdf:taIdentRef", "E1", "u2"),
+        ("m3", "itsrdf:taIdentRef", "E2", "u1"),
+        ("E1", "rdf:type", "T1", "u1"),
+        ("E2", "rdf:type", "T1", "u1"),
+    ], "subj string, pred string, obj string, graph string")
+    got = {(r.e, r.n) for r in sparql(kg, """
+        SELECT ?e (COUNT(DISTINCT ?g) AS ?n) WHERE {
+          GRAPH ?g { ?m itsrdf:taIdentRef ?e }
+          ?e a T1 .
+        } GROUP BY ?e""").collect()}
+    assert got == {("E1", 2), ("E2", 1)}
+
+
+def test_graph_clause_rejects_nested_keywords(spark):
+    kg = spark.createDataFrame(
+        [("a", "p", "b", "g")],
+        "subj string, pred string, obj string, graph string")
+    import pytest
+    with pytest.raises(ValueError, match="plain triple patterns"):
+        sparql(kg, """SELECT ?x WHERE {
+            GRAPH ?g { ?x p ?y . FILTER(?y != 'b') } }""")
