@@ -37,8 +37,10 @@ FILTER / BIND / HAVING / aggregate expressions are Spark SQL over the
 variable columns after ``?var`` → column substitution, with the common
 SPARQL spellings mapped (``&&``/``||``/``!``, ``REGEX`` →
 ``regexp_like``, ``STRLEN`` → ``length``, ``LCASE``/``UCASE``,
-``STR()`` dropped). Not covered (use the structured API):
-federation, UNDEF in VALUES, property paths inside GRAPH groups.
+``STR()`` dropped, ``GROUP_CONCAT`` → sorted ``array_join`` with the
+optional ``; SEPARATOR=".."``, ``SAMPLE`` → ``min``). Not covered (use
+the structured API): federation, UNDEF in VALUES, property paths
+inside GRAPH groups.
 """
 
 from __future__ import annotations
@@ -146,7 +148,24 @@ def _term(tok: str, env: _Env, pred: bool = False) -> str:
     return tok + path_suffix
 
 
+def _group_concat_sql(m: re.Match) -> str:
+    """GROUP_CONCAT(?v), with optional DISTINCT and ``; SEPARATOR=".."``
+    (the literal is already a protected slot at this point). SPARQL
+    leaves the concatenation order implementation-defined; this engine
+    pins SORTED order — the one choice that is deterministic and
+    partition-layout-independent, so results replay across engines."""
+    coll = "collect_set" if m.group(1) else "collect_list"
+    sep = m.group(3) if m.group(3) else "' '"
+    return f"array_join(sort_array({coll}({m.group(2)})), {sep})"
+
+
 _EXPR_MAP = [
+    (re.compile(r"(?i)\bGROUP_CONCAT\s*\(\s*(DISTINCT\s+)?(\?\w+)\s*"
+                r"(?:;\s*SEPARATOR\s*=\s*(\x00\d+\x01))?\s*\)"),
+     _group_concat_sql),
+    # SAMPLE is implementation-defined in SPARQL; min() is the
+    # deterministic, layout-independent choice
+    (re.compile(r"(?i)\bSAMPLE\s*\("), "min("),
     (re.compile(r"&&"), " AND "),
     (re.compile(r"\|\|"), " OR "),
     (re.compile(r"!(?![=])"), " NOT "),

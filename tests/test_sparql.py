@@ -321,3 +321,24 @@ def test_graph_clause_rejects_nested_keywords(spark):
     with pytest.raises(ValueError, match="plain triple patterns"):
         sparql(kg, """SELECT ?x WHERE {
             GRAPH ?g { ?x p ?y . FILTER(?y != 'b') } }""")
+
+
+def test_group_concat_and_sample_aggregates(spark):
+    """GROUP_CONCAT (sorted, deterministic) with and without a
+    SEPARATOR literal, DISTINCT form, and SAMPLE → min."""
+    kg = spark.createDataFrame([
+        ("E1", "ex:label", "beta"),
+        ("E1", "ex:label", "alpha"),
+        ("E1", "ex:label", "alpha"),
+        ("E2", "ex:label", "gamma"),
+    ], "subj string, pred string, obj string")
+    got = {(r.e, r.names, r.one) for r in sparql(kg, """
+        SELECT ?e (GROUP_CONCAT(DISTINCT ?l; SEPARATOR=", ") AS ?names)
+               (SAMPLE(?l) AS ?one)
+        WHERE { ?e ex:label ?l } GROUP BY ?e""").collect()}
+    assert got == {("E1", "alpha, beta", "alpha"),
+                   ("E2", "gamma", "gamma")}
+    got = {r.names for r in sparql(kg, """
+        SELECT (GROUP_CONCAT(?l) AS ?names)
+        WHERE { E2 ex:label ?l }""").collect()}
+    assert got == {"gamma"}
