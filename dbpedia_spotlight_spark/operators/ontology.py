@@ -48,9 +48,18 @@ def subclass_closure(edges: DataFrame, max_depth: int = 20,
     The emptiness probe is one action per round on a frontier that only
     shrinks; class hierarchies are tiny (DBpedia: ~800 classes, depth
     ~7), so every join here broadcasts under AQE."""
+    return _closure(edges, [], max_depth, checkpoint_dir, "subclass")
+
+
+def _closure(edges: DataFrame, keys: list[str], max_depth: int,
+             checkpoint_dir: str | None, name: str) -> DataFrame:
+    """Shared semi-naive transitive-closure fixpoint over (sub, sup,
+    *keys) edges: paths never cross a ``keys`` boundary (each key tuple
+    — e.g. a named graph — closes independently, the extra columns
+    simply join along), rounds = max depth across all key groups."""
     spark = edges.sparkSession
-    ck = RoundCheckpointer(spark, checkpoint_dir, name="subclass")
-    e = edges.select("sub", "sup").dropDuplicates() \
+    ck = RoundCheckpointer(spark, checkpoint_dir, name=name)
+    e = edges.select("sub", "sup", *keys).dropDuplicates() \
         .filter(F.col("sub") != F.col("sup"))
     # exactly ONE cut per round (the known set): RoundCheckpointer's
     # dir mode keeps only the last two generations on disk, so a second
@@ -58,14 +67,16 @@ def subclass_closure(edges: DataFrame, max_depth: int = 20,
     # reads. The frontier is a filter over the checkpointed known set —
     # free to recompute, never separately materialized.
     known = ck.cut(e.withColumn("depth", F.lit(1)))
+    pair = ["sub", "sup"] + keys
     for d in range(2, max_depth + 1):
         frontier = known.filter(F.col("depth") == d - 1)
         nxt = (
-            frontier.select(F.col("sub"), F.col("sup").alias("mid"))
-            .join(e.withColumnRenamed("sub", "mid"), "mid")
-            .select("sub", "sup").dropDuplicates()
+            frontier.select(F.col("sub"), F.col("sup").alias("mid"),
+                            *keys)
+            .join(e.withColumnRenamed("sub", "mid"), ["mid"] + keys)
+            .select(*pair).dropDuplicates()
             .filter(F.col("sub") != F.col("sup"))
-            .join(known.select("sub", "sup"), ["sub", "sup"], "left_anti")
+            .join(known.select(*pair), pair, "left_anti")
             .withColumn("depth", F.lit(d))
         )
         if nxt.isEmpty():
@@ -129,17 +140,23 @@ def infer_domain_range(kg: DataFrame, domains: DataFrame,
     return out
 
 
-def _reflexive_terms(kg: DataFrame) -> DataFrame:
+def _reflexive_terms(kg: DataFrame, per_graph: bool = False) -> DataFrame:
     """(x, x) for every term occurring as subject or object — the
     SPARQL zero-length-path domain. One distinct over the two term
-    columns of the snapshot."""
-    terms = (kg.select(F.col("subj").alias("t"))
-             .unionByName(kg.select(F.col("obj").alias("t"))).distinct())
-    return terms.select(F.col("t").alias("sub"), F.col("t").alias("sup"))
+    columns of the snapshot. ``per_graph``: the domain is scoped to
+    each named graph (a term's zero-length path exists only in graphs
+    that mention it)."""
+    cols = ["graph"] if per_graph else []
+    terms = (kg.select(F.col("subj").alias("t"), *cols)
+             .unionByName(kg.select(F.col("obj").alias("t"), *cols))
+             .distinct())
+    return terms.select(F.col("t").alias("sub"), F.col("t").alias("sup"),
+                        *cols)
 
 
 def predicate_closure(kg: DataFrame, predicate: str, max_depth: int = 20,
-                      checkpoint_dir: str | None = None) -> DataFrame:
+                      checkpoint_dir: str | None = None,
+                      per_graph: bool = False) -> DataFrame:
     """SPARQL 1.1 property path ``predicate+`` over a triple snapshot:
     (subj, obj, depth) for every pair reachable through one or more
     ``predicate`` edges, depth = shortest such path. The edge extraction
@@ -149,11 +166,18 @@ def predicate_closure(kg: DataFrame, predicate: str, max_depth: int = 20,
 
     Pass a MATERIALIZED snapshot (stored table / checkpointed frame):
     the loop runs one action per round, so a kg that is itself a heavy
-    pipeline would recompute per round."""
+    pipeline would recompute per round.
+
+    ``per_graph=True`` (quad snapshots): paths stay INSIDE each named
+    graph — the graph column becomes an extra join key of the same
+    fixpoint (SPARQL evaluates a path within the active graph), and the
+    result carries it. Round count = max depth across graphs; the work
+    per round is still one frontier-sized join."""
+    cols = ["graph"] if per_graph else []
     edges = (kg.filter(F.col("pred") == predicate)
-             .select(F.col("subj").alias("sub"), F.col("obj").alias("sup")))
-    return subclass_closure(edges, max_depth=max_depth,
-                            checkpoint_dir=checkpoint_dir)
+             .select(F.col("subj").alias("sub"),
+                     F.col("obj").alias("sup"), *cols))
+    return _closure(edges, cols, max_depth, checkpoint_dir, "predpath")
 
 
 def infer_subproperties(kg: DataFrame, subprops: DataFrame,
@@ -460,9 +484,9 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
     asserted the statement). Scan-transform predicate forms (inverse,
     alternation, negated set) compose with quads — the graph column
     just rides along the projection; the closure forms (``+ * ?``)
-    raise, since a per-graph transitive closure is a different
-    (grouped-fixpoint) computation this planner deliberately doesn't
-    hide behind path syntax."""
+    switch to the PER-GRAPH fixpoint (``predicate_closure(per_graph=
+    True)``) — paths never cross a graph boundary, per SPARQL's
+    active-graph evaluation."""
     pred = pat[1]
     quad = len(pat) == 4
     if quad and "graph" not in kg.columns:
@@ -471,26 +495,25 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
             f"column: {pat}")
     gcols = ["graph"] if quad else []
     if not pred.startswith("?") and pred[-1] in "+*?" and len(pred) > 1:
-        if quad:
-            raise ValueError(
-                f"property-path form inside a GRAPH pattern: {pat} — "
-                "materialize the per-graph closure explicitly instead")
         inner = pred[:-1]
         if inner.startswith("^") or "|" in inner:
             raise ValueError(f"unsupported nested property path: {pred}")
+        sel = ["sub", "sup"] + gcols
         if pred.endswith("+"):
-            step = predicate_closure(kg, inner).select("sub", "sup")
+            step = predicate_closure(kg, inner,
+                                     per_graph=quad).select(*sel)
         elif pred.endswith("*"):
-            step = predicate_closure(kg, inner).select("sub", "sup") \
-                .unionByName(_reflexive_terms(kg))
+            step = (predicate_closure(kg, inner, per_graph=quad)
+                    .select(*sel)
+                    .unionByName(_reflexive_terms(kg, per_graph=quad)))
         else:  # p? — direct edge or zero-length
             step = (kg.filter(F.col("pred") == inner)
                     .select(F.col("subj").alias("sub"),
-                            F.col("obj").alias("sup"))
-                    .unionByName(_reflexive_terms(kg)))
-        df = step.dropDuplicates(["sub", "sup"]).select(
+                            F.col("obj").alias("sup"), *gcols)
+                    .unionByName(_reflexive_terms(kg, per_graph=quad)))
+        df = step.dropDuplicates(sel).select(
             F.col("sub").alias("subj"), F.lit(pred).alias("pred"),
-            F.col("sup").alias("obj"))
+            F.col("sup").alias("obj"), *gcols)
     elif not pred.startswith("?") and pred.startswith("^"):
         inner = pred[1:]
         if inner.endswith("+") or "|" in inner:

@@ -39,8 +39,7 @@ SPARQL spellings mapped (``&&``/``||``/``!``, ``REGEX`` →
 ``regexp_like``, ``STRLEN`` → ``length``, ``LCASE``/``UCASE``,
 ``STR()`` dropped, ``GROUP_CONCAT`` → sorted ``array_join`` with the
 optional ``; SEPARATOR=".."``, ``SAMPLE`` → ``min``). Not covered (use
-the structured API): federation, UNDEF in VALUES, property paths
-inside GRAPH groups.
+the structured API): federation, UNDEF in VALUES.
 """
 
 from __future__ import annotations

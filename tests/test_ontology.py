@@ -1327,13 +1327,32 @@ def test_bgp_quad_mixed_with_triple_patterns(spark):
     assert got == {("b", "d")}
 
 
-def test_bgp_quad_requires_graph_column_and_no_paths(spark):
+def test_bgp_quad_requires_graph_column(spark):
     triples = _kg_rows(spark, [("a", "ex:p", "b")])
     with pytest.raises(ValueError, match="graph"):
         bgp_match(triples, [("a", "ex:p", "?x", "?g")])
-    kg = _quads(spark, [("a", "ex:p", "b", "g1")])
-    with pytest.raises(ValueError, match="GRAPH"):
-        bgp_match(kg, [("a", "ex:p+", "?x", "?g")])
+
+
+def test_bgp_quad_path_closes_per_graph(spark):
+    # the a→b→c chain spans two graphs: p+ inside GRAPH must NOT cross
+    # the boundary, while the triple-pattern (union graph) form does
+    kg = _quads(spark, [
+        ("a", "ex:p", "b", "g1"),
+        ("b", "ex:p", "c", "g2"),
+        ("c", "ex:p", "d", "g2"),
+    ])
+    got = {(r.x, r.g) for r in bgp_match(
+        kg, [("a", "ex:p+", "?x", "?g")]).collect()}
+    assert got == {("b", "g1")}
+    got = {(r.x, r.g) for r in bgp_match(
+        kg, [("b", "ex:p+", "?x", "?g")]).collect()}
+    assert got == {("c", "g2"), ("d", "g2")}
+    got = {r.x for r in bgp_match(kg, [("a", "ex:p+", "?x")]).collect()}
+    assert got == {"b", "c", "d"}
+    # zero-length domain is graph-scoped: a exists only in g1
+    got = {(r.x, r.g) for r in bgp_match(
+        kg, [("a", "ex:p*", "?x", "?g")]).collect()}
+    assert got == {("a", "g1"), ("b", "g1")}
 
 
 def test_bgp_quad_inverse_and_alternation_carry_graph(spark):

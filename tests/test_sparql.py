@@ -342,3 +342,14 @@ def test_group_concat_and_sample_aggregates(spark):
         SELECT (GROUP_CONCAT(?l) AS ?names)
         WHERE { E2 ex:label ?l }""").collect()}
     assert got == {"gamma"}
+
+
+def test_graph_clause_with_property_path(spark):
+    """p+ inside GRAPH closes per graph (never across the boundary)."""
+    kg = spark.createDataFrame([
+        ("a", "ex:p", "b", "g1"),
+        ("b", "ex:p", "c", "g2"),
+    ], "subj string, pred string, obj string, graph string")
+    got = {(r.x, r.g) for r in sparql(kg, """
+        SELECT ?x ?g WHERE { GRAPH ?g { a ex:p+ ?x } }""").collect()}
+    assert got == {("b", "g1")}
