@@ -145,3 +145,97 @@ def er_sameas(kg: DataFrame, key_preds: list[str],
                 | (F.col("name_dist") <= max_name_dist))
         .select("a", "b", "n_shared", "name_dist")
     )
+
+
+def maintain_sameas(state: DataFrame, kg: DataFrame, delta: DataFrame,
+                    key_preds: list[str], name_pred: str = "foaf:name",
+                    max_name_dist: int = 2, min_shared: int = 2,
+                    max_block: int = 64, max_names: int = 4,
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Incremental maintenance of the sameAs edge store over the KG
+    delta-log CDC feed — the ER member of the IVM family
+    (``ontology.maintain_entailment``, ``graph.maintain_comention``,
+    ``shapes.validate_shapes_delta``): a recrawl batch must not re-run
+    entity resolution over a 10^9-entity KG.
+
+    ``state`` is a previous ``er_sameas(mode='all')`` output (a, b,
+    n_shared, name_dist); ``kg`` is the POST-delta snapshot; ``delta``
+    carries (subj, pred, obj, change) rows — ``KGStore.read_log`` rows
+    pass through unchanged (extra columns ignored; per-url removals of
+    a still-otherwise-asserted triple only OVER-approximate the
+    affected set, which is safe — a recomputed-but-unchanged pair is
+    replaced by an identical row).
+
+    Exactness argument (pytest-pinned against full recompute):
+
+    - A pair can change only via a key/name row of one endpoint, so
+      changed pairs have an endpoint in the affected-subject set A.
+    - TOUCHED blocks = (pred, obj) keys of A's CURRENT key rows ∪ the
+      (pred, obj) of the delta's key rows themselves (the second term
+      catches removals: the block an entity just LEFT must be
+      revisited — its pairs may vanish, or an over-``max_block`` block
+      may drop under the cap and start emitting).
+    - E = members of touched blocks ∪ A. Every changed pair has both
+      endpoints in E (the A endpoint forces each shared/formerly-shared
+      block to be touched, pulling the other endpoint in).
+    - The recompute slice is the FULL membership of every block any
+      E-member currently belongs to, plus those members' name rows —
+      full membership makes the ``max_block`` cap decision and the
+      shared-key counts of every recomputed pair exact, not
+      slice-relative.
+    - Pairs with both endpoints in E are replaced by the recompute
+      (restricted to such pairs — a slice pair between two non-E
+      members may be missing its out-of-slice shared blocks and is
+      discarded); everything else is kept as-is.
+
+    Cost ∝ touched blocks + the key/name rows of their members' blocks
+    — never a KG rescan. ``mode='star'`` states are NOT maintainable
+    this way (removing a block's founder rewires edges between
+    unaffected members); use the 'all' mode for IVM, or re-run the
+    star batch.
+
+    Returns ``(new_state, edge_delta)`` — edge_delta is the added /
+    removed (a, b, change) structural diff for downstream
+    canonicalization."""
+    preds = list(key_preds) + [name_pred]
+    affected = (delta.filter(F.col("pred").isin(preds))
+                .select("subj").distinct())
+    keyed = (kg.filter(F.col("pred").isin(*key_preds))
+             .select("subj", "pred", "obj").dropDuplicates())
+    touched = (keyed.join(affected, "subj", "left_semi")
+               .select("pred", "obj")
+               .unionByName(delta.filter(F.col("pred")
+                                         .isin(*key_preds))
+                            .select("pred", "obj"))
+               .distinct())
+    ents = (keyed.join(touched, ["pred", "obj"], "left_semi")
+            .select("subj").unionByName(affected).distinct()
+            .localCheckpoint(eager=True))
+    blocks_of_e = (keyed.join(ents, "subj", "left_semi")
+                   .select("pred", "obj").distinct())
+    members = (keyed.join(blocks_of_e, ["pred", "obj"], "left_semi")
+               .select("subj").unionByName(ents).distinct()
+               .localCheckpoint(eager=True))
+    sliced = (kg.filter(F.col("pred").isin(preds))
+              .join(members, "subj", "left_semi"))
+    e_a = ents.withColumnRenamed("subj", "a")
+    e_b = ents.withColumnRenamed("subj", "b")
+    recomputed = (er_sameas(sliced, key_preds, name_pred=name_pred,
+                            max_name_dist=max_name_dist,
+                            min_shared=min_shared, max_block=max_block,
+                            max_names=max_names)
+                  .join(e_a, "a", "left_semi")
+                  .join(e_b, "b", "left_semi")
+                  .localCheckpoint(eager=True))
+    replaced = (state.join(e_a, "a", "left_semi")
+                .join(e_b, "b", "left_semi"))
+    kept = state.join(replaced.select("a", "b"), ["a", "b"], "left_anti")
+    new_state = kept.unionByName(recomputed)
+    added = (recomputed.select("a", "b")
+             .join(state.select("a", "b"), ["a", "b"], "left_anti")
+             .withColumn("change", F.lit("added")))
+    removed = (replaced.select("a", "b")
+               .join(recomputed.select("a", "b"), ["a", "b"],
+                     "left_anti")
+               .withColumn("change", F.lit("removed")))
+    return new_state, added.unionByName(removed)

@@ -139,3 +139,97 @@ def test_er_star_counts_shared_keys_across_blocks(spark):
     [r] = er_candidates(kg, ["ex:homepage", "ex:vatid"],
                         mode="star").collect()
     assert (r.a, r.b, r.n_shared) == ("E1", "E2", 2)
+
+
+# --- incremental maintenance (counting/touched-block IVM) -----------
+
+def _er_all(spark, triples, **kw):
+    from dbpedia_spotlight_spark.operators.er import er_sameas
+    return {tuple(r) for r in er_sameas(
+        _kg(spark, sorted(triples)), ["ex:k1", "ex:k2"],
+        **kw).collect()}
+
+
+def test_maintain_sameas_randomized_batches_match_full_recompute(spark):
+    """6 random add/remove batches over a 30-entity KG with a tiny
+    max_block (cap flips exercised): maintained state ≡ er_sameas full
+    recompute after every batch, and the edge delta ≡ the exact
+    structural diff."""
+    import random
+    from dbpedia_spotlight_spark.operators.er import (
+        er_sameas, maintain_sameas)
+    rng = random.Random(20260818)
+    kw = dict(max_block=4, min_shared=2, max_name_dist=1, max_names=3)
+    ents = [f"E{i}" for i in range(30)]
+    pool = {
+        "ex:k1": [f"h{j}" for j in range(8)],
+        "ex:k2": [f"v{j}" for j in range(8)],
+        "foaf:name": [f"name{j}" for j in range(6)] + ["namex"],
+    }
+    cur: set = set()
+    for e in ents:
+        for p, objs in pool.items():
+            for o in rng.sample(objs, rng.randint(0, 2)):
+                cur.add((e, p, o))
+    kg = _kg(spark, sorted(cur))
+    state = er_sameas(kg, ["ex:k1", "ex:k2"], **kw)
+    for batch in range(6):
+        adds, removes = set(), set()
+        for _ in range(rng.randint(3, 10)):
+            e = rng.choice(ents)
+            p = rng.choice(list(pool))
+            o = rng.choice(pool[p])
+            if (e, p, o) in cur and rng.random() < 0.5:
+                removes.add((e, p, o))
+            elif (e, p, o) not in cur:
+                adds.add((e, p, o))
+        new = (cur - removes) | adds
+        delta_rows = [(s, p, o, "removed") for s, p, o in removes] + \
+                     [(s, p, o, "added") for s, p, o in adds]
+        if not delta_rows:
+            continue
+        delta = spark.createDataFrame(
+            delta_rows, "subj string, pred string, obj string, "
+            "change string")
+        kg = _kg(spark, sorted(new))
+        new_state, edge_delta = maintain_sameas(
+            state, kg, delta, ["ex:k1", "ex:k2"], **kw)
+        got = {tuple(r) for r in new_state.collect()}
+        want = {tuple(r) for r in er_sameas(
+            kg, ["ex:k1", "ex:k2"], **kw).collect()}
+        assert got == want, f"batch {batch}: state diverged"
+        old_pairs = {(r.a, r.b) for r in state.collect()}
+        new_pairs = {(a, b) for a, b, *_ in want}
+        want_delta = {(a, b, "added") for a, b in new_pairs - old_pairs} \
+            | {(a, b, "removed") for a, b in old_pairs - new_pairs}
+        assert {tuple(r) for r in edge_delta.collect()} == want_delta, \
+            f"batch {batch}: edge delta diverged"
+        state = new_state.localCheckpoint(eager=True)
+        cur = new
+
+
+def test_maintain_sameas_name_only_change_reverifies(spark):
+    """A name edit (no key change) must re-verify the affected pairs:
+    here it flips a min_shared-failing pair from name-verified to
+    dropped."""
+    from dbpedia_spotlight_spark.operators.er import (
+        er_sameas, maintain_sameas)
+    base = [
+        ("E1", "ex:k1", "h1"), ("E2", "ex:k1", "h1"),
+        ("E1", "foaf:name", "acme"), ("E2", "foaf:name", "acme"),
+    ]
+    kw = dict(min_shared=2, max_name_dist=1)
+    kg = _kg(spark, base)
+    state = er_sameas(kg, ["ex:k1", "ex:k2"], **kw)
+    assert {(r.a, r.b) for r in state.collect()} == {("E1", "E2")}
+    new = [t for t in base if t != ("E2", "foaf:name", "acme")] + \
+        [("E2", "foaf:name", "completely-different")]
+    delta = spark.createDataFrame(
+        [("E2", "foaf:name", "acme", "removed"),
+         ("E2", "foaf:name", "completely-different", "added")],
+        "subj string, pred string, obj string, change string")
+    new_state, edge_delta = maintain_sameas(
+        state, _kg(spark, new), delta, ["ex:k1", "ex:k2"], **kw)
+    assert new_state.count() == 0
+    assert {tuple(r) for r in edge_delta.collect()} == {
+        ("E1", "E2", "removed")}
