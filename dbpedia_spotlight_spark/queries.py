@@ -5783,9 +5783,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     superseded by the REAL y4m frame_features + its pytest battery) and
     events_hourly (green since round 1; streaming twin keeps the
     semantics pinned) out — both stay DuckDB-mirrored in
-    tests/test_rotated_queries.py."""
+    tests/test_rotated_queries.py.
+    Round-4 fifth rotation (session 10): owl_entail (OWL-RL property
+    axioms + rdfs:5/7) + graph_provenance (named-graph quad querying)
+    in — the reasoning/provenance completion now carries hard driver
+    signal; sf_totals + redirect_closure out (M3/K1, green since round
+    1, both recomputed inside the model_build ★ oracle) — both stay
+    DuckDB-mirrored in tests/test_rotated_queries.py."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "owl_entail": q_owl_entail,
+        "graph_provenance": q_graph_provenance,
         "decontam_overlap": q_decontam_overlap,
         "ngram_perplexity": q_ngram_perplexity,
         "infer_domain_range": q_infer_domain_range,
@@ -5811,8 +5819,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "annotate_confident": q_annotate_confident,
         "candidates_topk": q_candidates_topk,
         "link_triples": q_link_triples,
-        "sf_totals": q_sf_totals,
-        "redirect_closure": q_redirect_closure,
         "entity_graph_nodes": q_entity_graph_nodes,
         "entity_graph_edges": q_entity_graph_edges,
         "entity_pagerank": q_entity_pagerank,
@@ -5848,6 +5854,8 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "owl_entail": sql_owl_entail(),
+        "graph_provenance": sql_graph_provenance(),
         "decontam_overlap": sql_decontam_overlap(),
         "ngram_perplexity": sql_ngram_perplexity(),
         "infer_domain_range": sql_infer_domain_range(),
@@ -5872,8 +5880,6 @@ def oracle_sql() -> dict[str, str]:
         "annotate_confident": sql_annotate_confident(),
         "candidates_topk": sql_candidates_topk(),
         "link_triples": sql_link_triples(),
-        "sf_totals": sql_sf_totals(),
-        "redirect_closure": sql_redirect_closure(),
         "entity_graph_nodes": sql_entity_graph_nodes(),
         "entity_graph_edges": sql_entity_graph_edges(),
         "entity_pagerank": sql_entity_pagerank(),

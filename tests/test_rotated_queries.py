@@ -166,13 +166,17 @@ ROTATED = [
     # round-4 session-10 addition: link-prediction eval (MRR/Hits@k
     # from higher/tied counts — no window, no sort)
     ("ranking_eval", Q.q_ranking_eval, Q.sql_ranking_eval),
+    # session-10 fifth rotation: owl_entail + graph_provenance INTO the
+    # 50-slot registry (new operator families under driver signal);
+    # sf_totals + redirect_closure OUT (green since round 1, both
+    # recomputed inside the model_build registry oracle)
+    ("sf_totals", Q.q_sf_totals, Q.sql_sf_totals),
+    ("redirect_closure", Q.q_redirect_closure, Q.sql_redirect_closure),
     # session-10 addition: OWL-RL property axioms (inverseOf /
     # SymmetricProperty / TransitiveProperty incl. cycle self-loops)
     # + rdfs:5/7 subproperty lift — closure unrolled 4 rounds in DuckDB
-    ("owl_entail", Q.q_owl_entail, Q.sql_owl_entail),
     # session-10 addition: named-graph (quad) provenance querying —
     # GRAPH clause in the text front-end over an as_quads store
-    ("graph_provenance", Q.q_graph_provenance, Q.sql_graph_provenance),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
