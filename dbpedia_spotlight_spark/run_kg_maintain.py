@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "(operators/er.py) and write them to "
                          "<kg>/_sameas/gen=N for downstream "
                          "canonicalize_triples")
+    ap.add_argument("--er-store", default="",
+                    help="with --er-keys: maintain the sameAs edge set "
+                         "INCREMENTALLY in this state-store root "
+                         "(SameasStore catch-up over the delta log — "
+                         "touched-block IVM) instead of re-running the "
+                         "batch discovery per fold")
     ap.add_argument("--er-name-pred", default="foaf:name")
     ap.add_argument("--er-max-name-dist", type=int, default=2)
     ap.add_argument("--er-min-shared", type=int, default=2)
@@ -228,7 +234,17 @@ def main(argv: list[str] | None = None,
             args.max_violations < 0
             or stats["shapes"]["n_violations"] <= args.max_violations)
 
-    if args.er_keys:
+    if args.er_keys and args.er_store:
+        from dbpedia_spotlight_spark.streaming.kg_stream import SameasStore
+        er_st = SameasStore(spark, args.er_store)
+        stats["er"] = er_st.catchup(
+            store, [k for k in args.er_keys.split(",") if k],
+            name_pred=args.er_name_pred,
+            max_name_dist=args.er_max_name_dist,
+            min_shared=args.er_min_shared,
+            max_block=args.er_max_block)
+        stats["er"]["n_edges"] = er_st.read_edges().count()
+    elif args.er_keys:
         from dbpedia_spotlight_spark.operators.er import er_sameas
         edges = er_sameas(
             store.read(),

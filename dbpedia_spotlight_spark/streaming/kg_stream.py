@@ -493,6 +493,62 @@ class GraphStore(KGStore):
         return stats
 
 
+class SameasStore(KGStore):
+    """Generation store for the incrementally-maintained sameAs edge
+    set (operators/er.py::maintain_sameas): per generation one
+    ``edges`` frame (a, b, n_shared, name_dist — the er_sameas 'all'
+    mode output). Same pointer discipline as EntailStore/GraphStore:
+    the pointer's gen IS the KG generation the edge set is caught up
+    to, each generation's state is written durably before the pointer
+    flips, and an orphaned generation heals on the next catchup.
+
+    Per pending generation the fold needs the post-delta KG snapshot
+    (``maintain_sameas`` recomputes touched blocks against it) —
+    ``KGStore.read_asof(gen)`` supplies it, reading the retained
+    snapshot directly or reconstructing an expired one from the log
+    tail."""
+
+    _EDGE_DDL = "a string, b string, n_shared long, name_dist int"
+
+    def read_edges(self) -> DataFrame:
+        return self._read_state("edges", self._EDGE_DDL)
+
+    def catchup(self, kg_store: KGStore, key_preds: list[str],
+                name_pred: str = "foaf:name", max_name_dist: int = 2,
+                min_shared: int = 2, max_block: int = 64,
+                max_names: int = 4) -> dict:
+        """Fold every KG delta_log generation newer than this store's
+        pointer through ``maintain_sameas`` — entity resolution follows
+        each crawl batch for the price of its touched blocks, never a
+        KG-scale re-blocking."""
+        from dbpedia_spotlight_spark.operators.er import maintain_sameas
+        log, gens = self._pending_gens(kg_store)
+        edges = self.read_edges()
+        stats = {"gens_folded": 0, "sameas_added": 0, "sameas_removed": 0}
+        for g in gens:
+            kg_g = kg_store.read_asof(g).select("subj", "pred", "obj")
+            edges, edge_delta = maintain_sameas(
+                edges, kg_g, log.filter(F.col("gen") == g), key_preds,
+                name_pred=name_pred, max_name_dist=max_name_dist,
+                min_shared=min_shared, max_block=max_block,
+                max_names=max_names)
+            edges.write.mode("overwrite").parquet(
+                f"{self._gen_path(g)}/edges")
+            by = {r["change"]: r["n"] for r in
+                  edge_delta.groupBy("change").agg(F.count("*").alias("n"))
+                  .collect()}
+            prev = self.latest_gen()
+            self._write_pointer(g, -1)
+            if prev is not None:
+                self._fs.delete(self._fs_path(self._gen_path(prev)), True)
+            edges = self.read_edges()
+            stats["gens_folded"] += 1
+            stats["sameas_added"] += by.get("added", 0)
+            stats["sameas_removed"] += by.get("removed", 0)
+        stats["gen"] = self.latest_gen()
+        return stats
+
+
 def apply_pages_batch(spark: SparkSession, pages: DataFrame, model_bc,
                       store: KGStore, batch_id: int,
                       cfg: PipelineConfig | None = None,

@@ -233,3 +233,53 @@ def test_maintain_sameas_name_only_change_reverifies(spark):
     assert new_state.count() == 0
     assert {tuple(r) for r in edge_delta.collect()} == {
         ("E1", "E2", "removed")}
+
+
+def test_sameas_store_follows_kg_delta_log(spark, web_pages, model_bc,
+                                           tmp_path):
+    """SameasStore.catchup folds the KG maintenance delta log through
+    maintain_sameas and lands on exactly the edge set a full er_sameas
+    recompute over the final snapshot gives; a second catchup is a
+    no-op. (Key pred = the link predicate, name pred = the anchor
+    text: mentions of the same entity resolve — semantically a
+    coreference clustering, structurally the full ER path over a REAL
+    delta log.)"""
+    import datetime
+
+    from dbpedia_spotlight_spark.operators.er import er_sameas
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        KGStore, SameasStore, apply_pages_batch)
+    from dbpedia_spotlight_spark.triples import PRED_ANCHOR, PRED_IDENT
+
+    kw = dict(name_pred=PRED_ANCHOR, min_shared=1, max_block=6,
+              max_name_dist=0)
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    rows = web_pages.select(*cols).orderBy("url").collect()
+    schema = web_pages.select(*cols).schema
+    store = KGStore(spark, str(tmp_path / "kg"))
+    apply_pages_batch(spark, spark.createDataFrame(rows, schema),
+                      model_bc, store, batch_id=0, cfg=cfg)
+    recrawl = [
+        (rows[i][0], rows[i][1] + datetime.timedelta(days=1),
+         bytes(rows[i + 7][2]), rows[i][3], rows[i][4])
+        for i in range(2)
+    ]
+    apply_pages_batch(spark, spark.createDataFrame(recrawl, schema),
+                      model_bc, store, batch_id=1, cfg=cfg)
+    assert store.latest_gen() == 1
+
+    estore = SameasStore(spark, str(tmp_path / "sameas"))
+    stats = estore.catchup(store, [PRED_IDENT], **kw)
+    assert stats["gens_folded"] == 2 and stats["gen"] == 1
+    assert stats["sameas_added"] > 0
+
+    expect = {tuple(r) for r in er_sameas(
+        store.read().select("subj", "pred", "obj"), [PRED_IDENT],
+        **kw).collect()}
+    got = {tuple(r) for r in estore.read_edges().collect()}
+    assert got == expect and got
+
+    assert estore.catchup(store, [PRED_IDENT], **kw)["gens_folded"] == 0
+    assert {tuple(r) for r in estore.read_edges().collect()} == expect

@@ -919,6 +919,20 @@ def test_run_kg_maintain_shapes_and_er(spark, web_pages, lexicon, tmp_path):
     assert (sorted(map(tuple, inc.collect()))
             == sorted(map(tuple, full.collect())))
 
+    # --er-store: incremental SameasStore catch-up over BOTH delta-log
+    # generations lands on the batch er_sameas of the final snapshot
+    from dbpedia_spotlight_spark.operators.er import er_sameas
+    s3 = main(["--pages", pages2, "--lexicon", lex_dir, "--kg", kg_dir,
+               "--er-keys", "itsrdf:taIdentRef",
+               "--er-store", str(tmp_path / "sameas"),
+               "--er-min-shared", "1", "--er-max-name-dist", "0",
+               "--er-name-pred", "nif:anchorOf"], spark=spark)
+    assert s3["er"]["gens_folded"] == 2 and s3["er"]["gen"] == 1
+    want = er_sameas(store.read().select("subj", "pred", "obj"),
+                     ["itsrdf:taIdentRef"], name_pred="nif:anchorOf",
+                     min_shared=1, max_name_dist=0).count()
+    assert s3["er"]["n_edges"] == want
+
     # a constraint no entity can satisfy trips the gate AFTER the
     # report + metrics land; the shape signature changed, so the run
     # must fall back to FULL revalidation (no stale carry-over)
