@@ -148,6 +148,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     qs.setdefault("tpch_q5", Q.q_tpch_q5)
     qs.setdefault("bgp_typed_mentions", Q.q_bgp_typed_mentions)
     qs.setdefault("events_hourly", Q.q_events_hourly)  # rotated out s8
+    qs.setdefault("jaccard_pairs", Q.q_jaccard_pairs)  # swapped out s10
     # warm up JVM + Python workers + compile/broadcast the static model so
     # per-query times measure the steady-state plan, not one-time setup
     Q._docs(spark, sf_dir).limit(8).mapInPandas(

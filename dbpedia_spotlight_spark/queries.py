@@ -5789,7 +5789,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in — the reasoning/provenance completion now carries hard driver
     signal; sf_totals + redirect_closure out (M3/K1, green since round
     1, both recomputed inside the model_build ★ oracle) — both stay
-    DuckDB-mirrored in tests/test_rotated_queries.py."""
+    DuckDB-mirrored in tests/test_rotated_queries.py. Session-10 swap:
+    jaccard_lsh_verified (the PRODUCTION LSH→exact-verify composition,
+    bounded at any scale) replaces jaccard_pairs (the uncapped
+    all-pairs oracle form — the one registry plan shape that could not
+    run at 100×; it stays exact and DuckDB-mirrored in the rotated
+    suite as the oracle harness it is)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
         "owl_entail": q_owl_entail,
@@ -5837,7 +5842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "simhash_near_pairs": q_simhash_near_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
+        "jaccard_lsh_verified": q_jaccard_lsh_verified,
         "minhash_pairs": q_minhash_pairs,
         "winnowing": q_winnowing,
         "lang_id": q_lang_id,
@@ -5895,7 +5900,7 @@ def oracle_sql() -> dict[str, str]:
         "tsv_lexicon": sql_tsv_lexicon(),
         "dedup_exact": sql_dedup_exact(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
-        "jaccard_pairs": sql_jaccard_pairs(),
+        "jaccard_lsh_verified": sql_jaccard_lsh_verified(),
         "minhash_pairs": sql_minhash_pairs(),
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),

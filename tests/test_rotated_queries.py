@@ -21,8 +21,7 @@ ROTATED = [
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
     ("simhash", Q.q_simhash, Q.sql_simhash),
-    ("jaccard_lsh_verified", Q.q_jaccard_lsh_verified,
-     Q.sql_jaccard_lsh_verified),
+    ("jaccard_pairs", Q.q_jaccard_pairs, Q.sql_jaccard_pairs),
     ("ann_ivf_fixed", Q.q_ann_ivf_fixed, Q.sql_ann_ivf_fixed),
     ("fingerprint", Q.q_fingerprint, Q.sql_fingerprint),
     ("token_count", Q.q_token_count, Q.sql_token_count),
