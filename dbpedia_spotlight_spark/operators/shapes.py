@@ -36,6 +36,17 @@ _IRI_RE = "^[A-Za-z][A-Za-z0-9+.-]*:"
 
 _REPORT_COLS = ("shape", "focus", "path", "component", "value", "got")
 
+# sh:datatype lexical spaces (XSD 1.1 canonical-ish forms) — anchored
+# full-match regexes evaluated JVM-side. A plain string store has no
+# ^^tags, so datatype validation here = "the value parses".
+_DATATYPE_RE = {
+    "integer": r"^[+-]?\d+$",
+    "decimal": r"^[+-]?(\d+(\.\d*)?|\.\d+)$",
+    "boolean": r"^(true|false|0|1)$",
+    "dateTime": (r"^-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+                 r"(\.\d+)?(Z|[+-]\d{2}:\d{2})?$"),
+}
+
 
 def _focus(kg: DataFrame, types: DataFrame, shape: dict) -> DataFrame:
     """Focus-node set of one shape: distinct single-column ``focus``."""
@@ -92,7 +103,14 @@ def validate_shapes(kg: DataFrame, shapes: list[dict],
     - ``cls`` — every value must carry ``rdf:type cls`` (sh:class);
     - ``in_set`` — every value must be one of the listed terms;
     - ``has_value`` — at least one value equals the term (violation
-      row carries the MISSING term with got=NULL).
+      row carries the MISSING term with got=NULL);
+    - ``min_length`` / ``max_length`` — sh:minLength/maxLength over the
+      value's string form;
+    - ``datatype`` — ``"integer"`` / ``"decimal"`` / ``"boolean"`` /
+      ``"dateTime"`` lexical-form check (sh:datatype over a plain
+      string store: the VALUE must parse in the datatype's lexical
+      space — the useful half of datatype validation when terms don't
+      carry explicit ``^^`` tags).
 
     ``types`` defaults to the kg's own asserted rdf:type statements;
     pass ``infer_types(...)`` output to validate against the RDFS
@@ -156,6 +174,26 @@ def validate_shapes(kg: DataFrame, shapes: list[dict],
                 reports.append(_report(
                     name, disp, "in",
                     fvals.filter(~F.col("value").isin(*con["in_set"])),
+                    value=True))
+            if "min_length" in con:
+                reports.append(_report(
+                    name, disp, "minLength",
+                    fvals.filter(F.length("value") < con["min_length"]),
+                    value=True))
+            if "max_length" in con:
+                reports.append(_report(
+                    name, disp, "maxLength",
+                    fvals.filter(F.length("value") > con["max_length"]),
+                    value=True))
+            if "datatype" in con:
+                dt = con["datatype"]
+                if dt not in _DATATYPE_RE:
+                    raise ValueError(
+                        f"unsupported sh:datatype {dt!r} "
+                        f"(one of {sorted(_DATATYPE_RE)})")
+                reports.append(_report(
+                    name, disp, "datatype",
+                    fvals.filter(~F.col("value").rlike(_DATATYPE_RE[dt])),
                     value=True))
             if "has_value" in con:
                 holders = (fvals.filter(F.col("value") == con["has_value"])

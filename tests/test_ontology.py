@@ -1367,3 +1367,37 @@ def test_bgp_quad_inverse_and_alternation_carry_graph(spark):
     got = {(r.x, r.g) for r in bgp_match(
         kg, [("a", "ex:p|ex:r", "?x", "?g")]).collect()}
     assert got == {("b", "g1")}
+
+
+def test_validate_shapes_length_and_datatype(spark):
+    from dbpedia_spotlight_spark.operators.shapes import validate_shapes
+    kg = _kg_rows(spark, [
+        ("E1", "rdf:type", "Thing"),
+        ("E1", "ex:code", "AB"),          # too short
+        ("E1", "ex:code", "ABCDE"),       # ok
+        ("E1", "ex:code", "ABCDEFGHIJK"), # too long
+        ("E1", "ex:age", "42"),
+        ("E1", "ex:born", "not-a-date"),
+        ("E2", "rdf:type", "Thing"),
+        ("E2", "ex:age", "forty"),
+        ("E2", "ex:born", "1984-02-29T12:00:00Z"),
+    ])
+    shapes = [{"shape": "S", "target_class": "Thing", "constraints": [
+        {"path": "ex:code", "min_length": 3, "max_length": 8},
+        {"path": "ex:age", "datatype": "integer"},
+        {"path": "ex:born", "datatype": "dateTime"},
+    ]}]
+    got = {(r.focus, r.component, r.value)
+           for r in validate_shapes(kg, shapes).collect()}
+    assert got == {
+        ("E1", "minLength", "AB"),
+        ("E1", "maxLength", "ABCDEFGHIJK"),
+        ("E1", "datatype", "not-a-date"),
+        ("E2", "datatype", "forty"),
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="datatype"):
+        validate_shapes(kg, [{"shape": "S", "target_class": "Thing",
+                              "constraints": [{"path": "ex:age",
+                                               "datatype": "float128"}]}]
+                        ).collect()
