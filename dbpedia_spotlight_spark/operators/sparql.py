@@ -39,7 +39,9 @@ SPARQL spellings mapped (``&&``/``||``/``!``, ``REGEX`` →
 ``regexp_like``, ``STRLEN`` → ``length``, ``LCASE``/``UCASE``,
 ``STR()`` dropped, ``GROUP_CONCAT`` → sorted ``array_join`` with the
 optional ``; SEPARATOR=".."``, ``SAMPLE`` → ``min``). Not covered (use
-the structured API): federation, UNDEF in VALUES.
+the structured API): federation, UNDEF in VALUES, FROM / FROM NAMED
+dataset clauses (pre-filter the quad frame on its ``graph`` column
+instead — one pushed isin filter expresses either dataset).
 """
 
 from __future__ import annotations

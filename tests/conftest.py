@@ -61,3 +61,23 @@ def web_pages(spark, corpus):
     d = tempfile.mkdtemp(prefix="webpages_")
     write_corpus(spark, corpus[0], d, partitions=4)
     return spark.read.parquet(f"{d}/web_pages.parquet")
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """A small materialized KG (full-IRI + CURIE-style predicates) for
+    the SPARQL text-vs-structured property test — session-scoped so the
+    hypothesis loop never rebuilds it."""
+    rows = []
+    terms = ["a", "b", "c", "d"]
+    for i, s in enumerate(terms):
+        for j, o in enumerate(terms):
+            if (i + j) % 2 == 0:
+                rows.append((s, "urn:ex:p", o))
+            if (i * j) % 3 == 1:
+                rows.append((s, "urn:ex:q", o))
+            if i == j:
+                rows.append((s, "http://ex.org/r", o))
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+    return df.localCheckpoint(eager=True)

@@ -1401,3 +1401,26 @@ def test_validate_shapes_length_and_datatype(spark):
                               "constraints": [{"path": "ex:age",
                                                "datatype": "float128"}]}]
                         ).collect()
+
+
+def test_per_graph_closure_rounds_track_max_depth_not_graph_count(spark):
+    """The grouped fixpoint closes ALL graphs in one shared loop: 40
+    graphs of depth ≤3 must finish in 3 rounds (depth column never
+    exceeds 3), not 40 separate iterations — the scale property that
+    makes per-graph paths affordable."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        predicate_closure)
+    rows = []
+    for g in range(40):
+        # chain a->b->c->d inside graph g
+        for i, (s, o) in enumerate([("a", "b"), ("b", "c"), ("c", "d")]):
+            rows.append((f"{s}{g}", "ex:p", f"{o}{g}", f"g{g}"))
+    kg = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, graph string")
+    clo = predicate_closure(kg, "ex:p", per_graph=True)
+    got = clo.groupBy("graph").count().collect()
+    assert len(got) == 40 and all(r["count"] == 6 for r in got)
+    assert clo.agg(F.max("depth")).first()[0] == 3
+    # no cross-graph leakage: a0 never reaches d1
+    leak = clo.filter((F.col("sub") == "a0") & (F.col("sup") == "d1"))
+    assert leak.isEmpty()
