@@ -5741,6 +5741,49 @@ def sql_graph_provenance() -> str:
   GROUP BY l.obj"""
 
 
+def q_entity_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-graph provenance over the REAL pipeline output (not a
+    planted fixture): the emitted link triples become a quad store via
+    ``triples.as_quads`` (graph = the asserting page, recovered from
+    the NIF subj fragment), then a GRAPH-clause text query counts the
+    distinct pages asserting each entity — the 'how many independent
+    sources' question, end-to-end through annotate → quads → SPARQL."""
+    from dbpedia_spotlight_spark.operators.sparql import sparql
+    from dbpedia_spotlight_spark.triples import as_quads
+    ann = q_annotate_prior(spark, sf_dir).join(
+        F.broadcast(_docs(spark, sf_dir).select("doc_id", "source")),
+        "doc_id")
+    trip = ann.select(
+        F.concat_ws(
+            "", F.col("source"), F.lit("/"), F.col("doc_id"),
+            F.lit("#char="), F.col("begin"), F.lit(","), F.col("end"),
+        ).alias("subj"),
+        F.lit("itsrdf:taIdentRef").alias("pred"),
+        F.col("uri").alias("obj"),
+    ).dropDuplicates()
+    return sparql(as_quads(trip), """
+        SELECT ?e (COUNT(DISTINCT ?g) AS ?n_pages) WHERE {
+          GRAPH ?g { ?m itsrdf:taIdentRef ?e }
+        } GROUP BY ?e""")
+
+
+def sql_entity_provenance() -> str:
+    """Mirror: the ranked-annotation CTE chain; graph ≡ source/doc_id
+    (what as_quads recovers from the subj fragment), one COUNT
+    DISTINCT per entity."""
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  ann AS (
+    SELECT r.*, d.source FROM ranked r
+    JOIN documents d ON r.doc_id = d.doc_id WHERE r.rank = 1
+  )
+  SELECT uri AS e,
+         CAST(count(DISTINCT source || '/' || CAST(doc_id AS VARCHAR))
+              AS BIGINT) AS n_pages
+  FROM ann GROUP BY uri"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -170,6 +170,10 @@ ROTATED = [
     # sf_totals + redirect_closure OUT (green since round 1, both
     # recomputed inside the model_build registry oracle)
     ("sf_totals", Q.q_sf_totals, Q.sql_sf_totals),
+    # session-10 addition: REAL-table quad provenance — annotate →
+    # as_quads → GRAPH-clause text query, distinct asserting pages
+    ("entity_provenance", Q.q_entity_provenance,
+     Q.sql_entity_provenance),
     ("redirect_closure", Q.q_redirect_closure, Q.sql_redirect_closure),
     # session-10 addition: OWL-RL property axioms (inverseOf /
     # SymmetricProperty / TransitiveProperty incl. cycle self-loops)
