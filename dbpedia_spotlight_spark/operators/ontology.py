@@ -911,22 +911,28 @@ def construct(kg: DataFrame, patterns: list[tuple[str, str, str]],
 
 
 def _instantiate(sols: DataFrame,
-                 template: list[tuple[str, str, str]]) -> DataFrame:
-    """Instantiate template triples per solution row ('?var' terms take
-    the binding, other terms are constants); null bindings skip the
-    triple (the SPARQL incomplete-triple rule); set semantics."""
+                 template: list[tuple[str, str, str]],
+                 cols: tuple[str, ...] = ("subj", "pred", "obj"),
+                 ) -> DataFrame:
+    """Instantiate template triples (or quads — ``cols`` carries the
+    snapshot key) per solution row ('?var' terms take the binding,
+    other terms are constants); null bindings skip the row (the SPARQL
+    incomplete-triple rule); set semantics."""
     def term(t: str) -> F.Column:
         return F.col(t[1:]) if t.startswith("?") else F.lit(t)
 
     out = None
-    for s, p, o in template:
-        tri = sols.select(term(s).alias("subj"), term(p).alias("pred"),
-                          term(o).alias("obj"))
-        tri = tri.filter(F.col("subj").isNotNull()
-                         & F.col("pred").isNotNull()
-                         & F.col("obj").isNotNull())
-        out = tri if out is None else out.unionByName(tri)
-    return out.dropDuplicates(["subj", "pred", "obj"])
+    for tpl in template:
+        if len(tpl) != len(cols):
+            raise ValueError(
+                f"template arity {len(tpl)} != snapshot arity "
+                f"{len(cols)}: {tpl} — a quad store needs GRAPH "
+                "templates (s, p, o, g) and vice versa")
+        row = sols.select(*[term(t).alias(c) for t, c in zip(tpl, cols)])
+        for c in cols:
+            row = row.filter(F.col(c).isNotNull())
+        out = row if out is None else out.unionByName(row)
+    return out.dropDuplicates(list(cols))
 
 
 def update_kg(kg: DataFrame, patterns: list[tuple[str, str, str]],
@@ -949,18 +955,27 @@ def update_kg(kg: DataFrame, patterns: list[tuple[str, str, str]],
     one anti-join of the corpus-scale stream against the instantiated
     delete set keyed on the full triple, one union + distinct for the
     insert set. Returns the NEW snapshot frame; callers persist it as
-    the next generation (KGStore) — nothing mutates in place."""
+    the next generation (KGStore) — nothing mutates in place.
+
+    Over a QUAD snapshot (a ``graph`` column — ``triples.as_quads``),
+    the templates are 4-element ``GRAPH`` forms (s, p, o, g) — the
+    SPARQL 1.1 Update ``DELETE/INSERT { GRAPH … { … } }`` shape — and
+    WHERE patterns may be triples or quads as in ``bgp_match``; the
+    snapshot key becomes the full quad."""
     if not delete and not insert:
         raise ValueError("update_kg needs delete and/or insert templates")
+    cols = ("subj", "pred", "obj") + (
+        ("graph",) if "graph" in kg.columns else ())
     sols = bgp_match(kg, patterns, optional=optional,
                      filters=filters).localCheckpoint(eager=True)
     # ONE corpus-scale distinct: when inserts are present the post-union
     # dedup subsumes the upfront one (the anti-join never adds rows)
-    out = kg if insert else kg.dropDuplicates(["subj", "pred", "obj"])
+    out = kg.select(*cols) if insert \
+        else kg.select(*cols).dropDuplicates(list(cols))
     if delete:
-        out = out.join(_instantiate(sols, delete),
-                       ["subj", "pred", "obj"], "left_anti")
+        out = out.join(_instantiate(sols, delete, cols),
+                       list(cols), "left_anti")
     if insert:
-        out = out.unionByName(_instantiate(sols, insert)) \
-            .dropDuplicates(["subj", "pred", "obj"])
+        out = out.unionByName(_instantiate(sols, insert, cols)) \
+            .dropDuplicates(list(cols))
     return out

@@ -239,6 +239,30 @@ def _parse_patterns(body: str, env: _Env) -> list[tuple[str, str, str]]:
     return triples
 
 
+def _parse_template(body: str, env: _Env) -> list[tuple]:
+    """A DELETE/INSERT template block: plain triple patterns plus
+    ``GRAPH <term> { … }`` groups whose patterns become 4-element quad
+    templates — the SPARQL 1.1 Update GRAPH-template form for quad
+    snapshots."""
+    quads: list[tuple] = []
+    plain: list[str] = []
+    g_re = re.compile(r"(?i)(?<![:?\w\x00])GRAPH(?![\w:])")
+    i = 0
+    while True:
+        m = g_re.search(body, i)
+        if not m:
+            plain.append(body[i:])
+            break
+        plain.append(body[i:m.start()])
+        m2 = re.match(r"\s*([^\s{]+)", body[m.end():])
+        if not m2:
+            raise ValueError("GRAPH needs a ?var or IRI term")
+        gterm = _term(m2.group(1), env)
+        inner, i = _braced(body, m.end() + m2.end())
+        quads.extend(p + (gterm,) for p in _parse_patterns(inner, env))
+    return _parse_patterns(" ".join(plain), env) + quads
+
+
 def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
     """A group graph pattern → bgp_match kwargs (+ 'patterns').
     A bare ``{ SELECT … }`` block becomes a subselect (solved to a
@@ -408,7 +432,7 @@ def sparql(kg: DataFrame, query: str):
             if not m:
                 break
             body, j = _braced(text, i + m.end())
-            tmpl = _parse_patterns(body, env)
+            tmpl = _parse_template(body, env)
             if m.group(1).upper() == "DELETE":
                 delete = tmpl
             else:

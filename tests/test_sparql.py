@@ -353,3 +353,33 @@ def test_graph_clause_with_property_path(spark):
     got = {(r.x, r.g) for r in sparql(kg, """
         SELECT ?x ?g WHERE { GRAPH ?g { a ex:p+ ?x } }""").collect()}
     assert got == {("b", "g1")}
+
+
+def test_update_quad_store_graph_templates(spark):
+    """DELETE/INSERT over a quad snapshot: GRAPH templates move a
+    statement between graphs; the snapshot key is the full quad."""
+    kg = spark.createDataFrame([
+        ("a", "ex:status", "draft", "g1"),
+        ("b", "ex:status", "final", "g1"),
+        ("a", "ex:other", "x", "g2"),
+    ], "subj string, pred string, obj string, graph string")
+    out = sparql(kg, """
+        DELETE { GRAPH ?g { ?s ex:status draft } }
+        INSERT { GRAPH archive { ?s ex:status draft } }
+        WHERE  { GRAPH ?g { ?s ex:status draft } }""")
+    got = {tuple(r) for r in out.collect()}
+    assert got == {
+        ("b", "ex:status", "final", "g1"),
+        ("a", "ex:other", "x", "g2"),
+        ("a", "ex:status", "draft", "archive"),
+    }
+
+
+def test_update_quad_store_rejects_triple_templates(spark):
+    import pytest
+    kg = spark.createDataFrame(
+        [("a", "ex:p", "b", "g1")],
+        "subj string, pred string, obj string, graph string")
+    with pytest.raises(ValueError, match="arity"):
+        sparql(kg, """
+            DELETE { ?s ex:p ?o } WHERE { ?s ex:p ?o }""").collect()
