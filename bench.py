@@ -135,6 +135,8 @@ HEADLINE = [
                               # the materialized snapshot (round-4)
     "decontam_overlap",       # benchmark eval-leak gram probe (session 8)
     "ngram_perplexity",       # relational bigram-LM scoring (session 8)
+    "entity_provenance",      # quad-store GRAPH query over the real
+                              # annotate output (session 10)
 ]
 
 
@@ -149,6 +151,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     qs.setdefault("bgp_typed_mentions", Q.q_bgp_typed_mentions)
     qs.setdefault("events_hourly", Q.q_events_hourly)  # rotated out s8
     qs.setdefault("jaccard_pairs", Q.q_jaccard_pairs)  # swapped out s10
+    qs.setdefault("entity_provenance", Q.q_entity_provenance)  # rotated pair
     # warm up JVM + Python workers + compile/broadcast the static model so
     # per-query times measure the steady-state plan, not one-time setup
     Q._docs(spark, sf_dir).limit(8).mapInPandas(
