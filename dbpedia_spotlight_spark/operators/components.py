@@ -125,3 +125,54 @@ def dedup_keep(nodes: DataFrame, pairs: DataFrame, id_col: str = "id",
     labels = connected_components(nodes, pairs, id_col, max_iter,
                                   checkpoint_dir=checkpoint_dir)
     return labels.withColumn("keep", F.col("id") == F.col("comp"))
+
+
+def maintain_components(labels: DataFrame, pairs: DataFrame,
+                        pair_delta: DataFrame, max_iter: int = 20,
+                        checkpoint_dir: str | None = None,
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Incremental connected-components maintenance — the resolution
+    member of the IVM family, composing with ``er.maintain_sameas``'s
+    edge delta so the canonical-entity map follows each crawl batch
+    without a graph-scale relabeling.
+
+    ``labels`` is a previous ``connected_components`` output (id,
+    comp); ``pairs`` is the POST-delta undirected edge set (a, b);
+    ``pair_delta`` carries the edge changes (a, b, change ∈
+    added/removed — extra columns ignored).
+
+    Exactness (pytest-pinned against full recompute): only components
+    containing a delta endpoint can change — an added edge merges the
+    two (touched) endpoint components, a removed edge can only split
+    the (touched) component it lived in. The RECOMPUTE ZONE is the
+    full membership of every touched component plus brand-new delta
+    endpoints; no post-delta edge crosses the zone boundary (a
+    pre-existing edge lies inside one old component — all-in or
+    all-out; an added edge has both endpoints touched), so re-running
+    min-label propagation on the zone's induced subgraph reproduces
+    exactly the global answer for zone nodes, and every other label is
+    provably unchanged. Cost ∝ affected-component size, never |graph|.
+
+    Returns ``(new_labels, label_delta)`` — label_delta is the (id,
+    comp, old_comp) rows whose assignment changed (old_comp NULL for
+    nodes first seen in this delta)."""
+    touched = (pair_delta.select(F.col("a").alias("id"))
+               .unionByName(pair_delta.select(F.col("b").alias("id")))
+               .distinct())
+    comps = (labels.join(touched, "id", "left_semi")
+             .select("comp").distinct())
+    zone = (labels.join(comps, "comp", "left_semi").select("id")
+            .unionByName(touched).distinct()
+            .localCheckpoint(eager=True))
+    zone_pairs = pairs.join(zone.withColumnRenamed("id", "a"),
+                            "a", "left_semi")
+    new_zone = connected_components(zone, zone_pairs, max_iter=max_iter,
+                                    checkpoint_dir=checkpoint_dir)
+    kept = labels.join(zone, "id", "left_anti")
+    new_labels = kept.unionByName(new_zone)
+    delta = (new_zone
+             .join(labels.select("id", F.col("comp").alias("old_comp")),
+                   "id", "left")
+             .filter(~F.col("comp").eqNullSafe(F.col("old_comp")))
+             .select("id", "comp", "old_comp"))
+    return new_labels, delta

@@ -1220,3 +1220,75 @@ def test_ranking_plan_has_no_window_or_sort(spark):
     plan = (ranking_metrics(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in plan
+
+
+def test_maintain_components_randomized_batches_match_full_recompute(spark):
+    """7 random edge add/remove batches over a 40-node graph (merges
+    AND splits): maintained labels ≡ connected_components full
+    recompute after every batch; the delta reports exactly the changed
+    assignments."""
+    import random
+
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components, maintain_components)
+    rng = random.Random(20260818)
+    ids = list(range(40))
+
+    def frames(edge_set):
+        nodes = spark.createDataFrame([(i,) for i in ids], "id int")
+        pairs = spark.createDataFrame(
+            sorted(edge_set) or [(None, None)],
+            "a int, b int").dropna()
+        return nodes, pairs
+
+    cur = set()
+    for _ in range(30):
+        a, b = rng.sample(ids, 2)
+        cur.add((min(a, b), max(a, b)))
+    nodes, pairs = frames(cur)
+    labels = connected_components(nodes, pairs)
+    for batch in range(7):
+        adds, removes = set(), set()
+        for _ in range(rng.randint(2, 8)):
+            a, b = rng.sample(ids, 2)
+            e = (min(a, b), max(a, b))
+            if e in cur and rng.random() < 0.6:
+                removes.add(e)
+            elif e not in cur:
+                adds.add(e)
+        if not (adds or removes):
+            continue
+        cur = (cur - removes) | adds
+        delta = spark.createDataFrame(
+            [(a, b, "removed") for a, b in removes]
+            + [(a, b, "added") for a, b in adds],
+            "a int, b int, change string")
+        nodes, pairs = frames(cur)
+        new_labels, ldelta = maintain_components(labels, pairs, delta)
+        got = {(r.id, r.comp) for r in new_labels.collect()}
+        want = {(r.id, r.comp)
+                for r in connected_components(nodes, pairs).collect()}
+        assert got == want, f"batch {batch}"
+        old = {r.id: r.comp for r in labels.collect()}
+        want_delta = {(i, c, old.get(i)) for i, c in got
+                      if old.get(i) != c}
+        assert {(r.id, r.comp, r.old_comp)
+                for r in ldelta.collect()} == want_delta, f"batch {batch}"
+        labels = new_labels.localCheckpoint(eager=True)
+
+
+def test_maintain_components_new_node_and_split(spark):
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components, maintain_components)
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id int")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "a int, b int")
+    labels = connected_components(nodes, pairs)
+    # remove the bridge 1-2 (split) and attach a brand-new node 9 to 0
+    new_pairs = spark.createDataFrame([(0, 1), (0, 9)], "a int, b int")
+    delta = spark.createDataFrame(
+        [(1, 2, "removed"), (0, 9, "added")], "a int, b int, change string")
+    new_labels, ldelta = maintain_components(labels, new_pairs, delta)
+    got = {(r.id, r.comp) for r in new_labels.collect()}
+    assert got == {(0, 0), (1, 0), (2, 2), (9, 0)}
+    assert {(r.id, r.comp, r.old_comp) for r in ldelta.collect()} == {
+        (2, 2, 0), (9, 0, None)}
