@@ -283,3 +283,61 @@ def test_sameas_store_follows_kg_delta_log(spark, web_pages, model_bc,
 
     assert estore.catchup(store, [PRED_IDENT], **kw)["gens_folded"] == 0
     assert {tuple(r) for r in estore.read_edges().collect()} == expect
+
+
+def test_sameas_to_components_ivm_composition(spark):
+    """The full incremental canonicalization chain: maintain_sameas's
+    edge delta drives maintain_components, and the composed state
+    equals the batch er_sameas → connected_components recompute after
+    every random KG batch."""
+    import random
+
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components, maintain_components)
+    from dbpedia_spotlight_spark.operators.er import (
+        er_sameas, maintain_sameas)
+    rng = random.Random(7)
+    kw = dict(max_block=4, min_shared=1, max_name_dist=0, max_names=2)
+    ents = [f"E{i}" for i in range(24)]
+    pool = {"ex:k1": [f"h{j}" for j in range(6)],
+            "ex:k2": [f"v{j}" for j in range(6)]}
+    cur: set = set()
+    for e in ents:
+        for p, objs in pool.items():
+            for o in rng.sample(objs, rng.randint(0, 2)):
+                cur.add((e, p, o))
+
+    def batch_truth(kg_df):
+        edges = er_sameas(kg_df, list(pool), **kw)
+        nodes = spark.createDataFrame([(e,) for e in ents], "id string")
+        return connected_components(nodes, edges)
+
+    kg = _kg(spark, sorted(cur))
+    state = er_sameas(kg, list(pool), **kw).localCheckpoint(eager=True)
+    nodes = spark.createDataFrame([(e,) for e in ents], "id string")
+    labels = connected_components(nodes, state)
+    for batch in range(4):
+        adds, removes = set(), set()
+        for _ in range(rng.randint(3, 8)):
+            e, p = rng.choice(ents), rng.choice(list(pool))
+            o = rng.choice(pool[p])
+            if (e, p, o) in cur and rng.random() < 0.5:
+                removes.add((e, p, o))
+            elif (e, p, o) not in cur:
+                adds.add((e, p, o))
+        if not (adds or removes):
+            continue
+        cur = (cur - removes) | adds
+        delta = spark.createDataFrame(
+            [(s, p, o, "removed") for s, p, o in removes]
+            + [(s, p, o, "added") for s, p, o in adds],
+            "subj string, pred string, obj string, change string")
+        kg = _kg(spark, sorted(cur))
+        state, edge_delta = maintain_sameas(state, kg, delta,
+                                            list(pool), **kw)
+        state = state.localCheckpoint(eager=True)
+        labels, _ = maintain_components(labels, state, edge_delta)
+        labels = labels.localCheckpoint(eager=True)
+        got = {(r.id, r.comp) for r in labels.collect()}
+        want = {(r.id, r.comp) for r in batch_truth(kg).collect()}
+        assert got == want, f"batch {batch}"
