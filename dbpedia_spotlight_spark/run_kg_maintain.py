@@ -94,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "(SameasStore catch-up over the delta log — "
                          "touched-block IVM) instead of re-running the "
                          "batch discovery per fold")
+    ap.add_argument("--er-components", action="store_true",
+                    help="with --er-store: also maintain the canonical "
+                         "component map (maintain_components chained on "
+                         "each generation's sameAs edge delta)")
     ap.add_argument("--er-name-pred", default="foaf:name")
     ap.add_argument("--er-max-name-dist", type=int, default=2)
     ap.add_argument("--er-min-shared", type=int, default=2)
@@ -239,6 +243,7 @@ def main(argv: list[str] | None = None,
         er_st = SameasStore(spark, args.er_store)
         stats["er"] = er_st.catchup(
             store, [k for k in args.er_keys.split(",") if k],
+            components=args.er_components,
             name_pred=args.er_name_pred,
             max_name_dist=args.er_max_name_dist,
             min_shared=args.er_min_shared,

@@ -509,22 +509,38 @@ class SameasStore(KGStore):
     tail."""
 
     _EDGE_DDL = "a string, b string, n_shared long, name_dist int"
+    _LABEL_DDL = "id string, comp string"
 
     def read_edges(self) -> DataFrame:
         return self._read_state("edges", self._EDGE_DDL)
 
+    def read_labels(self) -> DataFrame:
+        """The maintained canonical map (id, comp) — only entities that
+        ever touched a sameAs edge carry a row; absence means
+        self-canonical. Populated when ``catchup(components=True)``."""
+        return self._read_state("labels", self._LABEL_DDL)
+
     def catchup(self, kg_store: KGStore, key_preds: list[str],
                 name_pred: str = "foaf:name", max_name_dist: int = 2,
                 min_shared: int = 2, max_block: int = 64,
-                max_names: int = 4) -> dict:
+                max_names: int = 4, components: bool = False) -> dict:
         """Fold every KG delta_log generation newer than this store's
         pointer through ``maintain_sameas`` — entity resolution follows
         each crawl batch for the price of its touched blocks, never a
-        KG-scale re-blocking."""
+        KG-scale re-blocking. ``components=True`` additionally chains
+        each generation's edge delta through ``maintain_components``,
+        so the canonical-entity map (min-URI per sameAs cluster — what
+        ``canonicalize_triples`` consumes) is maintained in the same
+        fold, zone-local, never graph-scale."""
+        from dbpedia_spotlight_spark.operators.components import (
+            maintain_components)
         from dbpedia_spotlight_spark.operators.er import maintain_sameas
         log, gens = self._pending_gens(kg_store)
         edges = self.read_edges()
+        labels = self.read_labels() if components else None
         stats = {"gens_folded": 0, "sameas_added": 0, "sameas_removed": 0}
+        if components:
+            stats["labels_changed"] = 0
         for g in gens:
             kg_g = kg_store.read_asof(g).select("subj", "pred", "obj")
             edges, edge_delta = maintain_sameas(
@@ -532,8 +548,15 @@ class SameasStore(KGStore):
                 name_pred=name_pred, max_name_dist=max_name_dist,
                 min_shared=min_shared, max_block=max_block,
                 max_names=max_names)
+            edges = edges.localCheckpoint(eager=True)
             edges.write.mode("overwrite").parquet(
                 f"{self._gen_path(g)}/edges")
+            if components:
+                labels, label_delta = maintain_components(
+                    labels, edges, edge_delta)
+                labels.write.mode("overwrite").parquet(
+                    f"{self._gen_path(g)}/labels")
+                stats["labels_changed"] += label_delta.count()
             by = {r["change"]: r["n"] for r in
                   edge_delta.groupBy("change").agg(F.count("*").alias("n"))
                   .collect()}
@@ -542,6 +565,8 @@ class SameasStore(KGStore):
             if prev is not None:
                 self._fs.delete(self._fs_path(self._gen_path(prev)), True)
             edges = self.read_edges()
+            if components:
+                labels = self.read_labels()
             stats["gens_folded"] += 1
             stats["sameas_added"] += by.get("added", 0)
             stats["sameas_removed"] += by.get("removed", 0)

@@ -271,18 +271,40 @@ def test_sameas_store_follows_kg_delta_log(spark, web_pages, model_bc,
     assert store.latest_gen() == 1
 
     estore = SameasStore(spark, str(tmp_path / "sameas"))
-    stats = estore.catchup(store, [PRED_IDENT], **kw)
+    stats = estore.catchup(store, [PRED_IDENT], components=True, **kw)
     assert stats["gens_folded"] == 2 and stats["gen"] == 1
-    assert stats["sameas_added"] > 0
+    assert stats["sameas_added"] > 0 and stats["labels_changed"] > 0
 
-    expect = {tuple(r) for r in er_sameas(
-        store.read().select("subj", "pred", "obj"), [PRED_IDENT],
-        **kw).collect()}
+    edges_full = er_sameas(
+        store.read().select("subj", "pred", "obj"), [PRED_IDENT], **kw)
+    expect = {tuple(r) for r in edges_full.collect()}
     got = {tuple(r) for r in estore.read_edges().collect()}
     assert got == expect and got
 
-    assert estore.catchup(store, [PRED_IDENT], **kw)["gens_folded"] == 0
+    # the chained canonical map ≡ batch connected_components over the
+    # final edge set (restricted to edge-incident nodes — absence in
+    # the store means self-canonical)
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components)
+    inc = (edges_full.select(F.col("a").alias("id"))
+           .unionByName(edges_full.select(F.col("b").alias("id")))
+           .distinct())
+    want_lab = {(r.id, r.comp) for r in
+                connected_components(inc, edges_full).collect()}
+    got_lab = {(r.id, r.comp) for r in estore.read_labels().collect()}
+    # the store may retain SELF-canonical rows for nodes whose edges
+    # vanished in a later generation (absence ≡ self-row by the map's
+    # contract); every non-self assignment must match the batch truth
+    assert {p for p in got_lab if p[0] != p[1]} ==         {p for p in want_lab if p[0] != p[1]}
+    assert want_lab <= got_lab
+    assert all(a == b for a, b in got_lab - want_lab)
+    assert got_lab
+
+    again = estore.catchup(store, [PRED_IDENT], components=True, **kw)
+    assert again["gens_folded"] == 0
     assert {tuple(r) for r in estore.read_edges().collect()} == expect
+    assert {(r.id, r.comp)
+            for r in estore.read_labels().collect()} == got_lab
 
 
 def test_sameas_to_components_ivm_composition(spark):

@@ -924,10 +924,11 @@ def test_run_kg_maintain_shapes_and_er(spark, web_pages, lexicon, tmp_path):
     from dbpedia_spotlight_spark.operators.er import er_sameas
     s3 = main(["--pages", pages2, "--lexicon", lex_dir, "--kg", kg_dir,
                "--er-keys", "itsrdf:taIdentRef",
-               "--er-store", str(tmp_path / "sameas"),
+               "--er-store", str(tmp_path / "sameas"), "--er-components",
                "--er-min-shared", "1", "--er-max-name-dist", "0",
                "--er-name-pred", "nif:anchorOf"], spark=spark)
     assert s3["er"]["gens_folded"] == 2 and s3["er"]["gen"] == 1
+    assert s3["er"]["labels_changed"] > 0
     want = er_sameas(store.read().select("subj", "pred", "obj"),
                      ["itsrdf:taIdentRef"], name_pred="nif:anchorOf",
                      min_shared=1, max_name_dist=0).count()
