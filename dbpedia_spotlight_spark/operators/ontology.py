@@ -494,6 +494,7 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
             "quad pattern over a triple snapshot without a 'graph' "
             f"column: {pat}")
     gcols = ["graph"] if quad else []
+    already_set = False
     if not pred.startswith("?") and pred[-1] in "+*?" and len(pred) > 1:
         inner = pred[:-1]
         if inner.startswith("^") or "|" in inner:
@@ -514,6 +515,7 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
         df = step.dropDuplicates(sel).select(
             F.col("sub").alias("subj"), F.lit(pred).alias("pred"),
             F.col("sup").alias("obj"), *gcols)
+        already_set = True  # closure dedup above is the set guarantee
     elif not pred.startswith("?") and pred.startswith("^"):
         inner = pred[1:]
         if inner.endswith("+") or "|" in inner:
@@ -546,6 +548,14 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
                 var_pos[var] = pos
         else:
             df = df.filter(F.col(pos) == term)
+    if not quad and not already_set and "graph" in kg.columns:
+        # SPARQL union default graph is SET-based: a triple asserted in
+        # several named graphs is ONE solution, not one per graph —
+        # without this, non-DISTINCT aggregates and bag-semantics joins
+        # inflate by the assertion multiplicity. Dedup AFTER the
+        # constant filters (predicate-sized, not graph-sized); the
+        # closure branch (+ * ?) already dedups via dropDuplicates(sel).
+        df = df.dropDuplicates(["subj", "pred", "obj"])
     out = df.select(*[F.col(p).alias(v) for v, p in var_pos.items()])
     return out, set(var_pos)
 

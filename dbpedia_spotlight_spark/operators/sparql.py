@@ -263,6 +263,17 @@ def _parse_template(body: str, env: _Env) -> list[tuple]:
     return _parse_patterns(" ".join(plain), env) + quads
 
 
+def _reject_graph_in_group(inner: str, where: str) -> None:
+    """OPTIONAL/MINUS/FILTER-EXISTS bodies are parsed as plain triple
+    patterns; a GRAPH clause inside them would tokenize into garbage
+    constant patterns that silently match nothing. Reject it loudly
+    (same guard regex as the GRAPH-group plain-pattern check)."""
+    if re.search(r"(?i)(?<![:?\w\x00])GRAPH(?![\w:])", inner):
+        raise ValueError(
+            f"GRAPH is not supported inside {where}; move the GRAPH "
+            "clause to the outer group")
+
+
 def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
     """A group graph pattern → bgp_match kwargs (+ 'patterns').
     A bare ``{ SELECT … }`` block becomes a subselect (solved to a
@@ -317,6 +328,7 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
             continue
         if kw in ("OPTIONAL", "MINUS"):
             inner, i = _braced(body, m.end())
+            _reject_graph_in_group(inner, kw)
             parts["optional" if kw == "OPTIONAL" else "minus"].append(
                 _parse_patterns(inner, env))
         elif kw == "FILTER":
@@ -324,6 +336,7 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
             if m2:
                 inner, i = _braced(body, m.end() + m2.end())
                 key = "not_exists" if m2.group(1) else "exists"
+                _reject_graph_in_group(inner, "FILTER " + key.upper())
                 parts[key].append(_parse_patterns(inner, env))
             else:
                 expr, i = _parened(body, m.end())

@@ -5628,7 +5628,13 @@ def q_owl_entail(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv = spark.createDataFrame([("ex:parentOf", "ex:childOf")],
                                 "pred string, inv string")
     return (
+        # anti-join the lifted statements against the asserted kg so the
+        # Spark side is STRUCTURALLY 'derived minus asserted' (matching
+        # sql_owl_entail, which anti-joins ALL derived rows) — not just
+        # coincidentally equal because the planted lanes use disjoint
+        # subject prefixes
         infer_subproperties(kg, sub)
+        .join(kg, ["subj", "pred", "obj"], "left_anti")
         .unionByName(infer_property_axioms(
             kg, inverses=inv, symmetric=["ex:adjacentTo"],
             transitive=["ex:ancestorOf"]))

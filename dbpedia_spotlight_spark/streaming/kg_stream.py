@@ -518,7 +518,17 @@ class SameasStore(KGStore):
         """The maintained canonical map (id, comp) — only entities that
         ever touched a sameAs edge carry a row; absence means
         self-canonical. Populated when ``catchup(components=True)``."""
+        if not self._has_labels():
+            raise ValueError(
+                "this SameasStore generation carries no labels frame — "
+                "run catchup(components=True) first (it bootstraps the "
+                "canonical map from the current edge set)")
         return self._read_state("labels", self._LABEL_DDL)
+
+    def _has_labels(self) -> bool:
+        gen = self.latest_gen()
+        return gen is None or self._fs.exists(
+            self._fs_path(f"{self._gen_path(gen)}/labels"))
 
     def catchup(self, kg_store: KGStore, key_preds: list[str],
                 name_pred: str = "foaf:name", max_name_dist: int = 2,
@@ -531,15 +541,49 @@ class SameasStore(KGStore):
         each generation's edge delta through ``maintain_components``,
         so the canonical-entity map (min-URI per sameAs cluster — what
         ``canonicalize_triples`` consumes) is maintained in the same
-        fold, zone-local, never graph-scale."""
+        fold, zone-local, never graph-scale.
+
+        The flag is safe to toggle between runs: enabling it over a
+        store previously caught up without labels BOOTSTRAPS the map
+        from the current edge set (one ``connected_components``, edge-
+        set-sized), and once labels exist they stay maintained on every
+        later fold even if called with ``components=False`` — pausing
+        would silently drop the map when the fold deletes the previous
+        generation directory."""
         from dbpedia_spotlight_spark.operators.components import (
-            maintain_components)
+            connected_components, maintain_components)
         from dbpedia_spotlight_spark.operators.er import maintain_sameas
         log, gens = self._pending_gens(kg_store)
         edges = self.read_edges()
-        labels = self.read_labels() if components else None
+        # The components flag is STICKY across runs: once a catchup has
+        # maintained labels, later folds keep maintaining them even when
+        # called with components=False — each fold deletes the previous
+        # generation dir, so pausing would silently drop the canonical
+        # map. Toggling ON over a store previously caught up withOUT
+        # labels bootstraps them from the CURRENT edge set (one
+        # connected_components over the sameAs graph — edge-set-sized,
+        # never KG-sized), persisted into the live generation so
+        # read_labels works immediately, then maintained incrementally.
+        live = self.latest_gen()
+        labels_present = live is not None and self._fs.exists(
+            self._fs_path(f"{self._gen_path(live)}/labels"))
+        maintain_labels = components or labels_present
+        labels = None
+        if maintain_labels:
+            if labels_present or live is None:
+                labels = self.read_labels()
+            else:
+                nodes = (edges.select(F.col("a").alias("id"))
+                         .unionByName(edges.select(F.col("b").alias("id")))
+                         .distinct())
+                labels = connected_components(
+                    nodes, edges.select("a", "b")).localCheckpoint(
+                        eager=True)
+                labels.write.mode("overwrite").parquet(
+                    f"{self._gen_path(live)}/labels")
+                labels = self.read_labels()
         stats = {"gens_folded": 0, "sameas_added": 0, "sameas_removed": 0}
-        if components:
+        if maintain_labels:
             stats["labels_changed"] = 0
         for g in gens:
             kg_g = kg_store.read_asof(g).select("subj", "pred", "obj")
@@ -551,7 +595,7 @@ class SameasStore(KGStore):
             edges = edges.localCheckpoint(eager=True)
             edges.write.mode("overwrite").parquet(
                 f"{self._gen_path(g)}/edges")
-            if components:
+            if maintain_labels:
                 labels, label_delta = maintain_components(
                     labels, edges, edge_delta)
                 labels.write.mode("overwrite").parquet(
@@ -565,7 +609,7 @@ class SameasStore(KGStore):
             if prev is not None:
                 self._fs.delete(self._fs_path(self._gen_path(prev)), True)
             edges = self.read_edges()
-            if components:
+            if maintain_labels:
                 labels = self.read_labels()
             stats["gens_folded"] += 1
             stats["sameas_added"] += by.get("added", 0)

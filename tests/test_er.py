@@ -363,3 +363,75 @@ def test_sameas_to_components_ivm_composition(spark):
         got = {(r.id, r.comp) for r in labels.collect()}
         want = {(r.id, r.comp) for r in batch_truth(kg).collect()}
         assert got == want, f"batch {batch}"
+
+
+def test_sameas_store_components_flag_toggles_safely(spark, web_pages,
+                                                     model_bc, tmp_path):
+    """Round-5 ADVICE: toggling components across catchup runs must not
+    crash or silently drop the canonical map. components=False first
+    (no labels; read_labels raises a CLEAR error), then =True over the
+    labels-less store (BOOTSTRAPS from the current edge set), then
+    =False again (sticky: labels keep being maintained — the fold
+    deletes the previous generation, so pausing would lose them)."""
+    import datetime
+
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components)
+    from dbpedia_spotlight_spark.operators.er import er_sameas
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        KGStore, SameasStore, apply_pages_batch)
+    from dbpedia_spotlight_spark.triples import PRED_ANCHOR, PRED_IDENT
+
+    kw = dict(name_pred=PRED_ANCHOR, min_shared=1, max_block=6,
+              max_name_dist=0)
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    rows = web_pages.select(*cols).orderBy("url").collect()
+    schema = web_pages.select(*cols).schema
+    store = KGStore(spark, str(tmp_path / "kg"))
+    estore = SameasStore(spark, str(tmp_path / "sameas"))
+
+    def recrawl(day, n):
+        return [(rows[i][0], rows[i][1] + datetime.timedelta(days=day),
+                 bytes(rows[(i + 3 * day) % len(rows)][2]),
+                 rows[i][3], rows[i][4]) for i in range(n)]
+
+    def batch_labels():
+        edges = er_sameas(store.read().select("subj", "pred", "obj"),
+                          [PRED_IDENT], **kw)
+        inc = (edges.select(F.col("a").alias("id"))
+               .unionByName(edges.select(F.col("b").alias("id")))
+               .distinct())
+        return {(r.id, r.comp)
+                for r in connected_components(inc, edges).collect()}
+
+    # gen 0: fold WITHOUT components — no labels frame, clear error
+    apply_pages_batch(spark, spark.createDataFrame(rows, schema),
+                      model_bc, store, batch_id=0, cfg=cfg)
+    s0 = estore.catchup(store, [PRED_IDENT], components=False, **kw)
+    assert s0["gens_folded"] == 1 and "labels_changed" not in s0
+    with pytest.raises(ValueError, match="no labels frame"):
+        estore.read_labels()
+
+    # gen 1: toggle ON over the labels-less store → bootstrap + maintain
+    apply_pages_batch(spark, spark.createDataFrame(recrawl(1, 2), schema),
+                      model_bc, store, batch_id=1, cfg=cfg)
+    s1 = estore.catchup(store, [PRED_IDENT], components=True, **kw)
+    assert s1["gens_folded"] == 1 and "labels_changed" in s1
+    want = batch_labels()
+    got = {(r.id, r.comp) for r in estore.read_labels().collect()}
+    assert {p for p in got if p[0] != p[1]} == \
+        {p for p in want if p[0] != p[1]}
+    assert want <= got and all(a == b for a, b in got - want)
+
+    # gen 2: toggle OFF again — labels must KEEP being maintained
+    apply_pages_batch(spark, spark.createDataFrame(recrawl(2, 3), schema),
+                      model_bc, store, batch_id=2, cfg=cfg)
+    s2 = estore.catchup(store, [PRED_IDENT], components=False, **kw)
+    assert s2["gens_folded"] == 1 and "labels_changed" in s2
+    want = batch_labels()
+    got = {(r.id, r.comp) for r in estore.read_labels().collect()}
+    assert {p for p in got if p[0] != p[1]} == \
+        {p for p in want if p[0] != p[1]}
+    assert want <= got and all(a == b for a, b in got - want)

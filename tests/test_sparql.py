@@ -383,3 +383,44 @@ def test_update_quad_store_rejects_triple_templates(spark):
     with pytest.raises(ValueError, match="arity"):
         sparql(kg, """
             DELETE { ?s ex:p ?o } WHERE { ?s ex:p ?o }""").collect()
+
+
+def test_graph_rejected_inside_optional_minus_exists(spark):
+    """A GRAPH clause nested in OPTIONAL/MINUS/FILTER (NOT) EXISTS must
+    raise loudly instead of tokenizing into constant patterns that
+    silently match nothing (round-5 ADVICE)."""
+    kg = spark.createDataFrame(
+        [("a", "p", "b", "g")],
+        "subj string, pred string, obj string, graph string")
+    for body in (
+        "?x p ?y . OPTIONAL { GRAPH ?g { ?x q ?z } }",
+        "?x p ?y . MINUS { GRAPH ?g { ?x p ?y } }",
+        "?x p ?y . FILTER EXISTS { GRAPH ?g { ?x p ?y } }",
+        "?x p ?y . FILTER NOT EXISTS { GRAPH <g> { ?x p ?y } }",
+    ):
+        with pytest.raises(ValueError, match="GRAPH is not supported"):
+            sparql(kg, "SELECT ?x WHERE { " + body + " }")
+
+
+def test_union_default_graph_is_set_based(spark):
+    """A triple asserted in several named graphs is ONE solution for a
+    3-element pattern over a quad snapshot — non-DISTINCT aggregates
+    must not inflate by assertion multiplicity (round-5 ADVICE)."""
+    kg = spark.createDataFrame([
+        ("m1", "ref", "E1", "g1"),
+        ("m1", "ref", "E1", "g2"),   # same triple, second graph
+        ("m1", "ref", "E1", "g3"),   # and a third
+        ("m2", "ref", "E1", "g1"),
+        ("E1", "rdf:type", "T1", "schema"),
+    ], "subj string, pred string, obj string, graph string")
+    got = {(r.e, r.n) for r in sparql(kg, """
+        SELECT ?e (COUNT(*) AS ?n) WHERE {
+          ?m ref ?e . ?e a T1 .
+        } GROUP BY ?e""").collect()}
+    assert got == {("E1", 2)}
+    # the quad form still sees per-graph multiplicity
+    got = {(r.e, r.n) for r in sparql(kg, """
+        SELECT ?e (COUNT(*) AS ?n) WHERE {
+          GRAPH ?g { ?m ref ?e } . ?e a T1 .
+        } GROUP BY ?e""").collect()}
+    assert got == {("E1", 4)}
