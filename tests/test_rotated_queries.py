@@ -147,9 +147,6 @@ ROTATED = [
     # round-4 session-9 addition: C4 cross-document line dedup
     # (kept-first by (doc_id, idx); texts never shuffle)
     ("line_dedup", Q.q_line_dedup, Q.sql_line_dedup),
-    # round-4 session-10 addition: SHACL-core-lite validation report
-    # over a planted KG (all 8 constraint components fire)
-    ("shape_report", Q.q_shape_report, Q.sql_shape_report),
     # round-4 session-10 addition: ER sameAs discovery (blocking +
     # Levenshtein verify; over-cap block guard non-vacuous)
     ("er_sameas", Q.q_er_sameas, Q.sql_er_sameas),
@@ -159,9 +156,6 @@ ROTATED = [
     # round-4 session-10 addition: SPARQL 1.1 DELETE/INSERT WHERE
     # (type-gated predicate migration; (G ∖ D) ∪ I set semantics)
     ("update_migrate", Q.q_update_migrate, Q.sql_update_migrate),
-    # round-4 session-10 addition: SPARQL TEXT front-end (parser →
-    # planner dispatch; join + FILTER + GROUP BY aggregates)
-    ("sparql_text", Q.q_sparql_text, Q.sql_sparql_text),
     # round-4 session-10 addition: link-prediction eval (MRR/Hits@k
     # from higher/tied counts — no window, no sort)
     ("ranking_eval", Q.q_ranking_eval, Q.sql_ranking_eval),
@@ -180,6 +174,13 @@ ROTATED = [
     # + rdfs:5/7 subproperty lift — closure unrolled 4 rounds in DuckDB
     # session-10 addition: named-graph (quad) provenance querying —
     # GRAPH clause in the text front-end over an as_quads store
+    # round-5 sixth rotation: sparql_text + shape_report INTO the
+    # 50-slot registry (text front-end + SHACL validation under hard
+    # driver signal); annotate_stemmed + annotate_tficf OUT (T2/D3,
+    # green since round 1 — stemming stays pinned by test_stemmer.py,
+    # TF-ICF by this pair)
+    ("annotate_stemmed", Q.q_annotate_stemmed, Q.sql_annotate_stemmed),
+    ("annotate_tficf", Q.q_annotate_tficf, Q.sql_annotate_tficf),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
