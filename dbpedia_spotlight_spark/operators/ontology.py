@@ -497,7 +497,7 @@ def _pattern_frame(kg: DataFrame, pat: tuple[str, str, str]) -> tuple[DataFrame,
     already_set = False
     if not pred.startswith("?") and pred[-1] in "+*?" and len(pred) > 1:
         inner = pred[:-1]
-        if inner.startswith("^") or "|" in inner:
+        if inner.startswith(("^", "!")) or "|" in inner:
             raise ValueError(f"unsupported nested property path: {pred}")
         sel = ["sub", "sup"] + gcols
         if pred.endswith("+"):

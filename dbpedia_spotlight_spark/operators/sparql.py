@@ -37,8 +37,11 @@ FILTER / BIND / HAVING / aggregate expressions are Spark SQL over the
 variable columns after ``?var`` → column substitution, with the common
 SPARQL spellings mapped (``&&``/``||``/``!``, ``REGEX`` →
 ``regexp_like``, ``STRLEN`` → ``length``, ``LCASE``/``UCASE``,
-``STR()`` dropped, ``GROUP_CONCAT`` → sorted ``array_join`` with the
-optional ``; SEPARATOR=".."``, ``SAMPLE`` → ``min``). Not covered (use
+``STRSTARTS``/``STRENDS``/``CONTAINS`` → ``startswith``/``endswith``/
+``contains``, ``SUBSTR`` → ``substring`` (both 1-based), ``REPLACE``,
+``BOUND(?x)`` → ``x IS NOT NULL``, ``STR()`` dropped, ``GROUP_CONCAT``
+→ sorted ``array_join`` with the optional ``; SEPARATOR=".."``,
+``SAMPLE`` → ``min``). Not covered (use
 the structured API): federation, UNDEF in VALUES, FROM / FROM NAMED
 dataset clauses (pre-filter the quad frame on its ``graph`` column
 instead — one pushed isin filter expresses either dataset).
@@ -174,6 +177,13 @@ _EXPR_MAP = [
     (re.compile(r"(?i)\bSTRLEN\s*\("), "length("),
     (re.compile(r"(?i)\bLCASE\s*\("), "lower("),
     (re.compile(r"(?i)\bUCASE\s*\("), "upper("),
+    (re.compile(r"(?i)\bSTRSTARTS\s*\("), "startswith("),
+    (re.compile(r"(?i)\bSTRENDS\s*\("), "endswith("),
+    (re.compile(r"(?i)\bCONTAINS\s*\("), "contains("),
+    (re.compile(r"(?i)\bSUBSTR\s*\("), "substring("),  # both 1-based
+    (re.compile(r"(?i)\bREPLACE\s*\("), "replace("),
+    (re.compile(r"(?i)\bBOUND\s*\(\s*(\?\w+)\s*\)"),
+     r"(\1 IS NOT NULL)"),
     (re.compile(r"(?i)\bSTR\s*\(\s*(\?\w+)\s*\)"), r"\1"),
 ]
 
@@ -339,7 +349,16 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
                 _reject_graph_in_group(inner, "FILTER " + key.upper())
                 parts[key].append(_parse_patterns(inner, env))
             else:
-                expr, i = _parened(body, m.end())
+                # FILTER BrackettedExpression | FILTER BuiltInCall —
+                # 'FILTER REGEX(?n, "^A")' is grammar-valid without the
+                # wrapping parens; keep the call name in the expression
+                m3 = re.match(r"\s*([A-Za-z_]\w*)\s*(?=\()",
+                              body[m.end():])
+                if m3:
+                    args, i = _parened(body, m.end() + m3.end())
+                    expr = f"{m3.group(1)}({args})"
+                else:
+                    expr, i = _parened(body, m.end())
                 parts["filters"].append(_expr(expr, env))
         elif kw == "BIND":
             expr, i = _parened(body, m.end())
