@@ -172,6 +172,17 @@ class KGStore:
         (every advance appends ≥1 row; expiry drops a prefix), so the
         check is one min() against pointer+1 (or 0 for a fresh store)."""
         since = self.latest_gen()
+        # heal crash residue: a fold that died between the pointer flip
+        # and the previous-generation delete leaves that older directory
+        # orphaned FOREVER (each later fold deletes only its own
+        # predecessor) — sweep everything below the live generation.
+        # Directories ABOVE it (crash between state write and flip) need
+        # no sweep: the re-fold overwrites them.
+        if since is not None:
+            for st in self._fs.listStatus(self._fs_path(self.root)):
+                name = st.getPath().getName()
+                if name.startswith("gen-") and int(name[4:]) < since:
+                    self._fs.delete(st.getPath(), True)
         log = kg_store.read_log(since_gen=-1 if since is None else since)
         gens = sorted(r.gen for r in log.select("gen").distinct().collect())
         need = 0 if since is None else since + 1
@@ -230,6 +241,15 @@ class KGStore:
         if url_watermarks is not None:
             url_watermarks.select("url", "warc_ts").write.mode(
                 "overwrite").parquet(f"{self._gen_path(gen)}/urls")
+        # heal crash residue: an advance that died between the delta_log
+        # append and the pointer flip left an orphaned gen=<gen>
+        # partition (partitions ≤ pointer are committed; this gen's can
+        # only be residue) — re-appending over it would double every
+        # change row for log consumers (read_asof reversal, diff,
+        # derived-store counting IVM), so drop it first
+        orphan = self._fs_path(f"{self.root}/delta_log/gen={gen}")
+        if self._fs.exists(orphan):
+            self._fs.delete(orphan, True)
         # gen-partitioned so incremental readers prune to the tail and
         # retention is a directory drop, not a rewrite
         (delta.withColumn("batch_id", F.lit(batch_id))
