@@ -31,7 +31,9 @@ Supported surface:
   a QUAD snapshot (a frame with a ``graph`` column —
   ``triples.as_quads``): the group's patterns become 4-element quad
   patterns; the graph variable binds/projects like any other. GRAPH
-  groups hold plain triple patterns (no nested keywords).
+  clauses also work INSIDE OPTIONAL / MINUS / FILTER (NOT) EXISTS
+  bodies (``bgp_match`` accepts quads in every group). A GRAPH group
+  itself holds plain triple patterns (no nested keywords).
 
 FILTER / BIND / HAVING / aggregate expressions are Spark SQL over the
 variable columns after ``?var`` → column substitution, with the common
@@ -250,10 +252,15 @@ def _parse_patterns(body: str, env: _Env) -> list[tuple[str, str, str]]:
 
 
 def _parse_template(body: str, env: _Env) -> list[tuple]:
-    """A DELETE/INSERT template block: plain triple patterns plus
-    ``GRAPH <term> { … }`` groups whose patterns become 4-element quad
-    templates — the SPARQL 1.1 Update GRAPH-template form for quad
-    snapshots."""
+    """A mixed pattern block: plain triple patterns plus ``GRAPH
+    <term> { … }`` groups whose patterns become 4-element quad
+    patterns. Serves both the SPARQL 1.1 Update GRAPH-template form
+    and the bodies of OPTIONAL / MINUS / FILTER (NOT) EXISTS groups —
+    ``bgp_match`` accepts quads in every group, so the text front-end
+    threads them through unchanged. A GRAPH sub-group must hold plain
+    triple patterns only (the same restriction as a top-level GRAPH
+    clause); any other structure inside it would tokenize into garbage
+    constant patterns, so it is rejected loudly."""
     quads: list[tuple] = []
     plain: list[str] = []
     g_re = re.compile(r"(?i)(?<![:?\w\x00])GRAPH(?![\w:])")
@@ -269,19 +276,12 @@ def _parse_template(body: str, env: _Env) -> list[tuple]:
             raise ValueError("GRAPH needs a ?var or IRI term")
         gterm = _term(m2.group(1), env)
         inner, i = _braced(body, m.end() + m2.end())
+        if re.search(r"(?i)(?<![:?\w\x00])(OPTIONAL|MINUS|FILTER"
+                     r"|VALUES|BIND|GRAPH)(?![\w:])|\{", inner):
+            raise ValueError(
+                "GRAPH groups support plain triple patterns only")
         quads.extend(p + (gterm,) for p in _parse_patterns(inner, env))
     return _parse_patterns(" ".join(plain), env) + quads
-
-
-def _reject_graph_in_group(inner: str, where: str) -> None:
-    """OPTIONAL/MINUS/FILTER-EXISTS bodies are parsed as plain triple
-    patterns; a GRAPH clause inside them would tokenize into garbage
-    constant patterns that silently match nothing. Reject it loudly
-    (same guard regex as the GRAPH-group plain-pattern check)."""
-    if re.search(r"(?i)(?<![:?\w\x00])GRAPH(?![\w:])", inner):
-        raise ValueError(
-            f"GRAPH is not supported inside {where}; move the GRAPH "
-            "clause to the outer group")
 
 
 def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
@@ -337,17 +337,18 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
                          for p in _parse_patterns(inner, env))
             continue
         if kw in ("OPTIONAL", "MINUS"):
+            # _parse_template: plain patterns + GRAPH sub-groups →
+            # mixed triple/quad list (bgp_match takes quads in every
+            # group, so GRAPH inside OPTIONAL/MINUS just works)
             inner, i = _braced(body, m.end())
-            _reject_graph_in_group(inner, kw)
             parts["optional" if kw == "OPTIONAL" else "minus"].append(
-                _parse_patterns(inner, env))
+                _parse_template(inner, env))
         elif kw == "FILTER":
             m2 = re.match(r"(?is)\s*(NOT\s+)?EXISTS\b", body[m.end():])
             if m2:
                 inner, i = _braced(body, m.end() + m2.end())
                 key = "not_exists" if m2.group(1) else "exists"
-                _reject_graph_in_group(inner, "FILTER " + key.upper())
-                parts[key].append(_parse_patterns(inner, env))
+                parts[key].append(_parse_template(inner, env))
             else:
                 # FILTER BrackettedExpression | FILTER BuiltInCall —
                 # 'FILTER REGEX(?n, "^A")' is grammar-valid without the

@@ -385,21 +385,50 @@ def test_update_quad_store_rejects_triple_templates(spark):
             DELETE { ?s ex:p ?o } WHERE { ?s ex:p ?o }""").collect()
 
 
-def test_graph_rejected_inside_optional_minus_exists(spark):
-    """A GRAPH clause nested in OPTIONAL/MINUS/FILTER (NOT) EXISTS must
-    raise loudly instead of tokenizing into constant patterns that
-    silently match nothing (round-5 ADVICE)."""
-    kg = spark.createDataFrame(
-        [("a", "p", "b", "g")],
-        "subj string, pred string, obj string, graph string")
-    for body in (
-        "?x p ?y . OPTIONAL { GRAPH ?g { ?x q ?z } }",
-        "?x p ?y . MINUS { GRAPH ?g { ?x p ?y } }",
-        "?x p ?y . FILTER EXISTS { GRAPH ?g { ?x p ?y } }",
-        "?x p ?y . FILTER NOT EXISTS { GRAPH <g> { ?x p ?y } }",
+def test_graph_inside_optional_minus_exists(spark):
+    """GRAPH clauses nested in OPTIONAL/MINUS/FILTER (NOT) EXISTS are
+    threaded through as quad patterns (bgp_match accepts quads in every
+    group) — round-5 ADVICE, upgraded from reject to support."""
+    kg = spark.createDataFrame([
+        ("a", "p", "b", "g1"),
+        ("x", "p", "y", "g1"),
+        ("b", "q", "c", "g2"),
+        ("a", "r", "k", "g2"),
+    ], "subj string, pred string, obj string, graph string")
+
+    # OPTIONAL { GRAPH ?g {...} }: the graph var binds on match, nulls
+    # on no-match — the standard OPTIONAL padding
+    got = {(r.s, r.g, r.z) for r in sparql(kg, """
+        SELECT ?s ?g ?z WHERE {
+          ?s p ?o . OPTIONAL { GRAPH ?g { ?o q ?z } } }""").collect()}
+    assert got == {("a", "g2", "c"), ("x", None, None)}
+
+    # MINUS { GRAPH <iri> {...} }: graph-pinned removal
+    got = {r.s for r in sparql(kg, """
+        SELECT ?s WHERE {
+          ?s p ?o . MINUS { GRAPH g2 { ?s r ?k } } }""").collect()}
+    assert got == {"x"}
+
+    # FILTER EXISTS / NOT EXISTS with a GRAPH body
+    got = {r.s for r in sparql(kg, """
+        SELECT ?s WHERE {
+          ?s p ?o . FILTER EXISTS { GRAPH g2 { ?s r ?k } } }""").collect()}
+    assert got == {"a"}
+    got = {r.s for r in sparql(kg, """
+        SELECT ?s WHERE {
+          ?s p ?o .
+          FILTER NOT EXISTS { GRAPH ?g { ?s r ?k } } }""").collect()}
+    assert got == {"x"}
+
+    # a GRAPH sub-group still holds plain patterns only — nested
+    # structure inside it stays a loud error, wherever it appears
+    for q in (
+        "SELECT ?x WHERE { ?x p ?y . OPTIONAL { GRAPH ?g { "
+        "?x q ?z . FILTER(?z != 'c') } } }",
+        "SELECT ?x WHERE { GRAPH ?g { OPTIONAL { ?x q ?z } } }",
     ):
-        with pytest.raises(ValueError, match="GRAPH is not supported"):
-            sparql(kg, "SELECT ?x WHERE { " + body + " }")
+        with pytest.raises(ValueError, match="plain triple patterns"):
+            sparql(kg, q)
 
 
 def test_union_default_graph_is_set_based(spark):
