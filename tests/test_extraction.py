@@ -137,3 +137,93 @@ def test_detect_charset_dataframe_op(spark):
                    "c": "windows-1252"}
     texts = {r["url"]: r["text"] for r in decode_pages(df).collect()}
     assert texts["c"] == "café"
+
+
+# ---------------------------------------------------------------------------
+# Fast-path scanner ≡ stock html.parser (byte-identity of the frozen spec)
+# ---------------------------------------------------------------------------
+
+
+NASTY_HTML = [
+    '<p>a<b>c', '<p >x</p >', '<a href="a>b">t</a>', "<a href='a<b'>t</a>",
+    '<br/><BR/><P>up</P>', '<script>1<2</script>after',
+    '<script>x</scripty></script>ok', '<script x>1</script>z',
+    '<!-- c -- >text', '<!doctype html><p>d</p>', '<?pi?>x', '<p>a < b</p>',
+    '<p>&amp;&lt;&gt;&#65;&unknown;</p>', 'a&ampb', '&amp', '<>x', '< p>y',
+    '<noscript><p>hid</p></noscript>vis', '<template>z</template>q',
+    '<NoScript>a</NOSCRIPT>b', '<div a=b/>t', '<div a=b/ >u',
+    '<p class=>e</p>', '<p\tclass="x">f</p>', '<a b="c" d>g</a>',
+    '<style>.a{}</style>tail', '<p>truncated<', '<p>end<!',
+    '<ul><li>1<li>2</ul>', '<p><p><p>', '</p stray>x', '<p@ x=1>y',
+    '<script></SCRIPT>v', '<script>a</ script>w', '<em>inline</em> ok',
+    '<a ="x">q', '<a "b>">r', '<a b=c/>s', '<noscript><p>x</noscript>',
+    '<script><p></script>done', '<!bogus>t', '<![CDATA[x]]>u',
+    '<a b="x>y">z', "<a b='x>y'>z", '<a b = "x">w', '<a b=="x">v',
+    '<p b=>k', '<script src="a>b">x</script>tail2',
+]
+
+
+def test_fast_path_matches_stock_on_nasty_battery():
+    """Every handcrafted adversarial input: the fast path either
+    answers byte-identically to the stock parser or abstains (None),
+    never answers differently."""
+    from dbpedia_spotlight_spark.functions.extraction import (
+        _strip_fast, _strip_stock)
+
+    abstained = 0
+    for h in NASTY_HTML:
+        fast = _strip_fast(h)
+        if fast is None:
+            abstained += 1
+        else:
+            assert fast == _strip_stock(h), h
+    # the subset is real: most of the battery IS inside it
+    assert abstained < len(NASTY_HTML) // 2
+
+
+def test_fast_path_covers_the_synthetic_corpus(corpus):
+    """The benchmark corpus must ride the fast path (no fallback) and
+    stay byte-identical to the golden text column."""
+    from dbpedia_spotlight_spark.functions.extraction import _strip_fast
+
+    pages = corpus[0] if isinstance(corpus, tuple) else corpus
+    for h, t in zip(pages["html"], pages["text"]):
+        fast = _strip_fast(bytes(h).decode("utf-8", errors="replace"))
+        assert fast is not None and fast == t
+
+
+def test_fast_path_differential_fuzz_seeded():
+    """120k seeded random HTML-ish strings: fast path never disagrees
+    with the stock parser (it may abstain)."""
+    import random
+
+    from dbpedia_spotlight_spark.functions.extraction import (
+        _strip_fast, _strip_stock)
+
+    rng = random.Random(7)
+    alphabet = list("<>/!?&;ab c\"'=-\npP") + [
+        "<p>", "</p>", "<script>", "</script>", "&amp;", "<!--", "-->",
+        "<b>", '="x"', "='y>z'", 'href="a>b"', "<a ", "<div", "/>",
+        "<!doctype html>", "<?pi?>", "<style>", "</style>",
+        "<noscript>", "</noscript>"]
+    for _ in range(120000):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(0, 40)))
+        fast = _strip_fast(s)
+        if fast is not None:
+            assert fast == _strip_stock(s), repr(s)
+
+
+@given(st.lists(
+    st.sampled_from(list("<>/!?&;ab c\"'=-\npP") + [
+        "<p>", "</p>", "<script>", "</script>", "&amp;", "<!--",
+        "-->", '="x"', 'href="a>b"']),
+    max_size=30).map("".join))
+@settings(max_examples=400, deadline=None)
+def test_fast_path_differential_property(s):
+    from dbpedia_spotlight_spark.functions.extraction import (
+        _strip_fast, _strip_stock)
+
+    fast = _strip_fast(s)
+    if fast is not None:
+        assert fast == _strip_stock(s)
