@@ -158,7 +158,34 @@ def _doc_spots(model: SpotlightModel, text: str, spotter: str = "fsa"):
     coords of ``text``; bags[para_idx] = (q_tokens sorted, q_counts)."""
     toks = tokenize(text)
     lookup = _token_lookup(model)
-    ids = [lookup(t, -1) for (_, _, t) in toks]
+
+    # paragraph boundaries: char offset of each '\n' in the text
+    bounds: list[int] = []
+    pos = text.find("\n")
+    while pos != -1:
+        bounds.append(pos)
+        pos = text.find("\n", pos + 1)
+
+    # ONE pass over the tokens builds both the id stream (automaton
+    # input) and the per-paragraph context bags: tokens arrive in char
+    # order, so the paragraph index advances with a monotone pointer —
+    # no per-token bisect, no second zip pass
+    n_paras = len(bounds) + 1
+    counts: list[dict[int, int]] = [dict() for _ in range(n_paras)]
+    stop = model.stopwords
+    ids: list[int] = []
+    ap_ids = ids.append
+    bi, nb = 0, len(bounds)
+    cur = counts[0]
+    for (b, _, t) in toks:
+        tid = lookup(t, -1)
+        ap_ids(tid)
+        if tid >= 0 and t not in stop:
+            if bi < nb and b > bounds[bi]:
+                while bi < nb and b > bounds[bi]:
+                    bi += 1
+                cur = counts[bi]
+            cur[tid] = cur.get(tid, 0) + 1
     matches = model.automaton.find_all(ids)
     if spotter == "npchunk":
         # chunk span per token index: runs delimited by stopwords
@@ -182,13 +209,6 @@ def _doc_spots(model: SpotlightModel, text: str, spotter: str = "fsa"):
     gated = [m for m in matches if model.sf_ann_prob[m[2]] >= model.spot_threshold]
     kept = resolve_overlaps(gated)
 
-    # paragraph boundaries: char offset of each '\n' in the text
-    bounds: list[int] = []
-    pos = text.find("\n")
-    while pos != -1:
-        bounds.append(pos)
-        pos = text.find("\n", pos + 1)
-
     if bounds:
         def para_of(char_begin: int) -> int:
             return bisect.bisect_right(bounds, char_begin)
@@ -202,13 +222,7 @@ def _doc_spots(model: SpotlightModel, text: str, spotter: str = "fsa"):
         for (s, e, sf_id) in kept
     ]
 
-    # per-paragraph bag-of-words minus stopwords (two-step step 1)
-    n_paras = len(bounds) + 1
-    counts: list[dict[int, int]] = [dict() for _ in range(n_paras)]
-    for (b, _, t), tid in zip(toks, ids):
-        if tid >= 0 and t not in model.stopwords:
-            c = counts[para_of(b)]
-            c[tid] = c.get(tid, 0) + 1
+    # bags built in the single token pass above (two-step step 1)
     bags = [_bag(c) for c in counts]
     return spots, bags
 
