@@ -585,7 +585,8 @@ NEG_SYNTAX = [
     "SELECT ?s WHERE { GRAPH { ?s ?p ?o } }",
     # nested keyword inside GRAPH group
     "SELECT ?s WHERE { GRAPH ?g { ?s ?p ?o . FILTER(?o = 'x') } }",
-    # GRAPH inside OPTIONAL
+    # GRAPH (in any position — here inside OPTIONAL, which is itself
+    # supported) demands a QUAD snapshot; g1 has no graph column
     "SELECT ?s WHERE { ?s ?p ?o OPTIONAL { GRAPH ?g { ?s ?q ?z } } }",
     # nested property path: closure of inverse
     "SELECT ?s WHERE { ?s ^foaf:knows+ ?o }",
