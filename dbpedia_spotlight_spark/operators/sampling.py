@@ -124,3 +124,56 @@ def pack_sequences(docs: DataFrame, budget: int,
                     # Spark truncates)
                     F.expr(f"cum_before div {int(budget)}")
                     .alias("pack")))
+
+
+def temperature_weights(df: DataFrame, key_col: str,
+                        alpha: float = 0.5) -> DataFrame:
+    """CCNet/Llama-style temperature mixing weights per domain:
+    ``w_d = (n_d/N)^alpha / Σ_e (n_e/N)^alpha`` — alpha < 1 upweights
+    low-resource domains, alpha = 1 is natural sampling. Returns
+    (key_col, n_docs, weight).
+
+    Scale: one map-side-combinable count agg over the corpus; the
+    normalizer is an agg over |domains| rows crossed back in as a
+    broadcast one-row frame — the corpus itself is scanned once and
+    never reshuffled. (The (n_d/N)^alpha normalization cancels the
+    N^alpha factor, so n_d^alpha is used directly — fewer libm ulps.)"""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = df.groupBy(key_col).agg(F.count("*").alias("n_docs"))
+    pw = counts.withColumn("_p", F.pow(F.col("n_docs"), F.lit(alpha)))
+    total = pw.agg(F.sum("_p").alias("_s"),
+                   F.sum("n_docs").alias("_n"))
+    return (pw.crossJoin(F.broadcast(total))
+            .select(key_col, "n_docs",
+                    (F.col("_p") / F.col("_s")).alias("weight"),
+                    F.col("_n").alias("total_docs")))
+
+
+def temperature_resample(df: DataFrame, key_col: str, id_col: str,
+                         alpha: float = 0.5, target_frac: float = 0.5,
+                         salt: str = "mix") -> DataFrame:
+    """Deterministic temperature resampling: keep each domain at rate
+    ``r_d = min(1, target_frac · N · w_d / n_d)`` via the salted md5
+    gate on ``id_col`` — the Llama-style data-mixing downsample as a
+    pure column expression: layout-independent, replayable, stable
+    under appends.
+
+    The corpus joins the broadcast |domains|-row rate table and is
+    gated in the same scan — no corpus shuffle. The per-domain
+    threshold is ``floor(round(r_d, 9) · 2^20)``: rounding first makes
+    the engines agree on the rate to 9 dp (pow crosses libm), floor
+    (NOT a cast) because DuckDB casts round while Spark casts truncate."""
+    if not 0.0 <= target_frac <= 1.0:
+        raise ValueError("target_frac must be in [0, 1]")
+    w = temperature_weights(df, key_col, alpha)
+    rates = w.select(
+        key_col,
+        F.floor(F.round(
+            F.least(F.lit(1.0),
+                    F.lit(target_frac) * F.col("total_docs")
+                    * F.col("weight") / F.col("n_docs")), 9)
+            * _BUCKETS).alias("_thresh"))
+    return (df.join(F.broadcast(rates), key_col)
+            .filter(_gate(id_col, salt) < F.col("_thresh"))
+            .drop("_thresh"))

@@ -3092,6 +3092,58 @@ def sql_hash_split() -> str:
     FROM documents)"""
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Llama/CCNet-style temperature data mixing
+    (operators/sampling.py::temperature_weights/temperature_resample):
+    per-language sampling weights at alpha=0.5 (upweights low-resource
+    langs — `lang` is the naturally skewed domain column) and the
+    deterministic md5-gated resample to ~60% of the corpus, reported as
+    (lang, n_docs, weight, kept). The weight crosses libm (pow), so the
+    9 dp contract applies; `kept` is integer-exact because both engines
+    gate on the same floor(round(rate,9)·2^20) threshold."""
+    from dbpedia_spotlight_spark.operators.sampling import (
+        temperature_resample, temperature_weights)
+    docs = _docs(spark, sf_dir)
+    w = temperature_weights(docs, "lang", alpha=0.5)
+    kept = (temperature_resample(docs, "lang", "doc_id",
+                                 alpha=0.5, target_frac=0.6)
+            .groupBy("lang").agg(F.count("*").alias("kept")))
+    return (w.join(kept, "lang", "left")
+            .select("lang", "n_docs", F.round("weight", 9).alias("weight"),
+                    F.coalesce("kept", F.lit(0)).alias("kept"))
+            .orderBy("lang"))
+
+
+def sql_temperature_mix() -> str:
+    """Relational replay: counts → pow/sum normalizer → per-domain
+    threshold floor(round(min(1, 0.6·N·w/n), 9)·2^20) → md5 gate (same
+    15-hex-char prefix parse as sql_hash_split; floor NOT cast because
+    DuckDB casts round where Spark casts truncate)."""
+    buckets = 1 << 20
+    return f"""
+  WITH c AS (
+    SELECT lang, COUNT(*) AS n_docs, POW(COUNT(*), 0.5) AS p
+    FROM documents GROUP BY lang),
+  t AS (SELECT SUM(p) AS s, SUM(n_docs) AS n FROM c),
+  w AS (
+    SELECT c.lang, c.n_docs, c.p / t.s AS weight,
+           FLOOR(ROUND(LEAST(1.0, 0.6 * t.n * (c.p / t.s) / c.n_docs),
+                       9) * {buckets}) AS thresh
+    FROM c, t),
+  kept AS (
+    SELECT d.lang, COUNT(*) AS kept
+    FROM documents d JOIN w ON d.lang = w.lang
+    WHERE CAST(concat('0x', substr(
+            md5(concat_ws('#', CAST(d.doc_id AS VARCHAR), 'mix')),
+            1, 15)) AS BIGINT) % {buckets} < w.thresh
+    GROUP BY d.lang)
+  SELECT w.lang AS lang, w.n_docs AS n_docs,
+         ROUND(w.weight, 9) AS weight,
+         COALESCE(kept.kept, 0) AS kept
+  FROM w LEFT JOIN kept ON w.lang = kept.lang
+  ORDER BY w.lang"""
+
+
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level skew report (north_star: mega-hosts → salted
     repartitioning). `documents.source` is flat, so a deterministic

@@ -1292,3 +1292,38 @@ def test_maintain_components_new_node_and_split(spark):
     assert got == {(0, 0), (1, 0), (2, 2), (9, 0)}
     assert {(r.id, r.comp, r.old_comp) for r in ldelta.collect()} == {
         (2, 2, 0), (9, 0, None)}
+
+
+def test_temperature_mix_semantics_and_layout_independence(spark):
+    """alpha=1 reproduces natural sampling weights (w_d = n_d/N);
+    alpha=0 is uniform across domains; the resample keeps EXACTLY the
+    same rows under any partition layout (md5 gate, not per-partition
+    RNG); alpha<1 strictly upweights the low-resource domain."""
+    from dbpedia_spotlight_spark.operators.sampling import (
+        temperature_resample, temperature_weights)
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    w1 = {r.lang: r.weight for r in
+          temperature_weights(df, "lang", alpha=1.0).collect()}
+    assert abs(w1["big"] - 0.8) < 1e-12 and abs(w1["small"] - 0.2) < 1e-12
+    w0 = {r.lang: r.weight for r in
+          temperature_weights(df, "lang", alpha=0.0).collect()}
+    assert abs(w0["big"] - 0.5) < 1e-12 and abs(w0["small"] - 0.5) < 1e-12
+    w5 = {r.lang: r.weight for r in
+          temperature_weights(df, "lang", alpha=0.5).collect()}
+    assert w1["small"] < w5["small"] < w0["small"]
+
+    kept = temperature_resample(df, "lang", "doc_id",
+                                alpha=0.5, target_frac=0.5)
+    ids = {r.doc_id for r in kept.collect()}
+    ids_re = {r.doc_id for r in
+              temperature_resample(df.repartition(7, "doc_id"), "lang",
+                                   "doc_id", alpha=0.5,
+                                   target_frac=0.5).collect()}
+    assert ids == ids_re and 0 < len(ids) < 100
+    # the small domain is kept at a HIGHER rate than the big one
+    by = {r.lang: r.n for r in kept.groupBy("lang")
+          .agg(F.count("*").alias("n")).collect()}
+    assert by.get("small", 0) / 20 > by.get("big", 0) / 80

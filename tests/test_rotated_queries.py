@@ -37,6 +37,9 @@ ROTATED = [
     ("host_skew", Q.q_host_skew, Q.sql_host_skew),
     # round-4 addition: URL canonicalization + cross-host mirror report
     ("mirror_hosts", Q.q_mirror_hosts, Q.sql_mirror_hosts),
+    # round-5 addition: Llama/CCNet temperature data mixing (weights +
+    # deterministic md5-gated resample)
+    ("temperature_mix", Q.q_temperature_mix, Q.sql_temperature_mix),
     # round-4 addition: C4-style boilerplate line filter
     ("clean_boilerplate", Q.q_clean_boilerplate, Q.sql_clean_boilerplate),
     # round-4 addition: anchor-text lexicon (parser vs position oracle)
