@@ -615,13 +615,13 @@ def _join_patterns(frames: list[tuple[DataFrame, set[str]]]) -> tuple[DataFrame,
 
 
 def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
-              optional: list[list[tuple[str, str, str]]] | None = None,
+              optional: list[list | dict] | None = None,
               filters: list[str] | None = None,
               values: tuple[list[str], list[tuple]] | None = None,
               bind: dict[str, str] | None = None,
-              minus: list[list[tuple[str, str, str]]] | None = None,
-              exists: list[list[tuple[str, str, str]]] | None = None,
-              not_exists: list[list[tuple[str, str, str]]] | None = None,
+              minus: list[list | dict] | None = None,
+              exists: list[list | dict] | None = None,
+              not_exists: list[list | dict] | None = None,
               subqueries: list[DataFrame] | None = None,
               ) -> DataFrame:
     """SPARQL-style basic-graph-pattern match over a triple snapshot:
@@ -736,10 +736,29 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
             raise ValueError(f"BIND would rebind ?{name}")
         out = out.withColumn(name, F.expr(expr))
         bound = bound | {name}
-    for group in optional or []:
+    def _group_frame(group):
+        """A group is a pattern list, or a dict {'patterns': [...],
+        'filters': [...]} whose filters reference GROUP-LOCAL variables
+        (filtering the group frame before the join is LeftJoin/MINUS/
+        EXISTS-equivalent exactly when the filter's variables are bound
+        by the group — a filter naming an outer-only variable fails
+        loudly at analysis with an unresolved-column error, never
+        silently)."""
+        if isinstance(group, dict):
+            pats, filts = group["patterns"], group.get("filters", [])
+        else:
+            pats, filts = group, []
+        if not pats:
+            raise ValueError("a group needs at least one pattern")
         gdf, gvars = _join_patterns(
             [_pattern_frame(kg, p)
-             for p in _expand_sequences(group, seq_counter)])
+             for p in _expand_sequences(pats, seq_counter)])
+        for f in filts:
+            gdf = gdf.filter(F.expr(f))
+        return gdf, gvars
+
+    for group in optional or []:
+        gdf, gvars = _group_frame(group)
         shared = sorted(gvars & bound)
         if not shared:
             raise ValueError(
@@ -748,9 +767,7 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
         out = out.join(gdf, shared, "left")
         bound = bound | gvars
     for group in minus or []:
-        gdf, gvars = _join_patterns(
-            [_pattern_frame(kg, p)
-             for p in _expand_sequences(group, seq_counter)])
+        gdf, gvars = _group_frame(group)
         shared = sorted(gvars & bound)
         if not shared:
             raise ValueError(
@@ -760,9 +777,7 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
                        shared, "left_anti")
     for keep, groups in ((True, exists or []), (False, not_exists or [])):
         for group in groups:
-            gdf, gvars = _join_patterns(
-                [_pattern_frame(kg, p)
-                 for p in _expand_sequences(group, seq_counter)])
+            gdf, gvars = _group_frame(group)
             shared = sorted(gvars & bound)
             if not shared:
                 # constant condition: one short-circuit probe

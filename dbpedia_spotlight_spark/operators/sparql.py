@@ -59,6 +59,9 @@ _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'",
             '"': '"'}
 
 
+_IRIREF_RE = re.compile(r"<([^<>\"{}|^`\\\x00-\x20]*)>")
+
+
 class _Env:
     def __init__(self) -> None:
         self.prefixes: dict[str, str] = {}
@@ -74,12 +77,18 @@ def _protect(text: str, env: _Env) -> str:
     while i < n:
         c = text[i]
         if c == "<":
-            j = text.find(">", i)
-            if j < 0:
-                raise ValueError("unterminated IRI")
-            env.slots.append((_IRI, text[i + 1:j]))
-            out.append(f"\x00{len(env.slots) - 1}\x01")
-            i = j + 1
+            # IRIREF per the SPARQL grammar: no whitespace, quotes,
+            # braces, or control chars between the angles. A '<' whose
+            # span is not a valid IRIREF is the LESS-THAN operator
+            # (e.g. FILTER(?x < 15)) and stays plain text.
+            m = _IRIREF_RE.match(text, i)
+            if m:
+                env.slots.append((_IRI, m.group(1)))
+                out.append(f"\x00{len(env.slots) - 1}\x01")
+                i = m.end()
+            else:
+                out.append(c)
+                i += 1
         elif c in "'\"":
             buf: list[str] = []
             j = i + 1
@@ -284,6 +293,63 @@ def _parse_template(body: str, env: _Env) -> list[tuple]:
     return _parse_patterns(" ".join(plain), env) + quads
 
 
+def _parse_group_body(body: str, env: _Env) -> dict | list:
+    """An OPTIONAL / MINUS / FILTER (NOT) EXISTS group body: plain
+    triple patterns + GRAPH sub-groups (``_parse_template``) + FILTER
+    clauses over GROUP-LOCAL variables ({'patterns', 'filters'} dict
+    for ``bgp_match``; a bare pattern list when no filter). A filter
+    naming an outer-only variable fails loudly at Spark analysis
+    (unresolved column). Other keywords nested in these groups —
+    OPTIONAL, MINUS, VALUES, BIND, FILTER (NOT) EXISTS — are rejected
+    loudly: the old tokenizer silently read them as garbage constant
+    patterns that matched nothing."""
+    kw_re = re.compile(
+        r"(?i)(?<![:?\w\x00])(OPTIONAL|MINUS|FILTER|VALUES|BIND|GRAPH)"
+        r"(?![\w:])")
+    filters: list[str] = []
+    plain: list[str] = []
+    i = 0
+    while True:
+        m = kw_re.search(body, i)
+        if not m:
+            plain.append(body[i:])
+            break
+        plain.append(body[i:m.start()])
+        kw = m.group(1).upper()
+        if kw == "GRAPH":
+            # copy the GRAPH term + braced block verbatim into the
+            # pattern stream — _parse_template owns GRAPH sub-groups
+            # (incl. the plain-patterns-only guard); scanning INSIDE
+            # its braces here would hoist an inner keyword out of its
+            # group scope
+            m2 = re.match(r"\s*([^\s{]+)", body[m.end():])
+            if not m2:
+                raise ValueError("GRAPH needs a ?var or IRI term")
+            _, i = _braced(body, m.end() + m2.end())
+            plain.append(body[m.start():i])
+            continue
+        if kw != "FILTER":
+            raise ValueError(
+                f"{kw} is not supported inside OPTIONAL/MINUS/EXISTS "
+                "groups; restructure the query")
+        if re.match(r"(?is)\s*(NOT\s+)?EXISTS\b", body[m.end():]):
+            raise ValueError(
+                "FILTER (NOT) EXISTS is not supported inside "
+                "OPTIONAL/MINUS/EXISTS groups; move it to the outer "
+                "group")
+        m3 = re.match(r"\s*([A-Za-z_]\w*)\s*(?=\()", body[m.end():])
+        if m3:
+            args, i = _parened(body, m.end() + m3.end())
+            expr = f"{m3.group(1)}({args})"
+        else:
+            expr, i = _parened(body, m.end())
+        filters.append(_expr(expr, env))
+    patterns = _parse_template(" ".join(plain), env)
+    if not filters:
+        return patterns
+    return {"patterns": patterns, "filters": filters}
+
+
 def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
     """A group graph pattern → bgp_match kwargs (+ 'patterns').
     A bare ``{ SELECT … }`` block becomes a subselect (solved to a
@@ -337,18 +403,18 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
                          for p in _parse_patterns(inner, env))
             continue
         if kw in ("OPTIONAL", "MINUS"):
-            # _parse_template: plain patterns + GRAPH sub-groups →
-            # mixed triple/quad list (bgp_match takes quads in every
-            # group, so GRAPH inside OPTIONAL/MINUS just works)
+            # _parse_group_body: plain patterns + GRAPH sub-groups
+            # (bgp_match takes quads in every group) + group-local
+            # FILTER clauses; other nested keywords raise loudly
             inner, i = _braced(body, m.end())
             parts["optional" if kw == "OPTIONAL" else "minus"].append(
-                _parse_template(inner, env))
+                _parse_group_body(inner, env))
         elif kw == "FILTER":
             m2 = re.match(r"(?is)\s*(NOT\s+)?EXISTS\b", body[m.end():])
             if m2:
                 inner, i = _braced(body, m.end() + m2.end())
                 key = "not_exists" if m2.group(1) else "exists"
-                parts[key].append(_parse_template(inner, env))
+                parts[key].append(_parse_group_body(inner, env))
             else:
                 # FILTER BrackettedExpression | FILTER BuiltInCall —
                 # 'FILTER REGEX(?n, "^A")' is grammar-valid without the

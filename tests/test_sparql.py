@@ -453,3 +453,51 @@ def test_union_default_graph_is_set_based(spark):
           GRAPH ?g { ?m ref ?e } . ?e a T1 .
         } GROUP BY ?e""").collect()}
     assert got == {("E1", 4)}
+
+
+def test_filter_inside_optional_minus_exists_groups(spark):
+    """Group-local FILTERs inside OPTIONAL/MINUS/FILTER (NOT) EXISTS
+    (round-5: the old tokenizer silently read FILTER tokens as garbage
+    constant patterns that matched nothing — the same class as the
+    GRAPH-in-group advice item)."""
+    kg = spark.createDataFrame([
+        ("a", "p", "b"), ("x", "p", "y"),
+        ("b", "q", "c"), ("y", "q", "zz"),
+    ], "subj string, pred string, obj string")
+
+    got = {(r.s, r.z) for r in sparql(kg, """
+        SELECT ?s ?z WHERE {
+          ?s p ?o . OPTIONAL { ?o q ?z . FILTER(?z != 'c') } }""").collect()}
+    assert got == {("a", None), ("x", "zz")}
+
+    got = {r.s for r in sparql(kg, """
+        SELECT ?s WHERE {
+          ?s p ?o . MINUS { ?o q ?z . FILTER(STRLEN(?z) > 1) } }""").collect()}
+    assert got == {"a"}
+
+    got = {r.s for r in sparql(kg, """
+        SELECT ?s WHERE {
+          ?s p ?o . FILTER EXISTS { ?o q ?z . FILTER(?z = 'c') } }""").collect()}
+    assert got == {"a"}
+
+    # nested structure beyond FILTER/GRAPH raises LOUDLY (never the old
+    # silent garbage-pattern parse)
+    for q in (
+        "SELECT ?s WHERE { ?s p ?o . OPTIONAL { ?o q ?z . "
+        "OPTIONAL { ?z q ?w } } }",
+        "SELECT ?s WHERE { ?s p ?o . OPTIONAL { ?o q ?z . "
+        "BIND(1 AS ?k) } }",
+        "SELECT ?s WHERE { ?s p ?o . MINUS { ?o q ?z . "
+        "FILTER EXISTS { ?z q ?w } } }",
+    ):
+        with pytest.raises(ValueError, match="not supported inside"):
+            sparql(kg, q)
+
+    # a filter naming an outer-only variable is a loud analysis error
+    # (unresolved column), never a silent wrong answer
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        sparql(kg, """
+            SELECT ?s WHERE {
+              ?s p ?o . OPTIONAL { ?o q ?z . FILTER(?z != ?s) } }
+        """).collect()

@@ -606,3 +606,24 @@ NEG_SYNTAX = [
 def test_negative_syntax_raises(g1, query):
     with pytest.raises(ValueError):
         sparql(g1, query)
+
+
+# data-r2/optional-filter (adapted): filters scoped inside OPTIONAL
+def test_optional_with_inner_filter(g2):
+    got = {(r.b, r.p) for r in sparql(g2, """
+        SELECT ?b ?p WHERE {
+          ?b ex:tag ?t .
+          OPTIONAL { ?b ex:price ?p . FILTER(CAST(?p AS INT) < 20) } }
+    """).collect()}
+    assert all(p is None or int(p) < 20 for _, p in got)
+    assert any(p is not None for _, p in got)
+    assert any(p is None for _, p in got)
+
+
+def test_minus_with_inner_filter(g1):
+    got = {r.s for r in sparql(g1, """
+        SELECT ?s WHERE {
+          ?s rdf:type foaf:Person .
+          MINUS { ?s foaf:mbox ?m . FILTER(CONTAINS(?m, 'alice')) } }
+    """).collect()}
+    assert got == {"ex:bob"}
