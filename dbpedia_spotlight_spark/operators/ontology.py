@@ -737,14 +737,25 @@ def bgp_match(kg: DataFrame, patterns: list[tuple[str, str, str]],
         out = out.withColumn(name, F.expr(expr))
         bound = bound | {name}
     def _group_frame(group):
-        """A group is a pattern list, or a dict {'patterns': [...],
+        """A group is a pattern list, a dict {'patterns': [...],
         'filters': [...]} whose filters reference GROUP-LOCAL variables
         (filtering the group frame before the join is LeftJoin/MINUS/
         EXISTS-equivalent exactly when the filter's variables are bound
         by the group — a filter naming an outer-only variable fails
         loudly at analysis with an unresolved-column error, never
-        silently)."""
+        silently), or a full nested GroupGraphPattern: a dict carrying
+        any further ``bgp_match`` kwargs (optional/minus/exists/
+        not_exists/bind/values/subqueries) is solved by RECURSION —
+        bottom-up evaluation, the SPARQL algebra for well-designed
+        patterns — and joined on its projected variables. Sequence-path
+        internals never leak across levels (each recursion projects its
+        own ``__seq`` vars away)."""
         if isinstance(group, dict):
+            nested = {k: v for k, v in group.items()
+                      if k != "patterns" and v}
+            if set(nested) - {"filters"}:
+                gdf = bgp_match(kg, group["patterns"], **nested)
+                return gdf, set(gdf.columns)
             pats, filts = group["patterns"], group.get("filters", [])
         else:
             pats, filts = group, []

@@ -293,61 +293,27 @@ def _parse_template(body: str, env: _Env) -> list[tuple]:
     return _parse_patterns(" ".join(plain), env) + quads
 
 
-def _parse_group_body(body: str, env: _Env) -> dict | list:
-    """An OPTIONAL / MINUS / FILTER (NOT) EXISTS group body: plain
-    triple patterns + GRAPH sub-groups (``_parse_template``) + FILTER
-    clauses over GROUP-LOCAL variables ({'patterns', 'filters'} dict
-    for ``bgp_match``; a bare pattern list when no filter). A filter
-    naming an outer-only variable fails loudly at Spark analysis
-    (unresolved column). Other keywords nested in these groups —
-    OPTIONAL, MINUS, VALUES, BIND, FILTER (NOT) EXISTS — are rejected
-    loudly: the old tokenizer silently read them as garbage constant
-    patterns that matched nothing."""
-    kw_re = re.compile(
-        r"(?i)(?<![:?\w\x00])(OPTIONAL|MINUS|FILTER|VALUES|BIND|GRAPH)"
-        r"(?![\w:])")
-    filters: list[str] = []
-    plain: list[str] = []
-    i = 0
-    while True:
-        m = kw_re.search(body, i)
-        if not m:
-            plain.append(body[i:])
-            break
-        plain.append(body[i:m.start()])
-        kw = m.group(1).upper()
-        if kw == "GRAPH":
-            # copy the GRAPH term + braced block verbatim into the
-            # pattern stream — _parse_template owns GRAPH sub-groups
-            # (incl. the plain-patterns-only guard); scanning INSIDE
-            # its braces here would hoist an inner keyword out of its
-            # group scope
-            m2 = re.match(r"\s*([^\s{]+)", body[m.end():])
-            if not m2:
-                raise ValueError("GRAPH needs a ?var or IRI term")
-            _, i = _braced(body, m.end() + m2.end())
-            plain.append(body[m.start():i])
-            continue
-        if kw != "FILTER":
-            raise ValueError(
-                f"{kw} is not supported inside OPTIONAL/MINUS/EXISTS "
-                "groups; restructure the query")
-        if re.match(r"(?is)\s*(NOT\s+)?EXISTS\b", body[m.end():]):
-            raise ValueError(
-                "FILTER (NOT) EXISTS is not supported inside "
-                "OPTIONAL/MINUS/EXISTS groups; move it to the outer "
-                "group")
-        m3 = re.match(r"\s*([A-Za-z_]\w*)\s*(?=\()", body[m.end():])
-        if m3:
-            args, i = _parened(body, m.end() + m3.end())
-            expr = f"{m3.group(1)}({args})"
-        else:
-            expr, i = _parened(body, m.end())
-        filters.append(_expr(expr, env))
-    patterns = _parse_template(" ".join(plain), env)
-    if not filters:
-        return patterns
-    return {"patterns": patterns, "filters": filters}
+def _parse_group_body(body: str, env: _Env,
+                      kg: DataFrame | None = None) -> dict | list:
+    """An OPTIONAL / MINUS / FILTER (NOT) EXISTS group body is a full
+    GroupGraphPattern: ``_parse_group`` recursively (triple patterns,
+    GRAPH quads, group-local FILTERs, and nested OPTIONAL / MINUS /
+    FILTER (NOT) EXISTS / BIND / VALUES / subselects at any depth).
+    The result is the dict shape ``bgp_match`` groups accept — a bare
+    pattern list when the group is plain patterns only, else
+    {'patterns', ...kwargs}; ``bgp_match._group_frame`` solves nested
+    structure by recursion (bottom-up SPARQL algebra). A filter naming
+    an outer-only variable fails loudly at Spark analysis (unresolved
+    column), never silently."""
+    parts = _parse_group(body, env, kg)
+    if not parts["patterns"]:
+        raise ValueError(
+            "OPTIONAL/MINUS/EXISTS groups need at least one triple "
+            "pattern")
+    kwargs = _group_kwargs(parts)
+    if not kwargs:
+        return parts["patterns"]
+    return {"patterns": parts["patterns"], **kwargs}
 
 
 def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
@@ -403,18 +369,18 @@ def _parse_group(body: str, env: _Env, kg: DataFrame | None = None) -> dict:
                          for p in _parse_patterns(inner, env))
             continue
         if kw in ("OPTIONAL", "MINUS"):
-            # _parse_group_body: plain patterns + GRAPH sub-groups
-            # (bgp_match takes quads in every group) + group-local
-            # FILTER clauses; other nested keywords raise loudly
+            # _parse_group_body: a full recursive GroupGraphPattern
+            # (patterns + GRAPH quads + group-local FILTERs + nested
+            # OPTIONAL/MINUS/EXISTS/BIND/VALUES at any depth)
             inner, i = _braced(body, m.end())
             parts["optional" if kw == "OPTIONAL" else "minus"].append(
-                _parse_group_body(inner, env))
+                _parse_group_body(inner, env, kg))
         elif kw == "FILTER":
             m2 = re.match(r"(?is)\s*(NOT\s+)?EXISTS\b", body[m.end():])
             if m2:
                 inner, i = _braced(body, m.end() + m2.end())
                 key = "not_exists" if m2.group(1) else "exists"
-                parts[key].append(_parse_group_body(inner, env))
+                parts[key].append(_parse_group_body(inner, env, kg))
             else:
                 # FILTER BrackettedExpression | FILTER BuiltInCall —
                 # 'FILTER REGEX(?n, "^A")' is grammar-valid without the

@@ -480,19 +480,6 @@ def test_filter_inside_optional_minus_exists_groups(spark):
           ?s p ?o . FILTER EXISTS { ?o q ?z . FILTER(?z = 'c') } }""").collect()}
     assert got == {"a"}
 
-    # nested structure beyond FILTER/GRAPH raises LOUDLY (never the old
-    # silent garbage-pattern parse)
-    for q in (
-        "SELECT ?s WHERE { ?s p ?o . OPTIONAL { ?o q ?z . "
-        "OPTIONAL { ?z q ?w } } }",
-        "SELECT ?s WHERE { ?s p ?o . OPTIONAL { ?o q ?z . "
-        "BIND(1 AS ?k) } }",
-        "SELECT ?s WHERE { ?s p ?o . MINUS { ?o q ?z . "
-        "FILTER EXISTS { ?z q ?w } } }",
-    ):
-        with pytest.raises(ValueError, match="not supported inside"):
-            sparql(kg, q)
-
     # a filter naming an outer-only variable is a loud analysis error
     # (unresolved column), never a silent wrong answer
     from pyspark.errors import AnalysisException
@@ -501,3 +488,43 @@ def test_filter_inside_optional_minus_exists_groups(spark):
             SELECT ?s WHERE {
               ?s p ?o . OPTIONAL { ?o q ?z . FILTER(?z != ?s) } }
         """).collect()
+
+
+def test_nested_group_patterns(spark):
+    """Full GroupGraphPattern recursion (round-5): OPTIONAL / MINUS /
+    EXISTS groups may themselves contain OPTIONAL, BIND, VALUES and
+    FILTER (NOT) EXISTS — solved bottom-up by bgp_match recursion."""
+    kg = spark.createDataFrame([
+        ("a", "p", "b"), ("x", "p", "y"),
+        ("b", "q", "c"), ("y", "q", "zz"),
+        ("c", "q", "d"),
+    ], "subj string, pred string, obj string")
+
+    # OPTIONAL inside OPTIONAL (W3C data-r2/optional complex shape)
+    got = {(r.s, r.z, r.w) for r in sparql(kg, """
+        SELECT ?s ?z ?w WHERE {
+          ?s p ?o . OPTIONAL { ?o q ?z . OPTIONAL { ?z q ?w } } }
+    """).collect()}
+    assert got == {("a", "c", "d"), ("x", "zz", None)}
+
+    # BIND inside OPTIONAL: computed only where the group matched
+    got = {(r.s, r.k) for r in sparql(kg, """
+        SELECT ?s ?k WHERE {
+          ?s p ?o . OPTIONAL { ?o q ?z . BIND(CONCAT(?z, '!') AS ?k) } }
+    """).collect()}
+    assert got == {("a", "c!"), ("x", "zz!")}
+
+    # VALUES inside OPTIONAL restricts the group, not the outer part
+    got = {(r.s, r.z) for r in sparql(kg, """
+        SELECT ?s ?z WHERE {
+          ?s p ?o . OPTIONAL { ?o q ?z . VALUES ?z { 'c' } } }
+    """).collect()}
+    assert got == {("a", "c"), ("x", None)}
+
+    # FILTER EXISTS inside MINUS: only group rows whose ?z has a
+    # further q-edge count against the outer solutions
+    got = {r.s for r in sparql(kg, """
+        SELECT ?s WHERE {
+          ?s p ?o . MINUS { ?o q ?z . FILTER EXISTS { ?z q ?w } } }
+    """).collect()}
+    assert got == {"x"}

@@ -627,3 +627,26 @@ def test_minus_with_inner_filter(g1):
           MINUS { ?s foaf:mbox ?m . FILTER(CONTAINS(?m, 'alice')) } }
     """).collect()}
     assert got == {"ex:bob"}
+
+
+# data-r2/optional/complex (adapted): OPTIONAL nested inside OPTIONAL,
+# evaluated bottom-up (well-designed pattern)
+def test_nested_optional(g1):
+    got = {(r.x, r.n, r.m) for r in sparql(g1, """
+        SELECT ?x ?n ?m WHERE {
+          ?x rdf:type foaf:Person .
+          OPTIONAL { ?x foaf:name ?n . OPTIONAL { ?x foaf:mbox ?m } } }
+    """).collect()}
+    assert got == {("ex:alice", "Alice", "mailto:alice@example.org"),
+                   ("ex:bob", "Bob", None)}
+
+
+def test_nested_optional_chain(g1):
+    got = {(r.x, r.z, r.m) for r in sparql(g1, """
+        SELECT ?x ?z ?m WHERE {
+          ?x foaf:knows ?y .
+          OPTIONAL { ?y foaf:knows ?z . OPTIONAL { ?z foaf:mbox ?m } } }
+    """).collect()}
+    assert got == {("ex:dave", "ex:bob", None),
+                   ("ex:alice", "ex:carol", "mailto:carol@example.org"),
+                   ("ex:bob", None, None)}
