@@ -32,8 +32,13 @@ Supported surface:
   ``triples.as_quads``): the group's patterns become 4-element quad
   patterns; the graph variable binds/projects like any other. GRAPH
   clauses also work INSIDE OPTIONAL / MINUS / FILTER (NOT) EXISTS
-  bodies (``bgp_match`` accepts quads in every group). A GRAPH group
-  itself holds plain triple patterns (no nested keywords).
+  bodies (``bgp_match`` accepts quads in every group). A GRAPH body
+  may itself be a full group (nested OPTIONAL / MINUS / FILTER /
+  BIND / VALUES): it is solved recursively with the graph term
+  threaded onto every pattern at every depth (innermost GRAPH wins)
+  and joined back on its shared variables. One scope caveat: a
+  ``{ SELECT … }`` subselect nested inside a GRAPH body is evaluated
+  over the full dataset, not scoped to the active graph.
 
 FILTER / BIND / HAVING / aggregate expressions are Spark SQL over the
 variable columns after ``?var`` → column substitution, with the common
