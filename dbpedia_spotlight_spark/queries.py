@@ -3144,6 +3144,78 @@ def sql_temperature_mix() -> str:
   ORDER BY w.lang"""
 
 
+_DUP_K = 13  # words per span (CCNet/Lee-et-al working range)
+
+
+def _sql_dup_grams(k: int) -> str:
+    """Shared oracle CTE prefix: tokenize → k-gram stream → duplicated
+    grams (≥2 distinct docs) → per-occurrence span list. String-level
+    grouping (no hashes) — the independent replay of the Spark side's
+    xxhash64 path, so a hash-collision bug would surface as a mismatch."""
+    return f"""
+  WITH w AS (
+    SELECT doc_id, CASE WHEN trim(text)='' THEN []::varchar[]
+           ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+    FROM documents
+  ), grams AS (
+    SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+{k}-1], ' ') AS g
+    FROM w, LATERAL (SELECT unnest(generate_series(1, len(w)-{k}+1)) AS i)
+    WHERE len(w) >= {k}
+  ), dup AS (
+    SELECT g, count(DISTINCT doc_id) AS n_dup
+    FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+  ), spans AS (
+    SELECT grams.doc_id, grams.pos, grams.g, dup.n_dup
+    FROM grams JOIN dup USING (g)
+  )"""
+
+
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN mass per document
+    (operators/spandedup.py::duplicate_span_stats — the ExactSubstr
+    rule of Lee et al. 2022 at word-13-gram granularity): for every
+    doc, how many 13-word spans recur verbatim in other docs and how
+    many word positions that duplication covers. All-integer output
+    (hash-stable); dup_positions/n_words is the curation-gate ratio.
+    Non-vacuous on the testdata (43/500 docs carry duplicated mass at
+    sf0.001). Spark side matches on xxhash64(gram); the oracle groups
+    the gram STRINGS — agreement also certifies the hash path."""
+    from dbpedia_spotlight_spark.operators.spandedup import (
+        duplicate_span_stats)
+    return duplicate_span_stats(_docs(spark, sf_dir), k=_DUP_K)
+
+
+def sql_dup_span_stats() -> str:
+    return _sql_dup_grams(_DUP_K) + f""",
+  cov AS (
+    SELECT DISTINCT doc_id, pos + j AS p
+    FROM spans, LATERAL (SELECT unnest(generate_series(0, {_DUP_K}-1)) AS j)
+  ),
+  pg AS (SELECT doc_id, count(*) AS n_dup_grams FROM spans GROUP BY doc_id),
+  pp AS (SELECT doc_id, count(*) AS dup_positions FROM cov GROUP BY doc_id)
+  SELECT w.doc_id AS doc_id, CAST(len(w.w) AS INTEGER) AS n_words,
+         COALESCE(pg.n_dup_grams, 0) AS n_dup_grams,
+         COALESCE(pp.dup_positions, 0) AS dup_positions
+  FROM w LEFT JOIN pg USING (doc_id) LEFT JOIN pp USING (doc_id)"""
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-occurrence duplicated-span listing with the gram TEXT carried
+    (operators/spandedup.py::duplicate_spans, carry_gram=True) — the
+    exact-parity check of the listing the masking/stats ops consume:
+    (doc_id, pos, gram, n_dup) for every occurrence of every 13-gram
+    appearing in ≥2 distinct docs."""
+    from dbpedia_spotlight_spark.operators.spandedup import duplicate_spans
+    return (duplicate_spans(_docs(spark, sf_dir), k=_DUP_K,
+                            carry_gram=True)
+            .select("doc_id", "pos", "gram", "n_dup"))
+
+
+def sql_dup_spans() -> str:
+    return _sql_dup_grams(_DUP_K) + """
+  SELECT doc_id, pos, g AS gram, n_dup FROM spans"""
+
+
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level skew report (north_star: mega-hosts → salted
     repartitioning). `documents.source` is flat, so a deterministic
@@ -5904,9 +5976,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     annotate_stemmed + annotate_tficf out (T2/D3, green since round 1;
     stemming stays pinned by tests/test_stemmer.py + the rotated pair,
     TF-ICF by the rotated pair — both still DuckDB-mirrored in
+    tests/test_rotated_queries.py).
+    Round-5 seventh rotation: dup_span_stats (exact duplicate-span
+    dedup, Lee et al. 2022 ExactSubstr at word-13-gram granularity —
+    the new operators/spandedup.py family) in, verified against its
+    DuckDB oracle at sf0.001 AND sf0.01 before the swap; corpus_filter
+    out (a pure composition of lang_id + quality, BOTH of which remain
+    registered — the composition stays DuckDB-mirrored in
     tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "dup_span_stats": q_dup_span_stats,
         "sparql_text": q_sparql_text,
         "shape_report": q_shape_report,
         "owl_entail": q_owl_entail,
@@ -5957,7 +6037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         "lang_id": q_lang_id,
         "quality": q_quality,
-        "corpus_filter": q_corpus_filter,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -5969,6 +6048,7 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "dup_span_stats": sql_dup_span_stats(),
         "sparql_text": sql_sparql_text(),
         "shape_report": sql_shape_report(),
         "owl_entail": sql_owl_entail(),
@@ -6015,7 +6095,6 @@ def oracle_sql() -> dict[str, str]:
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
         "quality": sql_quality(),
-        "corpus_filter": sql_corpus_filter(),
         "ann_topk": sql_ann_topk(),
         "ann_lsh": sql_ann_lsh(),
         "near_dup_embeddings": sql_near_dup_embeddings(),

@@ -40,6 +40,12 @@ ROTATED = [
     # round-5 addition: Llama/CCNet temperature data mixing (weights +
     # deterministic md5-gated resample)
     ("temperature_mix", Q.q_temperature_mix, Q.sql_temperature_mix),
+    # round-5 addition: exact duplicate-span listing with gram text
+    # carried (string-level oracle certifies the xxhash64 match path)
+    ("dup_spans", Q.q_dup_spans, Q.sql_dup_spans),
+    # round-5 seventh rotation OUT: pure composition of lang_id +
+    # quality, both of which remain registered
+    ("corpus_filter", Q.q_corpus_filter, Q.sql_corpus_filter),
     # round-4 addition: C4-style boilerplate line filter
     ("clean_boilerplate", Q.q_clean_boilerplate, Q.sql_clean_boilerplate),
     # round-4 addition: anchor-text lexicon (parser vs position oracle)
