@@ -127,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "boilerplate filter, before content dedup")
     ap.add_argument("--line-dedup-min-words", type=int, default=2,
                     help="lines shorter than this bypass line dedup")
+    ap.add_argument("--span-dedup", type=int, default=0, metavar="K",
+                    help="strip non-first occurrences of exact duplicated "
+                         "word K-grams (Lee et al. ExactSubstr, kept-first; "
+                         "0 = off)")
     return ap
 
 
@@ -368,6 +372,31 @@ def main(argv: list[str] | None = None,
                     .drop("n_lines_dropped"), "line_dedup")
         _commit("line_dedup", {"cross_doc_lines_dropped": ld["d"],
                                "after_line_dedup": ld["n"]})
+
+    # 0e. exact duplicate-SPAN removal (Lee et al. ExactSubstr at word
+    # k-gram granularity, kept-first) — after line dedup (whole
+    # duplicated lines are already gone, so this pass only pays for
+    # sub-line/syndicated-run duplication) and before content dedup for
+    # the same reason as 0c/0d: stripping shared runs makes true
+    # near-dups strictly more similar. Word-rebuild normalizes inner
+    # whitespace (operator contract), which exact dedup downstream is
+    # insensitive to.
+    if args.span_dedup > 0 and not _skip("span_dedup"):
+        from dbpedia_spotlight_spark.operators.spandedup import (
+            mask_duplicate_spans,
+        )
+        docs = _mat(
+            mask_duplicate_spans(docs, k=args.span_dedup, id_col=id_col)
+            .withColumn("text", F.col("clean_text")).drop("clean_text"),
+            "span_dedup_raw",
+        )
+        sd = docs.agg(F.sum("n_words_dropped").alias("d"),
+                      F.count(F.when(F.trim("text") != "", 1))
+                      .alias("n")).first()
+        docs = _mat(docs.filter(F.trim("text") != "")
+                    .drop("n_words_dropped"), "span_dedup")
+        _commit("span_dedup", {"dup_span_words_dropped": sd["d"],
+                               "after_span_dedup": sd["n"]})
 
     # 1. exact dedup. Each stage ends with localCheckpoint(eager): the
     # stage-count stats and every later stage reuse the materialized

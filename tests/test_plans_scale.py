@@ -485,6 +485,41 @@ def test_run_curation_line_dedup_stage(spark, tmp_path):
     assert all(rows[i] == orig[i] for i in rows if i != min(rows))
 
 
+def test_run_curation_span_dedup_stage(spark, tmp_path):
+    """--span-dedup K: a 10-word syndicated run planted mid-document in
+    every page (inside a line — invisible to --line-dedup) survives
+    only in the min-doc_id page; every other page loses exactly those
+    10 words; per-doc unique filler words guarantee no other gram can
+    duplicate, so the stats are exact."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    run = " ".join(f"shared{j}" for j in range(10))
+    rows = []
+    for i in range(20):
+        words = [f"u{i}x{j}" for j in range(30)]
+        text = " ".join(words[:10] + run.split() + words[10:])
+        rows.append((i, text))
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        corpus_dir)
+
+    stats = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
+                  "--span-dedup", "8",
+                  "--lang", "", "--no-quality-gate", "--split", ""],
+                 spark=spark)
+    assert stats["dup_span_words_dropped"] == 19 * 10
+    assert stats["after_span_dedup"] == 20
+    out = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(str(tmp_path / "out" / "curated"))
+           .select("doc_id", "text").collect()}
+    assert len(out) == 20
+    assert run in out[0]                       # keeper intact
+    assert all(run not in t for i, t in out.items() if i != 0)
+    # fillers untouched everywhere
+    assert all(all(f"u{i}x{j}" in out[i] for j in range(30))
+               for i in out)
+
+
 def test_run_pipeline_anchor_lexicon_emission(spark, web_pages, lexicon,
                                               tmp_path):
     """--anchor-lexicon: the annotate job also writes the pairCounts-
