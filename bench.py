@@ -137,6 +137,8 @@ HEADLINE = [
     "ngram_perplexity",       # relational bigram-LM scoring (session 8)
     "entity_provenance",      # quad-store GRAPH query over the real
                               # annotate output (session 10)
+    "dup_span_stats",         # exact duplicate-span mass, word-13-gram
+                              # ExactSubstr (round-5 final session)
 ]
 
 
