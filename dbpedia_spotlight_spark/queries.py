@@ -3216,6 +3216,77 @@ def sql_dup_spans() -> str:
   SELECT doc_id, pos, g AS gram, n_dup FROM spans"""
 
 
+_LOGREG_ITERS = 20
+_LOGREG_LR = 0.5
+
+
+def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate (operators/classifier.py — the CCNet /
+    DCLM pattern): logistic regression over the 6 quality_scores
+    features, 20 full-batch GD steps each ONE map-side-combinable
+    aggregate. The weak-supervision label DISTILLS the old hand rule
+    (quality >= 0.6 AND lang == 'en' — the rotated corpus_filter gate)
+    into a smooth learned score: the quality component is learnable
+    from the features (the realistic CCNet shape), the lang component
+    is label noise the fit must tolerate. Output (doc_id, p, keep) with
+    p rounded to the repo-wide 9 dp engine contract (GD crosses libm
+    exp and double-reduce order, same as pagerank/PPR)."""
+    from dbpedia_spotlight_spark.operators.classifier import (
+        quality_classifier)
+    docs = _docs(spark, sf_dir)
+    label = (F.col("quality") >= 0.6) & (F.col("lang") == "en")
+    return (quality_classifier(docs, label,
+                               iters=_LOGREG_ITERS, lr=_LOGREG_LR)
+            .select("doc_id", F.round("p", 9).alias("p"), "keep"))
+
+
+def sql_quality_logreg() -> str:
+    """Unrolled-CTE replay of the whole fit: feature CTE = sql_quality,
+    standardization via the explicit E[x²]−E[x]² form (same zero-
+    variance guard constant), then 20 one-row weight CTEs — each joins
+    the previous weights to the standardized frame and reduces the 7
+    gradient averages, exactly the arithmetic fit_logreg runs."""
+    cols = ["n_chars", "n_tokens", "mean_token_len",
+            "stopword_ratio", "digit_ratio", "upper_ratio"]
+    n = len(cols)
+    ms = ", ".join(
+        f"avg({c}) AS m{j}, avg(CAST({c} AS DOUBLE)*{c}) AS s{j}"
+        for j, c in enumerate(cols))
+    xs = ", ".join(
+        f"(lbl.{c} - st.m{j}) / sqrt(greatest(st.s{j} - st.m{j}*st.m{j},"
+        f" 1e-12)) AS x{j}" for j, c in enumerate(cols))
+    zero = ", ".join(f"0.0 AS w{j}" for j in range(n))
+    its = []
+    for i in range(1, _LOGREG_ITERS + 1):
+        zexpr = " + ".join(f"it.w{j}*z.x{j}" for j in range(n))
+        p = f"1.0/(1.0 + exp(-({zexpr} + it.b)))"
+        gs = ", ".join(f"avg(z.x{j}*({p} - z.y)) AS g{j}"
+                       for j in range(n))
+        ws = ", ".join(f"it.w{j} - {_LOGREG_LR}*g.g{j} AS w{j}"
+                       for j in range(n))
+        # MATERIALIZED is load-bearing: each it{i} references it{i-1}
+        # twice, and DuckDB inlines plain CTEs — 20 doubling levels
+        # would expand the tree exponentially
+        its.append(f"""it{i} AS MATERIALIZED (
+    SELECT {ws}, it.b - {_LOGREG_LR}*g.gb AS b
+    FROM it{i - 1} it, (
+      SELECT {gs}, avg({p} - z.y) AS gb FROM z, it{i - 1} it) g)""")
+    zfin = " + ".join(f"it.w{j}*z.x{j}" for j in range(n))
+    pfin = f"1.0/(1.0 + exp(-({zfin} + it.b)))"
+    return f"""
+  WITH f AS ({sql_quality()}),
+  lbl AS (
+    SELECT f.*, CASE WHEN f.quality >= 0.6 AND d.lang = 'en'
+                THEN 1.0 ELSE 0.0 END AS y
+    FROM f JOIN documents d USING (doc_id)),
+  st AS (SELECT {ms} FROM lbl),
+  z AS MATERIALIZED (SELECT lbl.doc_id, lbl.y, {xs} FROM lbl, st),
+  it0 AS (SELECT {zero}, 0.0 AS b),
+  {','.join(its)}
+  SELECT z.doc_id, round({pfin}, 9) AS p, {pfin} >= 0.5 AS keep
+  FROM z, it{_LOGREG_ITERS} it"""
+
+
 def q_host_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Host-level skew report (north_star: mega-hosts → salted
     repartitioning). `documents.source` is flat, so a deterministic
@@ -5983,10 +6054,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB oracle at sf0.001 AND sf0.01 before the swap; corpus_filter
     out (a pure composition of lang_id + quality, BOTH of which remain
     registered — the composition stays DuckDB-mirrored in
+    tests/test_rotated_queries.py).
+    Round-5 eighth rotation: quality_logreg (model-based quality gate —
+    distributed logistic regression, operators/classifier.py, the
+    CCNet/DCLM classifier-filter pattern; 20-step GD replayed as
+    unrolled MATERIALIZED CTEs in DuckDB, bit-identical at both SFs
+    before the swap) in; quality out (green since round 1; its six
+    features are recomputed VERBATIM inside the quality_logreg oracle
+    via sql_quality, and the pair stays DuckDB-mirrored in
     tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
         "dup_span_stats": q_dup_span_stats,
+        "quality_logreg": q_quality_logreg,
         "sparql_text": q_sparql_text,
         "shape_report": q_shape_report,
         "owl_entail": q_owl_entail,
@@ -6036,7 +6116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "winnowing": q_winnowing,
         "lang_id": q_lang_id,
-        "quality": q_quality,
         # similarity search
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -6049,6 +6128,7 @@ def oracle_sql() -> dict[str, str]:
     consumers agree — the driver checks the first 50 in order)."""
     return {
         "dup_span_stats": sql_dup_span_stats(),
+        "quality_logreg": sql_quality_logreg(),
         "sparql_text": sql_sparql_text(),
         "shape_report": sql_shape_report(),
         "owl_entail": sql_owl_entail(),
@@ -6094,7 +6174,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": sql_minhash_pairs(),
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
-        "quality": sql_quality(),
         "ann_topk": sql_ann_topk(),
         "ann_lsh": sql_ann_lsh(),
         "near_dup_embeddings": sql_near_dup_embeddings(),

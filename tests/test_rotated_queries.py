@@ -44,8 +44,12 @@ ROTATED = [
     # carried (string-level oracle certifies the xxhash64 match path)
     ("dup_spans", Q.q_dup_spans, Q.sql_dup_spans),
     # round-5 seventh rotation OUT: pure composition of lang_id +
-    # quality, both of which remain registered
+    # quality (quality itself rotated out in the eighth rotation —
+    # both compositions stay mirrored here)
     ("corpus_filter", Q.q_corpus_filter, Q.sql_corpus_filter),
+    # round-5 eighth rotation OUT: quality's six features are
+    # recomputed verbatim inside the registered quality_logreg oracle
+    ("quality", Q.q_quality, Q.sql_quality),
     # round-4 addition: C4-style boilerplate line filter
     ("clean_boilerplate", Q.q_clean_boilerplate, Q.sql_clean_boilerplate),
     # round-4 addition: anchor-text lexicon (parser vs position oracle)
