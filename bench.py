@@ -155,6 +155,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     qs.setdefault("jaccard_pairs", Q.q_jaccard_pairs)  # swapped out s10
     qs.setdefault("entity_provenance", Q.q_entity_provenance)  # rotated pair
     qs.setdefault("annotate_stemmed", Q.q_annotate_stemmed)  # rotated out r5
+    qs.setdefault("quality", Q.q_quality)  # rotated out r5 (8th rotation)
     # warm up JVM + Python workers + compile/broadcast the static model so
     # per-query times measure the steady-state plan, not one-time setup
     Q._docs(spark, sf_dir).limit(8).mapInPandas(

@@ -56,6 +56,7 @@ def _headline_queries():
     qs.setdefault("jaccard_pairs", Q.q_jaccard_pairs)
     qs.setdefault("entity_provenance", Q.q_entity_provenance)
     qs.setdefault("annotate_stemmed", Q.q_annotate_stemmed)
+    qs.setdefault("quality", Q.q_quality)
     return [(name, qs[name]) for name in bench.HEADLINE]
 
 
