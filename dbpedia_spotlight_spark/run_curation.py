@@ -131,6 +131,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="strip non-first occurrences of exact duplicated "
                          "word K-grams (Lee et al. ExactSubstr, kept-first; "
                          "0 = off)")
+    ap.add_argument("--classifier-ref", default="",
+                    help="CCNet-style model-based quality gate: parquet of "
+                         "reference ('looks like this') documents used as "
+                         "positives; a same-size deterministic hash sample "
+                         "of the corpus is the negative class; a logistic "
+                         "classifier over the quality features scores every "
+                         "doc and the gate keeps p >= threshold")
+    ap.add_argument("--classifier-threshold", type=float, default=0.5)
+    ap.add_argument("--classifier-iters", type=int, default=50)
     return ap
 
 
@@ -539,6 +548,52 @@ def main(argv: list[str] | None = None,
         _commit("ppl_gate", {
             "ppl_thresholds": {"head_max": lo, "middle_max": hi},
             "after_ppl_gate": docs.count()})
+
+    # 3d. model-based quality gate (the CCNet classifier-filter shape,
+    # distinct from the hand-rule gates in 3): positives = the
+    # reference corpus, negatives = a same-size DETERMINISTIC hash
+    # sample of the current corpus (noisy labels — some sampled docs
+    # are reference-quality; the standard CCNet assumption), features =
+    # the cheap quality_scores columns, fit = full-batch logistic GD
+    # (one combinable aggregate per step, weights as plan literals),
+    # gate = one zero-shuffle scoring pass. At 10^12 rows the fit runs
+    # on the sampled slice only; the corpus pays one projection.
+    if args.classifier_ref and not _skip("clf_gate"):
+        from dbpedia_spotlight_spark.operators.classifier import (
+            QUALITY_FEATURES, fit_logreg, score_logreg,
+        )
+        from dbpedia_spotlight_spark.operators.sampling import hash_sample
+        from dbpedia_spotlight_spark.operators.textstats import (
+            quality_scores,
+        )
+        ref = spark.read.parquet(args.classifier_ref)
+        # reference rows only need text; key them content-hashed so the
+        # feature op has its id column without assuming the ref schema
+        ref_docs = ref.select(
+            F.xxhash64("text").alias("doc_id"), "text")
+        n_ref, n_cur = ref_docs.count(), docs.count()
+        neg = hash_sample(
+            docs.select(F.col(id_col).alias("doc_id"), "text"),
+            min(1.0, n_ref / max(n_cur, 1)), "doc_id", salt="clf-neg")
+        train = (
+            quality_scores(ref_docs).withColumn("_y", F.lit(1.0))
+            .unionByName(
+                quality_scores(neg).withColumn("_y", F.lit(0.0)))
+            .select(*QUALITY_FEATURES, "_y"))
+        model = fit_logreg(train, QUALITY_FEATURES, "_y",
+                           iters=args.classifier_iters)
+        keep = (score_logreg(
+                    quality_scores(docs.withColumnRenamed(id_col,
+                                                          "doc_id")),
+                    model, QUALITY_FEATURES)
+                .filter(F.col("p") >= args.classifier_threshold)
+                .select(F.col("doc_id").alias(id_col)))
+        docs = _mat(docs.join(keep, id_col, "left_semi"), "clf_gate")
+        _commit("clf_gate", {
+            "after_classifier_gate": docs.count(),
+            "classifier_weights": dict(zip(QUALITY_FEATURES,
+                                           model["weights"])),
+            "classifier_bias": model["bias"]})
 
     # 4. PII scrub (text rewrite, row count unchanged)
     if args.scrub_pii:

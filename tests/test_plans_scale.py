@@ -520,6 +520,50 @@ def test_run_curation_span_dedup_stage(spark, tmp_path):
                for i in out)
 
 
+def test_run_curation_classifier_gate_stage(spark, tmp_path):
+    """--classifier-ref: the CCNet model-based gate trains on reference
+    positives vs an in-corpus hash-sample negative class and drops the
+    digit-spam half of the corpus; the learned weights land in stats."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "walks along the quiet river bank towards the old mill")
+
+    def unique_tail(tag: str, i: int) -> str:
+        # enough per-doc unique words that the always-on near-dedup
+        # stages (Jaccard 0.8) cannot collapse the fixture family
+        return " ".join(f"{tag}{i}word{j}" for j in range(12))
+
+    rows = [(i, f"{good} {unique_tail('g', i)}") for i in range(40)]
+    rows += [(100 + i,
+              " ".join(str(1000 + i * 37 + j) for j in range(25)))
+             for i in range(40)]
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        corpus_dir)
+    ref_dir = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(i, f"{good} {unique_tail('r', i)}") for i in range(30)],
+        ["doc_id", "text"]).write.parquet(ref_dir)
+
+    stats = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
+                  "--classifier-ref", ref_dir,
+                  "--classifier-iters", "200",
+                  "--lang", "", "--no-quality-gate", "--split", ""],
+                 spark=spark)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out" / "curated"))
+            .select("doc_id").collect()}
+    assert stats["after_classifier_gate"] == len(kept)
+    assert not any(i >= 100 for i in kept)         # spam all dropped
+    assert len([i for i in kept if i < 40]) >= 35  # good mostly kept
+    # digit spam is separated by a negative digit-ratio weight
+    assert stats["classifier_weights"]["digit_ratio"] < 0
+    assert set(stats["classifier_weights"]) == {
+        "n_chars", "n_tokens", "mean_token_len", "stopword_ratio",
+        "digit_ratio", "upper_ratio"}
+
+
 def test_run_pipeline_anchor_lexicon_emission(spark, web_pages, lexicon,
                                               tmp_path):
     """--anchor-lexicon: the annotate job also writes the pairCounts-
