@@ -3216,6 +3216,46 @@ def sql_dup_spans() -> str:
   SELECT doc_id, pos, g AS gram, n_dup FROM spans"""
 
 
+_BM25_QUERY = ["spark", "query", "join"]
+
+
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/bm25.py): score every document
+    matching >=1 of the 3 query terms, Lucene-variant IDF, k1=1.2
+    b=0.75. All matching docs (no top-k cut — the row set is then
+    layout-independent; scores cross libm ln, so the 9 dp contract
+    applies, and a float-tied LIMIT boundary can't flip rows)."""
+    from dbpedia_spotlight_spark.operators.bm25 import bm25_scores
+    return (bm25_scores(_docs(spark, sf_dir), _BM25_QUERY)
+            .select("doc_id", F.round("score", 9).alias("score"),
+                    "n_hit"))
+
+
+def sql_bm25_rank() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_BM25_QUERY))
+    return f"""
+  WITH w AS (
+    SELECT doc_id, CASE WHEN trim(text)='' THEN []::varchar[]
+           ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS w
+    FROM documents),
+  dl AS (SELECT doc_id, len(w) AS dl FROM w),
+  st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+  post AS (SELECT doc_id, unnest(w) AS term FROM w),
+  tfq AS (
+    SELECT term, doc_id, count(*) AS tf FROM post
+    WHERE term IN ({terms}) GROUP BY term, doc_id),
+  dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tfq GROUP BY term)
+  SELECT tfq.doc_id AS doc_id,
+         round(sum(ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                   * tfq.tf * (1.2 + 1.0)
+                   / (tfq.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl / st.avgdl))), 9)
+           AS score,
+         count(*) AS n_hit
+  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id), st
+  GROUP BY tfq.doc_id"""
+
+
 _LOGREG_ITERS = 20
 _LOGREG_LR = 0.5
 

@@ -50,6 +50,9 @@ ROTATED = [
     # round-5 eighth rotation OUT: quality's six features are
     # recomputed verbatim inside the registered quality_logreg oracle
     ("quality", Q.q_quality, Q.sql_quality),
+    # round-5 addition: BM25 ranked retrieval (Lucene-variant IDF) —
+    # retrieval-based decontam / audit / hard-negative mining primitive
+    ("bm25_rank", Q.q_bm25_rank, Q.sql_bm25_rank),
     # round-4 addition: C4-style boilerplate line filter
     ("clean_boilerplate", Q.q_clean_boilerplate, Q.sql_clean_boilerplate),
     # round-4 addition: anchor-text lexicon (parser vs position oracle)
