@@ -126,6 +126,54 @@ def pack_sequences(docs: DataFrame, budget: int,
                     .alias("pack")))
 
 
+def chunk_documents(docs: DataFrame, window: int, stride: int | None = None,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    min_tokens: int = 1) -> DataFrame:
+    """Sliding-window chunking of long documents into training examples
+    (the context-window split every LM data pipeline runs before
+    packing): word windows of ``window`` tokens starting every
+    ``stride`` tokens (default = window, i.e. disjoint; stride < window
+    overlaps for causal-LM continuity). The final partial window is
+    kept when it has ≥ ``min_tokens`` words.
+
+    Output: (id, chunk_idx, start, n_tokens, chunk_text), chunk_idx
+    0-based in document order. Zero shuffles — one whole-stage-codegen
+    projection (split → sequence(0, n-1, stride) → slice/concat_ws →
+    posexplode); the natural upstream of ``pack_sequences``, which
+    takes over exact-budget packing across documents."""
+    stride = window if stride is None else stride
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    if min_tokens < 1:
+        raise ValueError("min_tokens must be >= 1")
+    t = F.trim(F.col(text_col))
+    words = F.when(t == "", F.array().cast("array<string>")) \
+             .otherwise(F.split(t, r"\s+"))
+    base = docs.select(F.col(id_col), words.alias("_w")) \
+               .filter(F.size("_w") >= 1)
+    n = F.size("_w")
+    # starts every `stride`, stopping after the FIRST window that
+    # reaches the document end (the HF overflowing-tokens rule) — so
+    # with stride < window exactly one chunk, the last, may be partial,
+    # instead of a fan of degenerate overlapping tails
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s - stride + window < n))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.least(F.lit(window), n - s).alias("n_tokens"),
+            F.concat_ws(" ", F.slice("_w", s + 1, window))
+            .alias("chunk_text")))
+    return (base
+            .select(id_col, F.posexplode(chunks).alias("chunk_idx", "_c"))
+            .select(id_col, "chunk_idx", F.col("_c.start").alias("start"),
+                    F.col("_c.n_tokens").alias("n_tokens"),
+                    F.col("_c.chunk_text").alias("chunk_text"))
+            .filter(F.col("n_tokens") >= min_tokens))
+
+
 def temperature_weights(df: DataFrame, key_col: str,
                         alpha: float = 0.5) -> DataFrame:
     """CCNet/Llama-style temperature mixing weights per domain:

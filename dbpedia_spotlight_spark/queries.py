@@ -3216,6 +3216,33 @@ def sql_dup_spans() -> str:
   SELECT doc_id, pos, g AS gram, n_dup FROM spans"""
 
 
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (operators/sampling.py::chunk_documents):
+    window=40 words, stride=30 (overlapping, HF overflowing-tokens
+    stop rule), the LM context-split upstream of pack_sequences."""
+    from dbpedia_spotlight_spark.operators.sampling import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), window=40, stride=30)
+
+
+def sql_chunk_windows() -> str:
+    return """
+  WITH w AS (
+    SELECT doc_id, CASE WHEN trim(text)='' THEN []::varchar[]
+           ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+    FROM documents),
+  starts AS (
+    SELECT doc_id, w, s
+    FROM w, LATERAL (SELECT unnest(generate_series(0, len(w)-1, 30)) AS s)
+    WHERE len(w) >= 1 AND (s = 0 OR s - 30 + 40 < len(w)))
+  SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+              AS INTEGER) AS chunk_idx,
+         s AS start,
+         least(40, len(w) - s) AS n_tokens,
+         array_to_string(w[s+1 : s+40], ' ') AS chunk_text
+  FROM starts"""
+
+
 _BM25_QUERY = ["spark", "query", "join"]
 
 

@@ -53,6 +53,9 @@ ROTATED = [
     # round-5 addition: BM25 ranked retrieval (Lucene-variant IDF) —
     # retrieval-based decontam / audit / hard-negative mining primitive
     ("bm25_rank", Q.q_bm25_rank, Q.sql_bm25_rank),
+    # round-5 addition: sliding-window LM chunking (HF overflowing-
+    # tokens stop rule), upstream of pack_sequences
+    ("chunk_windows", Q.q_chunk_windows, Q.sql_chunk_windows),
     # round-4 addition: C4-style boilerplate line filter
     ("clean_boilerplate", Q.q_clean_boilerplate, Q.sql_clean_boilerplate),
     # round-4 addition: anchor-text lexicon (parser vs position oracle)
