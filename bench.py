@@ -336,12 +336,22 @@ def run_scaling(sf_dir: str) -> dict:
 
     out = {}
     for cpus in (SCALE_SMALL, SCALE_BIG):
-        r = subprocess.run(
-            [sys.executable, __file__, "--scale-probe", corpus,
-             "--cpus", str(cpus)],
-            capture_output=True, text=True, check=True,
-        )
-        out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+        # one retry: a probe is a fresh JVM under a contended box and
+        # can die transiently; a lost probe must not lose the round's
+        # scaling artifact. On double failure surface the probe stderr.
+        for attempt in (0, 1):
+            r = subprocess.run(
+                [sys.executable, __file__, "--scale-probe", corpus,
+                 "--cpus", str(cpus)],
+                capture_output=True, text=True,
+            )
+            if r.returncode == 0 and r.stdout.strip():
+                out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+                break
+            if attempt:
+                raise RuntimeError(
+                    f"scale probe cpus={cpus} failed twice; stderr tail:\n"
+                    + "\n".join(r.stderr.strip().splitlines()[-15:]))
     # merge timing samples with any prior cache: min-per-level over ALL
     # runs is the standard contention-noise estimator (a contended
     # re-run must extend the sample set, not erase a clean measurement);
