@@ -37,11 +37,10 @@ B = 0.75
 
 
 def _terms(text_col):
-    """Case-folded whitespace tokens (the repo-wide tokenization pinned
-    by the spandedup oracle pairs; empty text → no terms)."""
-    t = F.trim(F.lower(text_col))
-    return F.when(t == "", F.array().cast("array<string>")) \
-            .otherwise(F.split(t, r"\s+"))
+    """Case-folded whitespace tokens — the shared repo-wide
+    tokenization (``textstats.ws_tokens``; empty text → no terms)."""
+    from dbpedia_spotlight_spark.operators.textstats import ws_tokens
+    return ws_tokens(text_col, fold=True)
 
 
 def term_postings(docs: DataFrame, id_col: str = "doc_id",
@@ -72,7 +71,7 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
     Pass pre-materialized ``postings``/``lengths`` to amortize the
     index across queries (the production path); otherwise both derive
     from ``docs`` inline."""
-    q = sorted({t.lower() for t in query_terms if t.strip()})
+    q = sorted({t.strip().lower() for t in query_terms if t.strip()})
     if not q:
         raise ValueError("query_terms must contain at least one term")
     post = (postings if postings is not None
@@ -81,6 +80,8 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
           else doc_lengths(docs, id_col, text_col))
     stats = dl.agg(F.count(F.lit(1)).alias("n"),
                    F.avg("dl").alias("avgdl")).first()
+    if not stats["n"]:
+        raise ValueError("bm25_scores: corpus is empty")
     n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
     hits = post.filter(F.col("term").isin(*q))
     df_per_term = hits.groupBy("term").agg(

@@ -42,8 +42,12 @@ def standardize_stats(df: DataFrame,
     same arithmetic (builtin stddev implementations differ)."""
     aggs = []
     for c in feature_cols:
-        aggs.append(F.avg(F.col(c)).alias(f"m_{c}"))
-        aggs.append(F.avg(F.col(c) * F.col(c)).alias(f"s_{c}"))
+        # cast BEFORE squaring: an IntegerType feature (e.g. a length)
+        # would overflow 32-bit silently at x >= 46341 in Spark's
+        # non-ANSI int multiply, corrupting the variance
+        x = F.col(c).cast("double")
+        aggs.append(F.avg(x).alias(f"m_{c}"))
+        aggs.append(F.avg(x * x).alias(f"s_{c}"))
     row = df.agg(*aggs).first()
     out = {}
     for c in feature_cols:
@@ -116,10 +120,10 @@ def quality_classifier(docs: DataFrame, label: Column,
     (``textstats.quality_scores``) → logistic fit against a weak-
     supervision ``label`` column expression (CCNet uses "looks like
     Wikipedia"; any deterministic proxy works — the expression may
-    reference the input columns AND the quality_scores feature columns,
-    so a hand-tuned threshold rule can be distilled into a smooth
-    learned score) → per-doc probability + keep flag.
-    Returns (doc_id, p, keep)."""
+    reference the quality_scores feature columns and the input's
+    non-text metadata columns; the raw text column is NOT joined back,
+    so text-derived labels must be precomputed onto ``docs`` first) →
+    per-doc probability + keep flag. Returns (doc_id, p, keep)."""
     from dbpedia_spotlight_spark.operators.textstats import quality_scores
     qs = quality_scores(docs)
     # feature columns win on name collisions (e.g. the input table may

@@ -146,9 +146,8 @@ def chunk_documents(docs: DataFrame, window: int, stride: int | None = None,
         raise ValueError("window and stride must be positive")
     if min_tokens < 1:
         raise ValueError("min_tokens must be >= 1")
-    t = F.trim(F.col(text_col))
-    words = F.when(t == "", F.array().cast("array<string>")) \
-             .otherwise(F.split(t, r"\s+"))
+    from dbpedia_spotlight_spark.operators.textstats import ws_tokens
+    words = ws_tokens(F.col(text_col), fold=False)
     base = docs.select(F.col(id_col), words.alias("_w")) \
                .filter(F.size("_w") >= 1)
     n = F.size("_w")

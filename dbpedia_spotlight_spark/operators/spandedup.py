@@ -56,12 +56,11 @@ DEFAULT_K = 13  # words per span — the CCNet/Lee-et-al working range
 
 
 def _words(text_col: Column) -> Column:
-    """Case-folded whitespace tokens; empty text → empty array (bare
-    ``split('', '\\s+')`` would mint ``['']`` — size 1 — so the empty
-    case is pinned, mirroring ``boilerplate._line_word_count``)."""
-    t = F.trim(F.lower(text_col))
-    return F.when(t == "", F.array().cast("array<string>")) \
-            .otherwise(F.split(t, r"\s+"))
+    """Case-folded whitespace tokens — the shared repo-wide
+    tokenization (``textstats.ws_tokens``; empty text pinned to an
+    empty array)."""
+    from dbpedia_spotlight_spark.operators.textstats import ws_tokens
+    return ws_tokens(text_col, fold=True)
 
 
 def gram_occurrences(docs: DataFrame, k: int = DEFAULT_K,
@@ -197,9 +196,8 @@ def mask_duplicate_spans(docs: DataFrame, k: int = DEFAULT_K,
              .filter(~F.col("_any_keep"))
              .groupBy(id_col)
              .agg(F.sort_array(F.collect_list("_p")).alias("_drop")))
-    orig_words = F.when(F.trim(F.col(text_col)) == "",
-                        F.array().cast("array<string>")) \
-                  .otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    from dbpedia_spotlight_spark.operators.textstats import ws_tokens
+    orig_words = ws_tokens(F.col(text_col), fold=False)
     return (docs
             .join(drops, id_col, "left")
             .withColumn("_di", F.coalesce(F.col("_drop"),

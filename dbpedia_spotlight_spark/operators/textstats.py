@@ -50,6 +50,19 @@ def _tokens(text_col) -> F.Column:
     return F.split(F.lower(text_col), " ")
 
 
+def ws_tokens(text_col: F.Column, fold: bool = True) -> F.Column:
+    """THE repo-wide whitespace tokenization pinned by the DuckDB oracle
+    pairs (spandedup / bm25 / chunking): ``trim`` then split on
+    ``\\s+``, optionally case-folded, with the empty-text case pinned to
+    an EMPTY array (bare ``split('', '\\s+')`` would mint ``['']`` —
+    size 1). One definition so the parity caveats (Java vs RE2 ``\\s``,
+    trim strips spaces only, leading newlines mint one empty word on
+    both engines) live in one place and can't drift per copy."""
+    t = F.trim(F.lower(text_col) if fold else text_col)
+    return F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"\s+"))
+
+
 def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-hit-ratio per language profile + argmax language guess.
     score_L = |tokens ∩ profile_L| / |tokens|."""

@@ -3302,9 +3302,13 @@ def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_classifier)
     docs = _docs(spark, sf_dir)
     label = (F.col("quality") >= 0.6) & (F.col("lang") == "en")
+    # keep derives from the ROUNDED p on both engines: a doc sitting
+    # within one ulp of 0.5 must not flip the boolean across libm /
+    # reduce-order noise the 9 dp rounding on p itself absorbs
     return (quality_classifier(docs, label,
                                iters=_LOGREG_ITERS, lr=_LOGREG_LR)
-            .select("doc_id", F.round("p", 9).alias("p"), "keep"))
+            .select("doc_id", F.round("p", 9).alias("p"))
+            .withColumn("keep", F.col("p") >= 0.5))
 
 
 def sql_quality_logreg() -> str:
@@ -3350,7 +3354,8 @@ def sql_quality_logreg() -> str:
   z AS MATERIALIZED (SELECT lbl.doc_id, lbl.y, {xs} FROM lbl, st),
   it0 AS (SELECT {zero}, 0.0 AS b),
   {','.join(its)}
-  SELECT z.doc_id, round({pfin}, 9) AS p, {pfin} >= 0.5 AS keep
+  SELECT z.doc_id, round({pfin}, 9) AS p,
+         round({pfin}, 9) >= 0.5 AS keep
   FROM z, it{_LOGREG_ITERS} it"""
 
 

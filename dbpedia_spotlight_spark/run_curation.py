@@ -575,6 +575,17 @@ def main(argv: list[str] | None = None,
         neg = hash_sample(
             docs.select(F.col(id_col).alias("doc_id"), "text"),
             min(1.0, n_ref / max(n_cur, 1)), "doc_id", salt="clf-neg")
+        # hash_sample gates on int(frac * 2^20) buckets: at extreme
+        # corpus/ref ratios (frac < 2^-20) the threshold truncates to 0
+        # and the negative class silently vanishes — an all-positive
+        # fit would saturate p→1 and the gate would keep everything
+        n_neg = neg.count()
+        if n_neg == 0:
+            raise SystemExit(
+                "--classifier-ref: negative sample is empty "
+                f"(reference {n_ref} docs vs corpus {n_cur}; sample "
+                "fraction truncated to zero) — use a larger reference "
+                "corpus or pre-sample the corpus slice to fit on")
         train = (
             quality_scores(ref_docs).withColumn("_y", F.lit(1.0))
             .unionByName(

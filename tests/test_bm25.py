@@ -101,3 +101,18 @@ def test_topk_deterministic_order(docs):
 def test_empty_query_raises(docs):
     with pytest.raises(ValueError):
         B.bm25_scores(docs, ["  "])
+
+
+def test_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        B.bm25_scores(empty, ["spark"])
+
+
+def test_query_terms_stripped_and_deduped(docs):
+    a = sorted((r.doc_id, round(r.score, 12)) for r in
+               B.bm25_scores(docs, ["spark", "join"]).collect())
+    b = sorted((r.doc_id, round(r.score, 12)) for r in
+               B.bm25_scores(docs, ["  Spark ", "JOIN", "join "])
+               .collect())
+    assert a == b

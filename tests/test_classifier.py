@@ -96,6 +96,22 @@ def test_zero_variance_feature_guarded(spark):
     assert model["weights"][0] == 0.0
 
 
+def test_integer_feature_no_overflow(spark):
+    """An IntegerType feature large enough that x*x overflows 32-bit
+    (>= 46341) must standardize correctly — the E[x^2] aggregate casts
+    to double BEFORE squaring."""
+    rows = [(i, 50_000 + i * 1000, float(i % 2)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "big", "y"]) \
+        .withColumn("big", F.col("big").cast("int"))
+    model = C.fit_logreg(df, ["big"], "y", iters=5, lr=0.5)
+    pdf = df.toPandas().sort_values("id")
+    w, b, m, s = _numpy_fit(pdf[["big"]].to_numpy(dtype=float),
+                            pdf["y"].to_numpy(), 5, 0.5)
+    assert abs(model["stats"]["big"][0] - m[0]) < 1e-9
+    assert abs(model["stats"]["big"][1] - s[0]) / s[0] < 1e-12
+    assert np.allclose(model["weights"], w, atol=1e-9)
+
+
 def test_quality_classifier_composition(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     out = C.quality_classifier(docs, (F.col("quality") >= 0.6),
