@@ -139,6 +139,8 @@ HEADLINE = [
                               # annotate output (session 10)
     "dup_span_stats",         # exact duplicate-span mass, word-13-gram
                               # ExactSubstr (round-5 final session)
+    "dsir_select",            # DSIR importance-resampling selection
+                              # (round-5 ninth rotation)
 ]
 
 

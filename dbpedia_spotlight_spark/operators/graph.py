@@ -171,7 +171,8 @@ def maintain_comention(incidence: DataFrame, edge_counts: DataFrame,
 def pagerank(edges: DataFrame, damping: float = 0.85,
              n_iter: int = 10, driver_threshold: int = 100_000,
              checkpoint_dir: str | None = None,
-             weight_col: str = "n_docs") -> DataFrame:
+             weight_col: str = "n_docs",
+             size_hint: int | None = None) -> DataFrame:
     """PageRank over the undirected co-occurrence graph (each edge
     contributes both directions), deterministic fixed-iteration power
     method. Returns (uri, rank) with Σ rank = 1 (dangling mass
@@ -186,8 +187,13 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     operators/iterate.py). ``weight_col`` selects the edge weight —
     raw co-mention counts by default, or an association score such as
     ``pmi_edges``' npmi (weights must be positive: filter npmi > 0
-    first, since a negative weight has no random-walk reading)."""
-    if edges.limit(driver_threshold).count() < driver_threshold:
+    first, since a negative weight has no random-walk reading).
+    ``size_hint`` — a caller-known edge count (exact or lower bound at
+    the threshold) — skips the dispatch probe, saving one scheduler
+    round-trip per call on hot paths that already counted the edges."""
+    n_edges = (size_hint if size_hint is not None
+               else edges.limit(driver_threshold).count())
+    if n_edges < driver_threshold:
         return _pagerank_driver(edges, damping, n_iter, weight_col)
     # directed edge list both ways (undirected graph: each edge feeds
     # the walk in both directions)
@@ -491,7 +497,8 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
 def hits(edges: DataFrame, n_iter: int = 10,
          driver_threshold: int = 100_000,
          checkpoint_dir: str | None = None,
-         weight_col: str = "n_docs") -> DataFrame:
+         weight_col: str = "n_docs",
+         size_hint: int | None = None) -> DataFrame:
     """Kleinberg HITS over the DIRECTED host link graph
     (``anchors.host_link_edges``: uri_a links-to uri_b). Returns
     (uri, hub, authority); deterministic fixed-iteration synchronous
@@ -508,8 +515,11 @@ def hits(edges: DataFrame, n_iter: int = 10,
     per-iteration lineage cut — a RoundCheckpointer generation may be
     deleted once the next lands, so two frames must never be cut
     through it separately (the surviving frame would read a deleted
-    generation)."""
-    if edges.limit(driver_threshold).count() < driver_threshold:
+    generation). ``size_hint`` as in ``pagerank`` — a caller-known edge
+    count skips the dispatch probe's scheduler round-trip."""
+    n_edges = (size_hint if size_hint is not None
+               else edges.limit(driver_threshold).count())
+    if n_edges < driver_threshold:
         return _hits_driver(edges, n_iter, weight_col)
     e = edges.select(F.col("uri_a").alias("src"),
                      F.col("uri_b").alias("dst"),

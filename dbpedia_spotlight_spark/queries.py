@@ -3283,6 +3283,74 @@ def sql_bm25_rank() -> str:
   GROUP BY tfq.doc_id"""
 
 
+_DSIR_BUCKETS = 512
+_DSIR_ALPHA = 1.0
+_DSIR_K = 100
+_DSIR_SALT = "dsir"
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023):
+    importance-resample k=100 documents toward the lang='en' reference
+    slice using hashed unigram+bigram bucket models (B=512, add-1
+    smoothing) and deterministic Gumbel top-k. The oracle replays
+    hashing → smoothed log-ratio → per-doc weight → Gumbel key
+    end-to-end; weights/keys cross libm ln so the 9 dp contract
+    applies, and the top-k ORDER key is the rounded key with doc_id
+    tiebreak so a float-tied LIMIT boundary can't flip rows."""
+    from dbpedia_spotlight_spark.operators.dsir import dsir_select
+    docs = _docs(spark, sf_dir)
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"),
+                       _DSIR_K, n_buckets=_DSIR_BUCKETS,
+                       alpha=_DSIR_ALPHA, salt=_DSIR_SALT)
+
+
+def sql_dsir_select() -> str:
+    b, a, k, salt = _DSIR_BUCKETS, _DSIR_ALPHA, _DSIR_K, _DSIR_SALT
+    return f"""
+  WITH w AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::varchar[]
+                ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+           END AS w,
+           lang
+    FROM documents),
+  grams AS (
+    SELECT doc_id, lang, t.g FROM w, UNNEST(w.w) AS t(g)
+    UNION ALL
+    SELECT doc_id, lang, t.g
+    FROM w, UNNEST(list_transform(range(1, len(w.w)),
+                                  i -> w.w[i] || ' ' || w.w[i+1])) AS t(g)),
+  b AS (
+    SELECT doc_id, lang,
+           CAST(concat('0x', substr(md5(concat_ws('#', g, '{salt}')),
+                                    1, 15)) AS BIGINT) % {b} AS bucket
+    FROM grams),
+  tgt AS (SELECT bucket, count(*) AS n FROM b WHERE lang = 'en'
+          GROUP BY bucket),
+  raw AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+  tt AS (SELECT sum(n) AS t FROM tgt),
+  rt AS (SELECT sum(n) AS t FROM raw),
+  ratio AS (
+    SELECT COALESCE(tgt.bucket, raw.bucket) AS bucket,
+           ln((COALESCE(tgt.n, 0) + {a}) / (tt.t + {a * b}))
+           - ln((COALESCE(raw.n, 0) + {a}) / (rt.t + {a * b})) AS lr
+    FROM tgt FULL JOIN raw ON tgt.bucket = raw.bucket, tt, rt),
+  lw AS (
+    SELECT w.doc_id, COALESCE(sum(r.lr), 0.0) AS logw
+    FROM w LEFT JOIN b ON w.doc_id = b.doc_id
+           LEFT JOIN ratio r ON b.bucket = r.bucket
+    GROUP BY w.doc_id),
+  keyed AS (
+    SELECT doc_id, logw,
+           logw - ln(-ln((CAST(concat('0x', substr(md5(concat_ws('#',
+                      CAST(doc_id AS VARCHAR), '{salt}-g')), 1, 15))
+                      AS BIGINT) % 1048576 + 0.5) / 1048576.0)) AS key
+    FROM lw)
+  SELECT doc_id, round(logw, 9) AS logw, round(key, 9) AS gumbel_key
+  FROM keyed ORDER BY round(key, 9) DESC, doc_id LIMIT {k}"""
+
+
 _LOGREG_ITERS = 20
 _LOGREG_LR = 0.5
 
@@ -6134,9 +6202,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     before the swap) in; quality out (green since round 1; its six
     features are recomputed VERBATIM inside the quality_logreg oracle
     via sql_quality, and the pair stays DuckDB-mirrored in
-    tests/test_rotated_queries.py)."""
+    tests/test_rotated_queries.py).
+    Round-5 ninth rotation: dsir_select (DSIR importance-resampling
+    data selection toward a target reference, Xie et al. 2023 —
+    operators/dsir.py, hashed-n-gram bucket models + deterministic
+    Gumbel top-k; full relational DuckDB oracle, bit-identical at
+    sf0.001 AND sf0.01 before the swap) in; ann_lsh out (green since
+    round 2; its hyperplane-LSH machinery stays exercised inside the
+    registered near_dup_embeddings, and the pair stays DuckDB-mirrored
+    in tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "dsir_select": q_dsir_select,
         "dup_span_stats": q_dup_span_stats,
         "quality_logreg": q_quality_logreg,
         "sparql_text": q_sparql_text,
@@ -6190,7 +6267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         # similarity search
         "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
         "near_dup_embeddings": q_near_dup_embeddings,
     }
 
@@ -6199,6 +6275,7 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "dsir_select": sql_dsir_select(),
         "dup_span_stats": sql_dup_span_stats(),
         "quality_logreg": sql_quality_logreg(),
         "sparql_text": sql_sparql_text(),
@@ -6247,6 +6324,5 @@ def oracle_sql() -> dict[str, str]:
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
         "ann_topk": sql_ann_topk(),
-        "ann_lsh": sql_ann_lsh(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
     }

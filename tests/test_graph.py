@@ -86,6 +86,33 @@ def test_pagerank_matches_power_iteration_oracle(spark, threshold):
         assert abs(got[u] - rank[u]) < 1e-9, (u, got[u], rank[u])
 
 
+def test_pagerank_and_hits_size_hint_skips_probe(spark):
+    """A caller-supplied size_hint drives the driver/distributed dispatch
+    without the limit(N).count() probe, and both dispatch choices agree
+    on the same graph (hint below threshold -> driver numpy path; hint
+    at threshold -> distributed loop)."""
+    from dbpedia_spotlight_spark.operators.graph import hits, pagerank
+    E = [("A", "B", 2), ("B", "C", 1), ("A", "C", 5)]
+    edges = spark.createDataFrame(E, "uri_a string, uri_b string, n_docs long")
+    drv = {r.uri: r.rank for r in
+           pagerank(edges, n_iter=8, size_hint=len(E)).collect()}
+    dist = {r.uri: r.rank for r in
+            pagerank(edges, n_iter=8, driver_threshold=3,
+                     size_hint=3).collect()}
+    assert set(drv) == set(dist)
+    for u in drv:
+        assert abs(drv[u] - dist[u]) < 1e-9
+    h_drv = {r.uri: (r.hub, r.authority) for r in
+             hits(edges, n_iter=8, size_hint=len(E)).collect()}
+    h_dist = {r.uri: (r.hub, r.authority) for r in
+              hits(edges, n_iter=8, driver_threshold=3,
+                   size_hint=3).collect()}
+    assert set(h_drv) == set(h_dist)
+    for u in h_drv:
+        assert abs(h_drv[u][0] - h_dist[u][0]) < 1e-9
+        assert abs(h_drv[u][1] - h_dist[u][1]) < 1e-9
+
+
 def test_kg_stats_report(spark):
     from dbpedia_spotlight_spark.triples import kg_stats
     t = spark.createDataFrame(

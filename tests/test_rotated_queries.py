@@ -17,6 +17,9 @@ from tests.test_entry_contract import TABLES, _assert_frames_equal
 SF_DIR = os.environ.get("ENTRY_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 ROTATED = [
+    # round-5 ninth rotation OUT: hyperplane-LSH machinery stays
+    # exercised inside the registered near_dup_embeddings
+    ("ann_lsh", Q.q_ann_lsh, Q.sql_ann_lsh),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
