@@ -43,6 +43,16 @@ n_buckets``); the Gumbel uniform is ``(md5₆₀(id#salt-g) % 2²⁰ + 0.5) /
 the repo-wide round(9) contract, and the top-k ORDER key is the
 *rounded* key with doc_id tiebreak so a float-tied boundary cannot
 flip rows between engines.
+
+Semantics callers should know (inherent to DSIR, not quirks of this
+implementation): the weight is a SUM over gram log-ratios, so it is
+length-sensitive — under add-α smoothing every gram's contribution is
+usually negative, and longer documents drift lower unless their grams
+are genuinely target-frequent; compare weights across comparable
+lengths or normalize upstream. And because the denominator is the raw
+corpus distribution, a document duplicated many times raises its own
+grams' raw probability and LOWERS its weight — DSIR is dedup-aware by
+construction (tests pin both properties).
 """
 
 from __future__ import annotations

@@ -140,6 +140,17 @@ def build_parser() -> argparse.ArgumentParser:
                          "doc and the gate keeps p >= threshold")
     ap.add_argument("--classifier-threshold", type=float, default=0.5)
     ap.add_argument("--classifier-iters", type=int, default=50)
+    ap.add_argument("--dsir-target", default="",
+                    help="DSIR importance resampling (Xie et al. 2023): "
+                         "parquet of target-distribution reference docs; "
+                         "the corpus is cut to --dsir-k documents sampled "
+                         "without replacement proportionally to the "
+                         "hashed-n-gram importance weight toward the "
+                         "reference (deterministic Gumbel top-k)")
+    ap.add_argument("--dsir-k", type=int, default=0,
+                    help="number of documents DSIR keeps (required with "
+                         "--dsir-target)")
+    ap.add_argument("--dsir-buckets", type=int, default=4096)
     return ap
 
 
@@ -605,6 +616,27 @@ def main(argv: list[str] | None = None,
             "classifier_weights": dict(zip(QUALITY_FEATURES,
                                            model["weights"])),
             "classifier_bias": model["bias"]})
+
+    # 3e. DSIR selection (the data-mixing shape DISTINCT from the
+    # gates above: not "drop what fails a rule" but "resample toward a
+    # target distribution"). Weights need two corpus scans (bucket
+    # counts, then per-doc sums) against a broadcast <=B-row ratio
+    # table; text never shuffles, selection is TakeOrdered (k rows at
+    # the driver), and the cut is one broadcast semi-join.
+    if args.dsir_target and not _skip("dsir"):
+        from dbpedia_spotlight_spark.operators.dsir import dsir_select
+        if args.dsir_k <= 0:
+            raise SystemExit("--dsir-target requires --dsir-k > 0")
+        tgt = spark.read.parquet(args.dsir_target).select("text")
+        winners = dsir_select(
+            docs.select(F.col(id_col).alias("doc_id"), "text"), tgt,
+            args.dsir_k, n_buckets=args.dsir_buckets)
+        keep = winners.select(F.col("doc_id").alias(id_col))
+        docs = _mat(docs.join(F.broadcast(keep), id_col, "left_semi"),
+                    "dsir")
+        _commit("dsir", {"after_dsir": docs.count(),
+                         "dsir_k": args.dsir_k,
+                         "dsir_buckets": args.dsir_buckets})
 
     # 4. PII scrub (text rewrite, row count unchanged)
     if args.scrub_pii:

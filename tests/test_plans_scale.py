@@ -564,6 +564,55 @@ def test_run_curation_classifier_gate_stage(spark, tmp_path):
         "digit_ratio", "upper_ratio"}
 
 
+def test_run_curation_dsir_stage(spark, tmp_path):
+    """--dsir-target/--dsir-k: DSIR importance resampling keeps the k
+    docs sampled ∝ weight toward the reference distribution. Both
+    families have EQUAL length (the weight is a sum over grams, so
+    unequal lengths shift it) and each shares a family-common phrase:
+    the on-target phrase is target-frequent (mild per-gram ratio), the
+    off-target phrase is raw-frequent / target-absent (strongly
+    negative), so the log-weight gap (tens of nats) dwarfs the Gumbel
+    noise and every winner comes from the on-target family."""
+    from dbpedia_spotlight_spark.run_curation import main
+
+    good = ("the quick brown fox jumps over the lazy dog and "
+            "then walks home")                     # 13 words
+    spam = ("zebra lion tiger crocodile hyena rhino buffalo "
+            "giraffe leopard cheetah warthog meerkat mongoose")
+
+    def unique_tail(tag: str, i: int) -> str:
+        # enough per-doc unique words that the always-on near-dedup
+        # stages (Jaccard 0.8) cannot collapse the fixture family
+        return " ".join(f"{tag}{i}word{j}" for j in range(12))
+
+    rows = [(i, f"{good} {unique_tail('g', i)}") for i in range(20)]
+    rows += [(100 + i, f"{spam} {unique_tail('s', i)}")
+             for i in range(20)]
+    corpus_dir = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+        corpus_dir)
+    ref_dir = str(tmp_path / "ref")
+    spark.createDataFrame(
+        [(i, f"{good} {unique_tail('r', i)}") for i in range(10)],
+        ["doc_id", "text"]).write.parquet(ref_dir)
+
+    stats = main(["--corpus", corpus_dir, "--out", str(tmp_path / "out"),
+                  "--dsir-target", ref_dir, "--dsir-k", "10",
+                  "--lang", "", "--no-quality-gate", "--split", ""],
+                 spark=spark)
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out" / "curated"))
+            .select("doc_id").collect()}
+    assert stats["after_dsir"] == 10 and len(kept) == 10
+    assert all(i < 100 for i in kept)
+
+    with pytest.raises(SystemExit):
+        main(["--corpus", corpus_dir, "--out", str(tmp_path / "out2"),
+              "--dsir-target", ref_dir,
+              "--lang", "", "--no-quality-gate", "--split", ""],
+             spark=spark)
+
+
 def test_run_pipeline_anchor_lexicon_emission(spark, web_pages, lexicon,
                                               tmp_path):
     """--anchor-lexicon: the annotate job also writes the pairCounts-
