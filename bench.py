@@ -141,6 +141,8 @@ HEADLINE = [
                               # ExactSubstr (round-5 final session)
     "dsir_select",            # DSIR importance-resampling selection
                               # (round-5 ninth rotation)
+    "mention_relations",      # open relation extraction over annotate
+                              # output (round-5 tenth rotation)
 ]
 
 

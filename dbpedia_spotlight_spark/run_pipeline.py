@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "into a pairCounts-shaped anchor_lexicon table "
                          "(fold into the model store offline via "
                          "plans/model_build.merge_count_tables)")
+    ap.add_argument("--relations", action="store_true",
+                    help="annotate mode only: also extract open "
+                         "relation candidates between adjacent mentions "
+                         "(operators/relations.py) into a counted "
+                         "relations table, plus the n_docs-gated "
+                         "relation_triples promotion")
+    ap.add_argument("--relations-min-docs", type=int, default=2)
     return ap
 
 
@@ -110,6 +117,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         out_df = disambiguate_xml(spark, corpus, bc, cfg,
                                   xml_col=args.xml_col)
 
+    ann_df = out_df  # raw annotations, kept for --relations
     if args.emit_triples and args.mode in ("annotate", "disambiguate"):
         out_df = all_triples(out_df)
         key = "subj"
@@ -173,6 +181,29 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         cat.write(anchor_lexicon(extract_anchors(corpus)), "anchor_lexicon")
         stats["anchor_lexicon_rows"] = \
             cat.read(spark, "anchor_lexicon").count()
+
+    if args.relations:
+        if args.mode != "annotate":
+            raise SystemExit("--relations requires --mode annotate")
+        from dbpedia_spotlight_spark.operators.relations import (
+            extract_relations, relation_triples,
+        )
+        if "html" in corpus.columns:
+            from dbpedia_spotlight_spark.pipeline import extract_text
+            docs = extract_text(corpus).select(
+                "url", F.col("extracted_text").alias("text"))
+        else:
+            docs = corpus.select("url", "text")
+        rel = extract_relations(
+            ann_df.select("url", "begin", "end", "uri"), docs,
+            id_col="url")
+        cat.write(rel, "relations")
+        cat.write(relation_triples(
+            cat.read(spark, "relations"),
+            min_docs=args.relations_min_docs), "relation_triples")
+        stats["relation_rows"] = cat.read(spark, "relations").count()
+        stats["relation_triples_rows"] = \
+            cat.read(spark, "relation_triples").count()
 
     print(json.dumps(stats))
     if own_session:

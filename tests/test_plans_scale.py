@@ -613,6 +613,36 @@ def test_run_curation_dsir_stage(spark, tmp_path):
              spark=spark)
 
 
+def test_run_pipeline_relations_emission(spark, web_pages, lexicon,
+                                         tmp_path):
+    """--relations: annotate mode also writes the open-relation
+    candidate table (adjacent disambiguated mentions + normalized
+    middle span) and its n_docs-gated triple promotion."""
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.run_pipeline import main
+
+    corpus_dir = str(tmp_path / "corpus")
+    lex_dir = str(tmp_path / "lexicon")
+    out_dir = str(tmp_path / "out")
+    web_pages.write.mode("overwrite").parquet(corpus_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+
+    stats = main([
+        "--corpus", corpus_dir, "--lexicon", lex_dir, "--out", out_dir,
+        "--mode", "annotate", "--relations", "--relations-min-docs", "1",
+    ], spark=spark)
+    assert stats["relation_rows"] > 0
+    assert stats["relation_triples_rows"] > 0
+    rel = spark.read.parquet(f"{out_dir}/relations")
+    assert set(rel.columns) == {"subj_uri", "predicate", "obj_uri",
+                                "n", "n_docs"}
+    assert rel.filter(F.col("subj_uri") == F.col("obj_uri")).count() == 0
+    assert rel.filter(F.length("predicate") == 0).count() == 0
+    trip = spark.read.parquet(f"{out_dir}/relation_triples")
+    assert set(trip.columns) == {"subj", "pred", "obj", "n", "n_docs"}
+    assert trip.filter(~F.col("pred").startswith("rel:")).count() == 0
+
+
 def test_run_pipeline_anchor_lexicon_emission(spark, web_pages, lexicon,
                                               tmp_path):
     """--anchor-lexicon: the annotate job also writes the pairCounts-

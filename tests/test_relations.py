@@ -1,0 +1,146 @@
+"""Open relation extraction (operators/relations.py).
+
+Cross-engine value checks live in the rotated pair
+(queries.q_mention_relations / sql_mention_relations — DuckDB replays
+the annotate chain + pairing + normalization); these tests pin the
+semantics against a from-scratch python reference and the gates
+one by one.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+
+def _python_relations(docs, mentions, max_gap=80, max_pred_tokens=4):
+    """From-scratch reference: adjacent offset-sorted mention pairs,
+    normalized middle span, the four gates, then (n, n_docs) counts."""
+    text = dict(docs)
+    per_doc = {}
+    for d, b, e, u in mentions:
+        per_doc.setdefault(d, []).append((b, e, u))
+    occ = []
+    for d, ms in per_doc.items():
+        ms.sort()
+        for (b1, e1, u1), (b2, e2, u2) in zip(ms, ms[1:]):
+            gap = b2 - e1
+            if not (0 < gap <= max_gap) or u1 == u2:
+                continue
+            pred = re.sub(r"\s+", " ", text[d][e1:b2].strip().lower())
+            if (not pred or re.search(r"[.!?;:]", pred)
+                    or len(pred.split(" ")) > max_pred_tokens):
+                continue
+            occ.append((u1, pred, u2, d))
+    n = Counter((s, p, o) for s, p, o, _ in occ)
+    nd = Counter(set(occ))
+    docs_per_key = Counter(k[:3] for k in nd)
+    return {k: (n[k], docs_per_key[k]) for k in n}
+
+
+def _frames(spark, docs, mentions):
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    m = spark.createDataFrame(
+        mentions, "doc_id long, begin int, end int, uri string")
+    return d, m
+
+
+def test_matches_python_reference(spark):
+    from dbpedia_spotlight_spark.operators.relations import (
+        extract_relations,
+    )
+    docs = [
+        (1, "Berlin is the capital of Germany today"),
+        (2, "Paris is the capital of France"),
+        (3, "Berlin and Germany. France alone"),
+        (4, "solo Berlin"),
+        (5, "Berlin is the capital of Germany and Berlin hosts Germany"),
+        (6, ""),
+    ]
+    mentions = [
+        (1, 0, 6, "dbr:Berlin"), (1, 25, 32, "dbr:Germany"),
+        (2, 0, 5, "dbr:Paris"), (2, 24, 30, "dbr:France"),
+        (3, 0, 6, "dbr:Berlin"), (3, 11, 18, "dbr:Germany"),
+        (3, 20, 26, "dbr:France"),
+        (4, 5, 11, "dbr:Berlin"),
+        (5, 0, 6, "dbr:Berlin"), (5, 25, 32, "dbr:Germany"),
+        (5, 37, 43, "dbr:Berlin"), (5, 50, 57, "dbr:Germany"),
+    ]
+    d, m = _frames(spark, docs, mentions)
+    got = {(r.subj_uri, r.predicate, r.obj_uri): (r.n, r.n_docs)
+           for r in extract_relations(m, d).collect()}
+    assert got == _python_relations(docs, mentions)
+    # the cross-sentence pair was gated, the within-sentence kept
+    assert ("dbr:Germany", "france", "dbr:France") not in got
+    assert got[("dbr:Berlin", "is the capital of", "dbr:Germany")] == (2, 2)
+
+
+def test_gap_and_token_gates(spark):
+    from dbpedia_spotlight_spark.operators.relations import (
+        extract_relations,
+    )
+    filler = " ".join(["w"] * 30)                  # 59 chars, 30 tokens
+    docs = [(1, f"A {filler} B"), (2, "A near B")]
+    mentions = [(1, 0, 1, "u:A"), (1, 62, 63, "u:B"),
+                (2, 0, 1, "u:A"), (2, 7, 8, "u:B")]
+    d, m = _frames(spark, docs, mentions)
+    # default token cap (4) drops doc 1's 30-token span; doc 2 passes
+    got = {(r.subj_uri, r.predicate, r.obj_uri)
+           for r in extract_relations(m, d).collect()}
+    assert got == {("u:A", "near", "u:B")}
+    # generous token cap but tight gap cap: still only doc 2
+    got2 = {(r.subj_uri, r.predicate, r.obj_uri)
+            for r in extract_relations(m, d, max_gap=10,
+                                       max_pred_tokens=100).collect()}
+    assert got2 == {("u:A", "near", "u:B")}
+    # both caps opened: doc 1's long span appears
+    got3 = {(r.subj_uri, r.predicate, r.obj_uri)
+            for r in extract_relations(m, d, max_gap=100,
+                                       max_pred_tokens=100).collect()}
+    assert ("u:A", " ".join(["w"] * 30), "u:B") in got3
+
+
+def test_same_uri_and_touching_mentions_dropped(spark):
+    from dbpedia_spotlight_spark.operators.relations import (
+        extract_relations,
+    )
+    docs = [(1, "Berlin near Berlin"), (2, "AB")]
+    mentions = [(1, 0, 6, "u:B"), (1, 12, 18, "u:B"),
+                (2, 0, 1, "u:A"), (2, 1, 2, "u:C")]   # gap 0
+    d, m = _frames(spark, docs, mentions)
+    assert extract_relations(m, d).count() == 0
+
+
+def test_layout_independent(spark):
+    from dbpedia_spotlight_spark.operators.relations import (
+        extract_relations,
+    )
+    docs = [(i, f"E{i} links to F{i} plus") for i in range(40)]
+    mentions = []
+    for i in range(40):
+        mentions += [(i, 0, 2, f"u:E{i % 5}"),
+                     (i, 12, 14, f"u:F{i % 3}")]
+    d, m = _frames(spark, docs, mentions)
+    a = {tuple(r) for r in extract_relations(m, d).collect()}
+    b = {tuple(r) for r in
+         extract_relations(m.repartition(13, "uri"),
+                           d.repartition(7)).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_relation_triples_promotion(spark):
+    from dbpedia_spotlight_spark.operators.relations import (
+        extract_relations, relation_triples,
+    )
+    docs = [(i, "Berlin is the capital of Germany") for i in range(3)]
+    docs.append((99, "Paris maybe near France"))
+    mentions = []
+    for i in range(3):
+        mentions += [(i, 0, 6, "dbr:Berlin"), (i, 25, 32, "dbr:Germany")]
+    mentions += [(99, 0, 5, "dbr:Paris"), (99, 18, 24, "dbr:France")]
+    d, m = _frames(spark, docs, mentions)
+    rel = extract_relations(m, d)
+    t = {(r.subj, r.pred, r.obj): (r.n, r.n_docs)
+         for r in relation_triples(rel, min_docs=2).collect()}
+    assert t == {("dbr:Berlin", "rel:is_the_capital_of",
+                  "dbr:Germany"): (3, 3)}

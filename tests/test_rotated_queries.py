@@ -20,6 +20,8 @@ ROTATED = [
     # round-5 ninth rotation OUT: hyperplane-LSH machinery stays
     # exercised inside the registered near_dup_embeddings
     ("ann_lsh", Q.q_ann_lsh, Q.sql_ann_lsh),
+    # round-5 tenth rotation OUT: the S5 TSV importer + priors math
+    ("tsv_lexicon", Q.q_tsv_lexicon, Q.sql_tsv_lexicon),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
