@@ -37,11 +37,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def extract_relations(mentions: DataFrame, docs: DataFrame,
-                      id_col: str = "doc_id", text_col: str = "text",
-                      max_gap: int = 80, max_pred_tokens: int = 4,
-                      min_count: int = 1) -> DataFrame:
-    """(subj_uri, predicate, obj_uri, n, n_docs) relation candidates.
+def doc_relation_occurrences(mentions: DataFrame, docs: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             max_gap: int = 80,
+                             max_pred_tokens: int = 4) -> DataFrame:
+    """(id_col, subj_uri, predicate, obj_uri, n) — relation occurrence
+    counts PER DOCUMENT, the building block of both the batch rollup
+    (``extract_relations``) and the counting-IVM state
+    (``maintain_relations``).
 
     ``mentions``: (id_col, begin, end, uri) with the repo-wide offset
     convention (0-based char offsets, end exclusive — SURVEY §2.8), at
@@ -50,8 +54,7 @@ def extract_relations(mentions: DataFrame, docs: DataFrame,
     after the first ends, the gap is in (0, max_gap] chars, the span
     contains no sentence punctuation ([.!?;:]), its whitespace-collapsed
     lowercase form has 1..max_pred_tokens tokens, and the two entity
-    URIs differ. ``n`` counts occurrences, ``n_docs`` distinct
-    documents; rows below ``min_count`` occurrences are dropped."""
+    URIs differ."""
     ms = (mentions
           .groupBy(F.col(id_col).alias("_id"))
           .agg(F.array_sort(F.collect_list(
@@ -81,14 +84,80 @@ def extract_relations(mentions: DataFrame, docs: DataFrame,
            .select("_id", F.col("p.s").alias("subj_uri"),
                    F.col("p.pred").alias("predicate"),
                    F.col("p.o").alias("obj_uri")))
-    per_doc = (occ.groupBy("subj_uri", "predicate", "obj_uri", "_id")
-               .agg(F.count("*").alias("_n")))
-    out = (per_doc.groupBy("subj_uri", "predicate", "obj_uri")
-           .agg(F.sum("_n").alias("n"),
+    return (occ.groupBy("subj_uri", "predicate", "obj_uri", "_id")
+            .agg(F.count("*").cast("long").alias("n"))
+            .select(F.col("_id").alias(id_col), "subj_uri",
+                    "predicate", "obj_uri", "n"))
+
+
+def rollup_relations(doc_rel: DataFrame,
+                     min_count: int = 1) -> DataFrame:
+    """Corpus-level (subj_uri, predicate, obj_uri, n, n_docs) from the
+    per-doc occurrence table — one map-side-combinable aggregate
+    (every doc_rel row is one doc's contribution, so count(*) IS
+    n_docs)."""
+    out = (doc_rel.groupBy("subj_uri", "predicate", "obj_uri")
+           .agg(F.sum("n").alias("n"),
                 F.count("*").cast("long").alias("n_docs")))
     if min_count > 1:
         out = out.filter(F.col("n") >= min_count)
     return out
+
+
+def extract_relations(mentions: DataFrame, docs: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_gap: int = 80, max_pred_tokens: int = 4,
+                      min_count: int = 1) -> DataFrame:
+    """(subj_uri, predicate, obj_uri, n, n_docs) relation candidates —
+    the one-shot batch form: ``doc_relation_occurrences`` rolled up by
+    ``rollup_relations`` (see those for parameter semantics). ``n``
+    counts occurrences, ``n_docs`` distinct documents; rows below
+    ``min_count`` occurrences are dropped."""
+    return rollup_relations(
+        doc_relation_occurrences(mentions, docs, id_col, text_col,
+                                 max_gap, max_pred_tokens),
+        min_count)
+
+
+def maintain_relations(doc_rel: DataFrame, touched: DataFrame,
+                       new_mentions: DataFrame, new_docs: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_gap: int = 80, max_pred_tokens: int = 4
+                       ) -> tuple[DataFrame, DataFrame]:
+    """Counting-IVM maintenance of the per-doc relation state over a
+    document delta (recrawl/update/delete) — the relations twin of
+    ``graph.maintain_comention``. ``doc_rel`` is the live
+    ``doc_relation_occurrences`` state; ``touched`` carries the ids of
+    every document that changed IN ANY WAY (updated, deleted, or new);
+    ``new_mentions``/``new_docs`` carry the post-change mentions and
+    text of the touched documents that still exist (deleted docs simply
+    absent). Returns ``(new_doc_rel, crossing)`` where crossing lists
+    (id, subj_uri, predicate, obj_uri, change ∈ added|removed) — the
+    per-doc appearance delta a downstream store can fold into its own
+    rollup. ``rollup_relations(new_doc_rel)`` ≡ the full recompute
+    (pytest-pinned, randomized edits).
+
+    Cost ∝ touched documents (old contributions anti'd out by signed
+    counts, new contributions recomputed only for touched docs) —
+    never a corpus rescan. The merge is one full-outer join on the
+    (id, s, pred, o) key — co-partitionable with a bucketed state."""
+    from dbpedia_spotlight_spark.operators.ontology import _merge_counts
+    t = touched.select(F.col(id_col)).distinct()
+    old = (doc_rel.join(t, id_col, "left_semi")
+           .select(id_col, "subj_uri", "predicate", "obj_uri",
+                   (-F.col("n")).alias("dw")))
+    new = (doc_relation_occurrences(
+               new_mentions.join(t, id_col, "left_semi"),
+               new_docs.join(t, id_col, "left_semi"),
+               id_col, text_col, max_gap, max_pred_tokens)
+           .select(id_col, "subj_uri", "predicate", "obj_uri",
+                   F.col("n").alias("dw")))
+    delta = (old.unionByName(new)
+             .groupBy(id_col, "subj_uri", "predicate", "obj_uri")
+             .agg(F.sum("dw").alias("dw")))
+    return _merge_counts(doc_rel, delta,
+                         [id_col, "subj_uri", "predicate", "obj_uri"],
+                         "n")
 
 
 def relation_triples(relations: DataFrame,

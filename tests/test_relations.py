@@ -128,6 +128,85 @@ def test_layout_independent(spark):
     assert a == b and len(a) > 0
 
 
+def _random_doc(rng, i):
+    """Word-soup doc over a tiny entity/filler vocabulary; returns
+    (text, mentions) with python-tracked char offsets (0-based, end
+    exclusive — the repo convention)."""
+    words = []
+    for _ in range(rng.randint(2, 12)):
+        if rng.random() < 0.5:
+            words.append(f"E{rng.randint(0, 5)}")
+        else:
+            words.append(rng.choice(["links", "to", "near", "over."]))
+    text, mentions, pos = " ".join(words), [], 0
+    for w in words:
+        if w.startswith("E"):
+            mentions.append((i, pos, pos + len(w), f"u:{w}"))
+        pos += len(w) + 1
+    return text, mentions
+
+
+def test_maintain_relations_matches_recompute_randomized(spark):
+    """Three generations of random edits (delete / rewrite / insert):
+    folding each delta through maintain_relations keeps
+    rollup_relations(state) identical to a from-scratch
+    extract_relations over the live corpus."""
+    import random
+    from dbpedia_spotlight_spark.operators.relations import (
+        doc_relation_occurrences, extract_relations, maintain_relations,
+        rollup_relations,
+    )
+    rng = random.Random(7)
+    corpus = {}
+    for i in range(30):
+        corpus[i] = _random_doc(rng, i)
+
+    def frames(c):
+        docs = [(i, t) for i, (t, _) in c.items()]
+        ms = [m for _, (_, mm) in c.items() for m in mm]
+        d = spark.createDataFrame(docs, "doc_id long, text string")
+        m = spark.createDataFrame(
+            ms or [(0, 0, 0, "x")],
+            "doc_id long, begin int, end int, uri string")
+        if not ms:
+            m = m.limit(0)
+        return d, m
+
+    d0, m0 = frames(corpus)
+    state = doc_relation_occurrences(m0, d0).localCheckpoint(eager=True)
+    next_id = 100
+    for _gen in range(3):
+        touched = set()
+        for i in list(corpus):
+            r = rng.random()
+            if r < 0.15:
+                del corpus[i]
+                touched.add(i)
+            elif r < 0.45:
+                corpus[i] = _random_doc(rng, i)
+                touched.add(i)
+        corpus[next_id] = _random_doc(rng, next_id)
+        touched.add(next_id)
+        next_id += 1
+
+        live = {i: corpus[i] for i in corpus if i in touched}
+        nd, nm = frames(live)
+        t = spark.createDataFrame([(i,) for i in sorted(touched)],
+                                  "doc_id long")
+        state, crossing = maintain_relations(state, t, nm, nd)
+        state = state.localCheckpoint(eager=True)
+
+        full_d, full_m = frames(corpus)
+        got = {(r.subj_uri, r.predicate, r.obj_uri): (r.n, r.n_docs)
+               for r in rollup_relations(state).collect()}
+        exp = {(r.subj_uri, r.predicate, r.obj_uri): (r.n, r.n_docs)
+               for r in extract_relations(full_m, full_d).collect()}
+        assert got == exp
+        # crossing rows only ever name touched documents
+        xs = {r.doc_id for r in crossing.collect()}
+        assert xs <= touched
+
+
 def test_relation_triples_promotion(spark):
     from dbpedia_spotlight_spark.operators.relations import (
         extract_relations, relation_triples,
