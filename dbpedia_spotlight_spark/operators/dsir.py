@@ -126,6 +126,36 @@ def dsir_log_ratio(raw_docs: DataFrame, target_docs: DataFrame,
         .alias("log_ratio"))
 
 
+def dsir_log_ratio_slice(docs: DataFrame, target_cond: F.Column,
+                         text_col: str = "text", n_buckets: int = 4096,
+                         alpha: float = 1.0,
+                         salt: str = "dsir") -> DataFrame:
+    """``dsir_log_ratio`` for the common case where the target corpus
+    is a SLICE of the raw corpus (a boolean condition — lang, source,
+    quality bucket): both distributions come out of ONE gram explode
+    (count(*) for raw, conditional count for target), saving a full
+    corpus scan versus fitting the two frames independently. Identical
+    values to the two-frame form (pytest-pinned)."""
+    counts = (docs
+              .select(F.explode(gram_buckets(F.col(text_col), n_buckets,
+                                             salt)).alias("bucket"),
+                      target_cond.alias("_is_t"))
+              .groupBy("bucket")
+              .agg(F.count("*").alias("r_n"),
+                   F.sum(F.when(F.col("_is_t"), 1).otherwise(0))
+                   .alias("t_n")))
+    tot = counts.agg(F.sum("r_n").alias("_rt"), F.sum("t_n").alias("_tt"))
+    ab = float(alpha) * n_buckets
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(
+                "bucket",
+                (F.log((F.col("t_n") + F.lit(float(alpha)))
+                       / (F.coalesce("_tt", F.lit(0)) + F.lit(ab)))
+                 - F.log((F.col("r_n") + F.lit(float(alpha)))
+                         / (F.coalesce("_rt", F.lit(0)) + F.lit(ab))))
+                .alias("log_ratio")))
+
+
 def dsir_weights(raw_docs: DataFrame, log_ratio: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
                  n_buckets: int = 4096,
@@ -155,21 +185,35 @@ def gumbel_key(id_col: F.Column, logw_col: F.Column,
     return logw_col - F.log(-F.log(u))
 
 
-def dsir_select(raw_docs: DataFrame, target_docs: DataFrame, k: int,
+def dsir_select(raw_docs: DataFrame, target_docs: DataFrame | None,
+                k: int,
                 text_col: str = "text", id_col: str = "doc_id",
                 n_buckets: int = 4096, alpha: float = 1.0,
-                salt: str = "dsir") -> DataFrame:
+                salt: str = "dsir",
+                target_cond: F.Column | None = None) -> DataFrame:
     """Gumbel top-k DSIR selection: the k raw documents sampled
     without replacement ∝ importance weight toward the target corpus.
     Returns the k-row frame (id, logw, gumbel_key) — logw and key at
     the repo-wide 9 dp contract, ordered by (key DESC, id) on the
     ROUNDED key so engines can't disagree at a float-tied boundary.
     Callers materialize the subset with a broadcast semi-join of the
-    corpus against these k ids."""
+    corpus against these k ids.
+
+    Pass EITHER ``target_docs`` (a separate reference frame — two
+    corpus scans: the two fits, then the weight pass) OR
+    ``target_cond`` (a boolean column marking the target slice of
+    ``raw_docs`` — the in-corpus reference case; both fits share ONE
+    explode via ``dsir_log_ratio_slice``, saving a scan)."""
     if k <= 0:
         raise ValueError("k must be positive")
-    ratio = dsir_log_ratio(raw_docs, target_docs, text_col, n_buckets,
-                           alpha, salt)
+    if (target_docs is None) == (target_cond is None):
+        raise ValueError("pass exactly one of target_docs / target_cond")
+    if target_cond is not None:
+        ratio = dsir_log_ratio_slice(raw_docs, target_cond, text_col,
+                                     n_buckets, alpha, salt)
+    else:
+        ratio = dsir_log_ratio(raw_docs, target_docs, text_col,
+                               n_buckets, alpha, salt)
     w = dsir_weights(raw_docs, ratio, text_col, id_col, n_buckets, salt)
     key = F.round(gumbel_key(F.col(id_col), F.col("logw"), salt), 9)
     return (w.select(id_col, F.round("logw", 9).alias("logw"),

@@ -160,6 +160,44 @@ def maintain_relations(doc_rel: DataFrame, touched: DataFrame,
                          "n")
 
 
+def relation_signatures(relations: DataFrame, types: DataFrame,
+                        default_type: str = "Thing") -> DataFrame:
+    """Schema induction over the relation table: lift (subj_uri,
+    predicate, obj_uri, n, n_docs) to TYPE signatures
+    (subj_type, predicate, obj_type, n, n_docs) — the distribution a
+    curator reads to decide which predicate surfaces become typed KG
+    properties (e.g. 'is the capital of' concentrating on
+    Place×Place). ``types``: (uri, type) — one row per type assertion;
+    an entity with k_s × k_o type pairs contributes its counts to every
+    pair (standard multi-typing semantics). Untyped entities fall back
+    to ``default_type`` so mass is never silently dropped.
+
+    Both joins broadcast the ontology-sized type table; the aggregate
+    is map-side combinable. n_docs sums the per-pair doc counts — an
+    UPPER bound per signature (the same doc can back two entity pairs
+    with the same signature); exact distinct-doc counting would need
+    the doc-level table, and the signature read is a ranking, not an
+    exactness contract (documented here so nobody 'fixes' it into an
+    extra corpus-wide distinct)."""
+    t = types.select(F.col("uri"), F.col("type"))
+    out = (relations
+           .join(F.broadcast(t.withColumnRenamed("type", "_st")),
+                 relations["subj_uri"] == t["uri"], "left")
+           .drop("uri")
+           .join(F.broadcast(t.withColumnRenamed("type", "_ot")),
+                 relations["obj_uri"] == t["uri"], "left")
+           .drop("uri")
+           .select(F.coalesce("_st", F.lit(default_type))
+                   .alias("subj_type"),
+                   "predicate",
+                   F.coalesce("_ot", F.lit(default_type))
+                   .alias("obj_type"),
+                   "n", "n_docs"))
+    return (out.groupBy("subj_type", "predicate", "obj_type")
+            .agg(F.sum("n").alias("n"),
+                 F.sum("n_docs").alias("n_docs")))
+
+
 def relation_triples(relations: DataFrame,
                      min_docs: int = 2) -> DataFrame:
     """Promote counted relation candidates to (subj, pred, obj) triple

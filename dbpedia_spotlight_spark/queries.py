@@ -3300,9 +3300,9 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak so a float-tied LIMIT boundary can't flip rows."""
     from dbpedia_spotlight_spark.operators.dsir import dsir_select
     docs = _docs(spark, sf_dir)
-    return dsir_select(docs, docs.filter(F.col("lang") == "en"),
-                       _DSIR_K, n_buckets=_DSIR_BUCKETS,
-                       alpha=_DSIR_ALPHA, salt=_DSIR_SALT)
+    return dsir_select(docs, None, _DSIR_K, n_buckets=_DSIR_BUCKETS,
+                       alpha=_DSIR_ALPHA, salt=_DSIR_SALT,
+                       target_cond=F.col("lang") == "en")
 
 
 def sql_dsir_select() -> str:
@@ -6157,6 +6157,43 @@ def sql_mention_relations() -> str:
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
   FROM ok GROUP BY 1, 2, 3"""
     )
+
+
+def q_relation_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation schema induction (operators/relations.py::
+    relation_signatures): the mention_relations table lifted to entity-
+    TYPE signatures via the fixture's ENTITY_TYPES (untyped → Thing),
+    counts summed per (subj_type, predicate, obj_type). The oracle
+    replays the whole mention_relations chain in a subquery plus the
+    same VALUES type table and double LEFT JOIN."""
+    from dbpedia_spotlight_spark.lexicon_static import DBP, ENTITY_TYPES
+    from dbpedia_spotlight_spark.operators.relations import (
+        relation_signatures,
+    )
+    rel = q_mention_relations(spark, sf_dir)
+    rows = [(DBP + u, t) for u, ts in sorted(ENTITY_TYPES.items())
+            for t in ts]
+    types = spark.createDataFrame(rows, "uri string, type string")
+    return relation_signatures(rel, types)
+
+
+def sql_relation_signatures() -> str:
+    from dbpedia_spotlight_spark.lexicon_static import DBP, ENTITY_TYPES
+    vals = ",\n      ".join(
+        f"('{DBP + u}', '{t}')"
+        for u, ts in sorted(ENTITY_TYPES.items()) for t in ts)
+    return f"""
+  WITH rels AS ({sql_mention_relations()}),
+  ty AS (SELECT * FROM (VALUES
+      {vals}) AS t(uri, type))
+  SELECT COALESCE(st.type, 'Thing') AS subj_type,
+         r.predicate,
+         COALESCE(ot.type, 'Thing') AS obj_type,
+         CAST(sum(r.n) AS BIGINT) AS n,
+         CAST(sum(r.n_docs) AS BIGINT) AS n_docs
+  FROM rels r LEFT JOIN ty st ON r.subj_uri = st.uri
+              LEFT JOIN ty ot ON r.obj_uri = ot.uri
+  GROUP BY 1, 2, 3"""
 
 
 def sql_entity_provenance() -> str:

@@ -135,6 +135,39 @@ def test_gumbel_selection_prefers_heavy_weights(spark):
     assert sel == set(range(5))
 
 
+def test_slice_form_equals_two_frame_form(spark):
+    """dsir_log_ratio_slice (one shared explode) must produce the
+    identical ratio table — and dsir_select the identical selection —
+    as fitting the slice as a separate frame."""
+    from pyspark.sql import functions as F2
+    from dbpedia_spotlight_spark.operators.dsir import (
+        dsir_log_ratio, dsir_log_ratio_slice, dsir_select,
+    )
+    texts = [(i, f"tok{i % 7} tok{i % 3} word{i % 5}", i % 4 == 0)
+             for i in range(50)]
+    docs = spark.createDataFrame(
+        texts, "doc_id long, text string, is_ref boolean")
+    a = {r.bucket: r.log_ratio for r in
+         dsir_log_ratio(docs, docs.filter("is_ref"),
+                        n_buckets=128).collect()}
+    b = {r.bucket: r.log_ratio for r in
+         dsir_log_ratio_slice(docs, F2.col("is_ref"),
+                              n_buckets=128).collect()}
+    assert a == b
+    s1 = [tuple(r) for r in
+          dsir_select(docs, docs.filter("is_ref"), 10,
+                      n_buckets=128).collect()]
+    s2 = [tuple(r) for r in
+          dsir_select(docs, None, 10, n_buckets=128,
+                      target_cond=F2.col("is_ref")).collect()]
+    assert s1 == s2
+
+    with pytest.raises(ValueError):
+        dsir_select(docs, docs, 5, target_cond=F2.col("is_ref"))
+    with pytest.raises(ValueError):
+        dsir_select(docs, None, 5)
+
+
 def test_duplicated_raw_docs_are_penalized(spark):
     """DSIR's weight is p_target/p_raw — a doc massively duplicated in
     the raw corpus raises its own grams' raw probability and so LOWERS

@@ -207,6 +207,33 @@ def test_maintain_relations_matches_recompute_randomized(spark):
         assert xs <= touched
 
 
+def test_relation_signatures_typing(spark):
+    """Type lift: typed endpoints use their type rows (multi-typed
+    entities contribute to every type pair), untyped fall back to
+    Thing, counts sum per signature."""
+    from dbpedia_spotlight_spark.operators.relations import (
+        relation_signatures,
+    )
+    rel = spark.createDataFrame(
+        [("u:Berlin", "capital of", "u:Germany", 3, 2),
+         ("u:Paris", "capital of", "u:France", 2, 2),
+         ("u:X", "near", "u:Berlin", 1, 1)],
+        "subj_uri string, predicate string, obj_uri string, "
+        "n long, n_docs long")
+    types = spark.createDataFrame(
+        [("u:Berlin", "City"), ("u:Paris", "City"),
+         ("u:Germany", "Country"), ("u:France", "Country"),
+         ("u:France", "Place")],                 # multi-typed
+        "uri string, type string")
+    got = {(r.subj_type, r.predicate, r.obj_type): (r.n, r.n_docs)
+           for r in relation_signatures(rel, types).collect()}
+    assert got == {
+        ("City", "capital of", "Country"): (5, 4),
+        ("City", "capital of", "Place"): (2, 2),   # France's 2nd type
+        ("Thing", "near", "City"): (1, 1),         # untyped subject
+    }
+
+
 def test_relation_triples_promotion(spark):
     from dbpedia_spotlight_spark.operators.relations import (
         extract_relations, relation_triples,

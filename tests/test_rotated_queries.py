@@ -22,6 +22,10 @@ ROTATED = [
     ("ann_lsh", Q.q_ann_lsh, Q.sql_ann_lsh),
     # round-5 tenth rotation OUT: the S5 TSV importer + priors math
     ("tsv_lexicon", Q.q_tsv_lexicon, Q.sql_tsv_lexicon),
+    # round-5 addition: typed relation-schema induction over the
+    # registered mention_relations (oracle re-derives the whole chain)
+    ("relation_signatures", Q.q_relation_signatures,
+     Q.sql_relation_signatures),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
