@@ -638,6 +638,104 @@ class SameasStore(KGStore):
         return stats
 
 
+class RelationStore(KGStore):
+    """Generation store for the incrementally-maintained open-relation
+    state (operators/relations.py::maintain_relations): per generation
+    one ``doc_rel`` frame (url, subj_uri, predicate, obj_uri, n — the
+    per-document relation-occurrence counts); the corpus-level counted
+    relation table is its ``rollup_relations`` view (``read_relations``).
+
+    Same pointer discipline as EntailStore/GraphStore/SameasStore, with
+    one deliberate difference: the relation state is PER-DOCUMENT
+    REPLACE (a touched document's contributions are recomputed
+    wholesale, not counted per change row), so folding N pending KG
+    generations in ONE ``maintain_relations`` call is exactly the state
+    the N per-generation folds would produce — only the LAST touch per
+    url matters. ``catchup`` therefore collapses the pending log tail
+    into a single fold whose cost is ∝ distinct touched documents, and
+    writes a single new generation named after the newest KG generation
+    it saw. This is also what makes the text contract sound: predicate
+    surfaces are sliced from document text, which the triple log does
+    not carry, so the caller supplies the live corpus table (url,
+    text) — the SAME crawl state the KG's newest generation was built
+    from — and the collapsed fold never needs text as-of an
+    intermediate generation.
+
+    Crash windows (pytest-killed in tests/test_store_crash_injection.py):
+    a crash after the ``doc_rel`` write but before the pointer flip
+    refolds from the unflipped state against the same log tail and
+    overwrites the orphan directory; a crash after the flip but before
+    the previous-generation delete is swept by ``_pending_gens`` on the
+    next catchup."""
+
+    _DOCREL_DDL = ("url string, subj_uri string, predicate string, "
+                   "obj_uri string, n long")
+
+    def read_doc_rel(self) -> DataFrame:
+        return self._read_state("doc_rel", self._DOCREL_DDL)
+
+    def read_relations(self, min_count: int = 1) -> DataFrame:
+        """Corpus-level (subj_uri, predicate, obj_uri, n, n_docs) —
+        one map-side-combinable aggregate over the maintained state."""
+        from dbpedia_spotlight_spark.operators.relations import (
+            rollup_relations)
+        return rollup_relations(self.read_doc_rel(), min_count)
+
+    def catchup(self, kg_store: KGStore, corpus: DataFrame,
+                text_col: str = "text", max_gap: int = 80,
+                max_pred_tokens: int = 4) -> dict:
+        """Fold every KG delta_log generation newer than this store's
+        pointer through ONE ``maintain_relations`` call (see class
+        docstring for why the collapse is exact). ``corpus`` carries
+        (url, ``text_col``) for the crawl state the KG's newest
+        generation was built from; deleted urls are simply absent.
+        Mentions are reconstructed from the snapshot's link triples —
+        the NIF subj ``<url>#char=<begin>,<end>`` round-trips the
+        offsets, so no side-channel mention table is needed."""
+        from dbpedia_spotlight_spark.operators.relations import (
+            maintain_relations)
+        log, gens = self._pending_gens(kg_store)
+        stats = {"gens_folded": 0, "rel_added": 0, "rel_removed": 0}
+        if not gens:
+            stats["gen"] = self.latest_gen()
+            return stats
+        touched = log.select("url").distinct()
+        nif = r"^(.*)#char=(\d+),(\d+)$"
+        mentions = (
+            kg_store.read()
+            .filter(F.col("pred") == PRED_IDENT)
+            .select(F.regexp_extract("subj", nif, 1).alias("url"),
+                    F.regexp_extract("subj", nif, 2).cast("int")
+                    .alias("begin"),
+                    F.regexp_extract("subj", nif, 3).cast("int")
+                    .alias("end"),
+                    F.col("obj").alias("uri"))
+            .filter(F.col("url") != ""))
+        docs = corpus.select("url", F.col(text_col).alias("text"))
+        doc_rel, crossing = maintain_relations(
+            self.read_doc_rel(), touched, mentions, docs,
+            id_col="url", text_col="text", max_gap=max_gap,
+            max_pred_tokens=max_pred_tokens)
+        # checkpoint BEFORE the state write: the crossing frame shares
+        # the maintain lineage, and counting it after the write would
+        # re-run the whole fold
+        crossing = crossing.localCheckpoint(eager=True)
+        g = gens[-1]
+        doc_rel.write.mode("overwrite").parquet(
+            f"{self._gen_path(g)}/doc_rel")
+        by = {r["change"]: r["n"] for r in
+              crossing.groupBy("change").agg(F.count("*").alias("n"))
+              .collect()}
+        prev = self.latest_gen()
+        self._write_pointer(g, -1)
+        if prev is not None:
+            self._fs.delete(self._fs_path(self._gen_path(prev)), True)
+        stats.update({"gens_folded": len(gens), "gen": g,
+                      "rel_added": by.get("added", 0),
+                      "rel_removed": by.get("removed", 0)})
+        return stats
+
+
 def apply_pages_batch(spark: SparkSession, pages: DataFrame, model_bc,
                       store: KGStore, batch_id: int,
                       cfg: PipelineConfig | None = None,

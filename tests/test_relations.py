@@ -250,3 +250,71 @@ def test_relation_triples_promotion(spark):
          for r in relation_triples(rel, min_docs=2).collect()}
     assert t == {("dbr:Berlin", "rel:is_the_capital_of",
                   "dbr:Germany"): (3, 3)}
+
+
+def test_relation_store_follows_kg_delta_log(spark, web_pages, model_bc,
+                                             tmp_path):
+    """RelationStore.catchup collapses the pending KG delta-log tail
+    into one per-doc-replace fold and lands on exactly the relation
+    table a batch extract_relations over the final crawl state gives;
+    an update batch is followed incrementally (cost ∝ touched urls by
+    construction of maintain_relations); a second catchup is a no-op."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.operators.relations import (
+        extract_relations)
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig, annotate
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        KGStore, RelationStore, apply_pages_batch)
+
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "text", "lang"]
+    rows = web_pages.select(*cols).orderBy("url").collect()
+    schema = web_pages.select(*cols).schema
+    kg = KGStore(spark, str(tmp_path / "kg"))
+    pages0 = spark.createDataFrame(rows[:20], schema)
+    apply_pages_batch(spark, pages0, model_bc, kg, batch_id=0, cfg=cfg)
+
+    def expected(pages):
+        m = annotate(spark, pages, model_bc, cfg).select(
+            "url", "begin", "end", "uri")
+        return {tuple(r) for r in extract_relations(
+            m, pages.select("url", "text"), id_col="url").collect()}
+
+    rstore = RelationStore(spark, str(tmp_path / "rel"))
+    s0 = rstore.catchup(kg, pages0.select("url", "text"))
+    assert s0["gens_folded"] == 1 and s0["gen"] == 0
+    assert s0["rel_added"] > 0 and s0["rel_removed"] == 0
+    got0 = {tuple(r) for r in rstore.read_relations().collect()}
+    assert got0 == expected(pages0) and got0
+
+    # recrawl: two urls change content (text swapped from other docs,
+    # strictly newer warc_ts) — only their contributions may move
+    recrawl = [
+        (rows[i][0], rows[i][1] + datetime.timedelta(days=1),
+         rows[i + 7][2], rows[i][3])
+        for i in range(2)
+    ]
+    apply_pages_batch(spark, spark.createDataFrame(recrawl, schema),
+                      model_bc, kg, batch_id=1, cfg=cfg)
+    assert kg.latest_gen() == 1
+
+    swapped = {rows[i][0]: rows[i + 7][2] for i in range(2)}
+    final_rows = [(u, ts, swapped.get(u, t), lg)
+                  for (u, ts, t, lg) in rows[:20]]
+    final_pages = spark.createDataFrame(final_rows, schema)
+    s1 = rstore.catchup(kg, final_pages.select("url", "text"))
+    assert s1["gens_folded"] == 1 and s1["gen"] == 1
+    got1 = {tuple(r) for r in rstore.read_relations().collect()}
+    assert got1 == expected(final_pages) and got1
+
+    # untouched documents' per-doc state never recomputed away
+    untouched = (rstore.read_doc_rel()
+                 .filter(~F.col("url").isin(list(swapped))))
+    assert untouched.count() > 0
+
+    again = rstore.catchup(kg, final_pages.select("url", "text"))
+    assert again["gens_folded"] == 0 and again["gen"] == 1
+    assert {tuple(r) for r in rstore.read_relations().collect()} == got1

@@ -250,3 +250,45 @@ def test_sameas_store_catchup_crash_mid_fold_resumes(spark, tmp_path):
     assert nonself_labels(crashed) == nonself_labels(clean) == {
         ("C", "A")}
     assert _gen_dirs(tmp_path / "s1") == ["gen-00002"]
+
+
+def test_relationstore_catchup_crash_before_flip_refolds(spark, tmp_path):
+    """Kill RelationStore.catchup between its doc_rel write and the
+    single pointer flip of the collapsed fold (two KG generations are
+    pending — the store writes ONE new generation for both). The torn
+    state must be invisible to readers, and the restarted catchup must
+    refold the same log tail onto the identical relation table with no
+    leaked generation directory."""
+    from dbpedia_spotlight_spark.streaming.kg_stream import RelationStore
+
+    t1 = "E1 works with E2 daily"   # E1@[0,2) E2@[14,16)
+    t2 = "E3 beside E2 now"         # E3@[0,2) E2@[10,12)
+    g0 = [("u1#char=0,2", "E1"), ("u1#char=14,16", "E2")]
+    add1 = [("u2#char=0,2", "E3"), ("u2#char=10,12", "E2")]
+    kg = KGStore(spark, str(tmp_path / "kg"), retain_gens=2)
+    kg.advance(_triples(spark, g0), _delta(spark, g0, []), 0)
+    kg.advance(_triples(spark, g0 + add1), _delta(spark, add1, []), 1)
+    corpus = spark.createDataFrame(
+        [("u1", t1), ("u2", t2)], "url string, text string")
+
+    clean = RelationStore(spark, str(tmp_path / "r_clean"))
+    cs = clean.catchup(kg, corpus)
+    assert cs["gens_folded"] == 2 and cs["gen"] == 1
+    expect = {tuple(r) for r in clean.read_relations().collect()}
+    assert expect == {("E1", "works with", "E2", 1, 1),
+                      ("E3", "beside", "E2", 1, 1)}
+
+    crashed = RelationStore(spark, str(tmp_path / "r_crash"))
+    _crash_pointer_on_nth(crashed)
+    with pytest.raises(Boom):
+        crashed.catchup(kg, corpus)
+    # torn: gen-00001/doc_rel durable, pointer absent — readers see the
+    # empty pre-fold state
+    assert crashed.latest_gen() is None
+    assert crashed.read_relations().count() == 0
+    assert _gen_dirs(tmp_path / "r_crash") == ["gen-00001"]
+
+    rs = crashed.catchup(kg, corpus)   # restart: refold the same tail
+    assert rs["gens_folded"] == 2 and rs["gen"] == 1
+    assert {tuple(r) for r in crashed.read_relations().collect()} == expect
+    assert _gen_dirs(tmp_path / "r_crash") == ["gen-00001"]
