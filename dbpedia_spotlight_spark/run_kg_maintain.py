@@ -24,7 +24,10 @@ linked entities plus rdfs:9 inheritance through the ``--ontology``
 subClassOf edges, maintained per delta, never recomputed corpus-scale.
 ``--graph DIR`` does the same for the co-mention entity graph
 (``GraphStore``: page→entity incidence + co-occurrence edge counts,
-touched-pages-only pair recomputation).
+touched-pages-only pair recomputation). ``--relations DIR`` does the
+same for the open-relation table (``RelationStore``: per-doc-replace
+fold; text from this run's --pages, or ``--relations-corpus`` when the
+store lags by more than one run).
 
 Also callable in-process via ``main(argv, spark=...)`` (tests).
 """
@@ -73,6 +76,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "fold, catch the counting-IVM entity graph "
                          "(incidence + edges) up to the new KG "
                          "generation")
+    ap.add_argument("--relations", default="",
+                    help="open-relation state store root: after the "
+                         "fold, catch the per-doc relation table "
+                         "(RelationStore) up to the new KG generation. "
+                         "Default text source is this run's --pages "
+                         "(valid when the store was caught up before "
+                         "the run — the guard raises otherwise)")
+    ap.add_argument("--relations-corpus", default="",
+                    help="with --relations: parquet of the FULL live "
+                         "corpus (url + text/html) — required when the "
+                         "relation store lags the KG by more than this "
+                         "run's fold, since --pages then does not cover "
+                         "all touched urls")
     ap.add_argument("--shapes", default="",
                     help="JSON file of SHACL-lite shape dicts "
                          "(operators/shapes.py schema): validate the "
@@ -142,6 +158,10 @@ def main(argv: list[str] | None = None,
 
     stats: dict = {"kg": args.kg, "mode": "stream" if args.stream
                    else "batch"}
+    # KG generation BEFORE this run's fold — the --relations default-
+    # corpus guard needs it (touched urls of gens created this run are
+    # covered by --pages; earlier pending gens are not)
+    pre_gen = KGStore(spark, args.kg).latest_gen()
     if args.stream:
         batches: list = []
         store = maintain_kg_stream(
@@ -190,6 +210,42 @@ def main(argv: list[str] | None = None,
 
         gstore = GraphStore(spark, args.graph)
         stats["graph"] = gstore.catchup(store)
+
+    if args.relations:
+        from pyspark.sql import functions as F
+
+        from dbpedia_spotlight_spark.operators.webstats import (
+            latest_capture)
+        from dbpedia_spotlight_spark.pipeline import extract_text
+        from dbpedia_spotlight_spark.streaming.kg_stream import (
+            RelationStore)
+
+        rstore = RelationStore(spark, args.relations)
+        if args.relations_corpus:
+            corpus = spark.read.parquet(args.relations_corpus)
+        else:
+            rg = rstore.latest_gen()
+            if not (pre_gen is None
+                    or (rg is not None and rg >= pre_gen)):
+                raise ValueError(
+                    "--relations store lags the KG by more than this "
+                    "run's fold, so --pages does not cover all touched "
+                    "urls; pass --relations-corpus with the full live "
+                    "corpus")
+            corpus = spark.read.parquet(args.pages)
+        if "warc_ts" in corpus.columns:
+            corpus = latest_capture(corpus, key_col="url",
+                                    ts_col="warc_ts")
+        # offsets in the NIF subjects refer to the EXTRACTED text —
+        # slice predicate surfaces from the same bytes annotate saw
+        if "html" in corpus.columns:
+            corpus = extract_text(corpus).select(
+                "url", F.col("extracted_text").alias("text"))
+        else:
+            corpus = corpus.select("url", "text")
+        stats["relations"] = rstore.catchup(store, corpus)
+        stats["relations"]["n_relations"] = (
+            rstore.read_relations().count())
 
     if args.shapes:
         from dbpedia_spotlight_spark.operators.shapes import (

@@ -1110,3 +1110,106 @@ def test_run_kg_maintain_shapes_and_er(spark, web_pages, lexicon, tmp_path):
     assert m["shapes"]["gate_passed"] is False
     assert m["shapes"]["mode"] == "full"
     assert m["shapes"]["n_violations"] > 0
+
+
+def test_run_kg_maintain_relations_catchup(spark, web_pages, lexicon,
+                                           tmp_path):
+    """--relations keeps the RelationStore caught up with the KG folds:
+    after the initial crawl and a recrawl the maintained table equals a
+    batch extract_relations over the final crawl state (text extracted
+    from html exactly as annotate saw it); a lagging store without
+    --relations-corpus is refused, and supplying the full corpus heals
+    it."""
+    import datetime
+
+    import pytest as _pytest
+
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.model import load_model
+    from dbpedia_spotlight_spark.operators.relations import (
+        extract_relations)
+    from dbpedia_spotlight_spark.pipeline import (
+        PipelineConfig, annotate, extract_text)
+    from dbpedia_spotlight_spark.run_kg_maintain import main
+    from dbpedia_spotlight_spark.streaming.kg_stream import RelationStore
+
+    pages_dir = str(tmp_path / "pages")
+    lex_dir = str(tmp_path / "lexicon")
+    kg_dir = str(tmp_path / "kg")
+    rel_dir = str(tmp_path / "rel")
+    web_pages.write.mode("overwrite").parquet(pages_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+    base = ["--lexicon", lex_dir, "--kg", kg_dir, "--relations", rel_dir]
+
+    s1 = main(["--pages", pages_dir] + base, spark=spark)
+    assert s1["relations"]["gens_folded"] == 1
+    assert s1["relations"]["n_relations"] > 0
+
+    model = load_model(spark, lex_dir)
+    bc = spark.sparkContext.broadcast(model)
+    cfg = PipelineConfig(confidence=0.0, support=0,
+                         disambiguator="generative", lang="en")
+
+    def expected(pages):
+        m = annotate(spark, pages, bc, cfg).select(
+            "url", "begin", "end", "uri")
+        docs = extract_text(pages).select(
+            "url", F.col("extracted_text").alias("text"))
+        return {tuple(r) for r in extract_relations(
+            m, docs, id_col="url").collect()}
+
+    rstore = RelationStore(spark, rel_dir)
+    got = {tuple(r) for r in rstore.read_relations().collect()}
+    assert got == expected(web_pages) and got
+
+    # recrawl: default corpus (= the batch) is valid — caught-up store
+    rows = web_pages.orderBy("url").limit(2).collect()
+    recrawl = spark.createDataFrame(
+        [(r["url"], r["warc_ts"] + datetime.timedelta(days=1),
+          bytes(r["html"]) + b"<p>extra alpha0 text</p>", r["text"],
+          r["lang"]) for r in rows], schema=web_pages.schema)
+    pages2 = str(tmp_path / "pages2")
+    recrawl.write.mode("overwrite").parquet(pages2)
+    s2 = main(["--pages", pages2] + base, spark=spark)
+    assert s2["relations"]["gens_folded"] == 1
+
+    touched = [r["url"] for r in rows]
+    final = (web_pages.filter(~F.col("url").isin(touched))
+             .unionByName(recrawl))
+    want = expected(final)
+    assert {tuple(r) for r in rstore.read_relations().collect()} == want
+
+    # a FRESH (lagging) store must refuse the default corpus after a
+    # third fold (its pending tail reaches gens --pages can't cover)
+    rows3 = web_pages.orderBy(F.col("url").desc()).limit(2).collect()
+    recrawl3 = spark.createDataFrame(
+        [(r["url"], r["warc_ts"] + datetime.timedelta(days=2),
+          bytes(r["html"]) + b"<p>beta1 gamma2</p>", r["text"],
+          r["lang"]) for r in rows3], schema=web_pages.schema)
+    pages3 = str(tmp_path / "pages3")
+    recrawl3.write.mode("overwrite").parquet(pages3)
+    rel2 = str(tmp_path / "rel2")
+    with _pytest.raises(ValueError, match="relations-corpus"):
+        main(["--pages", pages3, "--lexicon", lex_dir, "--kg", kg_dir,
+              "--relations", rel2], spark=spark)
+
+    # full-corpus parquet heals it: the lagging store folds the whole
+    # pending tail in one call and matches the caught-up twin
+    touched3 = [r["url"] for r in rows3]
+    final3 = final.filter(~F.col("url").isin(touched3)) \
+        .unionByName(recrawl3)
+    corpus_dir = str(tmp_path / "corpus3")
+    final3.write.mode("overwrite").parquet(corpus_dir)
+    s4 = main(["--pages", pages3, "--lexicon", lex_dir, "--kg", kg_dir,
+               "--relations", rel2, "--relations-corpus", corpus_dir],
+              spark=spark)
+    assert s4["relations"]["gens_folded"] == 3
+    want3 = expected(final3)
+    assert {tuple(r) for r in
+            RelationStore(spark, rel2).read_relations().collect()} == want3
+    # the first store now lags by the aborted run's gen (its catchup
+    # never ran), so it too needs the explicit corpus; one fold heals
+    s5 = main(["--pages", pages3, "--relations-corpus", corpus_dir]
+              + base, spark=spark)
+    assert s5["relations"]["gens_folded"] == 1
+    assert {tuple(r) for r in rstore.read_relations().collect()} == want3
