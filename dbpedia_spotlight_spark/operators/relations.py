@@ -198,6 +198,41 @@ def relation_signatures(relations: DataFrame, types: DataFrame,
                  F.sum("n_docs").alias("n_docs")))
 
 
+def canonicalize_relations(doc_rel: DataFrame, labels: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """owl:sameAs canonicalization of the per-doc relation state — the
+    relation-table twin of ``triples.canonicalize_triples``: both
+    endpoint URIs are rewritten to their equivalence class's canonical
+    member, so relation evidence split across entity aliases merges.
+
+    ``labels``: (id, comp) canonical map — ``connected_components``
+    output over the sameAs graph, or ``SameasStore.read_labels()``;
+    absence means self-canonical (only edge-incident entities carry
+    rows). Pairs whose endpoints collapse to the SAME canonical entity
+    are dropped — the batch extractor's distinct-endpoint gate
+    (``doc_relation_occurrences``), re-applied post-merge: a "relation"
+    between two names of one entity is an extraction artifact.
+
+    Operates on the PER-DOC table (not the rollup) so that
+    ``rollup_relations`` over the result gives EXACT n_docs — merging
+    at the corpus level would overcount documents that back two
+    pre-image alias pairs of the same canonical pair.
+
+    Scale: the canonical map is sameAs-graph-sized (tiny next to the
+    relation table) → two broadcast joins; the re-aggregate is
+    map-side combinable on the same key family the state is stored
+    under."""
+    canon = labels.select("id", F.col("comp").alias("canon"))
+    out = doc_rel
+    for pos in ("subj_uri", "obj_uri"):
+        out = (out.join(F.broadcast(canon.withColumnRenamed("id", pos)),
+                        pos, "left")
+               .withColumn(pos, F.coalesce("canon", pos)).drop("canon"))
+    return (out.filter(F.col("subj_uri") != F.col("obj_uri"))
+            .groupBy(id_col, "subj_uri", "predicate", "obj_uri")
+            .agg(F.sum("n").alias("n")))
+
+
 def relation_triples(relations: DataFrame,
                      min_docs: int = 2) -> DataFrame:
     """Promote counted relation candidates to (subj, pred, obj) triple

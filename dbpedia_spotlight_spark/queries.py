@@ -6196,6 +6196,81 @@ def sql_relation_signatures() -> str:
   GROUP BY 1, 2, 3"""
 
 
+def q_canonical_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """owl:sameAs canonicalization of the relation table
+    (operators/relations.py::canonicalize_relations): per-doc relation
+    occurrences have both endpoint URIs rewritten to their alias
+    class's canonical (min) member, collapsed self-pairs dropped, then
+    rolled up with EXACT n_docs. The alias classes here are a
+    deterministic synthetic rule both engines compute relationally —
+    entities sharing a URI stem after stripping the parenthetical
+    sense qualifier (Table_(database) ≡ Table_(furniture)) — which
+    exercises exactly the merge/collapse/dedup math the real sameAs
+    map drives in production."""
+    from dbpedia_spotlight_spark.operators.relations import (
+        canonicalize_relations,
+        doc_relation_occurrences,
+        rollup_relations,
+    )
+    m = q_annotate_prior(spark, sf_dir).select(
+        "doc_id", "begin", "end", "uri")
+    doc_rel = doc_relation_occurrences(m, _docs(spark, sf_dir))
+    ents = (doc_rel.select(F.col("subj_uri").alias("id"))
+            .unionByName(doc_rel.select(F.col("obj_uri").alias("id")))
+            .distinct())
+    stems = ents.withColumn(
+        "stem", F.regexp_replace("id", r"\([^)]*\)$", ""))
+    comp = stems.groupBy("stem").agg(F.min("id").alias("comp"))
+    labels = stems.join(comp, "stem").select("id", "comp")
+    return rollup_relations(canonicalize_relations(doc_rel, labels)) \
+        .select("subj_uri", "predicate", "obj_uri", "n", "n_docs")
+
+
+def sql_canonical_relations() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  ms AS (
+    SELECT doc_id, "begin", "end", uri FROM ranked WHERE rank = 1),
+  ordered AS (
+    SELECT doc_id, "begin", "end", uri,
+           row_number() OVER (PARTITION BY doc_id ORDER BY "begin")
+             AS rn
+    FROM ms),
+  pairs AS (
+    SELECT a.doc_id, a."end" AS ae, b."begin" AS bb,
+           a.uri AS s, b.uri AS o
+    FROM ordered a JOIN ordered b
+      ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+    WHERE b."begin" - a."end" > 0 AND b."begin" - a."end" <= 80
+      AND a.uri <> b.uri),
+  mid AS (
+    SELECT p.s, p.o, p.doc_id,
+           regexp_replace(trim(lower(substr(d.text, p.ae + 1,
+                                            p.bb - p.ae))),
+                          '\\s+', ' ', 'g') AS pred
+    FROM pairs p JOIN documents d ON p.doc_id = d.doc_id),
+  ok AS (
+    SELECT * FROM mid
+    WHERE pred <> '' AND NOT regexp_matches(pred, '[.!?;:]')
+      AND len(string_split(pred, ' ')) <= 4),
+  ents AS (
+    SELECT DISTINCT s AS id FROM ok
+    UNION SELECT DISTINCT o AS id FROM ok),
+  canon AS (
+    SELECT id, min(id) OVER (
+        PARTITION BY regexp_replace(id, '\\([^)]*\\)$', '')) AS comp
+    FROM ents),
+  rw AS (
+    SELECT cs.comp AS s, ok.pred, co.comp AS o, ok.doc_id
+    FROM ok JOIN canon cs ON ok.s = cs.id
+            JOIN canon co ON ok.o = co.id)
+  SELECT s AS subj_uri, pred AS predicate, o AS obj_uri,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM rw WHERE s <> o GROUP BY 1, 2, 3"""
+    )
+
+
 def sql_entity_provenance() -> str:
     """Mirror: the ranked-annotation CTE chain; graph ≡ source/doc_id
     (what as_quads recovers from the subj fragment), one COUNT

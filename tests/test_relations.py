@@ -318,3 +318,32 @@ def test_relation_store_follows_kg_delta_log(spark, web_pages, model_bc,
     again = rstore.catchup(kg, final_pages.select("url", "text"))
     assert again["gens_folded"] == 0 and again["gen"] == 1
     assert {tuple(r) for r in rstore.read_relations().collect()} == got1
+
+
+def test_canonicalize_relations(spark):
+    """Alias endpoints merge (n sums), pairs collapsing to one
+    canonical entity drop (the distinct-endpoint gate re-applied
+    post-merge), unmapped entities pass through, and rollup over the
+    canonicalized per-doc table counts a document backing TWO alias
+    pre-images of one canonical pair exactly once."""
+    from dbpedia_spotlight_spark.operators.relations import (
+        canonicalize_relations, rollup_relations)
+    doc_rel = spark.createDataFrame(
+        [(1, "A1", "loves", "B", 2),
+         (1, "A2", "loves", "B", 1),
+         (2, "A2", "loves", "B", 1),
+         (3, "A1", "hates", "A2", 4),
+         (3, "B", "sees", "C", 1)],
+        "doc_id long, subj_uri string, predicate string, "
+        "obj_uri string, n long")
+    labels = spark.createDataFrame(
+        [("A1", "A1"), ("A2", "A1")], "id string, comp string")
+    per_doc = canonicalize_relations(doc_rel, labels)
+    assert {tuple(r) for r in per_doc.collect()} == {
+        (1, "A1", "loves", "B", 3),
+        (2, "A1", "loves", "B", 1),
+        (3, "B", "sees", "C", 1)}
+    roll = rollup_relations(per_doc)
+    assert {tuple(r) for r in roll.collect()} == {
+        ("A1", "loves", "B", 4, 2),
+        ("B", "sees", "C", 1, 1)}
