@@ -712,6 +712,23 @@ class RelationStore(KGStore):
                     F.col("obj").alias("uri"))
             .filter(F.col("url") != ""))
         docs = corpus.select("url", F.col(text_col).alias("text"))
+        # completeness guard: a touched url that still carries link
+        # mentions in the snapshot MUST have text in the corpus —
+        # treating it as deleted would silently drop its relation
+        # contributions. (A url whose new capture truly lost all
+        # mentions has none in the snapshot and needs no text.) Cost:
+        # one semi+anti join over the delta-sized touched-mention set.
+        missing = (mentions.join(touched, "url", "left_semi")
+                   .select("url").distinct()
+                   .join(docs.select("url").distinct(), "url",
+                         "left_anti"))
+        sample = [r.url for r in missing.limit(3).collect()]
+        if sample:
+            raise ValueError(
+                "corpus is missing text for touched urls still linked "
+                f"in the KG snapshot (e.g. {sample}) — folding would "
+                "silently drop their relation contributions; supply "
+                "the full live corpus")
         doc_rel, crossing = maintain_relations(
             self.read_doc_rel(), touched, mentions, docs,
             id_col="url", text_col="text", max_gap=max_gap,

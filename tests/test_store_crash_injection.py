@@ -292,3 +292,38 @@ def test_relationstore_catchup_crash_before_flip_refolds(spark, tmp_path):
     assert rs["gens_folded"] == 2 and rs["gen"] == 1
     assert {tuple(r) for r in crashed.read_relations().collect()} == expect
     assert _gen_dirs(tmp_path / "r_crash") == ["gen-00001"]
+
+
+def test_relationstore_catchup_refuses_incomplete_corpus(spark, tmp_path):
+    """A touched url still carrying link mentions in the snapshot but
+    absent from the supplied corpus must fail the fold loudly — silent
+    treatment-as-deleted would wrongly drop its relation rows. A url
+    whose mentions truly vanished from the snapshot needs no text."""
+    from dbpedia_spotlight_spark.streaming.kg_stream import RelationStore
+
+    g0 = [("u1#char=0,2", "E1"), ("u1#char=14,16", "E2"),
+          ("u2#char=0,2", "E3"), ("u2#char=10,12", "E2")]
+    kg = KGStore(spark, str(tmp_path / "kg"), retain_gens=2)
+    kg.advance(_triples(spark, g0), _delta(spark, g0, []), 0)
+
+    rstore = RelationStore(spark, str(tmp_path / "r"))
+    partial = spark.createDataFrame(
+        [("u1", "E1 works with E2 daily")], "url string, text string")
+    with pytest.raises(ValueError, match="missing text"):
+        rstore.catchup(kg, partial)
+    assert rstore.latest_gen() is None  # nothing folded
+
+    full = spark.createDataFrame(
+        [("u1", "E1 works with E2 daily"), ("u2", "E3 beside E2 now")],
+        "url string, text string")
+    assert rstore.catchup(kg, full)["gens_folded"] == 1
+
+    # u2's mentions leave the snapshot entirely -> its text is no
+    # longer required, and its contributions drop
+    rem = [("u2#char=0,2", "E3"), ("u2#char=10,12", "E2")]
+    g1 = [t for t in g0 if t not in rem]
+    kg.advance(_triples(spark, g1), _delta(spark, [], rem), 1)
+    s = rstore.catchup(kg, partial)
+    assert s["gens_folded"] == 1 and s["rel_removed"] == 1
+    assert {tuple(r) for r in rstore.read_relations().collect()} == {
+        ("E1", "works with", "E2", 1, 1)}
