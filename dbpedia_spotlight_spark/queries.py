@@ -6125,9 +6125,11 @@ def q_mention_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_relations(m, _docs(spark, sf_dir))
 
 
-def sql_mention_relations() -> str:
-    return (
-        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+# per-doc relation-occurrence chain (ms → ordered → pairs → mid → ok),
+# shared by every relation oracle so the extraction gates (gap 80,
+# ≤ 4 tokens, sentence-punctuation class) live in exactly ONE SQL copy
+# mirroring the operators/relations.py defaults
+_SQL_REL_OK = """
   ms AS (
     SELECT doc_id, "begin", "end", uri FROM ranked WHERE rank = 1),
   ordered AS (
@@ -6151,7 +6153,13 @@ def sql_mention_relations() -> str:
   ok AS (
     SELECT * FROM mid
     WHERE pred <> '' AND NOT regexp_matches(pred, '[.!?;:]')
-      AND len(string_split(pred, ' ')) <= 4)
+      AND len(string_split(pred, ' ')) <= 4)"""
+
+
+def sql_mention_relations() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED
+        + "," + _SQL_REL_OK + """
   SELECT s AS subj_uri, pred AS predicate, o AS obj_uri,
          CAST(count(*) AS BIGINT) AS n,
          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
@@ -6228,31 +6236,8 @@ def q_canonical_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_canonical_relations() -> str:
     return (
-        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
-  ms AS (
-    SELECT doc_id, "begin", "end", uri FROM ranked WHERE rank = 1),
-  ordered AS (
-    SELECT doc_id, "begin", "end", uri,
-           row_number() OVER (PARTITION BY doc_id ORDER BY "begin")
-             AS rn
-    FROM ms),
-  pairs AS (
-    SELECT a.doc_id, a."end" AS ae, b."begin" AS bb,
-           a.uri AS s, b.uri AS o
-    FROM ordered a JOIN ordered b
-      ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
-    WHERE b."begin" - a."end" > 0 AND b."begin" - a."end" <= 80
-      AND a.uri <> b.uri),
-  mid AS (
-    SELECT p.s, p.o, p.doc_id,
-           regexp_replace(trim(lower(substr(d.text, p.ae + 1,
-                                            p.bb - p.ae))),
-                          '\\s+', ' ', 'g') AS pred
-    FROM pairs p JOIN documents d ON p.doc_id = d.doc_id),
-  ok AS (
-    SELECT * FROM mid
-    WHERE pred <> '' AND NOT regexp_matches(pred, '[.!?;:]')
-      AND len(string_split(pred, ' ')) <= 4),
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED
+        + "," + _SQL_REL_OK + """,
   ents AS (
     SELECT DISTINCT s AS id FROM ok
     UNION SELECT DISTINCT o AS id FROM ok),

@@ -243,9 +243,10 @@ def main(argv: list[str] | None = None,
                 "url", F.col("extracted_text").alias("text"))
         else:
             corpus = corpus.select("url", "text")
+        # metrics stay delta-sized (rel_added/rel_removed from the
+        # fold's crossing frame) — a global read_relations().count()
+        # would scan the corpus-sized state every incremental run
         stats["relations"] = rstore.catchup(store, corpus)
-        stats["relations"]["n_relations"] = (
-            rstore.read_relations().count())
 
     if args.shapes:
         from dbpedia_spotlight_spark.operators.shapes import (

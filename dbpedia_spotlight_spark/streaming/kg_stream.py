@@ -718,10 +718,15 @@ class RelationStore(KGStore):
         # contributions. (A url whose new capture truly lost all
         # mentions has none in the snapshot and needs no text.) Cost:
         # one semi+anti join over the delta-sized touched-mention set.
+        # a null/blank text row cannot carry the mentions the snapshot
+        # still holds for that url (annotate would have emitted none),
+        # so it counts as missing, not as present
+        have_text = (docs.filter(F.col("text").isNotNull()
+                                 & (F.col("text") != ""))
+                     .select("url").distinct())
         missing = (mentions.join(touched, "url", "left_semi")
                    .select("url").distinct()
-                   .join(docs.select("url").distinct(), "url",
-                         "left_anti"))
+                   .join(have_text, "url", "left_anti"))
         sample = [r.url for r in missing.limit(3).collect()]
         if sample:
             raise ValueError(

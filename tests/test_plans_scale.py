@@ -1143,7 +1143,7 @@ def test_run_kg_maintain_relations_catchup(spark, web_pages, lexicon,
 
     s1 = main(["--pages", pages_dir] + base, spark=spark)
     assert s1["relations"]["gens_folded"] == 1
-    assert s1["relations"]["n_relations"] > 0
+    assert s1["relations"]["rel_added"] > 0
 
     model = load_model(spark, lex_dir)
     bc = spark.sparkContext.broadcast(model)

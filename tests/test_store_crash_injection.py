@@ -313,6 +313,15 @@ def test_relationstore_catchup_refuses_incomplete_corpus(spark, tmp_path):
         rstore.catchup(kg, partial)
     assert rstore.latest_gen() is None  # nothing folded
 
+    # a NULL-text (or blank) row is missing text, not present text —
+    # it cannot carry the mentions the snapshot still holds for u2
+    nulltext = spark.createDataFrame(
+        [("u1", "E1 works with E2 daily"), ("u2", None)],
+        "url string, text string")
+    with pytest.raises(ValueError, match="missing text"):
+        rstore.catchup(kg, nulltext)
+    assert rstore.latest_gen() is None
+
     full = spark.createDataFrame(
         [("u1", "E1 works with E2 daily"), ("u2", "E3 beside E2 now")],
         "url string, text string")
