@@ -6366,9 +6366,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     normalization, bit-identical at sf0.001 AND sf0.01 before the swap)
     in; tsv_lexicon out (S5 importer, green since round 1 — the TSV
     parse + priors math stay DuckDB-mirrored in
+    tests/test_rotated_queries.py).
+    Round-5 eleventh rotation: canonical_relations (owl:sameAs
+    canonicalization of the relation table — alias merge via the
+    canonical map, collapsed self-pairs dropped, exact n_docs through
+    the per-doc state; oracle replays the whole chain relationally,
+    green at sf0.001 AND sf0.01 before the swap) in;
+    spotxml_disambiguate out (S2 source, 2 rows, green since round 1 —
+    the spot-XML parse + disambiguation stay DuckDB-mirrored in
     tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "canonical_relations": q_canonical_relations,
         "mention_relations": q_mention_relations,
         "dsir_select": q_dsir_select,
         "dup_span_stats": q_dup_span_stats,
@@ -6412,7 +6421,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_entities": q_model_entities,
         # source formats
         "extract_text": q_extract_text,
-        "spotxml_disambiguate": q_spotxml_disambiguate,
         "wiki_links": q_wiki_links,
         # training-data ops
         "dedup_exact": q_dedup_exact,
@@ -6431,6 +6439,7 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "canonical_relations": sql_canonical_relations(),
         "mention_relations": sql_mention_relations(),
         "dsir_select": sql_dsir_select(),
         "dup_span_stats": sql_dup_span_stats(),
@@ -6471,7 +6480,6 @@ def oracle_sql() -> dict[str, str]:
         "model_build": sql_model_build(),
         "model_entities": sql_model_entities(),
         "extract_text": sql_extract_text(),
-        "spotxml_disambiguate": sql_spotxml_disambiguate(),
         "wiki_links": sql_wiki_links(),
         "dedup_exact": sql_dedup_exact(),
         "simhash_near_pairs": sql_simhash_near_pairs(),

@@ -26,12 +26,10 @@ ROTATED = [
     # registered mention_relations (oracle re-derives the whole chain)
     ("relation_signatures", Q.q_relation_signatures,
      Q.sql_relation_signatures),
-    # round-5 addition: sameAs canonicalization of the relation table
-    # (merge aliased endpoints, drop collapsed self-pairs, exact
-    # n_docs via the per-doc state; alias rule = URI sense-qualifier
-    # stem, computed relationally by both engines)
-    ("canonical_relations", Q.q_canonical_relations,
-     Q.sql_canonical_relations),
+    # round-5 eleventh rotation OUT: S2 spot-XML source + its
+    # disambiguation (canonical_relations took its registry slot)
+    ("spotxml_disambiguate", Q.q_spotxml_disambiguate,
+     Q.sql_spotxml_disambiguate),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
