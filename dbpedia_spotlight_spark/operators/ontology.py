@@ -311,6 +311,74 @@ def infer_property_axioms(kg: DataFrame,
             .join(stmts, ["subj", "pred", "obj"], "left_anti"))
 
 
+def infer_functional_sameas(kg: DataFrame,
+                            functional: list[str] | None = None,
+                            inverse_functional: list[str] | None = None,
+                            max_group: int = 64) -> DataFrame:
+    """OWL-RL prp-fp / prp-ifp — owl:sameAs inference from declared
+    (inverse-)functional properties, the rule pair `infer_property_axioms`
+    deliberately leaves out because its conclusion is an IDENTITY, not a
+    statement:
+
+        (p a owl:FunctionalProperty)        ∧ (x p y1)(x p y2) ⊢ y1 sameAs y2
+        (p a owl:InverseFunctionalProperty) ∧ (x1 p y)(x2 p y) ⊢ x1 sameAs x2
+
+    prp-ifp is the formal twin of `er.er_candidates`' quasi-key
+    blocking: a declared IFP (ISBN, email, canonical URL) is an exact
+    key, so sharing a value IS identity — no verify stage needed. The
+    returned (a, b, via, rule) edges (a < b, distinct) feed the same
+    consumers as `er_sameas`: `connected_components`,
+    `triples.canonicalize_triples`, `canonicalize_relations`, or a
+    SameasStore fold.
+
+    ``max_group`` is the dirty-key guard (same role as er_candidates'
+    ``max_block``): a value shared by more than ``max_group`` entities
+    under a declared functional key is with near-certainty a data
+    defect (empty string, placeholder, parser artifact) — pairing it
+    is both semantically wrong and quadratically explosive, so the
+    whole group is excluded rather than truncated (truncation would
+    make the output layout-dependent).
+
+    Scale: one pushed-isin filter per declaration list (schema-sized),
+    one count aggregate + semi-join to apply the cap, one self-join
+    keyed on (pred, key-side) whose per-key fan-out is ≤ max_group by
+    construction — the shuffle key includes the property, so a hot
+    value of one key never concentrates another's partitions. No UDFs,
+    no windows."""
+    if not functional and not inverse_functional:
+        raise ValueError(
+            "infer_functional_sameas needs at least one declaration "
+            "(functional or inverse_functional)")
+
+    def pairs(preds: list[str], key_col: str, out_col: str,
+              rule: str) -> DataFrame:
+        s = (kg.filter(F.col("pred").isin(list(preds)))
+             .select("pred", F.col(key_col).alias("k"),
+                     F.col(out_col).alias("v"))
+             .dropDuplicates())
+        grp = (s.groupBy("pred", "k").agg(F.count("*").alias("_n"))
+               .filter((F.col("_n") >= 2) & (F.col("_n") <= max_group))
+               .drop("_n"))
+        s = s.join(grp, ["pred", "k"], "left_semi")
+        a, b = s.alias("a"), s.alias("b")
+        return (a.join(b, ["pred", "k"])
+                .filter(F.col("a.v") < F.col("b.v"))
+                .select(F.col("a.v").alias("a"), F.col("b.v").alias("b"),
+                        F.col("pred").alias("via"),
+                        F.lit(rule).alias("rule")))
+
+    derived = []
+    if inverse_functional:
+        derived.append(pairs(inverse_functional, "obj", "subj",
+                             "prp-ifp"))
+    if functional:
+        derived.append(pairs(functional, "subj", "obj", "prp-fp"))
+    out = derived[0]
+    for d in derived[1:]:
+        out = out.unionByName(d)
+    return out.dropDuplicates()
+
+
 def entailment_counts(type_stmts: DataFrame, closure: DataFrame) -> DataFrame:
     """Initial state for counting-based incremental maintenance of the
     rdfs:9 entailment: (subj, obj, n_derivations), where the count is

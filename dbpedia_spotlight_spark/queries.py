@@ -6256,6 +6256,71 @@ def sql_canonical_relations() -> str:
     )
 
 
+def q_sameas_functional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL-RL prp-fp / prp-ifp identity inference
+    (operators/ontology.py::infer_functional_sameas) over planted
+    functional-property lanes derived arithmetically from the documents
+    table (so both engines construct the identical KG): an IFP key
+    shared by blocks of 4 docs, a FunctionalProperty with blocks of 8
+    values per subject, and a dirty IFP value shared by EVERY doc that
+    the max_group=16 guard must exclude whole (non-vacuous cap)."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_functional_sameas,
+    )
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    ifp = d.select(
+        F.concat(F.lit("e"), sid).alias("subj"),
+        F.lit("ex:key").alias("pred"),
+        F.concat(F.lit("k"), (F.col("doc_id") / 4).cast("long")
+                 .cast("string")).alias("obj"))
+    dirty = d.select(
+        F.concat(F.lit("d"), sid).alias("subj"),
+        F.lit("ex:key").alias("pred"), F.lit("dirty").alias("obj"))
+    fp = d.select(
+        F.concat(F.lit("s"), (F.col("doc_id") / 8).cast("long")
+                 .cast("string")).alias("subj"),
+        F.lit("ex:parent").alias("pred"),
+        F.concat(F.lit("p"), sid).alias("obj"))
+    kg = ifp.unionByName(dirty).unionByName(fp)
+    return infer_functional_sameas(
+        kg, functional=["ex:parent"], inverse_functional=["ex:key"],
+        max_group=16)
+
+
+def sql_sameas_functional() -> str:
+    return """
+  WITH d AS (SELECT doc_id FROM documents),
+  kg AS (
+    SELECT 'e' || CAST(doc_id AS VARCHAR) AS subj, 'ex:key' AS pred,
+           'k' || CAST(doc_id // 4 AS VARCHAR) AS obj FROM d
+    UNION ALL
+    SELECT 'd' || CAST(doc_id AS VARCHAR), 'ex:key', 'dirty' FROM d
+    UNION ALL
+    SELECT 's' || CAST(doc_id // 8 AS VARCHAR), 'ex:parent',
+           'p' || CAST(doc_id AS VARCHAR) FROM d),
+  ifp AS (SELECT DISTINCT pred, obj AS k, subj AS v FROM kg
+          WHERE pred = 'ex:key'),
+  ifp_ok AS (SELECT pred, k FROM ifp GROUP BY 1, 2
+             HAVING count(*) BETWEEN 2 AND 16),
+  ifp_s AS (SELECT i.* FROM ifp i
+            JOIN ifp_ok o ON i.pred = o.pred AND i.k = o.k),
+  fp AS (SELECT DISTINCT pred, subj AS k, obj AS v FROM kg
+         WHERE pred = 'ex:parent'),
+  fp_ok AS (SELECT pred, k FROM fp GROUP BY 1, 2
+            HAVING count(*) BETWEEN 2 AND 16),
+  fp_s AS (SELECT f.* FROM fp f
+           JOIN fp_ok o ON f.pred = o.pred AND f.k = o.k)
+  SELECT DISTINCT a, b, via, rule FROM (
+    SELECT x.v AS a, y.v AS b, x.pred AS via, 'prp-ifp' AS rule
+    FROM ifp_s x JOIN ifp_s y
+      ON x.pred = y.pred AND x.k = y.k AND x.v < y.v
+    UNION ALL
+    SELECT x.v, y.v, x.pred, 'prp-fp'
+    FROM fp_s x JOIN fp_s y
+      ON x.pred = y.pred AND x.k = y.k AND x.v < y.v)"""
+
+
 def sql_entity_provenance() -> str:
     """Mirror: the ranked-annotation CTE chain; graph ≡ source/doc_id
     (what as_quads recovers from the subj fragment), one COUNT

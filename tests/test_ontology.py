@@ -1424,3 +1424,57 @@ def test_per_graph_closure_rounds_track_max_depth_not_graph_count(spark):
     # no cross-graph leakage: a0 never reaches d1
     leak = clo.filter((F.col("sub") == "a0") & (F.col("sup") == "d1"))
     assert leak.isEmpty()
+
+
+def test_infer_functional_sameas(spark):
+    """prp-ifp merges subjects sharing a declared-IFP value; prp-fp
+    merges objects of one subject under a declared-FP; a dirty key
+    (group > max_group) is excluded whole; non-declared predicates and
+    singleton groups yield nothing; duplicate assertions dedup; pairs
+    come out a < b."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_functional_sameas)
+    rows = [
+        # ifp lane: e1,e2 share isbn X; e3 alone on Y
+        ("e1", "ex:isbn", "X"), ("e2", "ex:isbn", "X"),
+        ("e2", "ex:isbn", "X"),          # duplicate assertion
+        ("e3", "ex:isbn", "Y"),
+        # dirty key: 4 entities share '' under max_group=3
+        ("d1", "ex:isbn", ""), ("d2", "ex:isbn", ""),
+        ("d3", "ex:isbn", ""), ("d4", "ex:isbn", ""),
+        # fp lane: s1 has two mothers -> they are the same entity
+        ("s1", "ex:mother", "m2"), ("s1", "ex:mother", "m1"),
+        ("s2", "ex:mother", "m3"),
+        # non-declared predicate with heavy sharing: ignored
+        ("e1", "ex:tag", "t"), ("e2", "ex:tag", "t"),
+    ]
+    kg = spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+    got = {tuple(r) for r in infer_functional_sameas(
+        kg, functional=["ex:mother"], inverse_functional=["ex:isbn"],
+        max_group=3).collect()}
+    assert got == {("e1", "e2", "ex:isbn", "prp-ifp"),
+                   ("m1", "m2", "ex:mother", "prp-fp")}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="declaration"):
+        infer_functional_sameas(kg)
+
+
+def test_infer_functional_sameas_feeds_canonicalization(spark):
+    """The inferred identity edges drive the standard sameAs consumers:
+    connected components over a transitively-shared key chain collapse
+    e1-e2-e3 into one canonical entity."""
+    from dbpedia_spotlight_spark.operators.components import (
+        connected_components)
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_functional_sameas)
+    rows = [("e1", "ex:key", "K1"), ("e2", "ex:key", "K1"),
+            ("e2", "ex:key", "K2"), ("e3", "ex:key", "K2")]
+    kg = spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+    edges = infer_functional_sameas(kg, inverse_functional=["ex:key"])
+    nodes = kg.select(F.col("subj").alias("id")).distinct()
+    labels = connected_components(nodes, edges.select("a", "b"))
+    assert {(r.id, r.comp) for r in labels.collect()} == {
+        ("e1", "e1"), ("e2", "e1"), ("e3", "e1")}

@@ -30,6 +30,11 @@ ROTATED = [
     # disambiguation (canonical_relations took its registry slot)
     ("spotxml_disambiguate", Q.q_spotxml_disambiguate,
      Q.sql_spotxml_disambiguate),
+    # round-5 addition: OWL-RL prp-fp/prp-ifp identity inference from
+    # declared (inverse-)functional properties, dirty-key cap
+    # non-vacuous (a value shared by every doc is excluded whole)
+    ("sameas_functional", Q.q_sameas_functional,
+     Q.sql_sameas_functional),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
