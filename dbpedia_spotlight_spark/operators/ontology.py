@@ -379,6 +379,159 @@ def infer_functional_sameas(kg: DataFrame,
     return out.dropDuplicates()
 
 
+def equivalence_edges(equiv: DataFrame) -> DataFrame:
+    """OWL-RL equivalence normalization — cax-eqc1/2 and prp-eqp1/2 in
+    their standard reduction: an ``owl:equivalentClass`` (or
+    ``owl:equivalentProperty``) declaration (a, b) is exactly the pair
+    of sub-edges a ⊑ b and b ⊑ a, so equivalence support costs nothing
+    new — normalize the declarations and feed the existing machinery
+    (``subclass_closure`` + ``infer_types`` for classes,
+    ``infer_subproperties`` for properties). The closure's cycle guard
+    already handles the mutual edges (equivalent classes subsume each
+    other without looping).
+
+    Input: (a, b) declaration frame (schema-sized). Output: (sub, sup)
+    edges in BOTH directions, distinct — union with the asserted
+    sub-edge frame before building the closure. Pure projection +
+    union; no shuffle beyond the dedup of a schema-sized frame."""
+    return (equiv.select(F.col("a").alias("sub"), F.col("b").alias("sup"))
+            .unionByName(equiv.select(F.col("b").alias("sub"),
+                                      F.col("a").alias("sup")))
+            .filter(F.col("sub") != F.col("sup"))
+            .dropDuplicates())
+
+
+def validate_owl(kg: DataFrame,
+                 disjoint_classes: DataFrame | None = None,
+                 disjoint_properties: DataFrame | None = None,
+                 irreflexive: list[str] | None = None,
+                 asymmetric: list[str] | None = None,
+                 check_different: bool = False,
+                 type_pred: str = RDF_TYPE,
+                 sameas_pred: str = "owl:sameAs",
+                 different_pred: str = "owl:differentFrom") -> DataFrame:
+    """OWL 2 RL consistency checking — the FALSE-consequence half of
+    the profile that the entailment operators (`infer_*`) deliberately
+    leave out because their conclusion is a violation report, not a
+    statement. One row per detected inconsistency:
+
+        (c1 owl:disjointWith c2) ∧ (x type c1)(x type c2) ⊢ ⊥ [cax-dw]
+        (p owl:propertyDisjointWith q) ∧ (x p y)(x q y)    ⊢ ⊥ [prp-pdw]
+        (p a owl:IrreflexiveProperty) ∧ (x p x)            ⊢ ⊥ [prp-irp]
+        (p a owl:AsymmetricProperty) ∧ (x p y)(y p x)      ⊢ ⊥ [prp-asyp]
+        (x sameAs y) ∧ (x differentFrom y)                 ⊢ ⊥ [eq-diff1]
+
+    At KG-construction scale this is the QA gate run after every
+    entailment/canonicalization pass: disjointness violations are
+    almost always upstream linking errors (one surface form
+    disambiguated into incompatible classes), and eq-diff1 catches an
+    ER merge contradicting curated distinctness. Compose with
+    ``subclass_closure``+``infer_types`` upstream if violations under
+    the class HIERARCHY (not just asserted types) are wanted — cax-dw
+    over the entailed type frame is the profile's semantics.
+
+    Returns (rule, s, o, a, b): the focus pair (s, o) and the clashing
+    declaration pair (a, b), both canonically ordered so symmetric
+    clashes report once and output is layout-independent. Empty frame =
+    consistent (w.r.t. the declared axioms).
+
+    Scale: declaration frames are schema-sized (broadcast); each rule
+    is one pushed filter over the statement stream plus at most one
+    self-join keyed on the instance/pair key — never on url/host, no
+    windows, no UDFs. Rules only union; pass None/[] to skip a rule
+    entirely (its scan is never built)."""
+    stmts = kg.select("subj", "pred", "obj")
+    reports: list[DataFrame] = []
+
+    def _norm_pairs(decl: DataFrame) -> DataFrame:
+        # canonical a<b orientation; declarations are symmetric, so a
+        # pair asserted either way (or both ways) is ONE declaration
+        return (decl.select(F.least("a", "b").alias("a"),
+                            F.greatest("a", "b").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .dropDuplicates())
+
+    if disjoint_classes is not None:
+        d = _norm_pairs(disjoint_classes)
+        t = (stmts.filter(F.col("pred") == type_pred)
+             .select("subj", F.col("obj").alias("cls"))
+             .dropDuplicates())
+        # slice the type stream to classes mentioned in a declaration
+        # FIRST (broadcast semi-join) — the instance-keyed self-join
+        # then runs over the declaration-relevant slice only
+        mentioned = (d.select(F.col("a").alias("cls"))
+                     .unionByName(d.select(F.col("b").alias("cls")))
+                     .dropDuplicates())
+        t = t.join(F.broadcast(mentioned), "cls", "left_semi")
+        left = t.select("subj", F.col("cls").alias("a"))
+        right = t.select("subj", F.col("cls").alias("b"))
+        reports.append(
+            left.join(right, "subj")
+            .join(F.broadcast(d), ["a", "b"], "left_semi")
+            .select(F.lit("cax-dw").alias("rule"),
+                    F.col("subj").alias("s"), F.lit("").alias("o"),
+                    "a", "b"))
+    if disjoint_properties is not None:
+        d = _norm_pairs(disjoint_properties)
+        e = stmts.dropDuplicates()
+        mentioned = (d.select(F.col("a").alias("pred"))
+                     .unionByName(d.select(F.col("b").alias("pred")))
+                     .dropDuplicates())
+        e = e.join(F.broadcast(mentioned), "pred", "left_semi")
+        left = e.select("subj", "obj", F.col("pred").alias("a"))
+        right = e.select("subj", "obj", F.col("pred").alias("b"))
+        reports.append(
+            left.join(right, ["subj", "obj"])
+            .join(F.broadcast(d), ["a", "b"], "left_semi")
+            .select(F.lit("prp-pdw").alias("rule"),
+                    F.col("subj").alias("s"), F.col("obj").alias("o"),
+                    "a", "b"))
+    if irreflexive:
+        reports.append(
+            stmts.filter(F.col("pred").isin(list(irreflexive))
+                         & (F.col("subj") == F.col("obj")))
+            .select(F.lit("prp-irp").alias("rule"),
+                    F.col("subj").alias("s"), F.col("obj").alias("o"),
+                    F.col("pred").alias("a"), F.lit("").alias("b"))
+            .dropDuplicates())
+    if asymmetric:
+        e = (stmts.filter(F.col("pred").isin(list(asymmetric)))
+             .select("subj", "pred", "obj").dropDuplicates())
+        swapped = e.select(F.col("obj").alias("subj"), "pred",
+                           F.col("subj").alias("obj"))
+        # (x p y)(y p x) both survive the semi-join; canonical order
+        # emits the clash once (x==y self-loops violate asymmetry too
+        # and survive subj<=obj)
+        reports.append(
+            e.join(swapped, ["subj", "pred", "obj"], "left_semi")
+            .filter(F.col("subj") <= F.col("obj"))
+            .select(F.lit("prp-asyp").alias("rule"),
+                    F.col("subj").alias("s"), F.col("obj").alias("o"),
+                    F.col("pred").alias("a"), F.lit("").alias("b")))
+    if check_different:
+        def _unordered(pred: str) -> DataFrame:
+            return (stmts.filter(F.col("pred") == pred)
+                    .select(F.least("subj", "obj").alias("s"),
+                            F.greatest("subj", "obj").alias("o"))
+                    .filter(F.col("s") != F.col("o"))
+                    .dropDuplicates())
+        reports.append(
+            _unordered(sameas_pred)
+            .join(_unordered(different_pred), ["s", "o"], "left_semi")
+            .select(F.lit("eq-diff1").alias("rule"), "s", "o",
+                    F.lit(sameas_pred).alias("a"),
+                    F.lit(different_pred).alias("b")))
+    if not reports:
+        raise ValueError(
+            "validate_owl needs at least one axiom set (disjoint_classes, "
+            "disjoint_properties, irreflexive, asymmetric or "
+            "check_different)")
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.dropDuplicates()
+
+
 def entailment_counts(type_stmts: DataFrame, closure: DataFrame) -> DataFrame:
     """Initial state for counting-based incremental maintenance of the
     rdfs:9 entailment: (subj, obj, n_derivations), where the count is

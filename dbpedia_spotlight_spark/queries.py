@@ -6321,6 +6321,129 @@ def sql_sameas_functional() -> str:
       ON x.pred = y.pred AND x.k = y.k AND x.v < y.v)"""
 
 
+def q_owl_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL consistency checking (operators/ontology.py::
+    validate_owl) over a KG planted arithmetically from documents —
+    per 10-doc lane: a cax-dw double-typing, a prp-pdw parallel-edge
+    pair, a prp-irp self-loop, a prp-asyp mutual pair, and an eq-diff1
+    sameAs/differentFrom contradiction, each with an adjacent CLEAN
+    lane the rules must not fire on."""
+    from dbpedia_spotlight_spark.operators.ontology import validate_owl
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    lane = F.col("doc_id") % 10
+    def _e(m, s_pre, pred, o_pre):  # noqa: E306
+        return d.filter(lane == m).select(
+            F.concat(F.lit(s_pre), sid).alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.concat(F.lit(o_pre), sid).alias("obj"))
+    kg = (
+        # cax-dw lane 0 (clash) / lane 1 (clean)
+        d.filter(lane == 0).select(
+            F.concat(F.lit("x"), sid).alias("subj"),
+            F.lit("rdf:type").alias("pred"), F.lit("Person").alias("obj"))
+        .unionByName(d.filter(lane == 0).select(
+            F.concat(F.lit("x"), sid).alias("subj"),
+            F.lit("rdf:type").alias("pred"), F.lit("Place").alias("obj")))
+        .unionByName(d.filter(lane == 1).select(
+            F.concat(F.lit("x"), sid).alias("subj"),
+            F.lit("rdf:type").alias("pred"), F.lit("Person").alias("obj")))
+        # prp-pdw lane 2 (clash) / lane 3 (clean)
+        .unionByName(_e(2, "u", "ex:likes", "v"))
+        .unionByName(_e(2, "u", "ex:dislikes", "v"))
+        .unionByName(_e(3, "u", "ex:likes", "v"))
+        # prp-irp lane 4 (self-loop) / lane 5 (clean)
+        .unionByName(_e(4, "p", "ex:properPartOf", "p"))
+        .unionByName(_e(5, "p", "ex:properPartOf", "r"))
+        # prp-asyp lane 6 (mutual) / lane 7 (clean)
+        .unionByName(_e(6, "a", "ex:beats", "b"))
+        .unionByName(_e(6, "b", "ex:beats", "a"))
+        .unionByName(_e(7, "a", "ex:beats", "c"))
+        # eq-diff1 lane 8 (contradiction, opposite orientations) /
+        # lane 9 (clean)
+        .unionByName(_e(8, "m", "owl:sameAs", "n"))
+        .unionByName(_e(8, "n", "owl:differentFrom", "m"))
+        .unionByName(_e(9, "m", "owl:sameAs", "z"))
+    )
+    return validate_owl(
+        kg,
+        disjoint_classes=spark.createDataFrame(
+            [("Place", "Person")], "a string, b string"),
+        disjoint_properties=spark.createDataFrame(
+            [("ex:likes", "ex:dislikes")], "a string, b string"),
+        irreflexive=["ex:properPartOf"],
+        asymmetric=["ex:beats"],
+        check_different=True)
+
+
+def sql_owl_violations() -> str:
+    """Mirror: the planted KG regenerated lane-by-lane, then each rule
+    replayed relationally (canonical least/greatest orientations match
+    validate_owl's layout-independent report shape)."""
+    return """
+  WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid,
+                    doc_id % 10 AS lane FROM documents),
+  kg AS (
+    SELECT 'x' || sid AS subj, 'rdf:type' AS pred, 'Person' AS obj
+      FROM d WHERE lane = 0
+    UNION ALL SELECT 'x' || sid, 'rdf:type', 'Place' FROM d WHERE lane = 0
+    UNION ALL SELECT 'x' || sid, 'rdf:type', 'Person' FROM d WHERE lane = 1
+    UNION ALL SELECT 'u' || sid, 'ex:likes', 'v' || sid FROM d WHERE lane = 2
+    UNION ALL SELECT 'u' || sid, 'ex:dislikes', 'v' || sid
+      FROM d WHERE lane = 2
+    UNION ALL SELECT 'u' || sid, 'ex:likes', 'v' || sid FROM d WHERE lane = 3
+    UNION ALL SELECT 'p' || sid, 'ex:properPartOf', 'p' || sid
+      FROM d WHERE lane = 4
+    UNION ALL SELECT 'p' || sid, 'ex:properPartOf', 'r' || sid
+      FROM d WHERE lane = 5
+    UNION ALL SELECT 'a' || sid, 'ex:beats', 'b' || sid FROM d WHERE lane = 6
+    UNION ALL SELECT 'b' || sid, 'ex:beats', 'a' || sid FROM d WHERE lane = 6
+    UNION ALL SELECT 'a' || sid, 'ex:beats', 'c' || sid FROM d WHERE lane = 7
+    UNION ALL SELECT 'm' || sid, 'owl:sameAs', 'n' || sid
+      FROM d WHERE lane = 8
+    UNION ALL SELECT 'n' || sid, 'owl:differentFrom', 'm' || sid
+      FROM d WHERE lane = 8
+    UNION ALL SELECT 'm' || sid, 'owl:sameAs', 'z' || sid
+      FROM d WHERE lane = 9),
+  dc AS (SELECT least(a, b) AS a, greatest(a, b) AS b
+         FROM (VALUES ('Place', 'Person')) v(a, b)),
+  dp AS (SELECT least(a, b) AS a, greatest(a, b) AS b
+         FROM (VALUES ('ex:likes', 'ex:dislikes')) v(a, b)),
+  t AS (SELECT DISTINCT subj, obj AS cls FROM kg WHERE pred = 'rdf:type'),
+  caxdw AS (
+    SELECT 'cax-dw' AS rule, t1.subj AS s, '' AS o, dc.a, dc.b
+    FROM t t1 JOIN dc ON t1.cls = dc.a
+    JOIN t t2 ON t2.subj = t1.subj AND t2.cls = dc.b),
+  e AS (SELECT DISTINCT subj, pred, obj FROM kg),
+  pdw AS (
+    SELECT 'prp-pdw' AS rule, e1.subj AS s, e1.obj AS o, dp.a, dp.b
+    FROM e e1 JOIN dp ON e1.pred = dp.a
+    JOIN e e2 ON e2.subj = e1.subj AND e2.obj = e1.obj
+            AND e2.pred = dp.b),
+  irp AS (
+    SELECT DISTINCT 'prp-irp' AS rule, subj AS s, obj AS o,
+           pred AS a, '' AS b
+    FROM kg WHERE pred IN ('ex:properPartOf') AND subj = obj),
+  asyp AS (
+    SELECT 'prp-asyp' AS rule, e1.subj AS s, e1.obj AS o,
+           e1.pred AS a, '' AS b
+    FROM e e1 JOIN e e2 ON e1.pred = e2.pred AND e1.subj = e2.obj
+                       AND e1.obj = e2.subj
+    WHERE e1.pred IN ('ex:beats') AND e1.subj <= e1.obj),
+  sa AS (SELECT DISTINCT least(subj, obj) AS s, greatest(subj, obj) AS o
+         FROM kg WHERE pred = 'owl:sameAs' AND subj <> obj),
+  df AS (SELECT DISTINCT least(subj, obj) AS s, greatest(subj, obj) AS o
+         FROM kg WHERE pred = 'owl:differentFrom' AND subj <> obj),
+  eqdiff AS (
+    SELECT 'eq-diff1' AS rule, sa.s, sa.o,
+           'owl:sameAs' AS a, 'owl:differentFrom' AS b
+    FROM sa JOIN df ON sa.s = df.s AND sa.o = df.o)
+  SELECT DISTINCT * FROM (
+    SELECT * FROM caxdw UNION ALL SELECT * FROM pdw
+    UNION ALL SELECT * FROM irp UNION ALL SELECT * FROM asyp
+    UNION ALL SELECT * FROM eqdiff)"""
+
+
 def sql_entity_provenance() -> str:
     """Mirror: the ranked-annotation CTE chain; graph ≡ source/doc_id
     (what as_quads recovers from the subj fragment), one COUNT

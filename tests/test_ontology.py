@@ -1478,3 +1478,99 @@ def test_infer_functional_sameas_feeds_canonicalization(spark):
     labels = connected_components(nodes, edges.select("a", "b"))
     assert {(r.id, r.comp) for r in labels.collect()} == {
         ("e1", "e1"), ("e2", "e1"), ("e3", "e1")}
+
+
+def test_equivalence_edges_feed_closure_and_types(spark):
+    """cax-eqc via the standard reduction: equivalentClass(A, B) means
+    mutual subsumption, so after unioning equivalence_edges with the
+    asserted hierarchy, infer_types lifts an instance of A to B and an
+    instance of B up A's chain; self-equivalences drop."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        equivalence_edges, subclass_closure, infer_types)
+    equiv = spark.createDataFrame(
+        [("A", "B"), ("C", "C")], "a string, b string")
+    edges = equivalence_edges(equiv)
+    assert {tuple(r) for r in edges.collect()} == {("A", "B"), ("B", "A")}
+    sub = spark.createDataFrame([("A", "Top")], "sub string, sup string")
+    clo = subclass_closure(sub.unionByName(edges))
+    types = spark.createDataFrame(
+        [("x", RDF_TYPE, "A"), ("y", RDF_TYPE, "B")],
+        "subj string, pred string, obj string")
+    got = {(r.subj, r.obj) for r in infer_types(types, clo).collect()}
+    # x:A -> B, Top; y:B -> A, Top — plus the 2-cycle's self-paths
+    # (A subClassOf B subClassOf A re-derives the asserted type), which
+    # is exactly cax-eqc semantics: entailed set, union-idempotent
+    assert got == {("x", "A"), ("x", "B"), ("x", "Top"),
+                   ("y", "A"), ("y", "B"), ("y", "Top")}
+
+
+def test_validate_owl_all_rules(spark):
+    """One planted KG exercising every rule: a cax-dw clash (declared
+    either orientation reports once, canonical a<b), a prp-pdw clash,
+    an irreflexive self-loop, an asymmetric mutual pair AND self-loop,
+    and an eq-diff1 contradiction asserted in opposite orientations;
+    clean lanes for each rule yield nothing."""
+    from dbpedia_spotlight_spark.operators.ontology import validate_owl
+    rows = [
+        # cax-dw: x is both Person and Place (disjoint); z only Person
+        ("x", RDF_TYPE, "Person"), ("x", RDF_TYPE, "Place"),
+        ("z", RDF_TYPE, "Person"),
+        # prp-pdw: (u likes v) and (u dislikes v); w only likes
+        ("u", "ex:likes", "v"), ("u", "ex:dislikes", "v"),
+        ("w", "ex:likes", "v"),
+        # prp-irp: p properPartOf p; q properPartOf r is fine
+        ("p", "ex:properPartOf", "p"), ("q", "ex:properPartOf", "r"),
+        # prp-asyp: a beats b and b beats a; c beats d (one way) fine;
+        # e beats e is a self-loop violation of asymmetry
+        ("a", "ex:beats", "b"), ("b", "ex:beats", "a"),
+        ("c", "ex:beats", "d"), ("e", "ex:beats", "e"),
+        # eq-diff1: opposite orientations still one clash
+        ("m", "owl:sameAs", "n"), ("n", "owl:differentFrom", "m"),
+        ("m", "owl:sameAs", "o"),
+    ]
+    kg = spark.createDataFrame(
+        rows, "subj string, pred string, obj string")
+    got = {tuple(r) for r in validate_owl(
+        kg,
+        disjoint_classes=spark.createDataFrame(
+            [("Place", "Person")], "a string, b string"),
+        disjoint_properties=spark.createDataFrame(
+            [("ex:likes", "ex:dislikes")], "a string, b string"),
+        irreflexive=["ex:properPartOf"],
+        asymmetric=["ex:beats"],
+        check_different=True).collect()}
+    assert got == {
+        ("cax-dw", "x", "", "Person", "Place"),
+        ("prp-pdw", "u", "v", "ex:dislikes", "ex:likes"),
+        ("prp-irp", "p", "p", "ex:properPartOf", ""),
+        ("prp-asyp", "a", "b", "ex:beats", ""),
+        ("prp-asyp", "e", "e", "ex:beats", ""),
+        ("eq-diff1", "m", "n", "owl:sameAs", "owl:differentFrom"),
+    }
+
+    with pytest.raises(ValueError, match="axiom"):
+        validate_owl(kg)
+
+
+def test_validate_owl_under_entailed_types(spark):
+    """The profile's cax-dw is over the ENTAILED type frame: an
+    instance typed only with SUBCLASSES of two disjoint classes
+    clashes after composing infer_types upstream, and is (correctly)
+    invisible to the asserted-only check."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_types, subclass_closure, validate_owl)
+    sub = spark.createDataFrame(
+        [("City", "Place"), ("Singer", "Person")],
+        "sub string, sup string")
+    types = spark.createDataFrame(
+        [("x", RDF_TYPE, "City"), ("x", RDF_TYPE, "Singer")],
+        "subj string, pred string, obj string")
+    disj = spark.createDataFrame([("Person", "Place")],
+                                 "a string, b string")
+    assert validate_owl(types, disjoint_classes=disj).count() == 0
+    entailed = types.unionByName(
+        infer_types(types, subclass_closure(sub))
+        .select("subj", F.lit(RDF_TYPE).alias("pred"), "obj"))
+    got = {tuple(r) for r in validate_owl(
+        entailed, disjoint_classes=disj).collect()}
+    assert got == {("cax-dw", "x", "", "Person", "Place")}

@@ -35,6 +35,10 @@ ROTATED = [
     # non-vacuous (a value shared by every doc is excluded whole)
     ("sameas_functional", Q.q_sameas_functional,
      Q.sql_sameas_functional),
+    # round-5 addition: OWL 2 RL consistency checking (cax-dw, prp-pdw,
+    # prp-irp, prp-asyp, eq-diff1) — the false-consequence half of the
+    # profile, planted clash + clean lanes per rule
+    ("owl_violations", Q.q_owl_violations, Q.sql_owl_violations),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
