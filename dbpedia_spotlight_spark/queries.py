@@ -6444,6 +6444,57 @@ def sql_owl_violations() -> str:
     UNION ALL SELECT * FROM eqdiff)"""
 
 
+def q_fact_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact versioning (triples.py::fact_intervals) over a
+    change log planted arithmetically from documents — per 4-doc lane:
+    a live fact, a closed episode, a removed-then-re-added fact (two
+    episodes: one closed, one live), and a late-added live fact."""
+    from dbpedia_spotlight_spark.triples import fact_intervals
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    lane = F.col("doc_id") % 4
+    def _ev(cond, gen, change):  # noqa: E306
+        return d.filter(cond).select(
+            F.concat(F.lit("h"), sid).alias("url"),
+            F.concat(F.lit("h"), sid, F.lit("#f")).alias("subj"),
+            F.lit("p").alias("pred"), F.lit("o").alias("obj"),
+            F.lit(change).alias("change"),
+            F.lit(gen).cast("long").alias("gen"))
+    log = (_ev(lane < 3, 1, "added")
+           .unionByName(_ev(lane == 1, 3, "removed"))
+           .unionByName(_ev(lane == 2, 2, "removed"))
+           .unionByName(_ev(lane == 2, 4, "added"))
+           .unionByName(_ev(lane == 3, 2, "added")))
+    return fact_intervals(log)
+
+
+def sql_fact_episodes() -> str:
+    """Mirror: the planted log regenerated lane-by-lane, the episode
+    fold replayed as the same lead()-over-fact-key window."""
+    return """
+  WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid,
+                    doc_id % 4 AS lane FROM documents),
+  log AS (
+    SELECT 'h' || sid AS url, 'h' || sid || '#f' AS subj, 'p' AS pred,
+           'o' AS obj, 'added' AS change, CAST(1 AS BIGINT) AS gen
+      FROM d WHERE lane < 3
+    UNION ALL SELECT 'h' || sid, 'h' || sid || '#f', 'p', 'o',
+           'removed', 3 FROM d WHERE lane = 1
+    UNION ALL SELECT 'h' || sid, 'h' || sid || '#f', 'p', 'o',
+           'removed', 2 FROM d WHERE lane = 2
+    UNION ALL SELECT 'h' || sid, 'h' || sid || '#f', 'p', 'o',
+           'added', 4 FROM d WHERE lane = 2
+    UNION ALL SELECT 'h' || sid, 'h' || sid || '#f', 'p', 'o',
+           'added', 2 FROM d WHERE lane = 3),
+  ev AS (
+    SELECT url, subj, pred, obj, change, gen,
+           lead(gen) OVER (PARTITION BY url, subj, pred, obj
+                           ORDER BY gen) AS next_gen
+    FROM log)
+  SELECT url, subj, pred, obj, gen AS valid_from, next_gen AS valid_to
+  FROM ev WHERE change = 'added'"""
+
+
 def sql_entity_provenance() -> str:
     """Mirror: the ranked-annotation CTE chain; graph ≡ source/doc_id
     (what as_quads recovers from the subj fragment), one COUNT

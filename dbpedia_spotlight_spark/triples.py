@@ -155,6 +155,59 @@ def apply_delta(base: DataFrame, delta: DataFrame) -> DataFrame:
     return b.join(removed, key, "left_anti").unionByName(added)
 
 
+def fact_intervals(log: DataFrame, gen_col: str = "gen") -> DataFrame:
+    """Temporal fact versioning: fold a KG change log — the
+    accumulated ``triple_delta`` batches a ``KGStore`` appends to its
+    ``delta_log`` (url, subj, pred, obj, change∈{added, removed},
+    gen) — into validity INTERVALS
+
+        (url, subj, pred, obj, valid_from, valid_to)
+
+    one row per assertion episode: ``valid_from`` = the generation
+    that added the fact, ``valid_to`` = the generation that removed it
+    (exclusive), NULL while still live. A fact removed and re-added
+    yields one row per episode — the bitemporal-lite view that turns
+    the audit log into an analyzable relation ("how long do facts
+    about this host survive a recrawl", "which triples flapped").
+
+    Rests on the same two invariants as ``KGStore.read_asof``
+    (pytest-pinned there): per-gen deltas are set-diffs on the full
+    fact key, so one fact's events strictly alternate added/removed
+    starting with 'added' — which makes ``lead(gen)`` over the fact's
+    event sequence exactly the episode close.
+
+    Scale: ONE window partitioned by the full fact key (per-partition
+    group = that fact's change events — bounded by the fact's flap
+    count, never url- or host-sized, so mega-host recrawl skew spreads
+    over the key space), then a pushed filter to the 'added' rows. No
+    UDFs, no global sort."""
+    key = ["url", "subj", "pred", "obj"]
+    from pyspark.sql import Window
+    w = Window.partitionBy(*key).orderBy(F.col("_g").asc())
+    return (log.select(*key, "change", F.col(gen_col).cast("long")
+                       .alias("_g"))
+            .withColumn("_next", F.lead("_g").over(w))
+            .filter(F.col("change") == "added")
+            .select(*key, F.col("_g").alias("valid_from"),
+                    F.col("_next").alias("valid_to")))
+
+
+def facts_asof(log: DataFrame, gen: int, gen_col: str = "gen") -> DataFrame:
+    """Log-only time travel: the triple set live as of generation
+    ``gen``, reconstructed purely from the change log (no snapshot
+    needed — the interval twin of ``KGStore.read_asof``, which starts
+    from the CURRENT snapshot and reverses; this form is the one to
+    use over an archived/exported delta_log where no snapshot exists).
+    ``fact_intervals`` filtered to intervals covering ``gen``; same
+    single-window cost. Equivalence to ``read_asof`` across a real
+    multi-batch store drive is pytest-pinned."""
+    iv = fact_intervals(log, gen_col=gen_col)
+    return (iv.filter((F.col("valid_from") <= gen)
+                      & (F.col("valid_to").isNull()
+                         | (F.col("valid_to") > gen)))
+            .select("url", "subj", "pred", "obj"))
+
+
 def triple_prf(emitted: DataFrame, golden: DataFrame) -> dict[str, float]:
     """Set precision/recall/F1 of (subj, pred, obj) vs a golden set —
     the BASELINE P/R≥0.95 gate, computed distributed (no collect of the

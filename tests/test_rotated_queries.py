@@ -39,6 +39,9 @@ ROTATED = [
     # prp-irp, prp-asyp, eq-diff1) — the false-consequence half of the
     # profile, planted clash + clean lanes per rule
     ("owl_violations", Q.q_owl_violations, Q.sql_owl_violations),
+    # round-5 addition: temporal fact versioning — the delta_log folded
+    # into validity intervals (lead-over-fact-key window both engines)
+    ("fact_episodes", Q.q_fact_episodes, Q.sql_fact_episodes),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),

@@ -837,3 +837,49 @@ def test_catalog_compact_snapshot(spark, tmp_path):
     # second compact is a no-op (already few files)
     again = cat.compact_snapshot(spark, "t", target_bytes=1 << 30)
     assert again["snapshot_id"] is None
+
+
+def test_fact_intervals_and_log_only_time_travel(spark, tmp_path):
+    """fact_intervals folds the delta_log into one row per assertion
+    episode (remove + re-add = two rows, live episode has NULL
+    valid_to), and facts_asof reconstructs every generation's triple
+    set from the LOG ALONE, matching KGStore.read_asof's
+    snapshot+reversal answer at each gen."""
+    from dbpedia_spotlight_spark.streaming.kg_stream import KGStore
+    from dbpedia_spotlight_spark.triples import facts_asof, fact_intervals
+
+    store = KGStore(spark, str(tmp_path / "kg"), retain_gens=2)
+
+    def triples(*rows):
+        return spark.createDataFrame(
+            [(s, "p", o) for s, o in rows],
+            "subj string, pred string, obj string")
+
+    def delta(*rows):
+        return spark.createDataFrame(
+            [(s.split("#")[0], s, "p", o, c) for s, o, c in rows],
+            "url string, subj string, pred string, obj string, "
+            "change string")
+
+    A, B, C = ("u1#a", "A"), ("u2#b", "B"), ("u3#c", "C")
+    store.advance(triples(A), delta((*A, "added")), 0)
+    store.advance(triples(A, B), delta((*B, "added")), 1)
+    store.advance(triples(B, C),
+                  delta((*A, "removed"), (*C, "added")), 2)
+    store.advance(triples(A, B, C), delta((*A, "added")), 3)
+
+    log = spark.read.parquet(f"{store.root}/delta_log")
+    iv = {(r.subj, r.valid_from, r.valid_to)
+          for r in fact_intervals(log).collect()}
+    assert iv == {
+        ("u1#a", 0, 2),      # A's first episode, closed by gen 2
+        ("u1#a", 3, None),   # A re-added, live
+        ("u2#b", 1, None),
+        ("u3#c", 2, None),
+    }
+    for g in range(4):
+        got = {(r.subj, r.pred, r.obj)
+               for r in facts_asof(log, g).collect()}
+        want = {(r.subj, r.pred, r.obj)
+                for r in store.read_asof(g).collect()}
+        assert got == want, f"gen {g}: {got} != {want}"
