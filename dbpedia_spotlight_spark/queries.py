@@ -4287,6 +4287,76 @@ def sql_ntriples() -> str:
   FROM t"""
 
 
+def q_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Triples READER (sources/ntriples.py::parse_ntriples): the same
+    planted hazard triples as q_ntriples go through the REAL
+    render→parse round trip (writer escapes, reader tokenize-unescapes
+    — all JVM column algebra), plus a raw-line lane exercising UCHAR
+    decoding (``\\u00e9`` and an astral ``\\U0001F600``). The oracle
+    states the expected parse OUTPUT relationally: literals round-trip
+    to their planted values, spaced IRIs keep the writer's one-way
+    ``%20``, compact predicates surface as full IRIs."""
+    from dbpedia_spotlight_spark.functions.output import ntriples_lines
+    from dbpedia_spotlight_spark.sources.ntriples import parse_ntriples
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    x = s(F.col("doc_id") % 50)
+    subj = F.concat(F.lit("https://host"), s(F.col("doc_id") % 13),
+                    F.lit(".example/d/"), s(F.col("doc_id")),
+                    F.lit("#char=0,5"))
+    link_obj = F.concat(
+        F.lit("http://dbpedia.org/resource/Ent"),
+        F.when(F.col("doc_id") % 4 == 0, " ").otherwise(""), x)
+    lit_obj = F.concat(F.lit('say "e'), x, F.lit('"\n'), F.lit("tail\\"))
+    po = F.explode(F.array(
+        F.struct(F.lit("itsrdf:taIdentRef").alias("pred"),
+                 link_obj.alias("obj")),
+        F.struct(F.lit("nif:anchorOf").alias("pred"),
+                 lit_obj.alias("obj")),
+    )).alias("po")
+    t = d.select(subj.alias("subj"), po).select(
+        "subj", F.col("po.pred").alias("pred"), F.col("po.obj").alias("obj"))
+    rendered = ntriples_lines(t).select(F.col("ntriple").alias("value"))
+    uchar = d.select(F.concat(
+        F.lit('<urn:u/'), s(F.col("doc_id")),
+        F.lit('> <http://p/u> "caf\\u00e9 e'), x,
+        F.lit(' \\U0001F600"@en .')).alias("value"))
+    return parse_ntriples(rendered.unionByName(uchar)).select(
+        "subj", "pred", "obj", "obj_kind",
+        F.coalesce(F.col("lang"), F.lit("-")).alias("lang"),
+        F.coalesce(F.col("datatype"), F.lit("-")).alias("datatype"))
+
+
+def sql_ntriples_roundtrip() -> str:
+    r"""The reader's contract stated relationally: escape→unescape is
+    the identity on literal bodies, IRI percent-encoding is one-way,
+    UCHAR hex decodes to the codepoint (chr 233 / 128512)."""
+    return r"""
+  WITH base AS (
+    SELECT 'https://host' || (doc_id % 13) || '.example/d/' || doc_id
+             || '#char=0,5' AS subj,
+           doc_id % 50 AS x, doc_id FROM documents)
+  SELECT subj,
+         'http://www.w3.org/2005/11/its/rdf#taIdentRef' AS pred,
+         'http://dbpedia.org/resource/Ent'
+           || CASE WHEN doc_id % 4 = 0 THEN '%20' ELSE '' END || x AS obj,
+         'iri' AS obj_kind, '-' AS lang, '-' AS datatype
+  FROM base
+  UNION ALL
+  SELECT subj,
+         'http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#anchorOf'
+           AS pred,
+         'say "e' || x || '"' || chr(10) || 'tail\' AS obj,
+         'literal' AS obj_kind, '-' AS lang, '-' AS datatype
+  FROM base
+  UNION ALL
+  SELECT 'urn:u/' || doc_id AS subj,
+         'http://p/u' AS pred,
+         'caf' || chr(233) || ' e' || x || ' ' || chr(128512) AS obj,
+         'literal' AS obj_kind, 'en' AS lang, '-' AS datatype
+  FROM base"""
+
+
 def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap → crawl-frontier pair (sources/sitemap.py). Events stand
     in for fetched sitemaps: each event becomes one <url> entry on host

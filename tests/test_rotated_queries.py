@@ -91,6 +91,10 @@ ROTATED = [
     ("robots_gate", Q.q_robots_gate, Q.sql_robots_gate),
     # round-4 addition: N-Triples wire rendering (ECHAR/IRI escapes)
     ("ntriples", Q.q_ntriples, Q.sql_ntriples),
+    # round-5 addition: N-Triples READER — render→parse round trip plus
+    # a raw UCHAR lane; oracle states the expected parse output
+    ("ntriples_roundtrip", Q.q_ntriples_roundtrip,
+     Q.sql_ntriples_roundtrip),
     # round-4 addition: sitemap parse + crawl frontier (new/updated)
     ("sitemap_frontier", Q.q_sitemap_frontier, Q.sql_sitemap_frontier),
     # round-4 addition: per-predicate KG health metrics
