@@ -22,7 +22,7 @@ iteration is a small aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def entity_nodes(links: DataFrame, doc_col: str = "doc_id",
@@ -492,6 +492,83 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
                            2.0 * F.coalesce("n_triangles", F.lit(0))
                            / (d * (d - 1.0)))
                     .otherwise(F.lit(0.0)).alias("clustering")))
+
+
+def link_prediction(edges: DataFrame, top_k: int | None = None,
+                    max_degree: int = 1000) -> DataFrame:
+    """KG completion: score NON-adjacent entity pairs that share ≥1
+    neighbor in the undirected co-mention graph (uri_a < uri_b
+    canonical) with the three classical structural predictors —
+
+        common_neighbors(a,b) = |Γ(a) ∩ Γ(b)|
+        jaccard(a,b)          = |Γ∩| / |Γ(a) ∪ Γ(b)|
+        adamic_adar(a,b)      = Σ_{c ∈ Γ∩} 1 / ln(deg(c))
+
+    (Liben-Nowell & Kleinberg 2003) — the standard "which edge is the
+    graph missing" ranking a KG-construction pipeline runs after
+    materialization to propose candidate facts for review.
+
+    Scale: pairs are generated per WEDGE CENTER (each shared neighbor c
+    emits the pairs of its neighbor list, carrying 1/ln(deg(c))), so
+    cost is Σ_c C(deg(c), 2) — quadratic only in per-vertex degree,
+    never corpus size. Centers above ``max_degree`` are excluded with
+    the same rationale as every bucket cap in the dedup family, and
+    with less loss than most: a mega-hub's Adamic-Adar contribution is
+    already ≈0 by construction (1/ln d), and the pairs it would
+    certify as "related" are exactly the coincidental ones the measure
+    discounts. Endpoint degrees (for Jaccard) stay EXACT full degrees.
+    One groupBy per center + one pair aggregate + one left_anti against
+    the existing edges; every join keys on uri (entity-sized).
+    ``top_k`` keeps the k best predictions per uri_a by adamic_adar
+    (window over entity-keyed partitions). Scores round(9) — the
+    cross-engine ulp contract. Input edge order is canonicalized
+    defensively (least/greatest) so the existing-edge anti-join is
+    correct for any orientation the caller supplies."""
+    e = edges.select(
+        F.least("uri_a", "uri_b").alias("uri_a"),
+        F.greatest("uri_a", "uri_b").alias("uri_b")).distinct()
+    und = e.unionByName(e.select(F.col("uri_b").alias("uri_a"),
+                                 F.col("uri_a").alias("uri_b")))
+    deg = und.groupBy(F.col("uri_a").alias("uri")) \
+        .agg(F.count("*").alias("degree"))
+    centers = (
+        und.groupBy(F.col("uri_a").alias("c"))
+        .agg(F.sort_array(F.collect_list("uri_b")).alias("nbrs"))
+        .filter((F.size("nbrs") >= 2) & (F.size("nbrs") <= max_degree))
+    )
+    n = F.size("nbrs")
+    pairs = F.flatten(F.transform(
+        F.col("nbrs"),
+        lambda x, i: F.transform(
+            F.slice(F.col("nbrs"), i + 2, n - i - 1),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    wedge_w = 1.0 / F.log(n.cast("double"))
+    scored = (
+        centers.select(F.explode(pairs).alias("p"), wedge_w.alias("w"))
+        .groupBy(F.col("p.a").alias("uri_a"), F.col("p.b").alias("uri_b"))
+        .agg(F.count("*").alias("common_neighbors"),
+             F.sum("w").alias("aa_raw"))
+        .join(e, ["uri_a", "uri_b"], "left_anti")
+        .join(deg.select(F.col("uri").alias("uri_a"),
+                         F.col("degree").alias("deg_a")), "uri_a")
+        .join(deg.select(F.col("uri").alias("uri_b"),
+                         F.col("degree").alias("deg_b")), "uri_b")
+    )
+    cn = F.col("common_neighbors").cast("double")
+    out = scored.select(
+        "uri_a", "uri_b", "common_neighbors",
+        F.round(cn / (F.col("deg_a") + F.col("deg_b") - cn), 9)
+        .alias("jaccard"),
+        F.round("aa_raw", 9).alias("adamic_adar"),
+    )
+    if top_k is not None:
+        w = Window.partitionBy("uri_a").orderBy(
+            F.desc("adamic_adar"), F.desc("common_neighbors"), "uri_b")
+        out = (out.withColumn("rk", F.row_number().over(w))
+               .filter(F.col("rk") <= top_k).drop("rk"))
+    return out
 
 
 def hits(edges: DataFrame, n_iter: int = 10,

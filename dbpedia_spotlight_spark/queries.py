@@ -577,6 +577,56 @@ def sql_entity_triangles() -> str:
     )
 
 
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG completion over the materialized co-mention graph
+    (operators/graph.py::link_prediction): common-neighbors / Jaccard /
+    Adamic-Adar for every non-adjacent entity pair sharing a neighbor
+    — the propose-missing-facts pass after graph materialization. The
+    REAL annotate→edges chain feeds it; the oracle re-derives the
+    wedge enumeration, degree-exact Jaccard and the existing-edge
+    anti-join as plain SQL joins."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, link_prediction)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    return link_prediction(edges)
+
+
+def sql_link_prediction() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  e AS (
+    SELECT x.uri AS uri_a, y.uri AS uri_b
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2),
+  und AS (SELECT uri_a AS s, uri_b AS d FROM e
+          UNION ALL SELECT uri_b, uri_a FROM e),
+  deg AS (SELECT s AS uri, count(*) AS degree FROM und GROUP BY s),
+  wedges AS (
+    SELECT u1.d AS a, u2.d AS b, u1.s AS c
+    FROM und u1 JOIN und u2 ON u2.s = u1.s AND u1.d < u2.d
+    JOIN deg dc ON dc.uri = u1.s
+    WHERE dc.degree BETWEEN 2 AND 1000),
+  scored AS (
+    SELECT a AS uri_a, b AS uri_b, count(*) AS common_neighbors,
+           sum(1.0 / ln(dc.degree)) AS aa
+    FROM wedges JOIN deg dc ON dc.uri = wedges.c
+    GROUP BY 1, 2)
+  SELECT s.uri_a, s.uri_b,
+         CAST(s.common_neighbors AS BIGINT) AS common_neighbors,
+         round(s.common_neighbors
+               / (da.degree + db.degree - s.common_neighbors), 9)
+           AS jaccard,
+         round(s.aa, 9) AS adamic_adar
+  FROM scored s
+  JOIN deg da ON da.uri = s.uri_a
+  JOIN deg db ON db.uri = s.uri_b
+  WHERE NOT EXISTS (SELECT 1 FROM e
+                    WHERE e.uri_a = s.uri_a AND e.uri_b = s.uri_b)"""
+    )
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the DIRECTED host link graph
     (operators/graph.py::hits ∘ anchors.host_link_edges ∘

@@ -568,3 +568,78 @@ def test_personalized_pagerank_matches_python_oracle(spark):
         rank = nxt
     for u in adj:
         assert abs(got[u] - rank[u]) < 1e-9, (u, got[u], rank[u])
+
+
+def test_link_prediction_known_graph(spark):
+    from dbpedia_spotlight_spark.operators.graph import link_prediction
+    # path a-b-c: (a,c) share neighbor b (deg 2) and nothing else
+    got = link_prediction(_edge_df(spark, [("a", "b"), ("b", "c")])) \
+        .collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.uri_a, r.uri_b, r.common_neighbors) == ("a", "c", 1)
+    assert r.jaccard == 1.0  # Γ(a)=Γ(c)={b}
+    import math
+    assert r.adamic_adar == round(1.0 / math.log(2), 9)
+    # K3 is complete: nothing to predict
+    k3 = [("a", "b"), ("b", "c"), ("a", "c")]
+    assert link_prediction(_edge_df(spark, k3)).count() == 0
+
+
+def test_link_prediction_vs_python_reference(spark):
+    """Random 40-vertex graph: all three scores match a brute-force
+    set-algebra reference exactly (round 9)."""
+    from dbpedia_spotlight_spark.operators.graph import link_prediction
+    import itertools
+    import math
+    import random
+    rng = random.Random(4242)
+    verts = [f"v{i}" for i in range(40)]
+    pairs = [p for p in itertools.combinations(verts, 2)
+             if rng.random() < 0.12]
+    adj = {v: set() for v in verts}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    expect = {}
+    for a, b in itertools.combinations(sorted(verts), 2):
+        if b in adj[a]:
+            continue
+        common = adj[a] & adj[b]
+        if not common:
+            continue
+        cn = len(common)
+        expect[(a, b)] = (
+            cn,
+            round(cn / (len(adj[a]) + len(adj[b]) - cn), 9),
+            round(sum(1.0 / math.log(len(adj[c])) for c in common), 9),
+        )
+    got = {(r.uri_a, r.uri_b): (r.common_neighbors, r.jaccard,
+                                r.adamic_adar)
+           for r in link_prediction(_edge_df(spark, pairs)).collect()}
+    assert got == expect
+
+
+def test_link_prediction_top_k_and_degree_cap(spark):
+    from dbpedia_spotlight_spark.operators.graph import link_prediction
+    # hub h connects s0..s5: with max_degree=3 the hub cannot be a
+    # wedge center, so no spoke pair is predicted THROUGH it; adding a
+    # small center x shared by s0,s1 keeps that pair alive with exact
+    # full degrees (s0/s1 degree 2 = hub + x)
+    edges = [("h", f"s{i}") for i in range(6)] + [("s0", "x"), ("s1", "x")]
+    got = link_prediction(_edge_df(spark, edges), max_degree=3).collect()
+    keys = {(r.uri_a, r.uri_b) for r in got}
+    assert ("s0", "s1") in keys
+    assert all(a == "s0" and b == "s1" for a, b in keys
+               if a.startswith("s") and b.startswith("s"))
+    row = [r for r in got if (r.uri_a, r.uri_b) == ("s0", "s1")][0]
+    assert row.common_neighbors == 1  # only x; hub excluded as center
+    assert row.jaccard == round(1 / 3, 9)  # degrees stay exact (2+2-1)
+    # top_k: keep the single best prediction per uri_a
+    full = link_prediction(_edge_df(spark, edges))
+    k1 = link_prediction(_edge_df(spark, edges), top_k=1)
+    a_counts = {}
+    for r in k1.collect():
+        a_counts[r.uri_a] = a_counts.get(r.uri_a, 0) + 1
+    assert all(v == 1 for v in a_counts.values())
+    assert k1.count() <= full.count()
