@@ -6733,9 +6733,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     green at sf0.001 AND sf0.01 before the swap) in;
     spotxml_disambiguate out (S2 source, 2 rows, green since round 1 —
     the spot-XML parse + disambiguation stay DuckDB-mirrored in
-    tests/test_rotated_queries.py)."""
+    tests/test_rotated_queries.py).
+    Round-5 twelfth rotation: link_prediction (KG completion — common-
+    neighbors / Jaccard / Adamic-Adar over the co-mention graph,
+    operators/graph.py::link_prediction, wedge-center enumeration with
+    the hub cap; oracle replays the wedge joins + anti-join
+    relationally, green at sf0.001 AND sf0.01 before the swap) in;
+    wiki_links out (S3 source, green since round 1 — the wiki-markup
+    parse stays DuckDB-mirrored in tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "link_prediction": q_link_prediction,
         "canonical_relations": q_canonical_relations,
         "mention_relations": q_mention_relations,
         "dsir_select": q_dsir_select,
@@ -6780,7 +6788,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_entities": q_model_entities,
         # source formats
         "extract_text": q_extract_text,
-        "wiki_links": q_wiki_links,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -6798,6 +6805,7 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "link_prediction": sql_link_prediction(),
         "canonical_relations": sql_canonical_relations(),
         "mention_relations": sql_mention_relations(),
         "dsir_select": sql_dsir_select(),
@@ -6839,7 +6847,6 @@ def oracle_sql() -> dict[str, str]:
         "model_build": sql_model_build(),
         "model_entities": sql_model_entities(),
         "extract_text": sql_extract_text(),
-        "wiki_links": sql_wiki_links(),
         "dedup_exact": sql_dedup_exact(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "jaccard_lsh_verified": sql_jaccard_lsh_verified(),

@@ -138,9 +138,9 @@ ROTATED = [
     # clustering coefficients over the entity co-mention graph
     ("entity_triangles", Q.q_entity_triangles,
      Q.sql_entity_triangles),
-    # round-5 addition: link prediction (common-neighbors / Jaccard /
-    # Adamic-Adar) — KG completion over the co-mention graph
-    ("link_prediction", Q.q_link_prediction, Q.sql_link_prediction),
+    # round-5 twelfth rotation OUT: S3 wiki-markup source, green since
+    # round 1 (link_prediction took its registry slot)
+    ("wiki_links", Q.q_wiki_links, Q.sql_wiki_links),
     # round-4 addition: HITS hubs/authorities over the directed host
     # link graph (real HTML anchor extraction; 10 L2-normalized
     # iterations unrolled as MATERIALIZED CTE chains)
