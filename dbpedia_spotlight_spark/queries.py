@@ -627,6 +627,42 @@ def sql_link_prediction() -> str:
     )
 
 
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document entity salience (operators/graph.py::
+    entity_salience): mention-share × lead-position heuristic + rank,
+    over the REAL annotate chain. Oracle recomputes both aggregates
+    and the tie-broken rank window relationally."""
+    from dbpedia_spotlight_spark.operators.graph import entity_salience
+    return entity_salience(q_annotate_prior(spark, sf_dir))
+
+
+def sql_entity_salience() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  links AS (SELECT doc_id, uri, "begin", "end" FROM ranked WHERE rank = 1),
+  per AS (SELECT doc_id, uri, count(*) AS n_mentions,
+                 min("begin") AS first_begin
+          FROM links GROUP BY 1, 2),
+  doc AS (SELECT doc_id, count(*) AS doc_mentions,
+                 max("end") AS doc_len
+          FROM links GROUP BY 1),
+  scored AS (
+    SELECT per.doc_id, per.uri,
+           CAST(per.n_mentions AS BIGINT) AS n_mentions,
+           per.first_begin,
+           round(per.n_mentions * 1.0 / doc.doc_mentions, 9)
+             AS mention_share,
+           round(per.n_mentions * 1.0 / doc.doc_mentions
+                 * (1.0 + (1.0 - per.first_begin * 1.0 / doc.doc_len)), 9)
+             AS salience
+    FROM per JOIN doc USING (doc_id))
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY salience DESC, uri) AS INTEGER)
+         AS rank
+  FROM scored"""
+    )
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the DIRECTED host link graph
     (operators/graph.py::hits ∘ anchors.host_link_edges ∘

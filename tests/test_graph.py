@@ -643,3 +643,25 @@ def test_link_prediction_top_k_and_degree_cap(spark):
         a_counts[r.uri_a] = a_counts.get(r.uri_a, 0) + 1
     assert all(v == 1 for v in a_counts.values())
     assert k1.count() <= full.count()
+
+
+def test_entity_salience_reference(spark):
+    from dbpedia_spotlight_spark.operators.graph import entity_salience
+    # doc 1: e1 mentioned twice (first at 0), e2 once late
+    # doc 2: single mention
+    links = spark.createDataFrame(
+        [(1, "e1", 0, 5), (1, "e1", 50, 55), (1, "e2", 90, 100),
+         (2, "e3", 10, 40)],
+        "doc_id int, uri string, begin int, end int")
+    got = {(r.doc_id, r.uri): r for r in entity_salience(links).collect()}
+    r11 = got[(1, "e1")]
+    assert (r11.n_mentions, r11.first_begin) == (2, 0)
+    assert r11.mention_share == round(2 / 3, 9)
+    assert r11.salience == round(2 / 3 * (1 + (1 - 0 / 100)), 9)
+    assert r11.rank == 1
+    r12 = got[(1, "e2")]
+    assert r12.salience == round(1 / 3 * (1 + (1 - 90 / 100)), 9)
+    assert r12.rank == 2
+    # a lone mention is maximally salient for its doc
+    assert got[(2, "e3")].salience == round(1 * (1 + (1 - 10 / 40)), 9)
+    assert got[(2, "e3")].rank == 1

@@ -141,6 +141,9 @@ ROTATED = [
     # round-5 twelfth rotation OUT: S3 wiki-markup source, green since
     # round 1 (link_prediction took its registry slot)
     ("wiki_links", Q.q_wiki_links, Q.sql_wiki_links),
+    # round-5 addition: per-document entity salience (mention share ×
+    # lead position + tie-broken rank) over the real annotate chain
+    ("entity_salience", Q.q_entity_salience, Q.sql_entity_salience),
     # round-4 addition: HITS hubs/authorities over the directed host
     # link graph (real HTML anchor extraction; 10 L2-normalized
     # iterations unrolled as MATERIALIZED CTE chains)
