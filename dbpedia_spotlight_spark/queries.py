@@ -663,6 +663,91 @@ def sql_entity_salience() -> str:
     )
 
 
+_WALK_SQL_PREFIX = """,
+  du AS (SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  e AS (
+    SELECT x.uri AS uri_a, y.uri AS uri_b
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2),
+  und AS (SELECT uri_a AS s, uri_b AS d FROM e
+          UNION ALL SELECT uri_b, uri_a FROM e),
+  deg AS (SELECT s, count(*) AS n FROM und GROUP BY s),
+  nbr AS (SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY d) - 1
+                 AS r FROM und),
+  w0 AS (SELECT v.s || '#' || t.k AS walk_id, v.s AS cur
+         FROM (SELECT DISTINCT s FROM und) v
+         CROSS JOIN (VALUES (0), (1)) t(k)),
+  w1 AS (SELECT w0.walk_id, nbr.d AS cur
+         FROM w0 JOIN deg ON deg.s = w0.cur
+         JOIN nbr ON nbr.s = w0.cur
+          AND nbr.r = CAST(concat('0x', substr(
+                md5('walk:' || w0.walk_id || ':1'), 1, 15)) AS BIGINT)
+              % deg.n),
+  w2 AS (SELECT w1.walk_id, nbr.d AS cur
+         FROM w1 JOIN deg ON deg.s = w1.cur
+         JOIN nbr ON nbr.s = w1.cur
+          AND nbr.r = CAST(concat('0x', substr(
+                md5('walk:' || w1.walk_id || ':2'), 1, 15)) AS BIGINT)
+              % deg.n),
+  w3 AS (SELECT w2.walk_id, nbr.d AS cur
+         FROM w2 JOIN deg ON deg.s = w2.cur
+         JOIN nbr ON nbr.s = w2.cur
+          AND nbr.r = CAST(concat('0x', substr(
+                md5('walk:' || w2.walk_id || ':3'), 1, 15)) AS BIGINT)
+              % deg.n),
+  walks AS (
+    SELECT walk_id, 0 AS step, cur AS uri FROM w0
+    UNION ALL SELECT walk_id, 1, cur FROM w1
+    UNION ALL SELECT walk_id, 2, cur FROM w2
+    UNION ALL SELECT walk_id, 3, cur FROM w3)"""
+
+
+def q_entity_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk corpus over the co-mention graph (operators/walks.py::
+    random_walks): 2 deterministic walks of length 4 from every entity,
+    transitions chosen by the engine's cross-engine md5-60-bit hash
+    over the SORTED neighbor list. The oracle unrolls the 3 transition
+    steps as CTE joins against a row_number-ranked neighbor relation —
+    the two agree only if graph, ordering and hash all replay."""
+    from dbpedia_spotlight_spark.operators.graph import cooccurrence_edges
+    from dbpedia_spotlight_spark.operators.walks import random_walks
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    return random_walks(edges, n_walks=2, walk_len=4)
+
+
+def sql_entity_walks() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED
+        + _WALK_SQL_PREFIX + """
+  SELECT walk_id, step, uri FROM walks"""
+    )
+
+
+def q_walk_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs (window 2) from the deterministic walk
+    corpus — the DeepWalk embedding-corpus composition
+    (skipgram_pairs ∘ random_walks)."""
+    from dbpedia_spotlight_spark.operators.graph import cooccurrence_edges
+    from dbpedia_spotlight_spark.operators.walks import (
+        random_walks, skipgram_pairs)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    return skipgram_pairs(random_walks(edges, n_walks=2, walk_len=4),
+                          window=2)
+
+
+def sql_walk_skipgrams() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED
+        + _WALK_SQL_PREFIX + """
+  SELECT a.uri AS center, b.uri AS context, count(*) AS n
+  FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+   AND a.step <> b.step AND abs(a.step - b.step) <= 2
+  GROUP BY 1, 2"""
+    )
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the DIRECTED host link graph
     (operators/graph.py::hits ∘ anchors.host_link_edges ∘

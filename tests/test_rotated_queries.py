@@ -144,6 +144,12 @@ ROTATED = [
     # round-5 addition: per-document entity salience (mention share ×
     # lead position + tie-broken rank) over the real annotate chain
     ("entity_salience", Q.q_entity_salience, Q.sql_entity_salience),
+    # round-5 addition: DeepWalk corpus — md5-deterministic walks over
+    # the co-mention graph, 3 transition steps unrolled as CTE joins
+    ("entity_walks", Q.q_entity_walks, Q.sql_entity_walks),
+    # round-5 addition: skip-gram pairs from the walk corpus (the
+    # embedding-corpus composition)
+    ("walk_skipgrams", Q.q_walk_skipgrams, Q.sql_walk_skipgrams),
     # round-4 addition: HITS hubs/authorities over the directed host
     # link graph (real HTML anchor extraction; 10 L2-normalized
     # iterations unrolled as MATERIALIZED CTE chains)
