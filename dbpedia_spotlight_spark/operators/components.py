@@ -127,6 +127,153 @@ def dedup_keep(nodes: DataFrame, pairs: DataFrame, id_col: str = "id",
     return labels.withColumn("keep", F.col("id") == F.col("comp"))
 
 
+def strongly_connected_components(nodes: DataFrame, edges: DataFrame,
+                                  id_col: str = "id",
+                                  max_phases: int = 30,
+                                  max_iter: int = 30,
+                                  checkpoint_dir: str | None = None,
+                                  ) -> DataFrame:
+    """(id, scc) over a DIRECTED edge table (src, dst) — scc = the MAX
+    member id of each strongly connected component (deterministic,
+    layout-independent). The directed twin of
+    :func:`connected_components`, for the directed graphs this engine
+    materializes: redirect chains (K1 breaks 2-cycles ad hoc; SCC finds
+    every cycle family), host link graphs (crawl spider traps = large
+    SCCs), and owl:TransitiveProperty closures (an SCC collapses to an
+    equivalence class before the closure, bounding prp-trp self-loop
+    blowup).
+
+    Algorithm — the distributed coloring method (Orzan 2004; Slota et
+    al. 2014), phases over the remaining active subgraph:
+
+    1. TRIM: a node with no in-edge or no out-edge is a singleton SCC
+       — resolved immediately (repeatedly, to the phase's fixpoint:
+       chains and DAG tails drain in diameter-many cheap rounds).
+    2. COLOR: propagate ``color(v) = max(v, colors of in-neighbors)``
+       to fixpoint — color(v) = the max id that reaches v. Roots are
+       nodes with ``color(v) == v``; a root is provably the max member
+       of its SCC (any larger same-SCC member would recolor it).
+    3. BACKWARD REACH: within one color class, mark nodes that reach
+       their root along same-color edges (mark propagation on reversed
+       edges) — marked nodes ARE the root's SCC (they reach the root;
+       the root reaches them because it colored them). Assign and
+       remove; at least the global max id's SCC resolves every phase,
+       so the loop terminates in ≤ #SCC phases (far fewer with trim).
+
+    Every step is a join + map-side-combinable aggregate keyed on node
+    ids; per-phase state is (id, color/mark) pairs cut by the same
+    RoundCheckpointer discipline as connected_components (pass
+    ``checkpoint_dir`` for the reliable flat-storage mode). Raises if
+    an inner fixpoint fails to converge within ``max_iter`` (a partial
+    coloring would be silently wrong, unlike cc's partial labels).
+
+    The phase loop is inherently data-dependent, so this operator is
+    pytest-verified against a Tarjan reference (no SQL oracle — the
+    same verification class as BPE training / checkpoint-resume)."""
+    # one RoundCheckpointer per ROLLING state: each keeps only its
+    # latest generation (reliable mode deletes the predecessor), so a
+    # frame may be re-cut only when nothing still reads its old
+    # generation — resolved nodes therefore accumulate in a single
+    # rolling `done` frame, never a list of past generations
+    spark = nodes.sparkSession
+    ck = {n: RoundCheckpointer(spark, checkpoint_dir, f"scc-{n}")
+          for n in ("act", "e", "col", "ce", "mark", "done")}
+    active = ck["act"].cut(
+        nodes.select(F.col(id_col).alias("id")).distinct())
+    e = ck["e"].cut(edges.select("src", "dst")
+                    .filter(F.col("src") != F.col("dst")).distinct())
+    done = ck["done"].cut(
+        nodes.select(F.col(id_col).alias("id"),
+                     F.col(id_col).alias("scc")).limit(0))
+
+    def _restrict(edges_df: DataFrame, act: DataFrame) -> DataFrame:
+        return (edges_df
+                .join(act.withColumnRenamed("id", "src"),
+                      "src", "left_semi")
+                .join(act.withColumnRenamed("id", "dst"),
+                      "dst", "left_semi"))
+
+    for _ in range(max_phases):
+        if active.isEmpty():
+            break
+        # 1. trim to fixpoint
+        while True:
+            srcs = e.select(F.col("src").alias("id")).distinct()
+            dsts = e.select(F.col("dst").alias("id")).distinct()
+            keep = active.join(srcs, "id", "left_semi") \
+                         .join(dsts, "id", "left_semi")
+            trimmed = active.join(keep, "id", "left_anti")
+            if trimmed.isEmpty():
+                break
+            done = ck["done"].cut(done.unionByName(
+                trimmed.select("id", F.col("id").alias("scc"))))
+            active = ck["act"].cut(keep)
+            e = ck["e"].cut(_restrict(e, active))
+        if active.isEmpty():
+            break
+        # 2. forward max-coloring to fixpoint
+        colors = ck["col"].cut(
+            active.select("id", F.col("id").alias("color")))
+        for _i in range(max_iter):
+            nb = (e.join(colors, e.src == colors.id)
+                  .groupBy(F.col("dst").alias("id"))
+                  .agg(F.max("color").alias("nb_color")))
+            stepped = (colors.join(nb, "id", "left")
+                       .select("id",
+                               F.greatest(
+                                   F.col("color"),
+                                   F.coalesce("nb_color", F.col("color")))
+                               .alias("color"),
+                               (F.coalesce("nb_color", F.col("color"))
+                                > F.col("color")).alias("changed")))
+            stepped = ck["col"].cut(stepped)
+            n_changed = stepped.agg(
+                F.sum(F.col("changed").cast("long")).alias("n")
+            ).first()["n"]
+            colors = stepped.select("id", "color")
+            if not n_changed:
+                break
+        else:
+            raise RuntimeError(
+                f"scc coloring did not converge within max_iter="
+                f"{max_iter} rounds — raise max_iter (graph diameter "
+                "exceeds the bound)")
+        # 3. backward same-color reach from each root
+        marked = ck["mark"].cut(
+            colors.filter(F.col("id") == F.col("color")).select("id"))
+        ce = ck["ce"].cut(
+            e.join(colors.select(F.col("id").alias("src"),
+                                 F.col("color").alias("c_src")), "src")
+            .join(colors.select(F.col("id").alias("dst"),
+                                F.col("color").alias("c_dst")), "dst")
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .select("src", "dst"))
+        for _i in range(max_iter):
+            new = (ce.join(marked.withColumnRenamed("id", "dst"),
+                           "dst", "left_semi")
+                   .select(F.col("src").alias("id")).distinct()
+                   .join(marked, "id", "left_anti"))
+            if new.isEmpty():
+                break
+            marked = ck["mark"].cut(marked.unionByName(new))
+        else:
+            raise RuntimeError(
+                f"scc backward reach did not converge within max_iter="
+                f"{max_iter} rounds — raise max_iter")
+        resolved = colors.join(marked, "id", "left_semi") \
+            .select("id", F.col("color").alias("scc"))
+        done = ck["done"].cut(done.unionByName(resolved))
+        active = ck["act"].cut(active.join(resolved, "id", "left_anti"))
+        e = ck["e"].cut(_restrict(e, active))
+    else:
+        if not active.isEmpty():
+            raise RuntimeError(
+                f"scc did not resolve every node within max_phases="
+                f"{max_phases} — raise max_phases (many interlocking "
+                "SCC families)")
+    return done
+
+
 def maintain_components(labels: DataFrame, pairs: DataFrame,
                         pair_delta: DataFrame, max_iter: int = 20,
                         checkpoint_dir: str | None = None,
