@@ -143,6 +143,10 @@ HEADLINE = [
                               # (round-5 ninth rotation)
     "mention_relations",      # open relation extraction over annotate
                               # output (round-5 tenth rotation)
+    "link_prediction",        # KG completion over the co-mention graph
+                              # (round-5 twelfth rotation)
+    "entity_walks",           # DeepWalk corpus — 3 deterministic
+                              # transition joins (round-5)
 ]
 
 
@@ -160,6 +164,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     qs.setdefault("entity_provenance", Q.q_entity_provenance)  # rotated pair
     qs.setdefault("annotate_stemmed", Q.q_annotate_stemmed)  # rotated out r5
     qs.setdefault("quality", Q.q_quality)  # rotated out r5 (8th rotation)
+    qs.setdefault("entity_walks", Q.q_entity_walks)  # rotated pair (r5)
     # warm up JVM + Python workers + compile/broadcast the static model so
     # per-query times measure the steady-state plan, not one-time setup
     Q._docs(spark, sf_dir).limit(8).mapInPandas(

@@ -570,13 +570,16 @@ def link_prediction(edges: DataFrame, top_k: int | None = None,
         F.greatest("uri_a", "uri_b").alias("uri_b")).distinct()
     und = e.unionByName(e.select(F.col("uri_b").alias("uri_a"),
                                  F.col("uri_a").alias("uri_b")))
-    deg = und.groupBy(F.col("uri_a").alias("uri")) \
-        .agg(F.count("*").alias("degree"))
-    centers = (
-        und.groupBy(F.col("uri_a").alias("c"))
-        .agg(F.sort_array(F.collect_list("uri_b")).alias("nbrs"))
-        .filter((F.size("nbrs") >= 2) & (F.size("nbrs") <= max_degree))
-    )
+    # ONE adjacency aggregate serves both the wedge centers and the
+    # exact endpoint degrees (degree = neighbor-list size) — one fewer
+    # intrinsic shuffle than a separate count aggregate, and the three
+    # references collapse to a single execution via ReusedExchange
+    adj = (und.groupBy(F.col("uri_a").alias("c"))
+           .agg(F.sort_array(F.collect_list("uri_b")).alias("nbrs")))
+    deg = adj.select(F.col("c").alias("uri"),
+                     F.size("nbrs").alias("degree"))
+    centers = adj.filter(
+        (F.size("nbrs") >= 2) & (F.size("nbrs") <= max_degree))
     n = F.size("nbrs")
     pairs = F.flatten(F.transform(
         F.col("nbrs"),

@@ -57,6 +57,7 @@ def _headline_queries():
     qs.setdefault("entity_provenance", Q.q_entity_provenance)
     qs.setdefault("annotate_stemmed", Q.q_annotate_stemmed)
     qs.setdefault("quality", Q.q_quality)
+    qs.setdefault("entity_walks", Q.q_entity_walks)
     return [(name, qs[name]) for name in bench.HEADLINE]
 
 
