@@ -68,7 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "fold, catch the counting-IVM entailment "
                          "states up to the new KG generation")
     ap.add_argument("--ontology", default="",
-                    help="parquet of (sub, sup) subClassOf edges; "
+                    help="(sub, sup) subClassOf edges: a parquet path, "
+                         "or an N-Triples dump (*.nt / *.nt.gz — "
+                         "rdfs:subClassOf statements are extracted, "
+                         "the form published ontologies ship in); "
                          "omitted = no hierarchy (entailed view = "
                          "asserted types of linked entities)")
     ap.add_argument("--graph", default="",
@@ -196,9 +199,14 @@ def main(argv: list[str] | None = None,
             spark.read.parquet(f"{args.lexicon}/entities.parquet")
             .select("uri", F.explode("types").alias("typ")))
         if args.ontology:
-            closure = subclass_closure(
-                spark.read.parquet(args.ontology).select("sub", "sup")
-            ).localCheckpoint(eager=True)
+            if args.ontology.rstrip("/").endswith((".nt", ".nt.gz")):
+                from dbpedia_spotlight_spark.sources.ntriples import (
+                    read_ntriples, subclass_edges)
+                edges = subclass_edges(read_ntriples(spark, args.ontology))
+            else:
+                edges = spark.read.parquet(args.ontology) \
+                    .select("sub", "sup")
+            closure = subclass_closure(edges).localCheckpoint(eager=True)
         else:
             closure = spark.createDataFrame(
                 [], "sub string, sup string, depth int")

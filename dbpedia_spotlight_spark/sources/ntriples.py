@@ -177,6 +177,23 @@ def read_nquads(spark: SparkSession, path: str) -> DataFrame:
     return parse_ntriples(spark.read.text(path), quads=True)
 
 
+RDFS_SUBCLASS = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+
+def subclass_edges(parsed: DataFrame) -> DataFrame:
+    """(sub, sup) rdfs:subClassOf edges from a parsed RDF frame — the
+    shape ``operators/ontology.py::subclass_closure`` consumes, so a
+    published ontology dump loads directly:
+    ``subclass_closure(subclass_edges(read_ntriples(spark, path)))``.
+    Accepts both the full IRI and the engine's compact
+    ``rdfs:subClassOf`` spelling."""
+    return (parsed.filter(F.col("pred").isin(RDFS_SUBCLASS,
+                                             "rdfs:subClassOf"))
+            .filter(F.col("obj_kind") != "literal")
+            .select(F.col("subj").alias("sub"),
+                    F.col("obj").alias("sup")))
+
+
 def triples_from_rdf(parsed: DataFrame) -> DataFrame:
     """Adapt a parsed RDF frame to the engine's compact triple shape:
     full predicate IRIs the writer expands (nif:anchorOf,

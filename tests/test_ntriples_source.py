@@ -112,3 +112,47 @@ def test_parse_plan_is_pure_jvm(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "Exchange" not in plan  # a reader is one scan, no shuffle
+
+
+def test_nt_ontology_drives_kg_maintain(spark, tmp_path, web_pages,
+                                        lexicon):
+    """--ontology accepts an N-Triples dump: the rdfs:subClassOf
+    statements drive the entailment store exactly like the parquet
+    edge form (the published-ontology ingestion path)."""
+    import gzip
+
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.run_kg_maintain import main
+    from dbpedia_spotlight_spark.streaming.kg_stream import EntailStore
+
+    pages_dir = str(tmp_path / "pages")
+    lex_dir = str(tmp_path / "lexicon")
+    web_pages.write.mode("overwrite").parquet(pages_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+    types_present = sorted(lexicon.entities["types"].explode().unique())
+    nt_path = tmp_path / "onto.nt.gz"
+    with gzip.open(nt_path, "wt") as f:
+        f.write("# planted ontology\n")
+        for t in types_present:
+            f.write(f"<{t}> <http://www.w3.org/2000/01/rdf-schema#"
+                    f"subClassOf> <owl:Thing> .\n")
+    onto_pq = str(tmp_path / "onto_pq")
+    spark.createDataFrame([(t, "owl:Thing") for t in types_present],
+                          "sub string, sup string") \
+        .write.parquet(onto_pq)
+
+    s_nt = main(["--pages", pages_dir, "--lexicon", lex_dir,
+                 "--kg", str(tmp_path / "kg_nt"),
+                 "--entail", str(tmp_path / "ent_nt"),
+                 "--ontology", str(nt_path)], spark=spark)
+    s_pq = main(["--pages", pages_dir, "--lexicon", lex_dir,
+                 "--kg", str(tmp_path / "kg_pq"),
+                 "--entail", str(tmp_path / "ent_pq"),
+                 "--ontology", onto_pq], spark=spark)
+    assert s_nt["entail"]["entailed_added"] == \
+        s_pq["entail"]["entailed_added"] > 0
+    got_nt = {(r.subj, r.obj) for r in EntailStore(
+        spark, str(tmp_path / "ent_nt")).read_entailed().collect()}
+    got_pq = {(r.subj, r.obj) for r in EntailStore(
+        spark, str(tmp_path / "ent_pq")).read_entailed().collect()}
+    assert got_nt == got_pq and len(got_nt) > 0
