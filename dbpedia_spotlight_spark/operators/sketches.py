@@ -190,3 +190,75 @@ def bloom_contains(df: DataFrame, bloom: DataFrame, item_col: str,
            .agg((F.min("ok") == 1).alias("maybe_seen")))
     return df.join(hit.withColumnRenamed("_item", item_col),
                    item_col, "left")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — mergeable frequency estimation (Cormode & Muthu 2005)
+# ---------------------------------------------------------------------------
+
+def _cms_positions(item_col, d: int, w: int) -> F.Column:
+    """d (row, col) cells per item: col_i = md5("i:" + item) % w —
+    the repo-standard cross-engine hash family, one literal salt per
+    row."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(md5_long(F.concat(F.lit(f"{i}:"),
+                                     F.col(item_col).cast("string"))),
+                   F.lit(w)).cast("int").alias("col"))
+        for i in range(d)])
+
+
+def cms_sketch(df: DataFrame, key_cols: list[str], item_col: str,
+               d: int = 4, w: int = 1024,
+               weight_col: str | None = None) -> DataFrame:
+    """Count-min register table (key…, row, col, cnt) — the frequency
+    twin of ``hll_sketch``: per-item counts over a 10^12-row stream
+    compress to ≤ d·w cells per key, queries overestimate by ≤ ε·N
+    with ε = e/w at confidence 1−(1/2)^d, and the whole build is ONE
+    map-side-combinable sum keyed (key…, row, col).
+
+    Merge semantics differ from HLL/Bloom and are the caller's
+    contract to respect: counts are ADDITIVE (union + sum), so merging
+    is exact for DISJOINT inputs (daily slices) but re-delivering the
+    same slice double-counts — idempotence needs the generation
+    discipline the stores in streaming/kg_stream.py provide, whereas
+    HLL max / Bloom or shrug off replays."""
+    df = df.filter(F.col(item_col).isNotNull())
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
+    return (df.select(*key_cols,
+                      F.explode(_cms_positions(item_col, d, w)).alias("p"),
+                      wcol.alias("w"))
+            .groupBy(*key_cols, F.col("p.row").alias("row"),
+                     F.col("p.col").alias("col"))
+            .agg(F.sum("w").alias("cnt")))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """union + sum — exact for disjoint slices (see cms_sketch)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    group = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*group).agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(sketch: DataFrame, items: DataFrame, item_col: str,
+              key_cols: list[str] | None = None,
+              d: int = 4, w: int = 1024) -> DataFrame:
+    """Point-frequency estimates: (key…, item, est) with est = min over
+    the item's d cells (absent cell = 0 — the item was never counted
+    into that row). Estimates are one-sided: est ≥ true count, exact
+    when no collision hit all d rows. One broadcast-scale join per
+    query batch (the sketch is ≤ d·w rows per key)."""
+    key_cols = key_cols or []
+    q = (items.select(*key_cols, F.col(item_col).alias("item"))
+         .distinct()
+         .select(*key_cols, "item",
+                 F.explode(_cms_positions("item", d, w)).alias("p"))
+         .select(*key_cols, "item", F.col("p.row").alias("row"),
+                 F.col("p.col").alias("col")))
+    joined = q.join(sketch, [*key_cols, "row", "col"], "left") \
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+    return (joined.groupBy(*key_cols, "item")
+            .agg(F.min("cnt").alias("est")))

@@ -748,6 +748,40 @@ def sql_walk_skipgrams() -> str:
     )
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py::cms_sketch/cms_query):
+    per-user event-frequency estimates through a d=3, w=16 sketch —
+    small enough that hash collisions actually overestimate, so the
+    oracle certifies the exact cell arithmetic, not just pass-through
+    counting. The oracle replays hash → cells → sums → min-over-rows
+    relationally with the repo md5-60-bit idiom."""
+    from dbpedia_spotlight_spark.operators.sketches import (
+        cms_query, cms_sketch)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = cms_sketch(ev, [], "user_id", d=3, w=16)
+    return cms_query(sk, ev.select("user_id"), "user_id", d=3, w=16)
+
+
+def sql_cms_counts() -> str:
+    return """
+  WITH cells AS (
+    SELECT r.row,
+           CAST(concat('0x', substr(
+             md5(r.row || ':' || user_id), 1, 15)) AS BIGINT) % 16 AS col,
+           count(*) AS cnt
+    FROM events CROSS JOIN (VALUES (0), (1), (2)) r(row)
+    GROUP BY 1, 2),
+  q AS (
+    SELECT user_id AS item, r.row,
+           CAST(concat('0x', substr(
+             md5(r.row || ':' || user_id), 1, 15)) AS BIGINT) % 16 AS col
+    FROM (SELECT DISTINCT user_id FROM events)
+    CROSS JOIN (VALUES (0), (1), (2)) r(row))
+  SELECT q.item, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+  FROM q LEFT JOIN cells ON cells.row = q.row AND cells.col = q.col
+  GROUP BY q.item"""
+
+
 def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the DIRECTED host link graph
     (operators/graph.py::hits ∘ anchors.host_link_edges ∘

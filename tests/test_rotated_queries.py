@@ -150,6 +150,10 @@ ROTATED = [
     # round-5 addition: skip-gram pairs from the walk corpus (the
     # embedding-corpus composition)
     ("walk_skipgrams", Q.q_walk_skipgrams, Q.sql_walk_skipgrams),
+    # round-5 addition: count-min sketch frequency estimates at a
+    # collision-forcing width (cell arithmetic certified, not just
+    # pass-through counts)
+    ("cms_counts", Q.q_cms_counts, Q.sql_cms_counts),
     # round-4 addition: HITS hubs/authorities over the directed host
     # link graph (real HTML anchor extraction; 10 L2-normalized
     # iterations unrolled as MATERIALIZED CTE chains)

@@ -176,3 +176,49 @@ def test_hll_ignores_null_items_like_count_distinct(spark):
     without = sk.distinct_count_approx(
         df.filter("item IS NOT NULL"), ["k"], "item", p=10).first()
     assert with_nulls["est"] == without["est"]
+
+
+def test_cms_one_sided_and_mergeable(spark):
+    """CMS estimates never underestimate; exact at generous width;
+    disjoint-slice merge equals the full build cell-for-cell."""
+    from dbpedia_spotlight_spark.operators.sketches import (
+        cms_merge, cms_query, cms_sketch,
+    )
+    rows = [(i, f"u{i % 7}") for i in range(200)]
+    df = spark.createDataFrame(rows, "i int, item string")
+    sk = cms_sketch(df, [], "item", d=4, w=256)
+    est = {r.item: r.est for r in
+           cms_query(sk, df.select("item"), "item", d=4, w=256).collect()}
+    true = {f"u{k}": len([1 for i in range(200) if i % 7 == k])
+            for k in range(7)}
+    assert est == true  # wide sketch, no collisions → exact
+    # collision-forcing width stays one-sided
+    sk2 = cms_sketch(df, [], "item", d=2, w=4)
+    est2 = {r.item: r.est for r in
+            cms_query(sk2, df.select("item"), "item", d=2, w=4).collect()}
+    assert all(est2[k] >= true[k] for k in true)
+    # disjoint halves merge exactly
+    a = df.filter("i % 2 = 0")
+    b = df.filter("i % 2 = 1")
+    merged = cms_merge(cms_sketch(a, [], "item", d=4, w=256),
+                       cms_sketch(b, [], "item", d=4, w=256))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, sk.collect()))
+    # unseen item estimates 0 (all d cells empty) on a keyed query
+    probe = spark.createDataFrame([("never",)], "item string")
+    z = cms_query(sk, probe, "item", d=4, w=256).collect()
+    assert z[0].est == 0
+
+
+def test_cms_weighted_and_keyed(spark):
+    from dbpedia_spotlight_spark.operators.sketches import (
+        cms_query, cms_sketch,
+    )
+    rows = [("k1", "a", 5), ("k1", "a", 3), ("k1", "b", 1),
+            ("k2", "a", 7)]
+    df = spark.createDataFrame(rows, "key string, item string, w int")
+    sk = cms_sketch(df, ["key"], "item", d=4, w=128, weight_col="w")
+    est = {(r.key, r.item): r.est for r in
+           cms_query(sk, df.select("key", "item"), "item",
+                     key_cols=["key"], d=4, w=128).collect()}
+    assert est == {("k1", "a"): 8, ("k1", "b"): 1, ("k2", "a"): 7}
