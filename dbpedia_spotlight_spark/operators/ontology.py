@@ -311,6 +311,122 @@ def infer_property_axioms(kg: DataFrame,
             .join(stmts, ["subj", "pred", "obj"], "left_anti"))
 
 
+def infer_property_chains(kg: DataFrame,
+                          chains: list[tuple[str, list[str]]]
+                          ) -> DataFrame:
+    """OWL 2 RL prp-spo2 — property-chain axioms:
+
+        (p owl:propertyChainAxiom (p1 … pn)) ∧ (x0 p1 x1) ∧ …
+        ∧ (x(n-1) pn xn) ⊢ (x0 p xn)
+
+    the classic ``hasParent ∘ hasParent ⇒ hasGrandparent`` rule — with
+    prp-fp/ifp (``infer_functional_sameas``) and the axioms in
+    ``infer_property_axioms`` this covers every property rule of the
+    RL profile that fires on instance data.
+
+    ``chains`` is declaration-sized driver data (like the
+    symmetric/transitive lists): ``[(super_pred, [p1, …, pn]), …]``,
+    n ≥ 2. Each chain compiles to n pushed-``pred=`` filter slices of
+    the statement stream joined end-to-start — n−1 equi-joins keyed on
+    instance terms, never a corpus self-join without a predicate
+    slice. Output = derived minus asserted, set semantics.
+
+    Single pass over the provided snapshot: a chain firing on another
+    chain's (or closure's) OUTPUT needs the usual augment-and-reapply
+    composition the other reasoning operators document — at KG scale
+    the materialization loop unions each operator's derivations into
+    the snapshot and re-runs until no rule adds a row."""
+    stmts = kg.select("subj", "pred", "obj")
+    derived = []
+    for sup, steps in chains:
+        if len(steps) < 2:
+            raise ValueError(
+                f"chain for {sup!r} needs ≥ 2 steps (got {steps!r}) — "
+                "a 1-step chain is rdfs:subPropertyOf "
+                "(infer_subproperties)")
+        cur = (stmts.filter(F.col("pred") == steps[0])
+               .select(F.col("subj").alias("x0"),
+                       F.col("obj").alias("x")))
+        for p in steps[1:]:
+            nxt = (stmts.filter(F.col("pred") == p)
+                   .select(F.col("subj").alias("x"),
+                           F.col("obj").alias("x_next")))
+            cur = (cur.join(nxt, "x")
+                   .select("x0", F.col("x_next").alias("x")))
+        derived.append(cur.select(
+            F.col("x0").alias("subj"), F.lit(sup).alias("pred"),
+            F.col("x").alias("obj")))
+    if not derived:
+        raise ValueError("infer_property_chains needs ≥ 1 chain")
+    out = derived[0]
+    for d in derived[1:]:
+        out = out.unionByName(d)
+    return (out.dropDuplicates()
+            .join(stmts, ["subj", "pred", "obj"], "left_anti"))
+
+
+def infer_restrictions(kg: DataFrame, restrictions: DataFrame,
+                       type_pred: str = "rdf:type") -> DataFrame:
+    """OWL 2 RL class-restriction rules — the cls-* family that fires
+    on instance data:
+
+        cls-svf1: (C ≡ ∃p.D)        ∧ (u p v) ∧ (v type D) ⊢ (u type C)
+        cls-svf2: (C ≡ ∃p.owl:Thing) ∧ (u p v)              ⊢ (u type C)
+        cls-hv1:  (C ≡ p∋v)         ∧ (u type C)            ⊢ (u p v)
+        cls-hv2:  (C ≡ p∋v)         ∧ (u p v)               ⊢ (u type C)
+        cls-avf:  (C ≡ ∀p.D)        ∧ (u type C) ∧ (u p v)  ⊢ (v type D)
+
+    ``restrictions`` carries the schema-sized declarations:
+    (cls, on_prop, kind, value) with kind ∈ {'someValuesFrom',
+    'allValuesFrom', 'hasValue'}; for someValuesFrom/allValuesFrom
+    ``value`` is the filler class (``owl:Thing`` selects cls-svf2's
+    unconditional form), for hasValue the individual. Declarations
+    BROADCAST onto the statement stream (same discipline as every
+    reasoning operator here); the only instance-keyed join is
+    cls-svf1's (v type D) probe and cls-avf's (u p v) extension, both
+    equi-joins on instance terms. Output = derived minus asserted
+    (both new type statements and cls-hv1's new property statements).
+    Single pass — compose to fixpoint like infer_property_chains."""
+    stmts = kg.select("subj", "pred", "obj")
+    types = (stmts.filter(F.col("pred") == type_pred)
+             .select(F.col("subj").alias("inst"),
+                     F.col("obj").alias("cls_of")))
+    r = F.broadcast(restrictions.select("cls", "on_prop", "kind", "value")
+                    .dropDuplicates())
+    svf = r.filter(F.col("kind") == "someValuesFrom")
+    hv = r.filter(F.col("kind") == "hasValue")
+    avf = r.filter(F.col("kind") == "allValuesFrom")
+    edged = stmts.join(svf, stmts.pred == svf.on_prop)
+    svf2 = (edged.filter(F.col("value") == "owl:Thing")
+            .select("subj", F.lit(type_pred).alias("pred"),
+                    F.col("cls").alias("obj")))
+    svf1 = (edged.filter(F.col("value") != "owl:Thing")
+            .join(types, (F.col("obj") == F.col("inst"))
+                  & (F.col("value") == F.col("cls_of")), "left_semi")
+            .select("subj", F.lit(type_pred).alias("pred"),
+                    F.col("cls").alias("obj")))
+    hv_edged = stmts.join(
+        hv, (stmts.pred == hv.on_prop) & (stmts.obj == hv.value))
+    hv2 = hv_edged.select("subj", F.lit(type_pred).alias("pred"),
+                          F.col("cls").alias("obj"))
+    hv1 = (types.join(hv, types.cls_of == hv.cls)
+           .select(F.col("inst").alias("subj"),
+                   F.col("on_prop").alias("pred"),
+                   F.col("value").alias("obj")))
+    avf_t = types.join(avf, types.cls_of == avf.cls)
+    avf_d = (avf_t.join(stmts, (stmts.subj == avf_t.inst)
+                        & (stmts.pred == avf_t.on_prop))
+             .select(F.col("obj").alias("subj"),
+                     F.lit(type_pred).alias("pred"),
+                     F.col("value").alias("obj_")))
+    avf_d = avf_d.select("subj", "pred", F.col("obj_").alias("obj"))
+    out = svf2
+    for d in (svf1, hv2, hv1, avf_d):
+        out = out.unionByName(d)
+    return (out.dropDuplicates()
+            .join(stmts, ["subj", "pred", "obj"], "left_anti"))
+
+
 def infer_functional_sameas(kg: DataFrame,
                             functional: list[str] | None = None,
                             inverse_functional: list[str] | None = None,

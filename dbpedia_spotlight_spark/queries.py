@@ -748,6 +748,150 @@ def sql_walk_skipgrams() -> str:
     )
 
 
+def q_owl_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL prp-spo2 (operators/ontology.py::infer_property_chains):
+    planted hasParent edges e{i} → e{i//2} per document, a 2-step and a
+    3-step chain axiom, and every 10th grandparent edge pre-asserted so
+    the derived-minus-asserted anti-join is non-vacuous. The oracle
+    re-derives both chains as explicit edge self-joins."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_property_chains)
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    parent = d.select(
+        F.concat(F.lit("e"), s(F.col("doc_id"))).alias("subj"),
+        F.lit("hasParent").alias("pred"),
+        F.concat(F.lit("e"),
+                 s((F.col("doc_id") / F.lit(2)).cast("long"))).alias("obj"))
+    asserted_gp = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("e"), s(F.col("doc_id"))).alias("subj"),
+        F.lit("hasGrandparent").alias("pred"),
+        F.concat(F.lit("e"), s((F.col("doc_id") / F.lit(4)).cast("long"))
+                 ).alias("obj"))
+    kg = parent.unionByName(asserted_gp)
+    return infer_property_chains(
+        kg, [("hasGrandparent", ["hasParent", "hasParent"]),
+             ("hasGreatGrandparent",
+              ["hasParent", "hasParent", "hasParent"])])
+
+
+def sql_owl_chains() -> str:
+    return """
+  WITH p AS (
+    SELECT 'e' || doc_id AS subj,
+           'e' || CAST(doc_id // 2 AS BIGINT) AS obj
+    FROM documents),
+  agp AS (
+    SELECT 'e' || doc_id AS subj,
+           'e' || CAST(doc_id // 4 AS BIGINT) AS obj
+    FROM documents WHERE doc_id % 10 = 0),
+  gp AS (
+    SELECT a.subj, b.obj FROM p a JOIN p b ON a.obj = b.subj),
+  ggp AS (
+    SELECT a.subj, b.obj FROM gp a JOIN p b ON a.obj = b.subj)
+  SELECT DISTINCT subj, 'hasGrandparent' AS pred, obj FROM gp
+  WHERE NOT EXISTS (SELECT 1 FROM agp
+                    WHERE agp.subj = gp.subj AND agp.obj = gp.obj)
+  UNION
+  SELECT DISTINCT subj, 'hasGreatGrandparent' AS pred, obj FROM ggp"""
+
+
+def q_owl_restrictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OWL 2 RL cls-svf1/svf2/hv1/hv2/avf (operators/ontology.py::
+    infer_restrictions): planted lanes per document — worksFor edges
+    to c{i%7} with only even companies typed (svf1 selective),
+    universal Linked (svf2), an acme hasValue lane on every 3rd doc
+    (hv2) with every 5th doc pre-typed AcmeEmployee (hv1), and a
+    ParisOffice/hasSite lane on every 4th doc (avf). Oracle replays
+    each rule as joins over the planted construction."""
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_restrictions)
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    i = F.col("doc_id")
+    rows = [
+        d.select(F.concat(F.lit("u"), s(i)).alias("subj"),
+                 F.lit("worksFor").alias("pred"),
+                 F.concat(F.lit("c"), s(i % 7)).alias("obj")),
+        d.filter(i % 7 % 2 == 0).select(
+            F.concat(F.lit("c"), s(i % 7)).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("Company").alias("obj")),
+        d.filter(i % 3 == 0).select(
+            F.concat(F.lit("v"), s(i)).alias("subj"),
+            F.lit("worksFor").alias("pred"), F.lit("acme").alias("obj")),
+        d.filter(i % 5 == 0).select(
+            F.concat(F.lit("m"), s(i)).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("AcmeEmployee").alias("obj")),
+        d.filter(i % 4 == 0).select(
+            F.concat(F.lit("t"), s(i)).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("ParisOffice").alias("obj")),
+        d.select(F.concat(F.lit("t"), s(i)).alias("subj"),
+                 F.lit("hasSite").alias("pred"),
+                 F.concat(F.lit("s"), s(i)).alias("obj")),
+    ]
+    kg = rows[0]
+    for r_ in rows[1:]:
+        kg = kg.unionByName(r_)
+    decls = spark.createDataFrame(
+        [("Employee", "worksFor", "someValuesFrom", "Company"),
+         ("Linked", "worksFor", "someValuesFrom", "owl:Thing"),
+         ("AcmeEmployee", "worksFor", "hasValue", "acme"),
+         ("ParisOffice", "hasSite", "allValuesFrom", "Site")],
+        "cls string, on_prop string, kind string, value string")
+    return infer_restrictions(kg, decls)
+
+
+def sql_owl_restrictions() -> str:
+    return """
+  WITH d AS (SELECT doc_id AS i FROM documents),
+  kg AS (
+    SELECT 'u' || i AS subj, 'worksFor' AS pred, 'c' || (i % 7) AS obj
+    FROM d
+    UNION ALL
+    SELECT 'c' || (i % 7), 'rdf:type', 'Company' FROM d
+    WHERE (i % 7) % 2 = 0
+    UNION ALL
+    SELECT 'v' || i, 'worksFor', 'acme' FROM d WHERE i % 3 = 0
+    UNION ALL
+    SELECT 'm' || i, 'rdf:type', 'AcmeEmployee' FROM d WHERE i % 5 = 0
+    UNION ALL
+    SELECT 't' || i, 'rdf:type', 'ParisOffice' FROM d WHERE i % 4 = 0
+    UNION ALL
+    SELECT 't' || i, 'hasSite', 's' || i FROM d),
+  types AS (SELECT subj AS inst, obj AS cls_of FROM kg
+            WHERE pred = 'rdf:type'),
+  derived AS (
+    -- cls-svf1: worksFor obj typed Company → Employee
+    SELECT k.subj, 'rdf:type' AS pred, 'Employee' AS obj FROM kg k
+    WHERE k.pred = 'worksFor' AND EXISTS (
+      SELECT 1 FROM types t
+      WHERE t.inst = k.obj AND t.cls_of = 'Company')
+    UNION
+    -- cls-svf2: any worksFor edge → Linked
+    SELECT subj, 'rdf:type', 'Linked' FROM kg WHERE pred = 'worksFor'
+    UNION
+    -- cls-hv2: worksFor acme → AcmeEmployee
+    SELECT subj, 'rdf:type', 'AcmeEmployee' FROM kg
+    WHERE pred = 'worksFor' AND obj = 'acme'
+    UNION
+    -- cls-hv1: typed AcmeEmployee → worksFor acme
+    SELECT inst, 'worksFor', 'acme' FROM types
+    WHERE cls_of = 'AcmeEmployee'
+    UNION
+    -- cls-avf: ParisOffice's hasSite objects → Site
+    SELECT k.obj, 'rdf:type', 'Site' FROM kg k
+    WHERE k.pred = 'hasSite' AND EXISTS (
+      SELECT 1 FROM types t
+      WHERE t.inst = k.subj AND t.cls_of = 'ParisOffice'))
+  SELECT subj, pred, obj FROM derived x
+  WHERE NOT EXISTS (SELECT 1 FROM kg
+                    WHERE kg.subj = x.subj AND kg.pred = x.pred
+                      AND kg.obj = x.obj)"""
+
+
 def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (operators/sketches.py::cms_sketch/cms_query):
     per-user event-frequency estimates through a d=3, w=16 sketch —

@@ -1574,3 +1574,69 @@ def test_validate_owl_under_entailed_types(spark):
     got = {tuple(r) for r in validate_owl(
         entailed, disjoint_classes=disj).collect()}
     assert got == {("cax-dw", "x", "", "Person", "Place")}
+
+
+def test_infer_property_chains(spark):
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_property_chains,
+    )
+    kg = spark.createDataFrame(
+        [("a", "hasParent", "b"), ("b", "hasParent", "c"),
+         ("c", "hasParent", "d"), ("a", "hasGrandparent", "x")],
+        "subj string, pred string, obj string")
+    got = sorted(map(tuple, infer_property_chains(
+        kg, [("hasGrandparent", ["hasParent", "hasParent"]),
+             ("hasGreatGrandparent",
+              ["hasParent", "hasParent", "hasParent"])]).collect()))
+    assert got == [("a", "hasGrandparent", "c"),
+                   ("a", "hasGreatGrandparent", "d"),
+                   ("b", "hasGrandparent", "d")]
+    # asserted derivations are excluded (derived-minus-asserted)
+    kg2 = kg.unionByName(spark.createDataFrame(
+        [("a", "hasGrandparent", "c")],
+        "subj string, pred string, obj string"))
+    got2 = {tuple(r) for r in infer_property_chains(
+        kg2, [("hasGrandparent", ["hasParent", "hasParent"])]).collect()}
+    assert got2 == {("b", "hasGrandparent", "d")}
+    # heterogeneous chain (p1 != p2)
+    kg3 = spark.createDataFrame(
+        [("x", "memberOf", "band"), ("band", "basedIn", "berlin")],
+        "subj string, pred string, obj string")
+    got3 = {tuple(r) for r in infer_property_chains(
+        kg3, [("livesNear", ["memberOf", "basedIn"])]).collect()}
+    assert got3 == {("x", "livesNear", "berlin")}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        infer_property_chains(kg, [("p", ["q"])])
+
+
+def test_infer_restrictions_all_rules(spark):
+    from dbpedia_spotlight_spark.operators.ontology import (
+        infer_restrictions,
+    )
+    kg = spark.createDataFrame(
+        [("u1", "worksFor", "acme"), ("acme", "rdf:type", "Company"),
+         ("u2", "worksFor", "ghost"),
+         ("m1", "rdf:type", "AcmeEmployee"),
+         ("t1", "rdf:type", "ParisOffice"), ("t1", "hasSite", "s9")],
+        "subj string, pred string, obj string")
+    r = spark.createDataFrame(
+        [("Employee", "worksFor", "someValuesFrom", "Company"),
+         ("Linked", "worksFor", "someValuesFrom", "owl:Thing"),
+         ("AcmeEmployee", "worksFor", "hasValue", "acme"),
+         ("ParisOffice", "hasSite", "allValuesFrom", "Site")],
+        "cls string, on_prop string, kind string, value string")
+    got = {tuple(x) for x in infer_restrictions(kg, r).collect()}
+    assert got == {
+        ("u1", "rdf:type", "Employee"),        # cls-svf1
+        ("u1", "rdf:type", "Linked"),          # cls-svf2
+        ("u2", "rdf:type", "Linked"),          # cls-svf2 (untyped obj)
+        ("u1", "rdf:type", "AcmeEmployee"),    # cls-hv2
+        ("m1", "worksFor", "acme"),            # cls-hv1
+        ("s9", "rdf:type", "Site"),            # cls-avf
+    }
+    # composing to fixpoint: hv1's derived edge makes m1 an svf2 match
+    kg2 = kg.unionByName(infer_restrictions(kg, r))
+    got2 = {tuple(x) for x in infer_restrictions(kg2, r).collect()}
+    assert ("m1", "rdf:type", "Linked") in got2
+    assert ("m1", "rdf:type", "Employee") in got2

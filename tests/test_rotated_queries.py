@@ -154,6 +154,12 @@ ROTATED = [
     # collision-forcing width (cell arithmetic certified, not just
     # pass-through counts)
     ("cms_counts", Q.q_cms_counts, Q.sql_cms_counts),
+    # round-5 addition: OWL 2 RL prp-spo2 property chains (2- and
+    # 3-step, pre-asserted lane makes derived-minus-asserted bite)
+    ("owl_chains", Q.q_owl_chains, Q.sql_owl_chains),
+    # round-5 addition: OWL 2 RL class restrictions — cls-svf1/svf2/
+    # hv1/hv2/avf planted lanes, each rule selective
+    ("owl_restrictions", Q.q_owl_restrictions, Q.sql_owl_restrictions),
     # round-4 addition: HITS hubs/authorities over the directed host
     # link graph (real HTML anchor extraction; 10 L2-normalized
     # iterations unrolled as MATERIALIZED CTE chains)
