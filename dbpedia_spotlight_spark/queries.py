@@ -6931,6 +6931,127 @@ def sql_entity_provenance() -> str:
     )
 
 
+_FUSION_ITERS = 5
+_FUSION_PRIOR = 0.8
+
+
+def _fusion_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted conflicting-claims fixture for the truth-discovery pair,
+    derived arithmetically from documents so both engines construct
+    the identical claim set: items are 5-doc blocks, 7 sources by
+    doc_id residue — sources 0-4 assert the item's true value, 5-6
+    each assert a source-distinct wrong value (real conflict in every
+    block that holds a noisy residue). Even-doc claims are planted
+    TWICE so the operator's full-key dedup is non-vacuous."""
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    def _claims(frame: DataFrame) -> DataFrame:
+        sid = F.col("doc_id") % 7
+        item = (F.col("doc_id") / 5).cast("long").cast("string")
+        return frame.select(
+            F.concat(F.lit("src"), sid.cast("string")).alias("source"),
+            F.concat(F.lit("e"), item).alias("subj"),
+            F.lit("ex:val").alias("pred"),
+            F.when(sid < 5, F.concat(F.lit("T"), item))
+             .otherwise(F.concat(F.lit("F"), item, F.lit("_"),
+                                 sid.cast("string"))).alias("obj"))
+
+    return _claims(d).unionByName(
+        _claims(d.filter(F.col("doc_id") % 2 == 0)))
+
+
+def q_fused_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery / knowledge fusion
+    (operators/fusion.py::truth_discovery): 5 rounds of the
+    normalized-voting trust⇄belief fixpoint over the planted
+    conflicting-claims fixture. Output one row per distinct claim
+    (subj, pred, obj, n_sources, belief, winner) — belief at the
+    repo-wide 9 dp contract, winner derived from the ROUNDED belief
+    with an obj tie-break so the flag is engine-stable."""
+    from dbpedia_spotlight_spark.operators.fusion import truth_discovery
+    return truth_discovery(_fusion_claims(spark, sf_dir),
+                           iters=_FUSION_ITERS, prior=_FUSION_PRIOR)
+
+
+def _sql_fusion_claims() -> str:
+    return """
+  d AS (SELECT doc_id FROM documents),
+  base AS (
+    SELECT 'src' || CAST(doc_id % 7 AS VARCHAR) AS source,
+           'e' || CAST(doc_id // 5 AS VARCHAR) AS subj,
+           'ex:val' AS pred,
+           CASE WHEN doc_id % 7 < 5
+                THEN 'T' || CAST(doc_id // 5 AS VARCHAR)
+                ELSE 'F' || CAST(doc_id // 5 AS VARCHAR) || '_'
+                     || CAST(doc_id % 7 AS VARCHAR) END AS obj,
+           doc_id
+    FROM d),
+  cl AS (
+    SELECT DISTINCT source, subj, pred, obj FROM (
+      SELECT source, subj, pred, obj FROM base
+      UNION ALL
+      SELECT source, subj, pred, obj FROM base WHERE doc_id % 2 = 0))"""
+
+
+def _sql_fusion_iters() -> str:
+    """t0 … t{K} trust CTEs — the unrolled fixpoint (one vote + one
+    normalize + one trust-mean per round, exactly the arithmetic
+    _iterate_trust runs). MATERIALIZED is load-bearing: each round
+    references its predecessor twice and plain CTEs inline."""
+    its = [f"""
+  t0 AS (SELECT source, {_FUSION_PRIOR} AS trust
+         FROM (SELECT DISTINCT source FROM cl))"""]
+    for i in range(1, _FUSION_ITERS + 1):
+        its.append(f"""
+  v{i} AS (SELECT subj, pred, obj, sum(t.trust) AS vote
+           FROM cl JOIN t{i - 1} t USING (source) GROUP BY 1, 2, 3),
+  b{i} AS MATERIALIZED (
+    SELECT subj, pred, obj,
+           vote / sum(vote) OVER (PARTITION BY subj, pred) AS b
+    FROM v{i}),
+  t{i} AS MATERIALIZED (
+    SELECT cl.source, avg(b.b) AS trust
+    FROM cl JOIN b{i} b USING (subj, pred, obj) GROUP BY 1)""")
+    return ",".join(its)
+
+
+def sql_fused_truth() -> str:
+    k = _FUSION_ITERS
+    return f"""
+  WITH {_sql_fusion_claims()}, {_sql_fusion_iters()},
+  vf AS (SELECT subj, pred, obj, sum(t.trust) AS vote,
+                count(*) AS n_sources
+         FROM cl JOIN t{k} t USING (source) GROUP BY 1, 2, 3),
+  bf AS (SELECT subj, pred, obj, n_sources,
+                round(vote / sum(vote) OVER (PARTITION BY subj, pred),
+                      9) AS belief
+         FROM vf)
+  SELECT subj, pred, obj, n_sources, belief,
+         row_number() OVER (PARTITION BY subj, pred
+                            ORDER BY belief DESC, obj ASC) = 1 AS winner
+  FROM bf"""
+
+
+def q_fusion_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final per-source reliability from the same fixpoint
+    (operators/fusion.py::source_trust): (source, n_claims, trust) —
+    the noisy residues (src5/src6, minority-value assertors) must land
+    strictly below the honest five."""
+    from dbpedia_spotlight_spark.operators.fusion import source_trust
+    return source_trust(_fusion_claims(spark, sf_dir),
+                        iters=_FUSION_ITERS, prior=_FUSION_PRIOR)
+
+
+def sql_fusion_trust() -> str:
+    k = _FUSION_ITERS
+    return f"""
+  WITH {_sql_fusion_claims()}, {_sql_fusion_iters()}
+  SELECT cl.source, count(*) AS n_claims,
+         round(t.trust, 9) AS trust
+  FROM cl JOIN t{k} t USING (source)
+  GROUP BY cl.source, t.trust"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7039,9 +7160,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the hub cap; oracle replays the wedge joins + anti-join
     relationally, green at sf0.001 AND sf0.01 before the swap) in;
     wiki_links out (S3 source, green since round 1 — the wiki-markup
-    parse stays DuckDB-mirrored in tests/test_rotated_queries.py)."""
+    parse stays DuckDB-mirrored in tests/test_rotated_queries.py).
+    Round-5 thirteenth rotation: fused_truth (truth discovery /
+    knowledge fusion — operators/fusion.py, the normalized-voting
+    trust⇄belief fixpoint over conflicting multi-source claims; 5
+    rounds replayed as unrolled MATERIALIZED CTEs in DuckDB, green at
+    sf0.001 AND sf0.01 before the swap; companion fusion_trust pair in
+    the rotated suite) in; annotate_prior out (D8 prior-only baseline,
+    green since round 1 — prior scoring stays exercised inside
+    annotate_generative + candidates_topk and the pair stays
+    DuckDB-mirrored in tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "fused_truth": q_fused_truth,
         "link_prediction": q_link_prediction,
         "canonical_relations": q_canonical_relations,
         "mention_relations": q_mention_relations,
@@ -7072,7 +7203,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spot_npchunk": q_spot_npchunk,
         # Spotlight pipeline — relational slice (SQL-checked)
         "spot_unigram": q_spot_unigram,
-        "annotate_prior": q_annotate_prior,
         "annotate_confident": q_annotate_confident,
         "candidates_topk": q_candidates_topk,
         "link_triples": q_link_triples,
@@ -7104,6 +7234,7 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "fused_truth": sql_fused_truth(),
         "link_prediction": sql_link_prediction(),
         "canonical_relations": sql_canonical_relations(),
         "mention_relations": sql_mention_relations(),
@@ -7133,7 +7264,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_gopher": sql_quality_gopher(),
         "spot_npchunk": sql_spot_npchunk(),
         "spot_unigram": sql_spot_unigram(),
-        "annotate_prior": sql_annotate_prior(),
         "annotate_confident": sql_annotate_confident(),
         "candidates_topk": sql_candidates_topk(),
         "link_triples": sql_link_triples(),

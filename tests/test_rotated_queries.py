@@ -42,6 +42,12 @@ ROTATED = [
     # round-5 addition: temporal fact versioning — the delta_log folded
     # into validity intervals (lead-over-fact-key window both engines)
     ("fact_episodes", Q.q_fact_episodes, Q.sql_fact_episodes),
+    # round-5 addition: final per-source reliability from the same
+    # truth-discovery fixpoint the registered fused_truth runs
+    ("fusion_trust", Q.q_fusion_trust, Q.sql_fusion_trust),
+    # round-5 thirteenth rotation OUT: D8 prior-only baseline (prior
+    # scoring stays inside annotate_generative + candidates_topk)
+    ("annotate_prior", Q.q_annotate_prior, Q.sql_annotate_prior),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
