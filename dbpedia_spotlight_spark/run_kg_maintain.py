@@ -199,10 +199,17 @@ def main(argv: list[str] | None = None,
             spark.read.parquet(f"{args.lexicon}/entities.parquet")
             .select("uri", F.explode("types").alias("typ")))
         if args.ontology:
-            if args.ontology.rstrip("/").endswith((".nt", ".nt.gz")):
+            onto = args.ontology.rstrip("/")
+            if onto.endswith((".nt", ".nt.gz", ".nq", ".nq.gz")):
                 from dbpedia_spotlight_spark.sources.ntriples import (
                     read_ntriples, subclass_edges)
                 edges = subclass_edges(read_ntriples(spark, args.ontology))
+            elif onto.endswith((".ttl", ".ttl.gz")):
+                from dbpedia_spotlight_spark.sources.ntriples import (
+                    subclass_edges)
+                from dbpedia_spotlight_spark.sources.turtle import (
+                    read_turtle)
+                edges = subclass_edges(read_turtle(spark, args.ontology))
             else:
                 edges = spark.read.parquet(args.ontology) \
                     .select("sub", "sup")

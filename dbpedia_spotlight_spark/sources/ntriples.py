@@ -79,9 +79,19 @@ def _unescape_token(tok: F.Column) -> F.Column:
         "UTF-16BE")
     astral = F.decode(F.unhex(F.substring(tok, 3, 8)), "UTF-32")
     bmp = F.decode(F.unhex(F.lpad(F.substring(tok, 3, 4), 8, "0")), "UTF-32")
+    # a lone surrogate half OUTSIDE a pair (the pair branch fired first)
+    # must become U+FFFD explicitly: left to the JVM, the UTF-32 decode
+    # round-trips it into an unpaired char that the String→UTF-8 encode
+    # then flattens to '?' — pinned here so both RDF readers (this one
+    # and the Turtle parser's python twin) agree byte-for-byte on
+    # hazard strings (tests/test_turtle_source.py pins the contract)
+    lone_half = F.upper(F.substring(tok, 3, 2)).rlike("^D[89A-F]")
+    lone_half_u = F.upper(F.substring(tok, 3, 8)).rlike("^0000D[89A-F]")
     return (
         F.when((F.length(tok) == 12) & (first2 == "\\u"), surrogate)
+        .when((first2 == "\\U") & lone_half_u, F.lit("�"))
         .when(first2 == "\\U", astral)
+        .when((first2 == "\\u") & lone_half, F.lit("�"))
         .when(first2 == "\\u", bmp)
         .when(F.substring(tok, 1, 1) == "\\",
               F.coalesce(echar, F.substring(tok, 2, 1)))
