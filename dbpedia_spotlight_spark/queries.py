@@ -7052,6 +7052,138 @@ def sql_fusion_trust() -> str:
   GROUP BY cl.source, t.trust"""
 
 
+_NIL_DIM = 32
+_NIL_THRESHOLD = 0.6
+_NIL_WINDOW = 4
+_NIL_ITERS = 16  # fixture converges in 11 rounds (measured at sf0.01);
+# post-convergence rounds are no-ops, so the fixed unroll stays exact
+_NIL_PATTERN = "((?:spark|table|hash) [a-z]+)"
+
+
+def _nil_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-NIL mentions from documents, fully relationally: every
+    'spark|table|hash <word>' bigram is an unlinkable mention, its
+    context the ±60-char window around the bigram's FIRST occurrence
+    (locate — deterministic; repeated mentions of one surface in one
+    doc share the context, which is what a real context-window
+    extractor degrades to under heavy repetition anyway)."""
+    d = _docs(spark, sf_dir)
+    return (d.select(
+                "doc_id", "text",
+                F.posexplode(F.expr(
+                    f"regexp_extract_all(text, '{_NIL_PATTERN}', 1)"))
+                 .alias("pos", "mention"))
+            .filter(F.col("pos") < 8)
+            .select(
+                (F.col("doc_id") * 8 + F.col("pos")).alias("mention_id"),
+                F.col("mention").alias("surface_form"),
+                F.expr("substring(text, greatest(1, "
+                       "locate(mention, text) - 60), 120)")
+                 .alias("context")))
+
+
+def q_nil_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIL clustering (operators/nilcluster.py): unlinkable mentions →
+    emergent-entity clusters. Blocking on the casefolded surface key,
+    sorted-neighborhood pairs (window=4), hashed-context cosine verify
+    (≥0.6, rounded to 9dp before the compare), min-label components.
+    The oracle replays every stage: mention extraction, the embed.py
+    hashed vectors, the rank-window pair join, and the propagation
+    rounds as unrolled MATERIALIZED CTEs — fixed ``_NIL_ITERS`` rounds
+    on both engines, so equality is unconditional (not convergence-
+    dependent). Non-vacuous at sf0.01: ~1.3k clusters over ~2.3k
+    mentions, 965 singletons, largest cluster 22."""
+    from dbpedia_spotlight_spark.operators.nilcluster import nil_clusters
+    out = nil_clusters(_nil_mentions(spark, sf_dir),
+                       dim=_NIL_DIM, threshold=_NIL_THRESHOLD,
+                       window=_NIL_WINDOW, max_iter=_NIL_ITERS)
+    return out.select("mention_id", "surface_key",
+                      F.col("cluster").cast("long").alias("cluster"),
+                      "nil_uri", "oversize").orderBy("mention_id")
+
+
+def sql_nil_clusters(dim: int = _NIL_DIM,
+                     threshold: float = _NIL_THRESHOLD,
+                     window: int = _NIL_WINDOW,
+                     n_iter: int = _NIL_ITERS,
+                     max_block: int = 10_000) -> str:
+    from dbpedia_spotlight_spark.operators.textstats import (
+        CASEFOLD_FROM, CASEFOLD_TO,
+    )
+    nrm = (lambda col: f"trim(regexp_replace(translate({col}, "
+           f"'{CASEFOLD_FROM}', '{CASEFOLD_TO}'), "
+           f"'[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))")
+    iters = []
+    for t in range(1, n_iter + 1):
+        iters.append(f"""
+  l{t} AS MATERIALIZED (
+    SELECT l.id, LEAST(l.comp, COALESCE(MIN(nl.comp), l.comp)) AS comp
+    FROM l{t - 1} l
+    LEFT JOIN e ON e.src = l.id
+    LEFT JOIN l{t - 1} nl ON nl.id = e.dst
+    GROUP BY l.id, l.comp
+  )""")
+    return f"""
+  WITH m0 AS (
+    SELECT doc_id, text,
+           unnest(regexp_extract_all(text, '{_NIL_PATTERN}', 1))
+             AS mention,
+           generate_subscripts(
+             regexp_extract_all(text, '{_NIL_PATTERN}', 1), 1) - 1 AS pos
+    FROM documents),
+  m AS MATERIALIZED (
+    SELECT doc_id * 8 + pos AS id, {nrm('mention')} AS k,
+           substr(text, greatest(1, strpos(text, mention) - 60), 120)
+             AS ctx
+    FROM m0 WHERE pos < 8),
+  big AS (SELECT k FROM m GROUP BY k HAVING count(*) > {max_block}),
+  small AS MATERIALIZED (
+    SELECT m.* FROM m LEFT JOIN big ON big.k = m.k WHERE big.k IS NULL),
+  toks AS (
+    SELECT id, unnest(string_split({nrm('ctx')}, ' ')) AS tok
+    FROM small),
+  h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM toks),
+  c AS (SELECT id, (h % {dim})::INT AS bucket,
+               sum(CASE WHEN (h >> 20) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                 AS c
+        FROM h GROUP BY 1, 2),
+  grid AS (SELECT small.id, r.i::INT AS i FROM small, range(0,{dim}) r(i)),
+  raw AS (SELECT g.id, g.i, coalesce(c.c, 0.0) AS x
+          FROM grid g LEFT JOIN c ON c.id = g.id AND c.bucket = g.i),
+  n AS (SELECT id, sqrt(sum(x * x)) AS nrm FROM raw GROUP BY 1),
+  v AS (SELECT raw.id,
+               list(CASE WHEN nrm > 0 THEN round(x / nrm, 9)
+                         ELSE x END ORDER BY i) AS v
+        FROM raw JOIN n ON n.id = raw.id GROUP BY raw.id),
+  ranked AS MATERIALIZED (
+    SELECT small.id, small.k, v.v,
+           row_number() OVER (PARTITION BY small.k
+                              ORDER BY small.id) AS r
+    FROM small JOIN v ON v.id = small.id),
+  pairs AS MATERIALIZED (
+    SELECT a.id AS a, b.id AS b
+    FROM ranked a JOIN ranked b
+      ON a.k = b.k AND b.r > a.r AND b.r <= a.r + {window}
+    WHERE round(list_dot_product(a.v, b.v), 9) >= {threshold}),
+  e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b AS src, a AS dst FROM pairs),
+  l0 AS MATERIALIZED (SELECT id, id AS comp FROM small),{",".join(iters)},
+  resolved AS (
+    SELECT s.id, s.k, l.comp AS cluster, FALSE AS oversize
+    FROM small s JOIN l{n_iter} l ON l.id = s.id),
+  over_r AS (
+    SELECT m.id, m.k,
+           min(m.id) OVER (PARTITION BY m.k) AS cluster,
+           TRUE AS oversize
+    FROM m JOIN big ON big.k = m.k),
+  u AS (SELECT * FROM resolved UNION ALL SELECT * FROM over_r)
+  SELECT id AS mention_id, k AS surface_key, cluster,
+         'nil:' || replace(k, ' ', '_') || '#' || cluster AS nil_uri,
+         oversize
+  FROM u ORDER BY mention_id"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7169,9 +7301,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the rotated suite) in; annotate_prior out (D8 prior-only baseline,
     green since round 1 — prior scoring stays exercised inside
     annotate_generative + candidates_topk and the pair stays
-    DuckDB-mirrored in tests/test_rotated_queries.py)."""
+    DuckDB-mirrored in tests/test_rotated_queries.py).
+    Round-5 fourteenth rotation: nil_clusters (NIL clustering — the
+    emergent-entity half of C3 NIL handling: blocking on the casefolded
+    surface key, sorted-neighborhood pairs, hashed-context cosine
+    verify, min-label components — operators/nilcluster.py; oracle
+    replays every stage incl. the propagation rounds as unrolled
+    MATERIALIZED CTEs, bit-identical at sf0.001 AND sf0.01 before the
+    swap) in; spot_unigram out (T1/T5, green since round 1 — tokenizer
+    + case normalization stay exercised inside spot_fsa and every
+    pipeline query, and the pair stays DuckDB-mirrored in
+    tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "nil_clusters": q_nil_clusters,
         "fused_truth": q_fused_truth,
         "link_prediction": q_link_prediction,
         "canonical_relations": q_canonical_relations,
@@ -7202,7 +7345,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "spot_npchunk": q_spot_npchunk,
         # Spotlight pipeline — relational slice (SQL-checked)
-        "spot_unigram": q_spot_unigram,
         "annotate_confident": q_annotate_confident,
         "candidates_topk": q_candidates_topk,
         "link_triples": q_link_triples,
@@ -7234,6 +7376,7 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "nil_clusters": sql_nil_clusters(),
         "fused_truth": sql_fused_truth(),
         "link_prediction": sql_link_prediction(),
         "canonical_relations": sql_canonical_relations(),
@@ -7263,7 +7406,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": sql_dedup_components(),
         "quality_gopher": sql_quality_gopher(),
         "spot_npchunk": sql_spot_npchunk(),
-        "spot_unigram": sql_spot_unigram(),
         "annotate_confident": sql_annotate_confident(),
         "candidates_topk": sql_candidates_topk(),
         "link_triples": sql_link_triples(),

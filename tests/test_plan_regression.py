@@ -58,6 +58,7 @@ def _headline_queries():
     qs.setdefault("annotate_stemmed", Q.q_annotate_stemmed)
     qs.setdefault("quality", Q.q_quality)
     qs.setdefault("entity_walks", Q.q_entity_walks)
+    qs.setdefault("annotate_prior", Q.q_annotate_prior)
     return [(name, qs[name]) for name in bench.HEADLINE]
 
 

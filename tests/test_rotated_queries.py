@@ -48,6 +48,9 @@ ROTATED = [
     # round-5 thirteenth rotation OUT: D8 prior-only baseline (prior
     # scoring stays inside annotate_generative + candidates_topk)
     ("annotate_prior", Q.q_annotate_prior, Q.sql_annotate_prior),
+    # round-5 fourteenth rotation OUT: T1/T5 unigram spotting (stays
+    # exercised inside spot_fsa and every pipeline query)
+    ("spot_unigram", Q.q_spot_unigram, Q.sql_spot_unigram),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
