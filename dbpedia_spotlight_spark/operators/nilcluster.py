@@ -144,3 +144,55 @@ def nil_clusters(mentions: DataFrame,
                  F.regexp_replace("surface_key", " ", "_"),
                  F.lit("#"), F.col("cluster")).alias("nil_uri"),
         "oversize")
+
+
+PRED_LABEL = "skos:prefLabel"
+PRED_TYPE = "rdf:type"
+EMERGENT_TYPE = "spotlight:EmergentEntity"
+
+
+def promote_nil_entities(nil_spot_frame: DataFrame,
+                         **cluster_kwargs) -> DataFrame:
+    """NIL spots → provisional-entity triples, closing the loop from
+    :func:`pipeline.nil_spots` into the KG lifecycle: the emergent
+    entity becomes an ordinary node the stores / canonicalization / ER
+    machinery already handle (a later ``er.sameas`` match against a
+    real entity merges it away via ``canonicalize_triples``, exactly
+    the KB-population promotion path).
+
+    Input: (url, begin, end, surface_form, context) — the
+    ``nil_spots`` schema. Emits one triple frame:
+
+        (<url>#char=<b>,<e>, itsrdf:taIdentRef, <nil_uri>)  per mention
+        (<nil_uri>, rdf:type,      spotlight:EmergentEntity) per node
+        (<nil_uri>, skos:prefLabel, <surface_key>)           per node
+
+    — the link rows are shaped exactly like ``triples.link_triples``
+    output, so the union drops straight into a ``KGStore`` delta.
+
+    ``mention_id`` is ``xxhash64(url, begin, end)``: deterministic and
+    layout-independent. A 64-bit collision aliases two mentions into
+    one clustering node — at 10^12 docs that is a handful of spurious
+    pair-edges among ~10^13, each still subject to the cosine verify;
+    acceptable for provisional ids (dense unique ids would cost a
+    global zipWithIndex pass this path deliberately avoids).
+    """
+    from ..triples import PRED_IDENT, subj_col
+
+    m = nil_spot_frame.withColumn(
+        "mention_id", F.xxhash64("url", "begin", "end"))
+    clusters = nil_clusters(m, context_col="context", **cluster_kwargs)
+    linked = m.join(clusters, "mention_id")
+    links = linked.select(
+        subj_col(), F.lit(PRED_IDENT).alias("pred"),
+        F.col("nil_uri").alias("obj"))
+    # node metadata: one row per emergent entity, not per mention —
+    # the distinct is cluster-count-sized, far below mention count
+    nodes = clusters.select("nil_uri", "surface_key").distinct()
+    types = nodes.select(
+        F.col("nil_uri").alias("subj"), F.lit(PRED_TYPE).alias("pred"),
+        F.lit(EMERGENT_TYPE).alias("obj"))
+    labels = nodes.select(
+        F.col("nil_uri").alias("subj"), F.lit(PRED_LABEL).alias("pred"),
+        F.col("surface_key").alias("obj"))
+    return links.unionByName(types).unionByName(labels)

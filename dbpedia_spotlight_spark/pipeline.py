@@ -522,6 +522,59 @@ def spot(spark: SparkSession, web_pages: DataFrame, model_bc,
     return src.mapInPandas(run, schema=SPOT_SCHEMA)
 
 
+NIL_SPOT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("begin", IntegerType()),
+    StructField("end", IntegerType()),
+    StructField("surface_form", StringType()),
+    StructField("context", StringType()),
+])
+
+
+def nil_spots(spark: SparkSession, web_pages: DataFrame, model_bc,
+              cfg: PipelineConfig | None = None,
+              context_chars: int = 60) -> DataFrame:
+    """The C3 complement: the mentions ``annotate`` DROPS — spots that
+    pass the gate (P2) and overlap resolution (P4) but whose surface
+    form has an EMPTY candidate list. In a real Spotlight model store
+    these are lexicon surface forms whose pairCounts rows fell to the
+    build's minimum-count pruning (M-stage), so the spotter knows the
+    phrase but the disambiguator has nowhere to link it — the standard
+    entity-discovery input (TAC-KBP). Each row carries the
+    ±``context_chars`` window of extracted text around the spot, the
+    exact input shape of :func:`operators.nilcluster.nil_clusters`.
+
+    Plan shape matches ``spot``/``annotate``: lang filter + 2-column
+    projection pushed to the scan, ONE fused mapInPandas, 0 Exchange —
+    the NIL extraction rides the same single pass over the corpus and
+    at 10^12 docs adds no shuffle of its own."""
+    cfg = cfg or PipelineConfig()
+    src = _lang_filtered(web_pages, cfg)
+    has_html = "html" in src.columns
+    src = src.select("url", "html" if has_html else "text")
+
+    def run(batches):
+        model = _get_model(model_bc)
+        indptr = model.cand_indptr
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                url = pdf["url"].iat[i]
+                text = strip_html(pdf["html"].iat[i]) if has_html \
+                    else pdf["text"].iat[i]
+                spots, _ = _doc_spots(model, text, cfg.spotter)
+                for (b, e, sf_id, _p) in spots:
+                    if indptr[sf_id + 1] > indptr[sf_id]:
+                        continue  # linkable: annotate()'s business
+                    rows.append((url, b, e, model.sf_names[sf_id],
+                                 text[max(0, b - context_chars):
+                                      e + context_chars]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in NIL_SPOT_SCHEMA.fields])
+
+    return src.mapInPandas(run, schema=NIL_SPOT_SCHEMA)
+
+
 def extract_text(web_pages: DataFrame) -> DataFrame:
     """S1 standalone: html → text pandas UDF (byte-identical gate)."""
     @F.pandas_udf(StringType())

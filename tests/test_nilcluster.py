@@ -148,3 +148,108 @@ def test_require_converged_guard(spark):
     ok = nil_clusters(df, window=1, threshold=0.9, max_iter=15,
                       require_converged=True).collect()
     assert {r.cluster for r in ok} == {1}
+
+
+# ---------------------------------------------------------------------------
+# nil_spots (pipeline C3 complement) + promote_nil_entities (KG promotion)
+
+@pytest.fixture(scope="module")
+def nil_model_bc(spark):
+    """Fixture lexicon augmented with two PAIRLESS surface forms — in
+    the spotter's FSA (tokens registered, ann_prob above the gate) but
+    with zero pairCounts rows, i.e. the exact shape M-stage min-count
+    pruning produces. Everything else is the standard seed-42 lexicon,
+    so linkable behavior is unchanged."""
+    import pandas as pd
+    from dbpedia_spotlight_spark.datagen import make_lexicon
+    from dbpedia_spotlight_spark.model import compile_model
+
+    lex = make_lexicon(seed=42)
+    sfs = lex.surface_forms
+    extra_sf = pd.DataFrame(
+        [("nilcorp inc", len(sfs), 90, 100),
+         ("mystery widget", len(sfs) + 1, 80, 100)],
+        columns=sfs.columns)
+    tts = lex.token_types
+    extra_tok = pd.DataFrame(
+        [(w, tts["token_id"].max() + 1 + i, 40)
+         for i, w in enumerate(["nilcorp", "inc", "mystery", "widget"])],
+        columns=tts.columns)
+    m = compile_model(
+        surface_forms=pd.concat([sfs, extra_sf], ignore_index=True),
+        entities=lex.entities,
+        pair_counts=lex.pair_counts,
+        token_counts=lex.token_counts,
+        token_types=pd.concat([tts, extra_tok], ignore_index=True),
+        stopwords=lex.stopwords["token"].tolist())
+    return spark.sparkContext.broadcast(m)
+
+
+def _nil_pages(spark):
+    ctx_a = "fresh gadget line announced by the startup after funding"
+    ctx_b = "endangered shorebird spotted nesting on the gravel bank"
+    rows = [
+        ("u1", f"Alpha0 works at Nilcorp Inc {ctx_a}", "en"),
+        ("u2", f"Nilcorp Inc expands {ctx_a}", "en"),
+        ("u3", f"the Mystery Widget {ctx_b}", "en"),
+        ("u4", "no unlinkables here alpha0", "en"),
+        ("u5", f"Nilcorp Inc filings {ctx_a}", "de"),   # lang-filtered out
+    ]
+    return spark.createDataFrame(rows, "url string, text string, lang string")
+
+
+def test_nil_spots_complement(spark, nil_model_bc):
+    """nil_spots emits exactly the gated spots whose candidate list is
+    empty — never a linkable spot — with offsets/context windows that
+    match the text."""
+    from dbpedia_spotlight_spark.pipeline import annotate, nil_spots, spot
+
+    pages = _nil_pages(spark)
+    out = nil_spots(spark, pages, nil_model_bc, context_chars=20).collect()
+    assert {r.surface_form for r in out} == {"nilcorp inc", "mystery widget"}
+    assert {r.url for r in out} == {"u1", "u2", "u3"}   # u4 linkable-only, u5 lang
+    for r in out:
+        text = dict((p[0], p[1]) for p in _nil_pages(spark).collect())[r.url]
+        assert text[r.begin:r.end].lower() == r.surface_form
+        assert r.context == text[max(0, r.begin - 20):r.end + 20]
+    # spot() (P1/P2, pre-candidate) still sees the pairless sfs — they
+    # ARE valid spots; it is annotate() (C3) that drops them, and
+    # nil_spots is exactly that dropped complement
+    spotted = {r.surface_form for r in
+               spot(spark, pages, nil_model_bc).collect()}
+    assert {"nilcorp inc", "mystery widget"} <= spotted
+    linked = {r.surface_form for r in
+              annotate(spark, pages, nil_model_bc).collect()}
+    assert linked.isdisjoint({"nilcorp inc", "mystery widget"})
+    assert "alpha0" in linked
+
+
+def test_promote_nil_entities_triples(spark, nil_model_bc):
+    """Promotion emits link rows shaped like triples.link_triples plus
+    one rdf:type + one skos:prefLabel row per emergent node; mentions
+    sharing a surface key and context cluster to ONE provisional URI."""
+    from dbpedia_spotlight_spark.operators.nilcluster import (
+        promote_nil_entities)
+    from dbpedia_spotlight_spark.pipeline import nil_spots
+
+    nil = nil_spots(spark, _nil_pages(spark), nil_model_bc,
+                    context_chars=40)
+    trip = promote_nil_entities(nil, threshold=0.2).collect()
+    links = [t for t in trip if t.pred == "itsrdf:taIdentRef"]
+    types = [t for t in trip if t.pred == "rdf:type"]
+    labels = [t for t in trip if t.pred == "skos:prefLabel"]
+    assert len(links) == 3 and len(trip) == len(links) + len(types) + len(labels)
+    # u1+u2 mentions share key+context → ONE emergent node; u3 its own
+    nilcorp_objs = {t.obj for t in links if t.subj.startswith(("u1", "u2"))}
+    assert len(nilcorp_objs) == 1
+    (widget_obj,) = {t.obj for t in links if t.subj.startswith("u3")}
+    assert widget_obj != next(iter(nilcorp_objs))
+    assert widget_obj.startswith("nil:mystery_widget#")
+    # node metadata is per-node, not per-mention
+    assert {t.subj for t in types} == nilcorp_objs | {widget_obj}
+    assert {(t.subj, t.obj) for t in labels} == {
+        (next(iter(nilcorp_objs)), "nilcorp inc"),
+        (widget_obj, "mystery widget")}
+    assert all(t.obj == "spotlight:EmergentEntity" for t in types)
+    # subjects carry the link_triples char-offset shape
+    assert all("#char=" in t.subj for t in links)
