@@ -147,6 +147,8 @@ HEADLINE = [
                               # (round-5 twelfth rotation)
     "entity_walks",           # DeepWalk corpus — 3 deterministic
                               # transition joins (round-5)
+    "type_prediction",        # SDType type completion over relation
+                              # triples (round-5 fifteenth rotation)
 ]
 
 

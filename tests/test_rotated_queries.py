@@ -51,6 +51,17 @@ ROTATED = [
     # round-5 fourteenth rotation OUT: T1/T5 unigram spotting (stays
     # exercised inside spot_fsa and every pipeline query)
     ("spot_unigram", Q.q_spot_unigram, Q.sql_spot_unigram),
+    # round-5 fifteenth rotation OUT: generic relational join/agg slice
+    # (window/join plumbing stays registered via sessionize +
+    # salted_user_topk)
+    ("part_type_stats", Q.q_part_type_stats, Q.sql_part_type_stats),
+    # round-5 fifteenth rotation OUT: S1 byte-identical extraction
+    # (runs inside every pipeline query + its dedicated pytest gate)
+    ("extract_text", Q.q_extract_text, Q.sql_extract_text),
+    # round-5 addition: SchemEX-style quotient schema graph over the
+    # relation triples (companion of the registered entity_summary /
+    # type_prediction refinement family)
+    ("schema_graph", Q.q_schema_graph, Q.sql_schema_graph),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
