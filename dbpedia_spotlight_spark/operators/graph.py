@@ -708,3 +708,65 @@ def _hits_driver(edges: DataFrame, n_iter: int,
         h = h / nrm if nrm > 0.0 else h
     out = pd.DataFrame({"uri": hosts, "hub": h, "authority": a})
     return edges.sparkSession.createDataFrame(out)
+
+
+def shortest_paths(edges: DataFrame, sources: list[str],
+                   max_hops: int = 6, directed: bool = False,
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """(uri, source, dist) — minimum hop distance from each landmark in
+    ``sources`` to every node reachable within ``max_hops`` (the
+    GraphFrames ``shortestPaths`` landmark semantics; sources appear at
+    dist 0). Unweighted BFS: with unit edge weights, breadth order IS
+    distance order, so the first round that reaches a (node, source)
+    pair fixes its distance — no relaxation needed.
+
+    Semi-naive expansion: the frontier holds only pairs discovered in
+    the previous round; each round is ONE frontier×edges join keyed on
+    uri + a min-combine + ONE anti-join against the known set, so total
+    work is Σ|frontier|·avg_degree, never rounds×|V|·|S|. State is
+    |reached| × |sources| rows — landmark counts are user-chosen and
+    small (the GraphFrames contract), so state stays a constant factor
+    over the node table. Lineage is cut per round (RoundCheckpointer —
+    localCheckpoint default, reliable ``checkpoint_dir`` like
+    pagerank/components). Rounds = min(max_hops, graph diameter), a
+    property of the graph, not its size.
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    spark = edges.sparkSession
+    out_edges = edges.select(F.col("uri_a").alias("src"),
+                             F.col("uri_b").alias("dst"))
+    if not directed:
+        out_edges = out_edges.unionByName(
+            edges.select(F.col("uri_b").alias("src"),
+                         F.col("uri_a").alias("dst")))
+    out_edges = out_edges.distinct().cache()
+
+    from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+    # one checkpointer per ROLLING state (the components.py
+    # discipline): in dir mode each cut deletes its own previous
+    # generation, so known and frontier must not share one
+    known_ckpt = RoundCheckpointer(spark, checkpoint_dir, "bfs-known")
+    front_ckpt = RoundCheckpointer(spark, checkpoint_dir, "bfs-front")
+
+    src_df = spark.createDataFrame(
+        [(s,) for s in sorted(set(sources))], "source string")
+    known = src_df.select(F.col("source").alias("uri"), "source",
+                          F.lit(0).alias("dist"))
+    frontier = known
+    for hop in range(1, max_hops + 1):
+        reached = (frontier
+                   .join(out_edges,
+                         frontier["uri"] == out_edges["src"])
+                   .select(F.col("dst").alias("uri"), "source",
+                           F.lit(hop).alias("dist"))
+                   .dropDuplicates(["uri", "source"]))
+        fresh = reached.join(known, ["uri", "source"], "left_anti")
+        fresh = front_ckpt.cut(fresh)
+        if fresh.isEmpty():
+            break
+        known = known_ckpt.cut(known.unionByName(fresh))
+        frontier = fresh
+    return known

@@ -7184,6 +7184,72 @@ def sql_nil_clusters(dim: int = _NIL_DIM,
   FROM u ORDER BY mention_id"""
 
 
+_BFS_HOPS = 6
+
+
+def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS landmarks (operators/graph.py::shortest_paths)
+    over the strongest-neighbor BACKBONE of the co-mention graph: each
+    node keeps only its max-n_docs neighbor (ties: lexicographically
+    smallest — the deterministic backbone-extraction sparsifier), then
+    hop distances from the two highest-support entities within 6 hops.
+    The dense co-mention graph is diameter-1 at every SF; the backbone
+    gives the BFS real multi-hop structure (dist up to 3-4 at the
+    driver SFs). The oracle replays the backbone argmax and runs a
+    genuine WITH RECURSIVE BFS at the same hop budget, min(dist) per
+    (uri, source)."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, shortest_paths)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    und = (edges.select(F.col("uri_a").alias("s"),
+                        F.col("uri_b").alias("d"), "n_docs")
+           .unionByName(edges.select(F.col("uri_b").alias("s"),
+                                     F.col("uri_a").alias("d"),
+                                     "n_docs")))
+    backbone = (und.groupBy("s")
+                .agg(F.min(F.struct((-F.col("n_docs")).alias("nw"),
+                                    F.col("d").alias("d"))).alias("b"))
+                .select(F.col("s").alias("uri_a"),
+                        F.col("b.d").alias("uri_b"))
+                .localCheckpoint(eager=True))
+    out = shortest_paths(backbone, _top_support_uris(2),
+                         max_hops=_BFS_HOPS)
+    return out.orderBy("source", "dist", "uri")
+
+
+def sql_shortest_paths() -> str:
+    srcs = ", ".join(f"('{u}')" for u in sorted(_top_support_uris(2)))
+    return (
+        "WITH RECURSIVE " + _sql_toks() + ", " + _SQL_SPOTS + ", "
+        + _SQL_RANKED + _WALK_SQL_PREFIX.split(",\n  deg AS")[0] + f""",
+  bb AS (
+    SELECT s, d FROM (
+      SELECT s, d, row_number() OVER (
+        PARTITION BY s ORDER BY n_docs DESC, d) AS r
+      FROM (SELECT u.s, u.d, e2.n_docs FROM und u
+            JOIN (SELECT x.uri AS uri_a, y.uri AS uri_b,
+                         count(*) AS n_docs
+                  FROM du x JOIN du y
+                    ON x.doc_id = y.doc_id AND x.uri < y.uri
+                  GROUP BY 1, 2) e2
+              ON (e2.uri_a = u.s AND e2.uri_b = u.d)
+              OR (e2.uri_a = u.d AND e2.uri_b = u.s)) w) q
+    WHERE r = 1),
+  undbb AS (SELECT s, d FROM bb UNION SELECT d, s FROM bb),
+  srcs AS (SELECT * FROM (VALUES {srcs}) v(source)),
+  bfs AS (
+    SELECT source AS uri, source, 0 AS dist FROM srcs
+    UNION
+    SELECT undbb.d, bfs.source, bfs.dist + 1
+    FROM bfs JOIN undbb ON undbb.s = bfs.uri
+    WHERE bfs.dist < {_BFS_HOPS})
+  SELECT uri, source, CAST(min(dist) AS INTEGER) AS dist
+  FROM bfs GROUP BY uri, source
+  ORDER BY source, dist, uri"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # KG refinement family (operators/refine.py): entity summarization,
 # quotient schema graph, SDType-style statistical type completion —

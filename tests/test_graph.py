@@ -665,3 +665,88 @@ def test_entity_salience_reference(spark):
     # a lone mention is maximally salient for its doc
     assert got[(2, "e3")].salience == round(1 * (1 + (1 - 10 / 40)), 9)
     assert got[(2, "e3")].rank == 1
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths (multi-source BFS landmarks)
+
+def _bfs_reference(edges, sources, max_hops, directed):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    out = {}
+    for s in set(sources):
+        dist = {s: 0}
+        frontier = [s]
+        for hop in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = hop
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        for u, d in dist.items():
+            out[(u, s)] = d
+    return out
+
+
+def test_shortest_paths_reference(spark):
+    from dbpedia_spotlight_spark.operators.graph import shortest_paths
+    import random
+    rng = random.Random(3)
+    edges = sorted({(f"v{rng.randint(0, 24)}", f"v{rng.randint(0, 24)}")
+                    for _ in range(50)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "uri_a string, uri_b string")
+    for directed in (False, True):
+        for max_hops in (0, 2, 8):
+            got = {(r.uri, r.source): r.dist
+                   for r in shortest_paths(df, ["v0", "v7"],
+                                           max_hops=max_hops,
+                                           directed=directed).collect()}
+            want = _bfs_reference(edges, ["v0", "v7"], max_hops, directed)
+            assert got == want, (directed, max_hops)
+
+
+def test_shortest_paths_semantics(spark):
+    from dbpedia_spotlight_spark.operators.graph import shortest_paths
+    import pytest as _pt
+    # chain a-b-c-d: landmark at a, undirected
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "uri_a string, uri_b string")
+    got = {(r.uri, r.source): r.dist
+           for r in shortest_paths(df, ["a", "d"]).collect()}
+    assert got[("a", "a")] == 0 and got[("d", "a")] == 3
+    assert got[("a", "d")] == 3 and got[("b", "d")] == 2
+    # max_hops truncates; early-exit on exhausted frontier is exact
+    got1 = {(r.uri, r.source): r.dist
+            for r in shortest_paths(df, ["a"], max_hops=1).collect()}
+    assert got1 == {("a", "a"): 0, ("b", "a"): 1}
+    # directed chain never reaches backwards
+    gotd = {(r.uri, r.source): r.dist
+            for r in shortest_paths(df, ["d"], directed=True).collect()}
+    assert gotd == {("d", "d"): 0}
+    with _pt.raises(ValueError, match="sources"):
+        shortest_paths(df, [])
+    with _pt.raises(ValueError, match="max_hops"):
+        shortest_paths(df, ["a"], max_hops=-1)
+
+
+def test_shortest_paths_checkpoint_dir(spark, tmp_path):
+    """Reliable-checkpoint mode agrees with local mode and leaves at
+    most the final generations on disk (flat storage discipline)."""
+    from dbpedia_spotlight_spark.operators.graph import shortest_paths
+    df = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(12)],
+        "uri_a string, uri_b string")
+    base = sorted(map(tuple, shortest_paths(df, ["n0"]).collect()))
+    ck = sorted(map(tuple, shortest_paths(
+        df, ["n0"], checkpoint_dir=str(tmp_path)).collect()))
+    assert base == ck
+    gens = [p.name for p in tmp_path.iterdir()]
+    assert len(gens) <= 2, gens

@@ -62,6 +62,10 @@ ROTATED = [
     # relation triples (companion of the registered entity_summary /
     # type_prediction refinement family)
     ("schema_graph", Q.q_schema_graph, Q.sql_schema_graph),
+    # round-5 addition: multi-source BFS landmarks over the
+    # strongest-neighbor backbone of the co-mention graph — oracle is
+    # a genuine WITH RECURSIVE BFS at the same hop budget
+    ("shortest_paths", Q.q_shortest_paths, Q.sql_shortest_paths),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
