@@ -149,6 +149,8 @@ HEADLINE = [
                               # transition joins (round-5)
     "type_prediction",        # SDType type completion over relation
                               # triples (round-5 fifteenth rotation)
+    "kg_transe",              # distributed TransE embedding training
+                              # (round-5 sixteenth rotation)
 ]
 
 

@@ -1,0 +1,238 @@
+"""Distributed KG embedding training — TransE (Bordes et al., NeurIPS
+2013), the translation model behind most KG-completion stacks: score a
+triple (h, r, t) by how well E_h + R_r ≈ E_t. The engine already
+EXPORTS TransE-shaped training examples (``operators/export.py``) and
+EVALUATES rankings (``operators/ranking.py``); this module closes the
+loop with the training itself, fully inside Spark:
+
+- :func:`init_embeddings` — deterministic hash init (the md5-chain
+  analogue of TransE's uniform(±6/√d)): no RNG, so the same KG always
+  trains to the same embeddings and a from-scratch numpy twin can
+  verify every step.
+- :func:`train_transe` — full-batch margin-ranking gradient descent
+  with deterministically corrupted negatives, zero UDFs: all vector
+  math is ``zip_with``/``transform``/``aggregate`` array expressions
+  (JVM codegen), gradients flow through ONE posexplode +
+  map-side-combinable (uri, pos) sum per step.
+- :func:`score_triples` — d(h+r, t) for any triple frame against
+  trained embeddings; low-scoring *asserted* triples are the error
+  candidates (the KG-refinement error-detection read of TransE), and
+  scored *candidate* triples rank for completion.
+
+Scale notes (10^12-doc KG): embedding tables are entity-/relation-
+vocabulary-sized, triples are the big frame. Each step is 4 hash joins
+keyed on entity/relation (skew = famous-entity degree — bounded by the
+gradient being ONE combined row per entity after the map-side
+combine), one dim× posexplode of the active-margin triples only, and
+one (uri, pos)-keyed aggregate. Steps are fixed-count with
+RoundCheckpointer lineage cuts; nothing is ever collected to the
+driver. Per-component dyadic 2^-30 quantization after every step
+(init included) makes the training BIT-identical across layouts and
+engines: same-grid dyadic sums are exact in any order, so there is no
+summation-order noise to round away and no rounding-boundary hazard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import md5_long
+
+
+def _hash_unit(col, i: int, dim: int) -> F.Column:
+    """Deterministic pseudo-uniform in (-6/√d, 6/√d): 60 md5 bits of
+    '<name>#<i>' scaled — the hash-seeded analogue of TransE's init."""
+    u = md5_long(F.concat(col, F.lit(f"#{i}"))) / F.lit(float(1 << 60))
+    return (u - 0.5) * F.lit(12.0 / dim ** 0.5)
+
+
+def init_embeddings(names: DataFrame, dim: int,
+                    name_col: str = "name") -> DataFrame:
+    """(name, v array<double>) — deterministic init, one row per
+    distinct name. Components are exact single-expression doubles, so
+    any reimplementation (numpy twin, SQL) reproduces them bitwise."""
+    if dim < 2:
+        raise ValueError("dim must be >= 2")
+    c = F.col(name_col)
+    return (names.select(c.alias("name")).distinct()
+            .select("name", F.array(
+                *[_hash_unit(F.col("name"), i, dim)
+                  for i in range(dim)]).alias("v")))
+
+
+def _vadd(a, b):
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def _vsub(a, b):
+    return F.zip_with(a, b, lambda x, y: x - y)
+
+
+def _sqnorm(a):
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+_QBITS = 30
+_Q = float(1 << _QBITS)
+
+
+def _quant(col) -> F.Column:
+    """Quantize to the dyadic grid 2^-30 (≈9.3e-10 resolution — the
+    cross-engine exactness contract): multiplying by a power of two is
+    exact, round() on bit-identical doubles is deterministic, and —
+    the property decimal 9dp rounding lacks — SUMS of same-grid
+    dyadics are exact in ANY order (no low bits to lose), so gradient
+    aggregation is bit-identical across partitionings and engines, and
+    no value ever sits on a rounding boundary by noise."""
+    return F.round(col * F.lit(_Q)) / F.lit(_Q)
+
+
+def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
+                 lr: float = 0.1, margin: float = 1.0,
+                 checkpoint_dir: str | None = None) -> DataFrame:
+    """('entity'|'relation', name, v) — embeddings after ``n_steps``
+    full-batch TransE updates over the distinct (subj, pred, obj)
+    triples.
+
+    Per step, for each triple and its corrupted twin (tail replaced by
+    the md5-picked entity ``hash(s|p|o|step) % n_entities`` — resampled
+    every step, replicable anywhere):
+
+        L = max(0, margin + ‖E_h+R_r−E_t‖² − ‖E_h+R_r−E_t'‖²)
+
+    and when the margin is active the analytic gradients
+    (∂E_h = ∂R_r = 2(E_t'−E_t), ∂E_t = −2(E_h+R_r−E_t),
+    ∂E_t' = +2(E_h+R_r−E_t')) are summed per name and applied with
+    ``lr``; entity embeddings are re-projected to the unit sphere (the
+    TransE constraint) and every component — init included — is
+    quantized to the dyadic 2^-30 grid (see :func:`_quant`): because
+    same-grid dyadic sums are EXACT in any order, every step is
+    bit-identical across layouts, engines, and reimplementations —
+    stronger than a decimal-rounding contract, which leaves
+    boundary-straddle hazards.
+
+    Self-corruptions (the hash picks the true tail) contribute zero
+    gradient by construction (d_pos == d_neg ⇒ inactive margin unless
+    margin > 0 ⇒ active but t and t' gradients cancel exactly) — no
+    special-casing needed, and the twin agrees.
+    """
+    if n_steps < 0:
+        raise ValueError("n_steps must be >= 0")
+    spark = triples.sparkSession
+    tri = (triples.select("subj", "pred", "obj")
+           .dropDuplicates(["subj", "pred", "obj"])
+           .localCheckpoint(eager=True))
+    ents = (tri.select(F.col("subj").alias("name"))
+            .unionByName(tri.select(F.col("obj").alias("name")))
+            .distinct())
+    # dense, deterministic entity indexing for negative corruption:
+    # sorted order — entity-vocabulary-sized, one window pass
+    from pyspark.sql import Window
+    idx = (ents.withColumn(
+        "_i", F.row_number().over(Window.orderBy("name")) - 1)
+        .localCheckpoint(eager=True))
+    n_ent = idx.count()
+    def _quantized(emb):
+        return emb.select("name", F.transform("v", _quant).alias("v"))
+
+    e_emb = _quantized(init_embeddings(idx, dim, "name"))
+    r_emb = _quantized(init_embeddings(
+        tri.select(F.col("pred").alias("name")), dim, "name")) \
+        .withColumnRenamed("name", "pred")
+
+    from .iterate import RoundCheckpointer
+    e_ckpt = RoundCheckpointer(spark, checkpoint_dir, "transe-ent")
+    r_ckpt = RoundCheckpointer(spark, checkpoint_dir, "transe-rel")
+    e_emb = e_ckpt.cut(e_emb)
+    r_emb = r_ckpt.cut(r_emb)
+
+    rnd = F.transform  # alias for brevity below
+    for step in range(n_steps):
+        neg_i = (md5_long(F.concat_ws("|", "subj", "pred", "obj",
+                                      F.lit(str(step))))
+                 % n_ent).cast("int")
+        batch = (tri.withColumn("_ni", neg_i)
+                 .join(idx.select(F.col("name").alias("_nname"),
+                                  F.col("_i").alias("_ni")), "_ni")
+                 .join(e_emb.select(F.col("name").alias("subj"),
+                                    F.col("v").alias("hv")), "subj")
+                 .join(e_emb.select(F.col("name").alias("obj"),
+                                    F.col("v").alias("tv")), "obj")
+                 .join(e_emb.select(F.col("name").alias("_nname"),
+                                    F.col("v").alias("nv")), "_nname")
+                 .join(F.broadcast(r_emb.select("pred",
+                                   F.col("v").alias("rv"))), "pred"))
+        hr = _vadd(F.col("hv"), F.col("rv"))
+        dpos = _vsub(hr, F.col("tv"))
+        dneg = _vsub(hr, F.col("nv"))
+        active = (F.lit(margin) + _sqnorm(dpos) - _sqnorm(dneg)) > 0
+        g_ht = F.zip_with("nv", "tv", lambda a, b: 2.0 * (a - b))
+        g_t = rnd(dpos, lambda x: -2.0 * x)
+        g_n = rnd(dneg, lambda x: 2.0 * x)
+        act = batch.filter(active).select(
+            "subj", "pred", "obj", "_nname",
+            g_ht.alias("_ght"), g_t.alias("_gt"), g_n.alias("_gn"))
+        ent_grads = (
+            act.select(F.col("subj").alias("name"),
+                       F.col("_ght").alias("g"))
+            .unionByName(act.select(F.col("obj").alias("name"),
+                                    F.col("_gt").alias("g")))
+            .unionByName(act.select(F.col("_nname").alias("name"),
+                                    F.col("_gn").alias("g"))))
+        rel_grads = act.select("pred", F.col("_ght").alias("g"))
+
+        def _summed(grads, key):
+            return (grads
+                    .select(key, F.posexplode("g").alias("pos", "gi"))
+                    .groupBy(key, "pos").agg(F.sum("gi").alias("gi"))
+                    .groupBy(key)
+                    .agg(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("pos", "gi"))),
+                        lambda s: s["gi"]).alias("grad")))
+
+        def _apply(emb, gsum, key, renorm):
+            stepped = (emb.join(gsum, key, "left")
+                       .select(key, F.when(
+                           F.col("grad").isNull(), F.col("v")).otherwise(
+                           F.zip_with("v", "grad",
+                                      lambda a, b: a - F.lit(lr) * b))
+                           .alias("v")))
+            if renorm:
+                nrm = F.sqrt(_sqnorm(F.col("v")))
+                stepped = stepped.select(key, F.when(
+                    nrm > 0, rnd("v", lambda x: x / nrm))
+                    .otherwise(F.col("v")).alias("v"))
+            return stepped.select(
+                key, rnd("v", _quant).alias("v"))
+
+        e_emb = e_ckpt.cut(_apply(e_emb, _summed(ent_grads, "name"),
+                                  "name", renorm=True))
+        r_emb = r_ckpt.cut(_apply(r_emb, _summed(rel_grads, "pred"),
+                                  "pred", renorm=False))
+    return (e_emb.select(F.lit("entity").alias("kind"), "name", "v")
+            .unionByName(r_emb.select(F.lit("relation").alias("kind"),
+                                      F.col("pred").alias("name"), "v")))
+
+
+def score_triples(triples: DataFrame, embeddings: DataFrame,
+                  round_digits: int = 9) -> DataFrame:
+    """(subj, pred, obj, score) — TransE distance ‖E_h+R_r−E_t‖²
+    (LOWER is more plausible) for every input triple whose three parts
+    all have embeddings (inner joins: unseen parts are unscoreable by
+    definition). Read path of the trained model: rank candidate facts
+    for completion, or flag high-distance *asserted* facts as error
+    candidates."""
+    e = embeddings.filter(F.col("kind") == "entity").select("name", "v")
+    r = embeddings.filter(F.col("kind") == "relation") \
+        .select("name", "v")
+    j = (triples.select("subj", "pred", "obj")
+         .join(e.select(F.col("name").alias("subj"),
+                        F.col("v").alias("hv")), "subj")
+         .join(e.select(F.col("name").alias("obj"),
+                        F.col("v").alias("tv")), "obj")
+         .join(F.broadcast(r.select(F.col("name").alias("pred"),
+                                    F.col("v").alias("rv"))), "pred"))
+    d = _sqnorm(_vsub(_vadd(F.col("hv"), F.col("rv")), F.col("tv")))
+    return j.select("subj", "pred", "obj",
+                    F.round(d, round_digits).alias("score"))

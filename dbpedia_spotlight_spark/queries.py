@@ -7186,6 +7186,138 @@ def sql_nil_clusters(dim: int = _NIL_DIM,
 
 _BFS_HOPS = 6
 
+_TRANSE_DIM = 4
+_TRANSE_STEPS = 2
+_TRANSE_LR = 0.05
+_TRANSE_MARGIN = 1.0
+
+
+def q_kg_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TransE training (operators/kgembed.py::train_transe)
+    over the corroborated relation triples: 2 full-batch steps at
+    dim 4 (md5 init, per-step md5 tail corruption, analytic gradients,
+    entity renorm, 9dp per-step rounding). The oracle unrolls BOTH
+    steps as generated CTE chains — init, corruption index, gradient
+    sums via unnest, the update + renorm + round — so the engines can
+    only agree if every piece of the training math matches."""
+    from dbpedia_spotlight_spark.operators.kgembed import train_transe
+    trip = _refine_triples(spark, sf_dir)
+    out = train_transe(trip, dim=_TRANSE_DIM, n_steps=_TRANSE_STEPS,
+                       lr=_TRANSE_LR, margin=_TRANSE_MARGIN)
+    # exploded scalar shape: the driver's value-hash compares scalar
+    # cells, not arrays (the text_embeddings precedent)
+    return (out.select("kind", "name",
+                       F.posexplode("v").alias("i", "x"))
+            .orderBy("kind", "name", "i"))
+
+
+def sql_kg_transe(dim: int = _TRANSE_DIM, n_steps: int = _TRANSE_STEPS,
+                  lr: float = _TRANSE_LR,
+                  margin: float = _TRANSE_MARGIN) -> str:
+    idxs = "[" + ", ".join(str(i) for i in range(1, dim + 1)) + "]"
+    scale = 12.0 / dim ** 0.5
+
+    def init_list(name_expr: str) -> str:
+        comps = ", ".join(
+            f"((('0x' || substr(md5({name_expr} || '#{i}'), 1, 15))"
+            f"::BIGINT / 1152921504606846976.0 - 0.5) * {scale!r})"
+            for i in range(dim))
+        return f"[{comps}]"
+
+    steps_sql = []
+    for t in range(n_steps):
+        steps_sql.append(f"""
+  act{t} AS MATERIALIZED (
+    SELECT b.*,
+           list_transform({idxs}, i -> 2.0 * (nv[i] - tv[i])) AS ght,
+           list_transform({idxs},
+             i -> -2.0 * (hv[i] + rv[i] - tv[i])) AS gt,
+           list_transform({idxs},
+             i -> 2.0 * (hv[i] + rv[i] - nv[i])) AS gn
+    FROM (
+      SELECT tr.subj, tr.pred, tr.obj, nm.name AS nname,
+             eh.v AS hv, et.v AS tv, en.v AS nv, rr.v AS rv
+      FROM (SELECT subj, pred, obj,
+                   ('0x' || substr(md5(subj || '|' || pred || '|' ||
+                                       obj || '|{t}'), 1, 15))::BIGINT
+                     % (SELECT count(*) FROM idx) AS ni
+            FROM trip) tr
+      JOIN idx nm ON nm.i = tr.ni
+      JOIN e{t} eh ON eh.name = tr.subj
+      JOIN e{t} et ON et.name = tr.obj
+      JOIN e{t} en ON en.name = nm.name
+      JOIN r{t} rr ON rr.name = tr.pred) b
+    WHERE {margin!r}
+          + list_sum(list_transform({idxs},
+              i -> pow(hv[i] + rv[i] - tv[i], 2)))
+          - list_sum(list_transform({idxs},
+              i -> pow(hv[i] + rv[i] - nv[i], 2))) > 0),
+  eg{t} AS (
+    SELECT name, list(g ORDER BY pos) AS grad FROM (
+      SELECT name, pos, sum(gi) AS g FROM (
+        SELECT subj AS name, unnest(ght) AS gi,
+               generate_subscripts(ght, 1) AS pos FROM act{t}
+        UNION ALL
+        SELECT obj, unnest(gt), generate_subscripts(gt, 1) FROM act{t}
+        UNION ALL
+        SELECT nname, unnest(gn), generate_subscripts(gn, 1)
+        FROM act{t}) u
+      GROUP BY name, pos) s
+    GROUP BY name),
+  rg{t} AS (
+    SELECT name, list(g ORDER BY pos) AS grad FROM (
+      SELECT pred AS name, pos, sum(gi) AS g FROM (
+        SELECT pred, unnest(ght) AS gi,
+               generate_subscripts(ght, 1) AS pos FROM act{t}) u
+      GROUP BY pred, pos) s
+    GROUP BY name),
+  es{t} AS (
+    SELECT e.name,
+           CASE WHEN g.grad IS NULL THEN e.v
+                ELSE list_transform({idxs},
+                       i -> e.v[i] - {lr!r} * g.grad[i]) END AS v
+    FROM e{t} e LEFT JOIN eg{t} g ON g.name = e.name),
+  e{t + 1} AS MATERIALIZED (
+    SELECT name, list_transform({idxs}, i -> round(
+             (CASE WHEN nrm > 0 THEN v[i] / nrm ELSE v[i] END)
+             * 1073741824.0) / 1073741824.0) AS v
+    FROM (SELECT name, v,
+                 sqrt(list_sum(list_transform({idxs},
+                   i -> v[i] * v[i]))) AS nrm
+          FROM es{t}) q),
+  r{t + 1} AS MATERIALIZED (
+    SELECT r.name,
+           CASE WHEN g.grad IS NULL
+                THEN list_transform({idxs},
+                       i -> round(r.v[i] * 1073741824.0) / 1073741824.0)
+                ELSE list_transform({idxs},
+                       i -> round((r.v[i] - {lr!r} * g.grad[i])
+                                  * 1073741824.0) / 1073741824.0)
+           END AS v
+    FROM r{t} r LEFT JOIN rg{t} g ON g.name = r.name)""")
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED
+        + "," + _SQL_REL_OK + _SQL_REFINE_TRIP + f""",
+  ents AS (SELECT DISTINCT subj AS name FROM trip
+           UNION SELECT obj FROM trip),
+  idx AS MATERIALIZED (
+    SELECT name, row_number() OVER (ORDER BY name) - 1 AS i FROM ents),
+  e0 AS MATERIALIZED (
+    SELECT name, list_transform({init_list('name')},
+             x -> round(x * 1073741824.0) / 1073741824.0) AS v FROM ents),
+  r0 AS MATERIALIZED (
+    SELECT name, list_transform({init_list('name')},
+             x -> round(x * 1073741824.0) / 1073741824.0) AS v
+    FROM (SELECT DISTINCT pred AS name FROM trip) p),{",".join(steps_sql)}
+  SELECT kind, name,
+         CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS i,
+         unnest(v) AS x
+  FROM (SELECT 'entity' AS kind, name, v FROM e{n_steps}
+        UNION ALL
+        SELECT 'relation', name, v FROM r{n_steps}) u
+  ORDER BY kind, name, i"""
+    )
+
 
 def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS landmarks (operators/graph.py::shortest_paths)
@@ -7589,6 +7721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- queries with no prior external CORRECTNESS row run FIRST ---
         "entity_summary": q_entity_summary,
         "type_prediction": q_type_prediction,
+        "kg_transe": q_kg_transe,
         "nil_clusters": q_nil_clusters,
         "fused_truth": q_fused_truth,
         "link_prediction": q_link_prediction,
@@ -7632,7 +7765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "model_build": q_model_build,
         "model_entities": q_model_entities,
         # training-data ops
-        "dedup_exact": q_dedup_exact,
         "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_lsh_verified": q_jaccard_lsh_verified,
         "minhash_pairs": q_minhash_pairs,
@@ -7650,6 +7782,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "entity_summary": sql_entity_summary(),
         "type_prediction": sql_type_prediction(),
+        "kg_transe": sql_kg_transe(),
         "nil_clusters": sql_nil_clusters(),
         "fused_truth": sql_fused_truth(),
         "link_prediction": sql_link_prediction(),
@@ -7690,7 +7823,6 @@ def oracle_sql() -> dict[str, str]:
         "spot_fsa": sql_spot_fsa(),
         "model_build": sql_model_build(),
         "model_entities": sql_model_entities(),
-        "dedup_exact": sql_dedup_exact(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "jaccard_lsh_verified": sql_jaccard_lsh_verified(),
         "minhash_pairs": sql_minhash_pairs(),

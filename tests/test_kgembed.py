@@ -1,0 +1,157 @@
+"""TransE training (operators/kgembed.py): BIT-exact parity with a
+from-scratch numpy twin (both sides under the dyadic 2^-30 per-step
+quantization contract), loss behavior, layout independence, and the
+score_triples read path."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from dbpedia_spotlight_spark.operators.kgembed import (
+    init_embeddings, score_triples, train_transe)
+
+
+def _md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+_Q = float(1 << 30)
+
+
+def _quant_np(v: np.ndarray) -> np.ndarray:
+    # half away from zero — Spark round() / DuckDB round() semantics
+    return np.copysign(np.floor(np.abs(v * _Q) + 0.5), v) / _Q
+
+
+def _init_np(name: str, dim: int) -> np.ndarray:
+    return np.array([
+        (_md5_long(f"{name}#{i}") / float(1 << 60) - 0.5)
+        * (12.0 / math.sqrt(dim))
+        for i in range(dim)])
+
+
+def _train_np(triples, dim, n_steps, lr, margin):
+    """From-scratch full-batch TransE replicating the operator's
+    contract: md5 init, per-step md5 tail corruption, analytic
+    gradients on active margins, entity renorm, dyadic per-step quant."""
+    tri = sorted(set(triples))
+    ents = sorted({s for s, _, _ in tri} | {o for _, _, o in tri})
+    rels = sorted({p for _, p, _ in tri})
+    E = {e: _quant_np(_init_np(e, dim)) for e in ents}
+    R = {r: _quant_np(_init_np(r, dim)) for r in rels}
+    for step in range(n_steps):
+        ge = {e: np.zeros(dim) for e in ents}
+        gr = {r: np.zeros(dim) for r in rels}
+        for (s, p, o) in tri:
+            ni = _md5_long(f"{s}|{p}|{o}|{step}") % len(ents)
+            nname = ents[ni]
+            hr = E[s] + R[p]
+            dpos, dneg = hr - E[o], hr - E[nname]
+            if margin + dpos @ dpos - dneg @ dneg > 0:
+                ge[s] += 2.0 * (E[nname] - E[o])
+                gr[p] += 2.0 * (E[nname] - E[o])
+                ge[o] += -2.0 * dpos
+                ge[nname] += 2.0 * dneg
+        for e in ents:
+            v = E[e] - lr * ge[e]
+            n = math.sqrt(float(v @ v))
+            if n > 0:
+                v = v / n
+            E[e] = _quant_np(v)
+        for r in rels:
+            R[r] = _quant_np(R[r] - lr * gr[r])
+    return E, R
+
+
+_TRIPLES = [
+    ("a", "likes", "b"), ("a", "likes", "c"), ("b", "likes", "c"),
+    ("c", "knows", "d"), ("d", "knows", "e"), ("e", "knows", "a"),
+    ("b", "owns", "x"), ("c", "owns", "x"), ("d", "owns", "y"),
+    ("x", "near", "y"), ("y", "near", "x"), ("a", "owns", "y"),
+]
+
+
+def _tri_df(spark, rows=None):
+    return spark.createDataFrame(
+        rows or _TRIPLES, "subj string, pred string, obj string")
+
+
+def test_init_matches_twin(spark):
+    df = _tri_df(spark)
+    out = {r.name: np.array(r.v)
+           for r in init_embeddings(
+               df.select(df.subj.alias("name")), 8).collect()}
+    for name, v in out.items():
+        assert np.array_equal(v, _init_np(name, 8)), name
+    with pytest.raises(ValueError, match="dim"):
+        init_embeddings(_tri_df(spark), 1, "subj")
+
+
+@pytest.mark.parametrize("n_steps", [0, 1, 4])
+def test_train_matches_numpy_twin(spark, n_steps):
+    dim, lr, margin = 8, 0.05, 1.0
+    got = train_transe(_tri_df(spark), dim=dim, n_steps=n_steps,
+                       lr=lr, margin=margin).collect()
+    E, R = _train_np(_TRIPLES, dim, n_steps, lr, margin)
+    want = {("entity", k): v for k, v in E.items()}
+    want.update({("relation", k): v for k, v in R.items()})
+    got_map = {(r.kind, r.name): np.array(r.v) for r in got}
+    assert set(got_map) == set(want)
+    for key in want:
+        # BIT-exact: the dyadic quantization contract leaves no
+        # summation-order noise on either side
+        assert np.array_equal(got_map[key], want[key]), key
+
+
+def test_training_reduces_margin_loss(spark):
+    """Mean margin loss over the training triples (vs the step-0
+    corruptions) decreases after training — the optimizer optimizes."""
+    def loss(E, R, step=0):
+        tri = sorted(set(_TRIPLES))
+        ents = sorted({s for s, _, _ in tri} | {o for _, _, o in tri})
+        tot = 0.0
+        for (s, p, o) in tri:
+            nname = ents[_md5_long(f"{s}|{p}|{o}|{step}") % len(ents)]
+            hr = E[s] + R[p]
+            dpos, dneg = hr - E[o], hr - E[nname]
+            tot += max(0.0, 1.0 + float(dpos @ dpos) - float(dneg @ dneg))
+        return tot / len(tri)
+    E0, R0 = _train_np(_TRIPLES, 8, 0, 0.05, 1.0)
+    E9, R9 = _train_np(_TRIPLES, 8, 12, 0.05, 1.0)
+    assert loss(E9, R9) < loss(E0, R0)
+
+
+def test_layout_independence(spark):
+    df = _tri_df(spark)
+    base = sorted((r.kind, r.name, tuple(r.v)) for r in
+                  train_transe(df, dim=6, n_steps=3).collect())
+    shuf = sorted((r.kind, r.name, tuple(r.v)) for r in
+                  train_transe(df.repartition(7, "obj"),
+                               dim=6, n_steps=3).collect())
+    assert base == shuf
+
+
+def test_score_triples_read_path(spark):
+    df = _tri_df(spark)
+    emb = train_transe(df, dim=8, n_steps=8).localCheckpoint(eager=True)
+    scored = score_triples(df, emb).collect()
+    assert len(scored) == len(set(_TRIPLES))
+    # corrupted triples score worse (higher distance) ON AVERAGE than
+    # the asserted ones the model trained on
+    asserted = {(r.subj, r.pred, r.obj): r.score for r in scored}
+    corrupt = [(s, p, "x" if o != "x" else "y")
+               for (s, p, o) in _TRIPLES]
+    corrupt = [c for c in corrupt if c not in asserted]
+    cs = {(r.subj, r.pred, r.obj): r.score
+          for r in score_triples(_tri_df(spark, corrupt), emb).collect()}
+    assert np.mean(list(cs.values())) > np.mean(list(asserted.values()))
+    # unseen parts are unscoreable: inner-join semantics
+    alien = _tri_df(spark, [("zz", "likes", "a"), ("a", "likes", "b")])
+    assert score_triples(alien, emb).count() == 1
+    # entity rows are unit-norm after training
+    for r in emb.filter("kind = 'entity'").collect():
+        assert abs(float(np.linalg.norm(r.v)) - 1.0) < 1e-8

@@ -62,6 +62,9 @@ ROTATED = [
     # relation triples (companion of the registered entity_summary /
     # type_prediction refinement family)
     ("schema_graph", Q.q_schema_graph, Q.sql_schema_graph),
+    # round-5 sixteenth rotation OUT: exact dedup (hash-groupBy
+    # machinery stays exercised in dup_span_stats + line_dedup)
+    ("dedup_exact", Q.q_dedup_exact, Q.sql_dedup_exact),
     # round-5 addition: multi-source BFS landmarks over the
     # strongest-neighbor backbone of the co-mention graph — oracle is
     # a genuine WITH RECURSIVE BFS at the same hop budget
