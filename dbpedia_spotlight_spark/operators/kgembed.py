@@ -89,7 +89,9 @@ def _quant(col) -> F.Column:
 
 def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
                  lr: float = 0.1, margin: float = 1.0,
-                 checkpoint_dir: str | None = None) -> DataFrame:
+                 checkpoint_dir: str | None = None,
+                 resume_from: DataFrame | None = None,
+                 step_offset: int = 0) -> DataFrame:
     """('entity'|'relation', name, v) — embeddings after ``n_steps``
     full-batch TransE updates over the distinct (subj, pred, obj)
     triples.
@@ -115,6 +117,16 @@ def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
     gradient by construction (d_pos == d_neg ⇒ inactive margin unless
     margin > 0 ⇒ active but t and t' gradients cancel exactly) — no
     special-casing needed, and the twin agrees.
+
+    Warm start: pass a previous ``train_transe`` output as
+    ``resume_from`` and the step count already consumed as
+    ``step_offset`` — corruption indices continue from there, so
+    ``train(n)`` ≡ ``train(k)`` then ``resume(n-k, offset=k)``
+    BIT-exactly (full-batch GD has no hidden state). This is the KG
+    lifecycle hook: retrain a few steps after a triple delta instead
+    of from scratch. Names absent from ``resume_from`` (new entities
+    or relations in the delta) get hash init; names present keep their
+    trained vectors (dim must match — enforced).
     """
     if n_steps < 0:
         raise ValueError("n_steps must be >= 0")
@@ -139,6 +151,19 @@ def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
     r_emb = _quantized(init_embeddings(
         tri.select(F.col("pred").alias("name")), dim, "name")) \
         .withColumnRenamed("name", "pred")
+    if resume_from is not None:
+        bad = resume_from.filter(F.size("v") != dim).limit(1).count()
+        if bad:
+            raise ValueError(f"resume_from embeddings are not dim={dim}")
+        prev_e = (resume_from.filter(F.col("kind") == "entity")
+                  .select("name", F.col("v").alias("_pv")))
+        prev_r = (resume_from.filter(F.col("kind") == "relation")
+                  .select(F.col("name").alias("pred"),
+                          F.col("v").alias("_pv")))
+        e_emb = (e_emb.join(prev_e, "name", "left")
+                 .select("name", F.coalesce("_pv", "v").alias("v")))
+        r_emb = (r_emb.join(prev_r, "pred", "left")
+                 .select("pred", F.coalesce("_pv", "v").alias("v")))
 
     from .iterate import RoundCheckpointer
     e_ckpt = RoundCheckpointer(spark, checkpoint_dir, "transe-ent")
@@ -147,7 +172,7 @@ def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
     r_emb = r_ckpt.cut(r_emb)
 
     rnd = F.transform  # alias for brevity below
-    for step in range(n_steps):
+    for step in range(step_offset, step_offset + n_steps):
         neg_i = (md5_long(F.concat_ws("|", "subj", "pred", "obj",
                                       F.lit(str(step))))
                  % n_ent).cast("int")

@@ -155,3 +155,28 @@ def test_score_triples_read_path(spark):
     # entity rows are unit-norm after training
     for r in emb.filter("kind = 'entity'").collect():
         assert abs(float(np.linalg.norm(r.v)) - 1.0) < 1e-8
+
+
+def test_resume_is_bit_exact(spark):
+    """train(4) ≡ train(2) → resume(2 more, offset=2), bit-exactly —
+    the KG-lifecycle warm start; a delta entity gets hash init while
+    carried-over names keep their trained vectors."""
+    df = _tri_df(spark)
+    full = {(r.kind, r.name): tuple(r.v) for r in
+            train_transe(df, dim=6, n_steps=4, lr=0.05).collect()}
+    half = train_transe(df, dim=6, n_steps=2, lr=0.05) \
+        .localCheckpoint(eager=True)
+    resumed = {(r.kind, r.name): tuple(r.v) for r in
+               train_transe(df, dim=6, n_steps=2, lr=0.05,
+                            resume_from=half,
+                            step_offset=2).collect()}
+    assert resumed == full
+    # delta with a NEW entity: carried names start from trained state,
+    # the new one from hash init (present in output, unit-norm)
+    delta = _tri_df(spark, _TRIPLES + [("a", "likes", "newbie")])
+    out = train_transe(delta, dim=6, n_steps=1, lr=0.05,
+                       resume_from=half, step_offset=2)
+    names = {r.name for r in out.filter("kind = 'entity'").collect()}
+    assert "newbie" in names
+    with pytest.raises(ValueError, match="dim"):
+        train_transe(df, dim=8, n_steps=1, resume_from=half).collect()
