@@ -867,3 +867,88 @@ def maintain_kg_stream(spark: SparkSession, input_dir: str, model_bc,
     )
     q.awaitTermination()
     return store
+
+
+class EmbeddingStore(KGStore):
+    """Generation store for incrementally-maintained TransE embeddings
+    (operators/kgembed.py): per generation one ``embeddings`` frame
+    (kind, name, v) plus a one-row ``meta`` frame recording the model
+    config and the cumulative step count. Follows a :class:`RelationStore`
+    (the entity-to-entity triple state TransE trains on) the way the
+    relation store follows the KG delta log.
+
+    ``catchup(rel_store, steps=K)`` warm-starts from the live
+    embeddings (``resume_from`` + ``step_offset`` — bit-exact
+    continuation, see ``train_transe``) and runs K more full-batch
+    steps over the CURRENT corroborated relation triples: entities and
+    relations that survived the delta keep their trained vectors, new
+    ones enter at hash init, disappeared ones are dropped with the
+    triple set — the standard embedding-refresh lifecycle instead of
+    retraining from scratch. ``dim`` is pinned at first fold; changing
+    it later raises (re-root the store to retrain at a new dim).
+
+    Same pointer-file crash discipline as the sibling stores: state is
+    written into the new generation directory BEFORE the pointer flip,
+    and an orphan directory from a crash between write and flip is
+    simply overwritten on the next catchup.
+    """
+
+    _EMB_DDL = "kind string, name string, v array<double>"
+    _META_DDL = ("dim int, steps_done int, lr double, margin double, "
+                 "min_docs int")
+
+    def read_embeddings(self) -> DataFrame:
+        return self._read_state("embeddings", self._EMB_DDL)
+
+    def read_meta(self) -> dict | None:
+        gen = self.latest_gen()
+        if gen is None:
+            return None
+        row = self.spark.read.parquet(
+            f"{self._gen_path(gen)}/meta").head()
+        return row.asDict()
+
+    def catchup(self, rel_store: RelationStore, dim: int = 16,
+                steps: int = 2, lr: float = 0.1, margin: float = 1.0,
+                min_docs: int = 2) -> dict:
+        """Refresh embeddings against ``rel_store``'s live generation.
+        No-op when already caught up AND no steps are requested beyond
+        what the pointer generation recorded; otherwise trains
+        ``steps`` more steps (warm-started) and writes a generation
+        named after the relation store's."""
+        from dbpedia_spotlight_spark.operators.kgembed import train_transe
+        from dbpedia_spotlight_spark.operators.relations import (
+            relation_triples)
+        rel_gen = rel_store.latest_gen()
+        if rel_gen is None:
+            raise ValueError("relation store has no live generation — "
+                             "run its catchup first")
+        meta = self.read_meta()
+        if meta is not None and meta["dim"] != dim:
+            raise ValueError(
+                f"store was trained at dim={meta['dim']}; retraining at "
+                f"dim={dim} needs a fresh store root")
+        if meta is not None and self.latest_gen() == rel_gen:
+            return {"gen": rel_gen, "steps_done": meta["steps_done"],
+                    "trained": 0}
+        prev = self.read_embeddings() if meta is not None else None
+        offset = meta["steps_done"] if meta is not None else 0
+        trips = relation_triples(
+            rel_store.read_relations(), min_docs=min_docs) \
+            .select("subj", "pred", "obj")
+        emb = train_transe(trips, dim=dim, n_steps=steps, lr=lr,
+                           margin=margin, resume_from=prev,
+                           step_offset=offset)
+        gen_dir = self._gen_path(rel_gen)
+        emb.write.mode("overwrite").parquet(f"{gen_dir}/embeddings")
+        self.spark.createDataFrame(
+            [(dim, offset + steps, float(lr), float(margin),
+              min_docs)], self._META_DDL) \
+            .write.mode("overwrite").parquet(f"{gen_dir}/meta")
+        prev_gen = self.latest_gen()
+        self._write_pointer(rel_gen, -1)
+        if prev_gen is not None and prev_gen != rel_gen:
+            self._fs.delete(self._fs_path(self._gen_path(prev_gen)), True)
+        n = emb.count()
+        return {"gen": rel_gen, "steps_done": offset + steps,
+                "trained": steps, "n_embeddings": n}

@@ -347,3 +347,73 @@ def test_canonicalize_relations(spark):
     assert {tuple(r) for r in roll.collect()} == {
         ("A1", "loves", "B", 4, 2),
         ("B", "sees", "C", 1, 1)}
+
+
+def test_embedding_store_follows_relation_store(spark, web_pages,
+                                                model_bc, tmp_path):
+    """EmbeddingStore.catchup trains over the relation store's live
+    triples and equals a from-scratch train at the same cumulative
+    step count on an UNCHANGED triple set (the bit-exact warm-start
+    contract); meta tracks steps; a caught-up store no-ops; dim
+    changes raise."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from dbpedia_spotlight_spark.operators.kgembed import train_transe
+    from dbpedia_spotlight_spark.operators.relations import (
+        relation_triples)
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        EmbeddingStore, KGStore, RelationStore, apply_pages_batch)
+
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "text", "lang"]
+    rows = web_pages.select(*cols).orderBy("url").collect()
+    schema = web_pages.select(*cols).schema
+    kg = KGStore(spark, str(tmp_path / "kg"))
+    pages = spark.createDataFrame(rows[:30], schema)
+    apply_pages_batch(spark, pages, model_bc, kg, batch_id=0, cfg=cfg)
+    rstore = RelationStore(spark, str(tmp_path / "rel"))
+    rstore.catchup(kg, pages.select("url", "text"))
+
+    estore = EmbeddingStore(spark, str(tmp_path / "emb"))
+    s1 = estore.catchup(rstore, dim=6, steps=2, lr=0.05, min_docs=1)
+    assert s1["trained"] == 2 and s1["steps_done"] == 2
+    assert s1["gen"] == rstore.latest_gen()
+    # caught-up: no-op
+    s2 = estore.catchup(rstore, dim=6, steps=2, lr=0.05, min_docs=1)
+    assert s2["trained"] == 0 and s2["steps_done"] == 2
+    # snapshot the gen-0 embeddings, then a REAL content change (text
+    # swapped from another doc, newer warc_ts) advances KG + relation
+    # store; the next catchup must equal an externally-replicated
+    # resume over the NEW triple set — carried names keep trained
+    # vectors, delta names enter at hash init, bit-exactly
+    prev_emb = estore.read_embeddings().localCheckpoint(eager=True)
+    import datetime
+    r0, r1 = rows[0], rows[1]
+    recrawl = spark.createDataFrame(
+        [(r0.url, r0.warc_ts + datetime.timedelta(days=1), r1.text,
+          r0.lang)], schema)
+    apply_pages_batch(spark, recrawl, model_bc, kg, batch_id=1, cfg=cfg)
+    live = spark.createDataFrame(
+        [(r0.url, r1.text)] + [(r.url, r.text) for r in rows[1:30]],
+        "url string, text string")
+    rstore.catchup(kg, live)
+    s3 = estore.catchup(rstore, dim=6, steps=2, lr=0.05, min_docs=1)
+    assert s3["steps_done"] == 4 and s3["trained"] == 2
+    assert s3["gen"] == rstore.latest_gen()
+    got = {(r.kind, r.name): tuple(r.v)
+           for r in estore.read_embeddings().collect()}
+    trips = relation_triples(rstore.read_relations(), min_docs=1) \
+        .select("subj", "pred", "obj")
+    want = {(r.kind, r.name): tuple(r.v)
+            for r in train_transe(trips, dim=6, n_steps=2, lr=0.05,
+                                  resume_from=prev_emb,
+                                  step_offset=2).collect()}
+    assert got == want
+    with _pt.raises(ValueError, match="dim"):
+        estore.catchup(rstore, dim=8, steps=1)
+    # fresh store on a relation store with no generation raises
+    with _pt.raises(ValueError, match="no live generation"):
+        EmbeddingStore(spark, str(tmp_path / "emb2")).catchup(
+            RelationStore(spark, str(tmp_path / "rel2")), dim=6)
