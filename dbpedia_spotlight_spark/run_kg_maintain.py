@@ -121,6 +121,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--er-max-name-dist", type=int, default=2)
     ap.add_argument("--er-min-shared", type=int, default=2)
     ap.add_argument("--er-max-block", type=int, default=64)
+    ap.add_argument("--embeddings", default="",
+                    help="root of a derived TransE EmbeddingStore "
+                         "(requires --relations: embeddings refresh "
+                         "over the corroborated relation triples, "
+                         "warm-started bit-exactly from the live "
+                         "generation)")
+    ap.add_argument("--embed-dim", type=int, default=16)
+    ap.add_argument("--embed-steps", type=int, default=2)
+    ap.add_argument("--embed-lr", type=float, default=0.1)
+    ap.add_argument("--embed-min-docs", type=int, default=2)
     ap.add_argument("--metrics-out", default="",
                     help="write the run stats JSON to this local path "
                          "as well as stdout")
@@ -262,6 +272,18 @@ def main(argv: list[str] | None = None,
         # fold's crossing frame) — a global read_relations().count()
         # would scan the corpus-sized state every incremental run
         stats["relations"] = rstore.catchup(store, corpus)
+
+    if args.embeddings:
+        if not args.relations:
+            raise ValueError("--embeddings requires --relations (the "
+                             "EmbeddingStore follows the relation "
+                             "store's generations)")
+        from dbpedia_spotlight_spark.streaming.kg_stream import (
+            EmbeddingStore)
+        estore = EmbeddingStore(spark, args.embeddings)
+        stats["embeddings"] = estore.catchup(
+            rstore, dim=args.embed_dim, steps=args.embed_steps,
+            lr=args.embed_lr, min_docs=args.embed_min_docs)
 
     if args.shapes:
         from dbpedia_spotlight_spark.operators.shapes import (

@@ -1213,3 +1213,42 @@ def test_run_kg_maintain_relations_catchup(spark, web_pages, lexicon,
               + base, spark=spark)
     assert s5["relations"]["gens_folded"] == 1
     assert {tuple(r) for r in rstore.read_relations().collect()} == want3
+
+
+def test_run_kg_maintain_embeddings(spark, web_pages, lexicon, tmp_path):
+    """--embeddings chains the EmbeddingStore onto --relations: first
+    run trains from hash init, a repeat run with unchanged pages is a
+    no-op at the same generation, and --embeddings without --relations
+    is refused."""
+    import pytest as _pytest
+
+    from dbpedia_spotlight_spark.datagen import write_lexicon
+    from dbpedia_spotlight_spark.run_kg_maintain import main
+    from dbpedia_spotlight_spark.streaming.kg_stream import EmbeddingStore
+
+    pages_dir = str(tmp_path / "pages")
+    lex_dir = str(tmp_path / "lexicon")
+    web_pages.write.mode("overwrite").parquet(pages_dir)
+    write_lexicon(spark, lexicon, lex_dir)
+    base = ["--pages", pages_dir, "--lexicon", lex_dir,
+            "--kg", str(tmp_path / "kg"),
+            "--relations", str(tmp_path / "rel"),
+            "--embeddings", str(tmp_path / "emb"),
+            "--embed-dim", "6", "--embed-steps", "2",
+            "--embed-min-docs", "1"]
+    s1 = main(base, spark=spark)
+    assert s1["embeddings"]["trained"] == 2
+    assert s1["embeddings"]["steps_done"] == 2
+    assert s1["embeddings"]["n_embeddings"] > 0
+    estore = EmbeddingStore(spark, str(tmp_path / "emb"))
+    emb = estore.read_embeddings()
+    assert emb.filter("kind = 'entity'").count() > 0
+    assert estore.read_meta()["dim"] == 6
+    # unchanged pages: relation store keeps its generation → no-op
+    s2 = main(base, spark=spark)
+    assert s2["embeddings"]["trained"] == 0
+    assert s2["embeddings"]["steps_done"] == 2
+    with _pytest.raises(ValueError, match="requires --relations"):
+        main(["--pages", pages_dir, "--lexicon", lex_dir,
+              "--kg", str(tmp_path / "kg2"),
+              "--embeddings", str(tmp_path / "emb2")], spark=spark)
