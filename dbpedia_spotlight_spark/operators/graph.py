@@ -770,3 +770,41 @@ def shortest_paths(edges: DataFrame, sources: list[str],
         known = known_ckpt.cut(known.unionByName(fresh))
         frontier = fresh
     return known
+
+
+def harmonic_centrality(edges: DataFrame, sources: list[str],
+                        max_hops: int = 6, directed: bool = False,
+                        checkpoint_dir: str | None = None) -> DataFrame:
+    """(uri, n_reached, harmonic) — landmark-sampled harmonic
+    centrality: C(v) = Σ_{s ∈ sources, d(v,s) > 0} 1/d(v,s), the
+    Eppstein–Wang estimator shape with the harmonic variant of
+    Boldi–Vigna (robust to disconnection: unreachable landmarks
+    contribute 0 instead of poisoning the mean like classic closeness).
+    Nodes unreachable from EVERY landmark don't appear (their estimate
+    is 0 and the node table is the caller's to left-join).
+
+    Cross-engine determinism: Σ 1/d over doubles is order-sensitive at
+    the ulp, so the sum is computed EXACTLY — each term is L/d with
+    L = lcm(1..max_hops) (d divides L, so L/d is an exact integer),
+    summed as BIGINT, and ``harmonic`` is the ONE final double division
+    num/L. Any engine, any layout, any aggregation order produces the
+    same bits.
+
+    Scale: one multi-source BFS (see ``shortest_paths`` — semi-naive,
+    rounds = diameter) + one node-keyed aggregation. Landmark count is
+    the user's accuracy/cost dial; state is |reached| × |sources|.
+    """
+    import math
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    L = math.lcm(*range(1, max_hops + 1))
+    sp = shortest_paths(edges, sources, max_hops=max_hops,
+                        directed=directed, checkpoint_dir=checkpoint_dir)
+    num = F.sum((F.lit(L) / F.col("dist")).cast("long"))
+    return (sp.filter(F.col("dist") > 0)
+            .groupBy("uri")
+            .agg(F.count("*").cast("int").alias("n_reached"),
+                 num.alias("h_num"))
+            .select("uri", "n_reached",
+                    (F.col("h_num") / F.lit(float(L)))
+                    .alias("harmonic")))

@@ -7330,8 +7330,17 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver SFs). The oracle replays the backbone argmax and runs a
     genuine WITH RECURSIVE BFS at the same hop budget, min(dist) per
     (uri, source)."""
-    from dbpedia_spotlight_spark.operators.graph import (
-        cooccurrence_edges, shortest_paths)
+    from dbpedia_spotlight_spark.operators.graph import shortest_paths
+    out = shortest_paths(_comention_backbone(spark, sf_dir),
+                         _top_support_uris(2), max_hops=_BFS_HOPS)
+    return out.orderBy("source", "dist", "uri")
+
+
+def _comention_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongest-neighbor backbone of the co-mention graph (each node
+    keeps its max-n_docs neighbor, ties lexicographic) — the shared
+    sparsifier fixture for the BFS-family pairs."""
+    from dbpedia_spotlight_spark.operators.graph import cooccurrence_edges
     edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
         .localCheckpoint(eager=True)
     und = (edges.select(F.col("uri_a").alias("s"),
@@ -7339,19 +7348,21 @@ def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
            .unionByName(edges.select(F.col("uri_b").alias("s"),
                                      F.col("uri_a").alias("d"),
                                      "n_docs")))
-    backbone = (und.groupBy("s")
-                .agg(F.min(F.struct((-F.col("n_docs")).alias("nw"),
-                                    F.col("d").alias("d"))).alias("b"))
-                .select(F.col("s").alias("uri_a"),
-                        F.col("b.d").alias("uri_b"))
-                .localCheckpoint(eager=True))
-    out = shortest_paths(backbone, _top_support_uris(2),
-                         max_hops=_BFS_HOPS)
-    return out.orderBy("source", "dist", "uri")
+    return (und.groupBy("s")
+            .agg(F.min(F.struct((-F.col("n_docs")).alias("nw"),
+                                F.col("d").alias("d"))).alias("b"))
+            .select(F.col("s").alias("uri_a"),
+                    F.col("b.d").alias("uri_b"))
+            .localCheckpoint(eager=True))
 
 
-def sql_shortest_paths() -> str:
-    srcs = ", ".join(f"('{u}')" for u in sorted(_top_support_uris(2)))
+def _sql_bfs_prefix(n_sources: int) -> str:
+    """Shared oracle prefix for the BFS family: backbone argmax replay
+    + WITH RECURSIVE BFS from the top-``n_sources`` landmarks, hop
+    budget ``_BFS_HOPS``. Ends with the ``bfs`` CTE open for the
+    caller's final SELECT."""
+    srcs = ", ".join(f"('{u}')" for u in sorted(
+        _top_support_uris(n_sources)))
     return (
         "WITH RECURSIVE " + _sql_toks() + ", " + _SQL_SPOTS + ", "
         + _SQL_RANKED + _WALK_SQL_PREFIX.split(",\n  deg AS")[0] + f""",
@@ -7375,11 +7386,43 @@ def sql_shortest_paths() -> str:
     UNION
     SELECT undbb.d, bfs.source, bfs.dist + 1
     FROM bfs JOIN undbb ON undbb.s = bfs.uri
-    WHERE bfs.dist < {_BFS_HOPS})
+    WHERE bfs.dist < {_BFS_HOPS})"""
+    )
+
+
+def sql_shortest_paths() -> str:
+    return _sql_bfs_prefix(2) + """
   SELECT uri, source, CAST(min(dist) AS INTEGER) AS dist
   FROM bfs GROUP BY uri, source
   ORDER BY source, dist, uri"""
-    )
+
+
+def q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled harmonic centrality (operators/graph.py::
+    harmonic_centrality) over the co-mention backbone: C(v) =
+    Σ_s 1/d(v,s) from the four highest-support landmarks within 6
+    hops. Cross-engine exactness device: the sum is computed as exact
+    integers scaled by L = lcm(1..6) = 60 (every hop count divides L),
+    so ``harmonic`` is ONE double division of an integer — identical
+    bits in any engine at any aggregation order. The oracle replays
+    the backbone + recursive BFS and folds the same L/d integers."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        harmonic_centrality)
+    out = harmonic_centrality(_comention_backbone(spark, sf_dir),
+                              _top_support_uris(4), max_hops=_BFS_HOPS)
+    return out.orderBy("uri")
+
+
+def sql_harmonic_centrality() -> str:
+    # L = lcm(1..6) = 60; 60 // dist is exact for every reachable dist
+    return _sql_bfs_prefix(4) + """,
+  md AS (SELECT uri, source, min(dist) AS dist
+         FROM bfs GROUP BY uri, source)
+  SELECT uri, CAST(count(*) AS INTEGER) AS n_reached,
+         sum(CAST(60 // dist AS BIGINT)) / 60.0 AS harmonic
+  FROM md WHERE dist > 0
+  GROUP BY uri
+  ORDER BY uri"""
 
 
 # ---------------------------------------------------------------------------

@@ -750,3 +750,48 @@ def test_shortest_paths_checkpoint_dir(spark, tmp_path):
     assert base == ck
     gens = [p.name for p in tmp_path.iterdir()]
     assert len(gens) <= 2, gens
+
+
+# harmonic_centrality (landmark-sampled, exact-integer sum device)
+
+def test_harmonic_centrality_reference(spark):
+    from dbpedia_spotlight_spark.operators.graph import harmonic_centrality
+    import math
+    import random
+    rng = random.Random(11)
+    edges = sorted({(f"v{rng.randint(0, 19)}", f"v{rng.randint(0, 19)}")
+                    for _ in range(40)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "uri_a string, uri_b string")
+    sources, max_hops = ["v0", "v3", "v7"], 5
+    want_d = _bfs_reference(edges, sources, max_hops, False)
+    L = math.lcm(*range(1, max_hops + 1))
+    num, cnt = {}, {}
+    for (u, _s), d in want_d.items():
+        if d > 0:
+            num[u] = num.get(u, 0) + L // d
+            cnt[u] = cnt.get(u, 0) + 1
+    got = {r.uri: (r.n_reached, r.harmonic)
+           for r in harmonic_centrality(df, sources,
+                                        max_hops=max_hops).collect()}
+    assert got == {u: (cnt[u], num[u] / L) for u in num}
+
+
+def test_harmonic_centrality_semantics(spark):
+    from dbpedia_spotlight_spark.operators.graph import harmonic_centrality
+    import pytest as _pt
+    # chain a-b-c-d from landmarks {a, d}: b sees dists 1 and 2
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "uri_a string, uri_b string")
+    got = {r.uri: (r.n_reached, r.harmonic)
+           for r in harmonic_centrality(df, ["a", "d"]).collect()}
+    assert got["b"] == (2, 1.0 + 0.5)
+    assert got["a"] == (1, 1.0 / 3.0)  # only d reaches a (dist 3)
+    # landmark self-distances (0) contribute nothing; unreachable
+    # nodes are absent, not zero rows
+    df2 = spark.createDataFrame([("a", "b"), ("x", "y")],
+                                "uri_a string, uri_b string")
+    got2 = {r.uri for r in harmonic_centrality(df2, ["a"]).collect()}
+    assert got2 == {"b"}
+    with _pt.raises(ValueError, match="max_hops"):
+        harmonic_centrality(df, ["a"], max_hops=0)

@@ -69,6 +69,11 @@ ROTATED = [
     # strongest-neighbor backbone of the co-mention graph — oracle is
     # a genuine WITH RECURSIVE BFS at the same hop budget
     ("shortest_paths", Q.q_shortest_paths, Q.sql_shortest_paths),
+    # round-5 addition: landmark-sampled harmonic centrality over the
+    # same backbone — exact-integer L/d sum device (L = lcm(1..hops)),
+    # so the double `harmonic` is bit-identical across engines
+    ("harmonic_centrality", Q.q_harmonic_centrality,
+     Q.sql_harmonic_centrality),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
