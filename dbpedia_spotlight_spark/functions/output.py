@@ -145,3 +145,148 @@ def write_ntriples(triples: DataFrame, path: str,
     the output shards is the caller's repartition decision)."""
     ntriples_lines(triples).write.mode("overwrite") \
         .option("compression", compression).text(path)
+
+
+# ---------------------------------------------------------------------------
+# Turtle serializer — the writer twin of sources/turtle.py (S6 family).
+# ---------------------------------------------------------------------------
+
+# default prefix map: the namespaces this engine emits + RDF core.
+# Longest-namespace-first matching at render time, so overlapping
+# declarations compact deterministically.
+TURTLE_PREFIXES = {
+    "nif": "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/"
+           "nif-core#",
+    "itsrdf": "http://www.w3.org/2005/11/its/rdf#",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "dbr": "http://dbpedia.org/resource/",
+    "dbo": "http://dbpedia.org/ontology/",
+}
+
+# chars a compacted PN_LOCAL may contain WITHOUT escaping, pinned to a
+# conservative subset of the Turtle grammar ('.' excluded entirely so
+# the no-trailing-dot rule can't bite; '-' allowed mid-name only)
+_PN_LOCAL_RE = "[A-Za-z0-9_][A-Za-z0-9_-]*"
+
+
+def _iri_term(col: F.Column, prefixes: dict[str, str]) -> F.Column:
+    """Prefix-compacted name when the IRI sits in a declared namespace
+    and its local part is grammar-safe, else an escaped ``<IRIREF>``.
+    Longest namespace wins; pure JVM column algebra (one rlike + one
+    substring per declared prefix)."""
+    import re as _re
+    full = F.concat(F.lit("<"), _chain(col, _IRI_ESCAPES), F.lit(">"))
+    arms = []
+    for pfx, ns in sorted(prefixes.items(),
+                          key=lambda kv: (-len(kv[1]), kv[0])):
+        pat = "^" + _re.escape(ns) + _PN_LOCAL_RE + "$"
+        arms.append(F.when(
+            col.rlike(pat),
+            F.concat(F.lit(pfx + ":"),
+                     F.substring(col, len(ns) + 1, 1 << 20))))
+    return F.coalesce(*arms, full) if arms else full
+
+
+def turtle_statements(triples: DataFrame,
+                      prefixes: dict[str, str] | None = None
+                      ) -> DataFrame:
+    """Render an RDF frame as Turtle statement blocks — one row
+    (column ``turtle``) per SUBJECT, predicates joined with ``;``,
+    repeated-predicate objects with ``,``, deterministic (pred, obj)
+    order inside the block. Accepts the readers' 6-column shape
+    (subj, pred, obj, obj_kind['iri'|'literal'|'bnode'], lang,
+    datatype); a bare (subj, pred, obj) frame gets the engine's
+    internal convention applied (``nif:anchorOf`` objects are
+    literals, everything else an IRI — exactly ``ntriples_lines``).
+
+    One subject-keyed shuffle (the serialization sink's grouping);
+    every string is built JVM-side (replace chains + one sorted
+    ``aggregate`` fold per subject) — no Python, no window sort."""
+    p = dict(TURTLE_PREFIXES if prefixes is None else prefixes)
+    pred_iri = F.coalesce(
+        *[F.when(F.col("pred") == k, F.lit(v)) for k, v in
+          _PRED_IRIS.items()],
+        F.col("pred"))
+    t = triples
+    if "obj_kind" not in t.columns:
+        t = (t.withColumn("obj_kind",
+                          F.when(F.col("pred") == "nif:anchorOf",
+                                 "literal").otherwise("iri"))
+             .withColumn("lang", F.lit(None).cast("string"))
+             .withColumn("datatype", F.lit(None).cast("string")))
+    lit_term = F.concat(
+        F.lit('"'), _chain(F.col("obj"), _LITERAL_ESCAPES), F.lit('"'),
+        F.when(F.col("lang").isNotNull(),
+               F.concat(F.lit("@"), F.col("lang")))
+        .when(F.col("datatype").isNotNull(),
+              F.concat(F.lit("^^"), _iri_term(F.col("datatype"), p)))
+        .otherwise(F.lit("")))
+    obj_term = (F.when(F.col("obj_kind") == "literal", lit_term)
+                .when(F.col("obj_kind") == "bnode", F.col("obj"))
+                .otherwise(_iri_term(F.col("obj"), p)))
+    subj_term = F.when(F.col("subj").startswith("_:"), F.col("subj")) \
+        .otherwise(_iri_term(F.col("subj"), p))
+    po = (t.select(subj_term.alias("s"),
+                   _iri_term(pred_iri, p).alias("pt"),
+                   obj_term.alias("ot"))
+          .dropDuplicates()
+          .groupBy("s")
+          .agg(F.sort_array(F.collect_list(F.struct("pt", "ot")))
+               .alias("arr")))
+    body = F.aggregate(
+        F.col("arr"),
+        F.struct(F.lit("").alias("txt"),
+                 F.lit(None).cast("string").alias("prev")),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["txt"],
+                F.when(acc["prev"].isNull(),
+                       F.concat(x["pt"], F.lit(" ")))
+                .when(acc["prev"] == x["pt"], F.lit(" , "))
+                .otherwise(F.concat(F.lit(" ;\n    "), x["pt"],
+                                    F.lit(" "))),
+                x["ot"]).alias("txt"),
+            x["pt"].alias("prev")),
+        lambda acc: acc["txt"])
+    return po.select(
+        F.concat(F.col("s"), F.lit(" "), body, F.lit(" ."))
+        .alias("turtle"))
+
+
+def turtle_header(prefixes: dict[str, str] | None = None) -> str:
+    """The ``@prefix`` block matching :func:`turtle_statements`'s
+    compaction, sorted for stable bytes."""
+    p = TURTLE_PREFIXES if prefixes is None else prefixes
+    return "\n".join(f"@prefix {k}: <{v}> ."
+                     for k, v in sorted(p.items()))
+
+
+def write_turtle(triples: DataFrame, path: str,
+                 prefixes: dict[str, str] | None = None,
+                 compression: str = "gzip") -> None:
+    """Materialize as sharded ``.ttl`` text. EVERY shard carries the
+    ``@prefix`` header so each file is independently valid Turtle (the
+    Wikidata-dump convention — a 1000-executor read never needs a
+    side-channel header file). The per-partition header prepend is the
+    one genuinely partition-imperative step, so it runs as an RDD
+    ``mapPartitions`` over already-rendered strings (no per-row Python
+    in the rendering itself)."""
+    hdr = turtle_header(prefixes)
+    blocks = turtle_statements(triples, prefixes)
+
+    def with_header(it):
+        first = True
+        for row in it:
+            if first:
+                yield hdr
+                first = False
+            yield row[0]
+
+    rdd = blocks.rdd.mapPartitions(with_header)
+    df = blocks.sparkSession.createDataFrame(
+        rdd.map(lambda s: (s,)), "value string")
+    df.write.mode("overwrite").option("compression", compression) \
+        .text(path)

@@ -4706,6 +4706,90 @@ def sql_ntriples_roundtrip() -> str:
   FROM base"""
 
 
+def q_turtle_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle WRITER (functions/output.py::turtle_statements): planted
+    RDF per document — compactable dbr:/dbo: IRIs, an ECHAR-hazard
+    literal cycling lang / xsd:string datatype / plain, and a
+    non-compactable spaced IRI every 4th doc — rendered as
+    subject-grouped statement blocks (';'-joined preds, ','-joined
+    repeated objects, sorted (pred, obj) fold). The oracle rebuilds
+    the SAME blocks relationally: compact terms stated directly,
+    grouping via a lag-window separator + ordered string_agg — the
+    engines agree only if escaping, prefix compaction, dedup and the
+    fold order all replay byte-for-byte."""
+    from dbpedia_spotlight_spark.functions.output import turtle_statements
+    d = _docs(spark, sf_dir)
+    s = lambda c: c.cast("string")  # noqa: E731
+    x = s(F.col("doc_id") % 40)
+    m3 = F.col("doc_id") % 3
+    subj = F.concat(F.lit("http://dbpedia.org/resource/Ent"), x)
+    ns = F.lit(None).cast("string")
+    rows = F.filter(F.array(
+        F.struct(
+            F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+            .alias("pred"),
+            F.concat(F.lit("http://dbpedia.org/ontology/T"),
+                     s(F.col("doc_id") % 5)).alias("obj"),
+            F.lit("iri").alias("obj_kind"),
+            ns.alias("lang"), ns.alias("datatype")),
+        F.struct(
+            F.lit("http://www.w3.org/2000/01/rdf-schema#label")
+            .alias("pred"),
+            F.concat(F.lit('e"'), x, F.lit("\n"), s(m3)).alias("obj"),
+            F.lit("literal").alias("obj_kind"),
+            F.when(m3 == 0, "en").alias("lang"),
+            F.when(m3 == 1,
+                   "http://www.w3.org/2001/XMLSchema#string")
+            .alias("datatype")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.struct(
+                F.lit("http://www.w3.org/2005/11/its/rdf#taIdentRef")
+                .alias("pred"),
+                F.lit("http://other.example/x y").alias("obj"),
+                F.lit("iri").alias("obj_kind"),
+                ns.alias("lang"), ns.alias("datatype"))),
+    ), lambda e: e.isNotNull())
+    t = (d.select(subj.alias("subj"), F.explode(rows).alias("r"))
+         .select("subj", "r.pred", "r.obj", "r.obj_kind", "r.lang",
+                 "r.datatype"))
+    return turtle_statements(t).orderBy("turtle")
+
+
+def sql_turtle_render() -> str:
+    r"""Relational replay of the Turtle rendering: compact terms
+    stated directly (dbr:/dbo:/rdf:/rdfs:/xsd: compaction + the
+    one-way %20 on the spaced IRI + the ECHAR chain on the literal),
+    block assembly via lag-window separators + ordered string_agg."""
+    return r"""
+  WITH base AS (
+    SELECT doc_id, doc_id % 40 AS x, doc_id % 5 AS ty, doc_id % 3 AS m3
+    FROM documents),
+  t AS (
+    SELECT 'dbr:Ent' || x AS s, 'rdf:type' AS pt, 'dbo:T' || ty AS ot
+    FROM base
+    UNION
+    SELECT 'dbr:Ent' || x, 'rdfs:label',
+           '"e\"' || x || '\n' || m3 || '"'
+             || CASE m3 WHEN 0 THEN '@en'
+                        WHEN 1 THEN '^^xsd:string' ELSE '' END
+    FROM base
+    UNION
+    SELECT 'dbr:Ent' || x, 'itsrdf:taIdentRef',
+           '<http://other.example/x%20y>'
+    FROM base WHERE doc_id % 4 = 0),
+  pieces AS (
+    SELECT s, pt, ot,
+           CASE WHEN lag(pt) OVER w IS NULL THEN pt || ' '
+                WHEN lag(pt) OVER w = pt THEN ' , '
+                ELSE ' ;' || chr(10) || '    ' || pt || ' ' END AS sep
+    FROM t WINDOW w AS (PARTITION BY s ORDER BY pt, ot))
+  SELECT s || ' ' || string_agg(sep || ot, '' ORDER BY pt, ot) || ' .'
+           AS turtle
+  FROM pieces GROUP BY s
+  ORDER BY turtle"""
+
+
 def q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap → crawl-frontier pair (sources/sitemap.py). Events stand
     in for fetched sitemaps: each event becomes one <url> entry on host

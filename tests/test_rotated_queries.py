@@ -127,6 +127,10 @@ ROTATED = [
     # a raw UCHAR lane; oracle states the expected parse output
     ("ntriples_roundtrip", Q.q_ntriples_roundtrip,
      Q.sql_ntriples_roundtrip),
+    # round-5 addition: Turtle WRITER — subject-grouped statement
+    # blocks with prefix compaction; oracle rebuilds the blocks via
+    # lag-window separators + ordered string_agg
+    ("turtle_render", Q.q_turtle_render, Q.sql_turtle_render),
     # round-4 addition: sitemap parse + crawl frontier (new/updated)
     ("sitemap_frontier", Q.q_sitemap_frontier, Q.sql_sitemap_frontier),
     # round-4 addition: per-predicate KG health metrics

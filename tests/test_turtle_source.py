@@ -210,3 +210,95 @@ def test_ttl_ontology_drives_kg_maintain(spark, tmp_path, web_pages,
     got_n = {(r.subj, r.obj) for r in EntailStore(
         spark, str(tmp_path / "ent_n")).read_entailed().collect()}
     assert got_t == got_n and len(got_t) > 0
+
+
+# ---------------------------------------------------------------------------
+# Turtle WRITER (functions/output.py::turtle_statements / write_turtle)
+# ---------------------------------------------------------------------------
+
+_W_TRIPLES = [
+    # prefix-compactable IRI o, repeated pred -> ',' grouping
+    ("http://dbpedia.org/resource/Berlin",
+     "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://dbpedia.org/ontology/City", "iri", None, None),
+    ("http://dbpedia.org/resource/Berlin",
+     "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+     "http://dbpedia.org/ontology/Place", "iri", None, None),
+    # literal with ECHAR hazards + lang
+    ("http://dbpedia.org/resource/Berlin",
+     "http://www.w3.org/2000/01/rdf-schema#label",
+     'Ber"lin\n\ttail\\', "literal", "de", None),
+    # typed literal (compactable datatype)
+    ("http://dbpedia.org/resource/Berlin",
+     "http://dbpedia.org/ontology/population",
+     "3769000", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    # non-compactable IRI (space + local part with slash), bnode obj
+    ("https://host3.example/d/9#char=0,5",
+     "http://www.w3.org/2005/11/its/rdf#taIdentRef",
+     "http://dbpedia.org/resource/Ent 7", "iri", None, None),
+    ("_:b0", "http://dbpedia.org/ontology/near",
+     "_:b1", "bnode", None, None),
+]
+
+
+def _writer_frame(spark):
+    return spark.createDataFrame(
+        _W_TRIPLES,
+        "subj string, pred string, obj string, obj_kind string, "
+        "lang string, datatype string")
+
+
+def test_turtle_statements_shape(spark):
+    from dbpedia_spotlight_spark.functions.output import turtle_statements
+    rows = {r.turtle for r in
+            turtle_statements(_writer_frame(spark)).collect()}
+    berlin = next(s for s in rows if s.startswith("dbr:Berlin"))
+    # one block, ';'-joined preds, ','-joined repeated-pred objects,
+    # deterministic sort: dbo:population < rdf:type < rdfs:label
+    assert berlin == (
+        'dbr:Berlin dbo:population "3769000"^^xsd:integer ;\n'
+        '    rdf:type dbo:City , dbo:Place ;\n'
+        '    rdfs:label "Ber\\"lin\\n\\ttail\\\\"@de .')
+    assert any(s.startswith("_:b0 dbo:near _:b1") for s in rows)
+    spaced = next(s for s in rows if "host3" in s)
+    assert "<http://dbpedia.org/resource/Ent%207>" in spaced
+
+
+def test_turtle_writer_roundtrip(spark, tmp_path):
+    """write_turtle -> read_turtle is the identity on the RDF graph
+    (modulo the one-way %-encoding of the spaced IRI), and every
+    shard is independently parseable (header in each file)."""
+    from dbpedia_spotlight_spark.functions.output import write_turtle
+    df = _writer_frame(spark).repartition(3)
+    out = tmp_path / "kg.ttl"
+    write_turtle(df, str(out), compression="none")
+    back = read_turtle(spark, str(out))
+    got = {tuple(r) for r in back.collect()}
+    want = {tuple(t) for t in _W_TRIPLES}
+    want = {(s, p, o.replace(" ", "%20"), k, lg, dt)
+            for s, p, o, k, lg, dt in want}
+    assert got == want
+    # each non-empty part file parses standalone
+    import pathlib
+    for f in pathlib.Path(out).glob("part-*"):
+        text = f.read_text()
+        if text.strip():
+            assert text.startswith("@prefix"), f
+            parse_turtle_text(text)
+
+
+def test_turtle_internal_three_column_form(spark):
+    """A bare (subj, pred, obj) frame gets the engine's internal
+    convention (nif:anchorOf literal, compact preds expand then
+    recompact)."""
+    from dbpedia_spotlight_spark.functions.output import turtle_statements
+    df = spark.createDataFrame(
+        [("https://h/d#char=0,5", "nif:anchorOf", "Berlin city"),
+         ("https://h/d#char=0,5", "itsrdf:taIdentRef",
+          "http://dbpedia.org/resource/Berlin")],
+        "subj string, pred string, obj string")
+    [row] = turtle_statements(df).collect()
+    assert row.turtle == ('<https://h/d#char=0,5> '
+                          'itsrdf:taIdentRef dbr:Berlin ;\n'
+                          '    nif:anchorOf "Berlin city" .')
