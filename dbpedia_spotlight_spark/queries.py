@@ -6998,6 +6998,92 @@ def sql_fact_episodes() -> str:
   FROM ev WHERE change = 'added'"""
 
 
+def q_fact_allen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval algebra over fact episodes (triples.py::
+    allen_relations): planted per-document episode sets cycling all 7
+    canonical relations (doc_id%7 picks B's interval against the fixed
+    A=[0,10); lane 0's B is LIVE so the +∞ convention is on the hash
+    path; every 5th doc adds a live C=[20,∞) episode for multi-pair
+    groups). The oracle replays the canonical-order pair expansion as
+    a row-comparison self-join + the same CASE ladder."""
+    from dbpedia_spotlight_spark.triples import allen_relations
+    d = _docs(spark, sf_dir).select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    lane = F.col("doc_id") % 7
+    nl = F.lit(None).cast("long")
+    b_from = (F.when(lane == 0, 12).when(lane == 1, 10)
+              .when(lane == 2, 5).when(lane == 3, 0)
+              .when(lane == 4, 2).when(lane == 5, 4)
+              .otherwise(0).cast("long"))
+    b_to = (F.when(lane == 0, nl).when(lane == 1, 14)
+            .when(lane == 2, 14).when(lane == 3, 6)
+            .when(lane == 4, 8).when(lane == 5, 10)
+            .otherwise(10).cast("long"))
+    ep = lambda o, f, t: F.struct(  # noqa: E731
+        F.lit(o).alias("obj") if isinstance(o, str) else o.alias("obj"),
+        f.alias("valid_from") if hasattr(f, "alias")
+        else F.lit(f).cast("long").alias("valid_from"),
+        t.alias("valid_to") if hasattr(t, "alias")
+        else F.lit(t).cast("long").alias("valid_to"))
+    eps = F.filter(F.array(
+        ep("v1", F.lit(0).cast("long"), F.lit(10).cast("long")),
+        ep("v2", b_from, b_to),
+        F.when(F.col("doc_id") % 5 == 0,
+               ep("v3", F.lit(20).cast("long"), nl)),
+    ), lambda e: e.isNotNull())
+    iv = (d.select(F.concat(F.lit("s"), sid).alias("subj"),
+                   F.explode(eps).alias("e"))
+          .select("subj", F.lit("u").alias("url"),
+                  F.lit("p").alias("pred"), "e.obj",
+                  "e.valid_from", "e.valid_to"))
+    return allen_relations(iv).orderBy("subj", "obj_a", "obj_b")
+
+
+def sql_fact_allen() -> str:
+    """Mirror: the planted lanes regenerated, canonical ordering via
+    row-tuple comparison, the CASE ladder verbatim (sentinel 2^62)."""
+    inf = str(1 << 62)
+    return f"""
+  WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS sid,
+                    doc_id % 7 AS lane FROM documents),
+  iv AS (
+    SELECT 's' || sid AS subj, 'u' AS url, 'p' AS pred, 'v1' AS obj,
+           CAST(0 AS BIGINT) AS f, CAST(10 AS BIGINT) AS t FROM d
+    UNION ALL
+    SELECT 's' || sid, 'u', 'p', 'v2',
+           CAST(CASE lane WHEN 0 THEN 12 WHEN 1 THEN 10 WHEN 2 THEN 5
+                WHEN 3 THEN 0 WHEN 4 THEN 2 WHEN 5 THEN 4 ELSE 0 END
+                AS BIGINT),
+           CAST(CASE lane WHEN 0 THEN NULL WHEN 1 THEN 14 WHEN 2 THEN 14
+                WHEN 3 THEN 6 WHEN 4 THEN 8 WHEN 5 THEN 10 ELSE 10 END
+                AS BIGINT)
+    FROM d
+    UNION ALL
+    SELECT 's' || sid, 'u', 'p', 'v3', 20, NULL
+    FROM d WHERE doc_id % 5 = 0),
+  ep AS (SELECT subj, pred, url, obj, f,
+                coalesce(t, {inf}) AS t2 FROM iv),
+  pr AS (
+    SELECT a.subj, a.pred,
+           a.url AS url_a, a.obj AS obj_a, a.f AS from_a, a.t2 AS ta,
+           b.url AS url_b, b.obj AS obj_b, b.f AS from_b, b.t2 AS tb
+    FROM ep a JOIN ep b
+      ON a.subj = b.subj AND a.pred = b.pred
+     AND (a.f, a.t2, a.url, a.obj) < (b.f, b.t2, b.url, b.obj))
+  SELECT subj, pred, url_a, obj_a, from_a,
+         CASE WHEN ta = {inf} THEN NULL ELSE ta END AS to_a,
+         url_b, obj_b, from_b,
+         CASE WHEN tb = {inf} THEN NULL ELSE tb END AS to_b,
+         CASE WHEN ta < from_b THEN 'before'
+              WHEN ta = from_b THEN 'meets'
+              WHEN from_a = from_b AND ta = tb THEN 'equals'
+              WHEN from_a = from_b THEN 'starts'
+              WHEN tb = ta THEN 'finished_by'
+              WHEN tb < ta THEN 'contains'
+              ELSE 'overlaps' END AS relation
+  FROM pr ORDER BY subj, obj_a, obj_b"""
+
+
 def sql_entity_provenance() -> str:
     """Mirror: the ranked-annotation CTE chain; graph ≡ source/doc_id
     (what as_quads recovers from the subj fragment), one COUNT

@@ -208,6 +208,84 @@ def facts_asof(log: DataFrame, gen: int, gen_col: str = "gen") -> DataFrame:
             .select("url", "subj", "pred", "obj"))
 
 
+# exclusive-end sentinel for still-live episodes (valid_to NULL):
+# larger than any real generation, small enough for exact long math
+_GEN_INF = 1 << 62
+
+
+def allen_relations(intervals: DataFrame,
+                    key: tuple[str, ...] = ("subj", "pred"),
+                    max_group: int = 64) -> DataFrame:
+    """Allen's interval algebra over fact-validity episodes: for every
+    pair of episodes sharing ``key``, the canonical Allen relation
+    between their half-open [valid_from, valid_to) intervals —
+    ``before | meets | overlaps | starts | contains | finished_by |
+    equals`` (the 7 canonical forms; the 6 inverses never occur
+    because pairs are emitted in sorted order). NULL ``valid_to``
+    (still live) acts as +∞, so two live episodes that started apart
+    are ``finished_by`` (they end together at the horizon) — the
+    convention is part of the contract.
+
+    The temporal-QA read path over ``fact_intervals``: succession
+    chains (``meets``), belief conflicts (co-valid different values —
+    see :func:`fact_conflicts`), flapping audits.
+
+    Scale: ONE groupBy on ``key`` + in-array pair expansion (the
+    ``er_candidates`` block pattern — no self-join, the episode list
+    shuffles once). Groups larger than ``max_group`` are dropped WHOLE
+    (a key with hundreds of episodes is a flapping defect to audit
+    upstream, and keeping it would make output depend on a cap order);
+    C(max_group, 2) bounds the per-group pair fan-out."""
+    kc = list(key)
+    ep = F.struct(
+        F.col("valid_from").alias("f"),
+        F.coalesce(F.col("valid_to"), F.lit(_GEN_INF)).alias("t"),
+        F.col("url").alias("url"), F.col("obj").alias("obj"))
+    blocks = (intervals.groupBy(*kc)
+              .agg(F.sort_array(F.collect_list(ep)).alias("ids"))
+              .filter((F.size("ids") >= 2)
+                      & (F.size("ids") <= max_group)))
+    n = F.size("ids")
+    pairs = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, n - i - 1),
+            lambda y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ))
+    p = blocks.select(*kc, F.explode(pairs).alias("p"))
+    fa, ta = F.col("p.a.f"), F.col("p.a.t")
+    fb, tb = F.col("p.b.f"), F.col("p.b.t")
+    rel = (F.when(ta < fb, "before")
+           .when(ta == fb, "meets")
+           .when((fa == fb) & (ta == tb), "equals")
+           .when(fa == fb, "starts")
+           .when(tb == ta, "finished_by")
+           .when(tb < ta, "contains")
+           .otherwise("overlaps"))
+    unsent = lambda c: F.when(c != _GEN_INF, c)  # noqa: E731
+    return p.select(
+        *kc,
+        F.col("p.a.url").alias("url_a"), F.col("p.a.obj").alias("obj_a"),
+        F.col("p.a.f").alias("from_a"), unsent(ta).alias("to_a"),
+        F.col("p.b.url").alias("url_b"), F.col("p.b.obj").alias("obj_b"),
+        F.col("p.b.f").alias("from_b"), unsent(tb).alias("to_b"),
+        rel.alias("relation"))
+
+
+def fact_conflicts(intervals: DataFrame,
+                   key: tuple[str, ...] = ("subj", "pred"),
+                   max_group: int = 64) -> DataFrame:
+    """Co-valid contradictions: episode pairs under ``key`` whose
+    intervals share at least one generation (every Allen relation
+    except ``before``/``meets``) while asserting DIFFERENT objects —
+    "two values simultaneously believed", the temporal complement of
+    ``functional_violations`` (which sees only the current snapshot)."""
+    ar = allen_relations(intervals, key=key, max_group=max_group)
+    return ar.filter(~F.col("relation").isin("before", "meets")
+                     & (F.col("obj_a") != F.col("obj_b")))
+
+
 def triple_prf(emitted: DataFrame, golden: DataFrame) -> dict[str, float]:
     """Set precision/recall/F1 of (subj, pred, obj) vs a golden set —
     the BASELINE P/R≥0.95 gate, computed distributed (no collect of the

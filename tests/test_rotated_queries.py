@@ -42,6 +42,10 @@ ROTATED = [
     # round-5 addition: temporal fact versioning — the delta_log folded
     # into validity intervals (lead-over-fact-key window both engines)
     ("fact_episodes", Q.q_fact_episodes, Q.sql_fact_episodes),
+    # round-5 addition: Allen interval algebra over fact episodes —
+    # all 7 canonical relations planted, live-episode +∞ convention
+    # on the hash path, oracle replays the pair expansion + CASE
+    ("fact_allen", Q.q_fact_allen, Q.sql_fact_allen),
     # round-5 addition: final per-source reliability from the same
     # truth-discovery fixpoint the registered fused_truth runs
     ("fusion_trust", Q.q_fusion_trust, Q.sql_fusion_trust),

@@ -883,3 +883,81 @@ def test_fact_intervals_and_log_only_time_travel(spark, tmp_path):
         want = {(r.subj, r.pred, r.obj)
                 for r in store.read_asof(g).collect()}
         assert got == want, f"gen {g}: {got} != {want}"
+
+
+def test_allen_relations_all_seven(spark):
+    """Every canonical Allen relation classifies correctly, live
+    episodes (NULL valid_to) act as +inf, sentinel never leaks."""
+    from dbpedia_spotlight_spark.triples import allen_relations
+    rows = [
+        # (subj, case) -> A = [0,10) vs B per case
+        ("s0", "u", "p", "v1", 0, 10), ("s0", "u", "p", "v2", 12, 15),
+        ("s1", "u", "p", "v1", 0, 10), ("s1", "u", "p", "v2", 10, 14),
+        ("s2", "u", "p", "v1", 0, 10), ("s2", "u", "p", "v2", 5, 14),
+        ("s3", "u", "p", "v1", 0, 10), ("s3", "u", "p", "v2", 0, 6),
+        ("s4", "u", "p", "v1", 0, 10), ("s4", "u", "p", "v2", 2, 8),
+        ("s5", "u", "p", "v1", 0, 10), ("s5", "u", "p", "v2", 4, 10),
+        ("s6", "u", "p", "v1", 0, 10), ("s6", "u", "p", "v2", 0, 10),
+        # two live episodes: finished_by at the horizon
+        ("s7", "u", "p", "v1", 1, None), ("s7", "u", "p", "v2", 3, None),
+    ]
+    df = spark.createDataFrame(
+        [(s, u, p, o, f, t) for s, u, p, o, f, t in rows],
+        "subj string, url string, pred string, obj string, "
+        "valid_from long, valid_to long")
+    got = {r.subj: r.relation for r in allen_relations(df).collect()}
+    assert got == {"s0": "before", "s1": "meets", "s2": "overlaps",
+                   "s3": "starts", "s4": "contains",
+                   "s5": "finished_by", "s6": "equals",
+                   "s7": "finished_by"}
+    live = {r.subj: (r.to_a, r.to_b)
+            for r in allen_relations(df).collect()}
+    assert live["s7"] == (None, None)  # sentinel unwrapped
+
+
+def test_allen_relations_ordering_cap_and_conflicts(spark):
+    from dbpedia_spotlight_spark.triples import (
+        allen_relations, fact_conflicts)
+    # canonical order: pair emitted sorted, never the inverse
+    df = spark.createDataFrame(
+        [("s", "u", "p", "v2", 5, 14), ("s", "u", "p", "v1", 0, 10)],
+        "subj string, url string, pred string, obj string, "
+        "valid_from long, valid_to long")
+    [r] = allen_relations(df).collect()
+    assert (r.obj_a, r.obj_b, r.relation) == ("v1", "v2", "overlaps")
+    # over-cap groups drop whole
+    big = spark.createDataFrame(
+        [("s", "u", "p", f"v{i}", i, i + 2) for i in range(5)],
+        "subj string, url string, pred string, obj string, "
+        "valid_from long, valid_to long")
+    assert allen_relations(big, max_group=4).count() == 0
+    assert allen_relations(big, max_group=5).count() == 10
+    # conflicts: co-valid different values only (same obj or
+    # disjoint intervals never flag)
+    mix = spark.createDataFrame(
+        [("a", "u1", "p", "x", 0, 10), ("a", "u2", "p", "y", 5, None),
+         ("b", "u", "p", "x", 0, 5), ("b", "u", "p", "y", 5, 9),
+         ("c", "u1", "p", "x", 0, 8), ("c", "u2", "p", "x", 2, 6)],
+        "subj string, url string, pred string, obj string, "
+        "valid_from long, valid_to long")
+    got = [(r.subj, r.relation) for r in fact_conflicts(mix).collect()]
+    assert got == [("a", "overlaps")]
+
+
+def test_fact_conflicts_composes_with_fact_intervals(spark):
+    """End-to-end: a delta_log whose recrawl flips a value mid-life
+    surfaces exactly the co-valid contradiction."""
+    from dbpedia_spotlight_spark.triples import (
+        fact_conflicts, fact_intervals)
+    log = spark.createDataFrame(
+        [("u", "e1", "p", "old", "added", 1),
+         ("u", "e1", "p", "new", "added", 3),   # overlaps [1,None)
+         ("u", "e1", "p", "old", "removed", 5),
+         ("u", "e2", "p", "a", "added", 1),
+         ("u", "e2", "p", "a", "removed", 2),
+         ("u", "e2", "p", "b", "added", 2)],    # meets: clean handoff
+        "url string, subj string, pred string, obj string, "
+        "change string, gen long")
+    got = [(r.subj, r.obj_a, r.obj_b, r.relation)
+           for r in fact_conflicts(fact_intervals(log)).collect()]
+    assert got == [("e1", "old", "new", "overlaps")]
