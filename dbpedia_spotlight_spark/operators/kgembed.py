@@ -1,6 +1,12 @@
 """Distributed KG embedding training — TransE (Bordes et al., NeurIPS
 2013), the translation model behind most KG-completion stacks: score a
-triple (h, r, t) by how well E_h + R_r ≈ E_t. The engine already
+triple (h, r, t) by how well E_h + R_r ≈ E_t — and DistMult (Yang et
+al., ICLR 2015), the bilinear-diagonal model Σ_i E_h[i]·R_r[i]·E_t[i]
+that is the standard strong baseline the translation family is
+compared against (the two embed different relational geometries:
+TransE favors compositional/antisymmetric relations, DistMult
+symmetric ones — a KG-quality stack wants both scorers). The engine
+already
 EXPORTS TransE-shaped training examples (``operators/export.py``) and
 EVALUATES rankings (``operators/ranking.py``); this module closes the
 loop with the training itself, fully inside Spark:
@@ -87,14 +93,40 @@ def _quant(col) -> F.Column:
     return F.round(col * F.lit(_Q)) / F.lit(_Q)
 
 
-def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
-                 lr: float = 0.1, margin: float = 1.0,
-                 checkpoint_dir: str | None = None,
-                 resume_from: DataFrame | None = None,
-                 step_offset: int = 0) -> DataFrame:
+def _qprod(a, b) -> F.Column:
+    """Component-wise product of two embedding columns, each component
+    re-quantized to the 2^-30 grid. Products of grid values land on
+    the 2^-60 grid — finer than a float64 mantissa near 1.0, so raw
+    product SUMS would be order-sensitive; quantizing each per-triple
+    component first restores the exact-dyadic-sum property the whole
+    bit-identity contract rests on. The rounding itself is
+    deterministic (IEEE round on bit-identical inputs), so twins
+    replicate it verbatim."""
+    return F.zip_with(a, b, lambda x, y: _quant(x * y))
+
+
+def _qprod3(a, b, c) -> F.Column:
+    """Quantized triple product q((a∘b)∘c) — the DistMult score terms.
+    Association order (a*b)*c is part of the contract (each raw
+    multiply rounds deterministically; twins must keep the order)."""
+    return F.transform(
+        F.zip_with(F.zip_with(a, b, lambda x, y: x * y), c,
+                   lambda x, y: x * y), _quant)
+
+
+def _train(triples: DataFrame, model: str, dim: int, n_steps: int,
+           lr: float, margin: float,
+           checkpoint_dir: str | None,
+           resume_from: DataFrame | None,
+           step_offset: int) -> DataFrame:
     """('entity'|'relation', name, v) — embeddings after ``n_steps``
-    full-batch TransE updates over the distinct (subj, pred, obj)
-    triples.
+    full-batch margin-SGD updates over the distinct (subj, pred, obj)
+    triples. ``model='transe'`` scores by −‖E_h+R_r−E_t‖² (translation
+    geometry), ``model='distmult'`` by Σ_i q(E_h[i]·R_r[i]·E_t[i])
+    (bilinear-diagonal geometry, Yang et al. ICLR 2015 — the q(·)
+    per-component grid quantization is this engine's determinism
+    variant, see :func:`_qprod`); loss, corruption scheme, renorm,
+    checkpointing and the per-step dyadic quantization are shared.
 
     Per step, for each triple and its corrupted twin (tail replaced by
     the md5-picked entity ``hash(s|p|o|step) % n_entities`` — resampled
@@ -128,6 +160,9 @@ def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
     or relations in the delta) get hash init; names present keep their
     trained vectors (dim must match — enforced).
     """
+    if model not in ("transe", "distmult"):
+        raise ValueError(f"unknown model: {model}"
+                         " ('transe' | 'distmult')")
     if n_steps < 0:
         raise ValueError("n_steps must be >= 0")
     spark = triples.sparkSession
@@ -187,24 +222,46 @@ def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
                                     F.col("v").alias("nv")), "_nname")
                  .join(F.broadcast(r_emb.select("pred",
                                    F.col("v").alias("rv"))), "pred"))
-        hr = _vadd(F.col("hv"), F.col("rv"))
-        dpos = _vsub(hr, F.col("tv"))
-        dneg = _vsub(hr, F.col("nv"))
-        active = (F.lit(margin) + _sqnorm(dpos) - _sqnorm(dneg)) > 0
-        g_ht = F.zip_with("nv", "tv", lambda a, b: 2.0 * (a - b))
-        g_t = rnd(dpos, lambda x: -2.0 * x)
-        g_n = rnd(dneg, lambda x: 2.0 * x)
+        if model == "transe":
+            hr = _vadd(F.col("hv"), F.col("rv"))
+            dpos = _vsub(hr, F.col("tv"))
+            dneg = _vsub(hr, F.col("nv"))
+            active = (F.lit(margin) + _sqnorm(dpos) - _sqnorm(dneg)) > 0
+            # grid-exact without extra quantization: differences of
+            # grid values scaled by 2.0
+            g_h = F.zip_with("nv", "tv", lambda a, b: 2.0 * (a - b))
+            g_r = g_h
+            g_t = rnd(dpos, lambda x: -2.0 * x)
+            g_n = rnd(dneg, lambda x: 2.0 * x)
+        else:  # distmult: maximize s = Σ q(h·r·t) for true triples
+            spos = F.aggregate(
+                _qprod3(F.col("hv"), F.col("rv"), F.col("tv")),
+                F.lit(0.0), lambda acc, x: acc + x)
+            sneg = F.aggregate(
+                _qprod3(F.col("hv"), F.col("rv"), F.col("nv")),
+                F.lit(0.0), lambda acc, x: acc + x)
+            active = (F.lit(margin) - spos + sneg) > 0
+            # ∂L: each pairwise product re-quantized (see _qprod), so
+            # per-name sums stay exact dyadics; self-corruptions
+            # (nv == tv) cancel exactly like the TransE case
+            g_h = _vsub(_qprod(F.col("rv"), F.col("nv")),
+                        _qprod(F.col("rv"), F.col("tv")))
+            g_r = _vsub(_qprod(F.col("hv"), F.col("nv")),
+                        _qprod(F.col("hv"), F.col("tv")))
+            g_t = rnd(_qprod(F.col("hv"), F.col("rv")), lambda x: -x)
+            g_n = _qprod(F.col("hv"), F.col("rv"))
         act = batch.filter(active).select(
             "subj", "pred", "obj", "_nname",
-            g_ht.alias("_ght"), g_t.alias("_gt"), g_n.alias("_gn"))
+            g_h.alias("_gh"), g_r.alias("_gr"),
+            g_t.alias("_gt"), g_n.alias("_gn"))
         ent_grads = (
             act.select(F.col("subj").alias("name"),
-                       F.col("_ght").alias("g"))
+                       F.col("_gh").alias("g"))
             .unionByName(act.select(F.col("obj").alias("name"),
                                     F.col("_gt").alias("g")))
             .unionByName(act.select(F.col("_nname").alias("name"),
                                     F.col("_gn").alias("g"))))
-        rel_grads = act.select("pred", F.col("_ght").alias("g"))
+        rel_grads = act.select("pred", F.col("_gr").alias("g"))
 
         def _summed(grads, key):
             return (grads
@@ -240,14 +297,49 @@ def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
                                       F.col("pred").alias("name"), "v")))
 
 
+def train_transe(triples: DataFrame, dim: int = 16, n_steps: int = 10,
+                 lr: float = 0.1, margin: float = 1.0,
+                 checkpoint_dir: str | None = None,
+                 resume_from: DataFrame | None = None,
+                 step_offset: int = 0) -> DataFrame:
+    """TransE training (see :func:`_train` for the full contract)."""
+    return _train(triples, "transe", dim, n_steps, lr, margin,
+                  checkpoint_dir, resume_from, step_offset)
+
+
+def train_distmult(triples: DataFrame, dim: int = 16,
+                   n_steps: int = 10, lr: float = 0.1,
+                   margin: float = 1.0,
+                   checkpoint_dir: str | None = None,
+                   resume_from: DataFrame | None = None,
+                   step_offset: int = 0) -> DataFrame:
+    """DistMult training — the bilinear-diagonal twin of
+    :func:`train_transe` (symmetric-relation bias, the standard
+    strong baseline for KG completion). Same corruption scheme,
+    margin loss, unit-sphere entity projection and per-step dyadic
+    quantization; score and gradients use grid-quantized component
+    products (:func:`_qprod`) so training stays BIT-identical across
+    layouts, engines and the numpy twin. Warm start / resume has the
+    same train(n) ≡ train(k)+resume(n−k) exactness."""
+    return _train(triples, "distmult", dim, n_steps, lr, margin,
+                  checkpoint_dir, resume_from, step_offset)
+
+
 def score_triples(triples: DataFrame, embeddings: DataFrame,
-                  round_digits: int = 9) -> DataFrame:
-    """(subj, pred, obj, score) — TransE distance ‖E_h+R_r−E_t‖²
-    (LOWER is more plausible) for every input triple whose three parts
-    all have embeddings (inner joins: unseen parts are unscoreable by
+                  round_digits: int = 9,
+                  model: str = "transe") -> DataFrame:
+    """(subj, pred, obj, score) — ``model='transe'``: distance
+    ‖E_h+R_r−E_t‖² (LOWER is more plausible); ``model='distmult'``:
+    the bilinear score Σ q(E_h·R_r·E_t) (HIGHER is more plausible —
+    same quantized-product form training used, so scoring is
+    engine-exact too). Every input triple whose three parts all have
+    embeddings (inner joins: unseen parts are unscoreable by
     definition). Read path of the trained model: rank candidate facts
-    for completion, or flag high-distance *asserted* facts as error
+    for completion, or flag implausible *asserted* facts as error
     candidates."""
+    if model not in ("transe", "distmult"):
+        raise ValueError(f"unknown model: {model}"
+                         " ('transe' | 'distmult')")
     e = embeddings.filter(F.col("kind") == "entity").select("name", "v")
     r = embeddings.filter(F.col("kind") == "relation") \
         .select("name", "v")
@@ -258,6 +350,12 @@ def score_triples(triples: DataFrame, embeddings: DataFrame,
                         F.col("v").alias("tv")), "obj")
          .join(F.broadcast(r.select(F.col("name").alias("pred"),
                                     F.col("v").alias("rv"))), "pred"))
-    d = _sqnorm(_vsub(_vadd(F.col("hv"), F.col("rv")), F.col("tv")))
+    if model == "transe":
+        d = _sqnorm(_vsub(_vadd(F.col("hv"), F.col("rv")),
+                          F.col("tv")))
+    else:
+        d = F.aggregate(
+            _qprod3(F.col("hv"), F.col("rv"), F.col("tv")),
+            F.lit(0.0), lambda acc, x: acc + x)
     return j.select("subj", "pred", "obj",
                     F.round(d, round_digits).alias("score"))

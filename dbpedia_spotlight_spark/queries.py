@@ -7381,11 +7381,16 @@ def q_kg_transe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("kind", "name", "i"))
 
 
-def sql_kg_transe(dim: int = _TRANSE_DIM, n_steps: int = _TRANSE_STEPS,
-                  lr: float = _TRANSE_LR,
-                  margin: float = _TRANSE_MARGIN) -> str:
+def _sql_kg_embed(model: str, dim: int, n_steps: int,
+                  lr: float, margin: float) -> str:
+    """Generated-CTE oracle for the KG-embedding trainers: unrolls
+    every full-batch step (init, md5 corruption, per-model gradient
+    lists, unnest gradient sums, update + renorm + dyadic quant). The
+    per-model pieces are exactly the grad list_transforms and the
+    active-margin WHERE; everything else is shared."""
     idxs = "[" + ", ".join(str(i) for i in range(1, dim + 1)) + "]"
     scale = 12.0 / dim ** 0.5
+    q = lambda e: f"round(({e}) * 1073741824.0) / 1073741824.0"  # noqa: E731
 
     def init_list(name_expr: str) -> str:
         comps = ", ".join(
@@ -7394,16 +7399,42 @@ def sql_kg_transe(dim: int = _TRANSE_DIM, n_steps: int = _TRANSE_STEPS,
             for i in range(dim))
         return f"[{comps}]"
 
+    if model == "transe":
+        grads = f"""
+           list_transform({idxs}, i -> 2.0 * (nv[i] - tv[i])) AS gh,
+           list_transform({idxs}, i -> 2.0 * (nv[i] - tv[i])) AS gr,
+           list_transform({idxs},
+             i -> -2.0 * (hv[i] + rv[i] - tv[i])) AS gt,
+           list_transform({idxs},
+             i -> 2.0 * (hv[i] + rv[i] - nv[i])) AS gn"""
+        where = f"""
+    WHERE {margin!r}
+          + list_sum(list_transform({idxs},
+              i -> pow(hv[i] + rv[i] - tv[i], 2)))
+          - list_sum(list_transform({idxs},
+              i -> pow(hv[i] + rv[i] - nv[i], 2))) > 0"""
+    else:  # distmult: quantized-product gradients, (h*r)*t association
+        grads = f"""
+           list_transform({idxs},
+             i -> {q('rv[i] * nv[i]')} - {q('rv[i] * tv[i]')}) AS gh,
+           list_transform({idxs},
+             i -> {q('hv[i] * nv[i]')} - {q('hv[i] * tv[i]')}) AS gr,
+           list_transform({idxs},
+             i -> -{q('hv[i] * rv[i]')}) AS gt,
+           list_transform({idxs},
+             i -> {q('hv[i] * rv[i]')}) AS gn"""
+        where = f"""
+    WHERE {margin!r}
+          - list_sum(list_transform({idxs},
+              i -> {q('(hv[i] * rv[i]) * tv[i]')}))
+          + list_sum(list_transform({idxs},
+              i -> {q('(hv[i] * rv[i]) * nv[i]')})) > 0"""
+
     steps_sql = []
     for t in range(n_steps):
         steps_sql.append(f"""
   act{t} AS MATERIALIZED (
-    SELECT b.*,
-           list_transform({idxs}, i -> 2.0 * (nv[i] - tv[i])) AS ght,
-           list_transform({idxs},
-             i -> -2.0 * (hv[i] + rv[i] - tv[i])) AS gt,
-           list_transform({idxs},
-             i -> 2.0 * (hv[i] + rv[i] - nv[i])) AS gn
+    SELECT b.*,{grads}
     FROM (
       SELECT tr.subj, tr.pred, tr.obj, nm.name AS nname,
              eh.v AS hv, et.v AS tv, en.v AS nv, rr.v AS rv
@@ -7416,17 +7447,12 @@ def sql_kg_transe(dim: int = _TRANSE_DIM, n_steps: int = _TRANSE_STEPS,
       JOIN e{t} eh ON eh.name = tr.subj
       JOIN e{t} et ON et.name = tr.obj
       JOIN e{t} en ON en.name = nm.name
-      JOIN r{t} rr ON rr.name = tr.pred) b
-    WHERE {margin!r}
-          + list_sum(list_transform({idxs},
-              i -> pow(hv[i] + rv[i] - tv[i], 2)))
-          - list_sum(list_transform({idxs},
-              i -> pow(hv[i] + rv[i] - nv[i], 2))) > 0),
+      JOIN r{t} rr ON rr.name = tr.pred) b{where}),
   eg{t} AS (
     SELECT name, list(g ORDER BY pos) AS grad FROM (
       SELECT name, pos, sum(gi) AS g FROM (
-        SELECT subj AS name, unnest(ght) AS gi,
-               generate_subscripts(ght, 1) AS pos FROM act{t}
+        SELECT subj AS name, unnest(gh) AS gi,
+               generate_subscripts(gh, 1) AS pos FROM act{t}
         UNION ALL
         SELECT obj, unnest(gt), generate_subscripts(gt, 1) FROM act{t}
         UNION ALL
@@ -7437,8 +7463,8 @@ def sql_kg_transe(dim: int = _TRANSE_DIM, n_steps: int = _TRANSE_STEPS,
   rg{t} AS (
     SELECT name, list(g ORDER BY pos) AS grad FROM (
       SELECT pred AS name, pos, sum(gi) AS g FROM (
-        SELECT pred, unnest(ght) AS gi,
-               generate_subscripts(ght, 1) AS pos FROM act{t}) u
+        SELECT pred, unnest(gr) AS gi,
+               generate_subscripts(gr, 1) AS pos FROM act{t}) u
       GROUP BY pred, pos) s
     GROUP BY name),
   es{t} AS (
@@ -7487,6 +7513,34 @@ def sql_kg_transe(dim: int = _TRANSE_DIM, n_steps: int = _TRANSE_STEPS,
         SELECT 'relation', name, v FROM r{n_steps}) u
   ORDER BY kind, name, i"""
     )
+
+
+def sql_kg_transe(dim: int = _TRANSE_DIM, n_steps: int = _TRANSE_STEPS,
+                  lr: float = _TRANSE_LR,
+                  margin: float = _TRANSE_MARGIN) -> str:
+    return _sql_kg_embed("transe", dim, n_steps, lr, margin)
+
+
+def q_kg_distmult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed DistMult training (operators/kgembed.py::
+    train_distmult) over the same corroborated relation triples as
+    kg_transe: 2 full-batch steps at dim 4 with grid-quantized
+    component products (the determinism device products need that
+    grid-exact differences don't). The oracle reuses the shared
+    generated-CTE unroll with the bilinear gradient lists and the
+    margin − s_pos + s_neg active test."""
+    from dbpedia_spotlight_spark.operators.kgembed import train_distmult
+    trip = _refine_triples(spark, sf_dir)
+    out = train_distmult(trip, dim=_TRANSE_DIM, n_steps=_TRANSE_STEPS,
+                         lr=_TRANSE_LR, margin=_TRANSE_MARGIN)
+    return (out.select("kind", "name",
+                       F.posexplode("v").alias("i", "x"))
+            .orderBy("kind", "name", "i"))
+
+
+def sql_kg_distmult() -> str:
+    return _sql_kg_embed("distmult", _TRANSE_DIM, _TRANSE_STEPS,
+                         _TRANSE_LR, _TRANSE_MARGIN)
 
 
 def q_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -180,3 +180,130 @@ def test_resume_is_bit_exact(spark):
     assert "newbie" in names
     with pytest.raises(ValueError, match="dim"):
         train_transe(df, dim=8, n_steps=1, resume_from=half).collect()
+
+
+# ---------------------------------------------------------------------------
+# DistMult (train_distmult): bilinear-diagonal twin of the TransE
+# battery — same determinism contract, quantized-product gradients
+# ---------------------------------------------------------------------------
+
+from dbpedia_spotlight_spark.operators.kgembed import train_distmult
+
+
+def _train_np_dm(triples, dim, n_steps, lr, margin):
+    """From-scratch DistMult replicating the operator: every pairwise/
+    triple product re-quantized to the 2^-30 grid (association order
+    (h*r)*t), margin - s_pos + s_neg loss, unit-sphere renorm."""
+    tri = sorted(set(triples))
+    ents = sorted({s for s, _, _ in tri} | {o for _, _, o in tri})
+    rels = sorted({p for _, p, _ in tri})
+    E = {e: _quant_np(_init_np(e, dim)) for e in ents}
+    R = {r: _quant_np(_init_np(r, dim)) for r in rels}
+    for step in range(n_steps):
+        ge = {e: np.zeros(dim) for e in ents}
+        gr = {r: np.zeros(dim) for r in rels}
+        for (s, p, o) in tri:
+            ni = _md5_long(f"{s}|{p}|{o}|{step}") % len(ents)
+            nname = ents[ni]
+            hr = E[s] * R[p]
+            spos = float(_quant_np(hr * E[o]).sum())
+            sneg = float(_quant_np(hr * E[nname]).sum())
+            if margin - spos + sneg > 0:
+                ge[s] += (_quant_np(R[p] * E[nname])
+                          - _quant_np(R[p] * E[o]))
+                gr[p] += (_quant_np(E[s] * E[nname])
+                          - _quant_np(E[s] * E[o]))
+                ge[o] += -_quant_np(hr)
+                ge[nname] += _quant_np(hr)
+        for e in ents:
+            v = E[e] - lr * ge[e]
+            n = math.sqrt(float(v @ v))
+            if n > 0:
+                v = v / n
+            E[e] = _quant_np(v)
+        for r in rels:
+            R[r] = _quant_np(R[r] - lr * gr[r])
+    return E, R
+
+
+@pytest.mark.parametrize("n_steps", [0, 1, 4])
+def test_distmult_matches_numpy_twin(spark, n_steps):
+    dim, lr, margin = 8, 0.05, 1.0
+    got = train_distmult(_tri_df(spark), dim=dim, n_steps=n_steps,
+                         lr=lr, margin=margin).collect()
+    E, R = _train_np_dm(_TRIPLES, dim, n_steps, lr, margin)
+    want = {("entity", k): v for k, v in E.items()}
+    want.update({("relation", k): v for k, v in R.items()})
+    got_map = {(r.kind, r.name): np.array(r.v) for r in got}
+    assert set(got_map) == set(want)
+    for key in want:
+        assert np.array_equal(got_map[key], want[key]), key
+
+
+def test_distmult_reduces_loss_and_diverges_from_transe(spark):
+    def loss(E, R, step=0):
+        tri = sorted(set(_TRIPLES))
+        ents = sorted({s for s, _, _ in tri} | {o for _, _, o in tri})
+        tot = 0.0
+        for (s, p, o) in tri:
+            nname = ents[_md5_long(f"{s}|{p}|{o}|{step}") % len(ents)]
+            hr = E[s] * R[p]
+            spos = float(_quant_np(hr * E[o]).sum())
+            sneg = float(_quant_np(hr * E[nname]).sum())
+            tot += max(0.0, 1.0 - spos + sneg)
+        return tot / len(tri)
+    E0, R0 = _train_np_dm(_TRIPLES, 8, 0, 0.05, 1.0)
+    E9, R9 = _train_np_dm(_TRIPLES, 8, 12, 0.05, 1.0)
+    assert loss(E9, R9) < loss(E0, R0)
+    # the two geometries genuinely train different vectors
+    te = {r.name: tuple(r.v) for r in
+          train_transe(_tri_df(spark), dim=6, n_steps=2)
+          .filter("kind = 'entity'").collect()}
+    dm = {r.name: tuple(r.v) for r in
+          train_distmult(_tri_df(spark), dim=6, n_steps=2)
+          .filter("kind = 'entity'").collect()}
+    assert te.keys() == dm.keys() and te != dm
+
+
+def test_distmult_layout_independence(spark):
+    df = _tri_df(spark)
+    base = sorted((r.kind, r.name, tuple(r.v)) for r in
+                  train_distmult(df, dim=6, n_steps=3).collect())
+    shuf = sorted((r.kind, r.name, tuple(r.v)) for r in
+                  train_distmult(df.repartition(7, "obj"),
+                                 dim=6, n_steps=3).collect())
+    assert base == shuf
+
+
+def test_distmult_score_read_path(spark):
+    df = _tri_df(spark)
+    emb = train_distmult(df, dim=8, n_steps=8) \
+        .localCheckpoint(eager=True)
+    scored = score_triples(df, emb, model="distmult").collect()
+    assert len(scored) == len(set(_TRIPLES))
+    # HIGHER is better for DistMult: corrupted triples score lower
+    asserted = {(r.subj, r.pred, r.obj): r.score for r in scored}
+    corrupt = [(s, p, "x" if o != "x" else "y")
+               for (s, p, o) in _TRIPLES]
+    corrupt = [c for c in corrupt if c not in asserted]
+    cs = [r.score for r in score_triples(
+        _tri_df(spark, corrupt), emb, model="distmult").collect()]
+    assert np.mean(cs) < np.mean(list(asserted.values()))
+    with pytest.raises(ValueError, match="model"):
+        score_triples(df, emb, model="rotate")
+    with pytest.raises(ValueError, match="model"):
+        from dbpedia_spotlight_spark.operators.kgembed import _train
+        _train(df, "complex", 4, 1, 0.1, 1.0, None, None, 0)
+
+
+def test_distmult_resume_is_bit_exact(spark):
+    df = _tri_df(spark)
+    full = {(r.kind, r.name): tuple(r.v) for r in
+            train_distmult(df, dim=6, n_steps=4, lr=0.05).collect()}
+    half = train_distmult(df, dim=6, n_steps=2, lr=0.05) \
+        .localCheckpoint(eager=True)
+    resumed = {(r.kind, r.name): tuple(r.v) for r in
+               train_distmult(df, dim=6, n_steps=2, lr=0.05,
+                              resume_from=half,
+                              step_offset=2).collect()}
+    assert resumed == full

@@ -73,6 +73,10 @@ ROTATED = [
     # strongest-neighbor backbone of the co-mention graph — oracle is
     # a genuine WITH RECURSIVE BFS at the same hop budget
     ("shortest_paths", Q.q_shortest_paths, Q.sql_shortest_paths),
+    # round-5 addition: DistMult KG-embedding training — the bilinear
+    # twin of the registered kg_transe, shared generated-CTE unroll
+    # with quantized-product gradient lists
+    ("kg_distmult", Q.q_kg_distmult, Q.sql_kg_distmult),
     # round-5 addition: landmark-sampled harmonic centrality over the
     # same backbone — exact-integer L/d sum device (L = lcm(1..hops)),
     # so the double `harmonic` is bit-identical across engines
