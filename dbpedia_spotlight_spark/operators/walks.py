@@ -22,11 +22,16 @@ Scale design:
 - skip-gram extraction is a per-walk self-join bounded by walk_len —
   the walk_id keys are uniform by construction (no skew possible).
 
-Not node2vec: the p/q-biased transition needs membership tests of each
-candidate against the PREVIOUS node's neighbor set (a second
-adjacency join per step plus a set probe); DeepWalk's uniform choice
-is what the deterministic-replay contract can mirror relationally, so
-p/q bias is out of scope (documented, not planned).
+:func:`node2vec_walks` extends the same contract to the p/q-biased
+second-order walk (Grover & Leskovec 2016): the bias weights are
+EXACT INTEGERS (1/p, 1, 1/q scaled by their lcm denominator), the
+choice is ``md5(...) mod Σweights`` resolved by cumulative-weight
+scan — all integer arithmetic, so the DuckDB oracle replays it with a
+window cumsum and the corpus is layout-independent like everything
+else here. The membership test against the previous node's neighbor
+set costs NO extra join: the neighbor list fetched for the current
+node at step t IS the previous-node list at step t+1, so it rides
+along in the walk state.
 """
 
 from __future__ import annotations
@@ -83,6 +88,97 @@ def random_walks(edges: DataFrame, n_walks: int = 2, walk_len: int = 5,
                          F.concat("path", F.array(
                              F.element_at("nbrs", (idx + 1).cast("int"))))
                          .alias("path")))
+    return walks.select(
+        "walk_id", F.posexplode("path").alias("step", "uri"))
+
+
+def _pq_weights(p: float, q: float) -> tuple[int, int, int]:
+    """(w_return, w_inside, w_outside) — node2vec's 1/p, 1, 1/q as
+    exact integers scaled by the lcm of their denominators, so the
+    weighted choice is pure integer arithmetic (the cross-engine /
+    layout-independence requirement). p and q must be rational with a
+    denominator ≤ 10^6 after conversion (any sane hyperparameter)."""
+    from fractions import Fraction
+    from math import lcm
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    wr = 1 / Fraction(str(p)).limit_denominator(10 ** 6)
+    wo = 1 / Fraction(str(q)).limit_denominator(10 ** 6)
+    scale = lcm(wr.denominator, wo.denominator)
+    return (int(wr * scale), int(scale), int(wo * scale))
+
+
+def node2vec_walks(edges: DataFrame, p: float = 1.0, q: float = 1.0,
+                   n_walks: int = 2, walk_len: int = 5,
+                   seed: str = "n2v") -> DataFrame:
+    """(walk_id, step, uri) — second-order p/q-biased walks
+    (node2vec, Grover & Leskovec 2016) under the SAME deterministic
+    contract as :func:`random_walks`. Step 1 is uniform (no previous
+    node, per the paper); at step t>1, candidate x in the sorted
+    neighbor list of cur gets integer weight w_return (x == prev),
+    w_inside (x adjacent to prev) or w_outside, and the pick is
+    ``md5(seed:walk_id:t) mod Σw`` resolved by a single-pass
+    cumulative fold. p == q == 1 degenerates to the DeepWalk walk but
+    with the weighted selector (same distribution, different hash
+    stream — walks are not expected to coincide with random_walks).
+
+    Scale: ONE adjacency join per step (the previous node's neighbor
+    list rides along from the prior step — see module docstring);
+    weights/cumsum are JVM higher-order expressions over the neighbor
+    array, linear in degree."""
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    wr, wi, wo = _pq_weights(p, q)
+    adj = adjacency(edges).localCheckpoint(eager=True)
+    walks = (adj.select("uri")
+             .withColumn("k", F.explode(F.array(
+                 *[F.lit(i) for i in range(n_walks)])))
+             .select(F.concat_ws("#", "uri", "k").alias("walk_id"),
+                     F.col("uri").alias("cur"),
+                     F.array("uri").alias("path")))
+    for t in range(1, walk_len):
+        j = walks.join(adj, walks["cur"] == adj["uri"]).drop("uri")
+        h = _h60(F.concat_ws(":", F.lit(seed), "walk_id",
+                             F.lit(str(t))))
+        if t == 1:
+            j = j.withColumn("_i", F.pmod(h, F.size("nbrs")).cast("int"))
+        else:
+            # _w/_r/_i land as NAMED columns on purpose: a
+            # higher-order aggregate nested inside another lambda (r
+            # inside the selection fold) mis-binds its
+            # NamedLambdaVariables when the combined expression is
+            # inlined twice in one projection — attribute references
+            # sidestep the collision entirely
+            w_arr = F.transform(
+                F.col("nbrs"),
+                lambda x: F.when(x == F.col("prev"),
+                                 F.lit(wr).cast("long"))
+                .when(F.array_contains(F.col("pnbrs"), x),
+                      F.lit(wi).cast("long"))
+                .otherwise(F.lit(wo).cast("long")))
+            j = j.withColumn("_w", w_arr)
+            total = F.aggregate(F.col("_w"), F.lit(0).cast("long"),
+                                lambda acc, x: acc + x)
+            j = j.withColumn("_r", F.pmod(h, total))
+            j = j.withColumn("_i", F.aggregate(
+                F.col("_w"),
+                F.struct(F.lit(0).cast("long").alias("cum"),
+                         F.lit(-1).alias("idx"),
+                         F.lit(0).alias("pos")),
+                lambda acc, x: F.struct(
+                    (acc["cum"] + x).alias("cum"),
+                    F.when(acc["idx"] >= 0, acc["idx"])
+                    .when(F.col("_r") < acc["cum"] + x, acc["pos"])
+                    .otherwise(F.lit(-1)).alias("idx"),
+                    (acc["pos"] + 1).alias("pos")),
+                lambda acc: acc["idx"]))
+        nxt = F.element_at("nbrs", (F.col("_i") + 1).cast("int"))
+        walks = j.withColumn("_nxt", nxt).select(
+            "walk_id",
+            F.col("cur").alias("prev"),
+            F.col("nbrs").alias("pnbrs"),
+            F.col("_nxt").alias("cur"),
+            F.concat("path", F.array("_nxt")).alias("path"))
     return walks.select(
         "walk_id", F.posexplode("path").alias("step", "uri"))
 

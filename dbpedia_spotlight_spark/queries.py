@@ -748,6 +748,66 @@ def sql_walk_skipgrams() -> str:
     )
 
 
+def q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec p/q-biased walks (operators/walks.py::node2vec_walks)
+    over the co-mention graph: 1 walk of length 4 per entity at
+    p=2, q=0.5 (integer weights 1/2/4 for return/inside/outside). The
+    oracle replays the weighted selection relationally — per-candidate
+    CASE weights with an EXISTS probe of the previous node's edge set,
+    window cumsum in sorted-neighbor order, pick = first cum > md5
+    mod total — so the engines agree only if the bias classes, the
+    integer scaling, and the cumulative tie-break all match."""
+    from dbpedia_spotlight_spark.operators.graph import cooccurrence_edges
+    from dbpedia_spotlight_spark.operators.walks import node2vec_walks
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    return node2vec_walks(edges, p=2.0, q=0.5, n_walks=1, walk_len=4)
+
+
+def sql_node2vec() -> str:
+    wr, wi, wo = 1, 2, 4  # _pq_weights(2.0, 0.5)
+    h = lambda t: ("CAST(concat('0x', substr(md5('n2v:' || walk_id"  # noqa: E731
+                   f" || ':{t}'), 1, 15)) AS BIGINT)")
+    steps = []
+    for t in (2, 3):
+        steps.append(f""",
+  cand{t} AS (
+    SELECT p.walk_id, p.prev, p.cur, nbr.d AS cand, nbr.r,
+           CASE WHEN nbr.d = p.prev THEN {wr}
+                WHEN pe.d IS NOT NULL THEN {wi}
+                ELSE {wo} END AS w
+    FROM s{t - 1} p JOIN nbr ON nbr.s = p.cur
+    LEFT JOIN und pe ON pe.s = p.prev AND pe.d = nbr.d),
+  s{t} AS (
+    SELECT walk_id, prev, cur FROM (
+      SELECT walk_id, cur AS prev, cand AS cur,
+             row_number() OVER (PARTITION BY walk_id ORDER BY r)
+               AS pick
+      FROM (SELECT c.*,
+                   sum(w) OVER (PARTITION BY walk_id ORDER BY r)
+                     AS cum,
+                   sum(w) OVER (PARTITION BY walk_id) AS tot
+            FROM cand{t} c) cc
+      WHERE cum > {h(t)} % tot) z
+    WHERE pick = 1)""")
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED
+        + _WALK_SQL_PREFIX.split(",\n  w0 AS")[0] + f""",
+  s0 AS (SELECT v.s || '#0' AS walk_id, CAST(NULL AS VARCHAR) AS prev,
+                v.s AS cur
+         FROM (SELECT DISTINCT s FROM und) v),
+  s1 AS (SELECT s0.walk_id, s0.cur AS prev, nbr.d AS cur
+         FROM s0 JOIN deg ON deg.s = s0.cur
+         JOIN nbr ON nbr.s = s0.cur
+          AND nbr.r = {h(1)} % deg.n){"".join(steps)}
+  SELECT walk_id, step, uri FROM (
+    SELECT walk_id, 0 AS step, cur AS uri FROM s0
+    UNION ALL SELECT walk_id, 1, cur FROM s1
+    UNION ALL SELECT walk_id, 2, cur FROM s2
+    UNION ALL SELECT walk_id, 3, cur FROM s3) u"""
+    )
+
+
 def q_owl_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OWL 2 RL prp-spo2 (operators/ontology.py::infer_property_chains):
     planted hasParent edges e{i} → e{i//2} per document, a 2-step and a

@@ -73,6 +73,10 @@ ROTATED = [
     # strongest-neighbor backbone of the co-mention graph — oracle is
     # a genuine WITH RECURSIVE BFS at the same hop budget
     ("shortest_paths", Q.q_shortest_paths, Q.sql_shortest_paths),
+    # round-5 addition: node2vec p/q-biased walks — integer bias
+    # weights, oracle replays the weighted pick via window cumsum in
+    # sorted-neighbor order + EXISTS probe of the prev edge set
+    ("node2vec", Q.q_node2vec, Q.sql_node2vec),
     # round-5 addition: DistMult KG-embedding training — the bilinear
     # twin of the registered kg_transe, shared generated-CTE unroll
     # with quantized-product gradient lists

@@ -87,3 +87,96 @@ def test_skipgram_pairs_counts(spark):
             k = (seq[i], seq[j])
             expect[k] = expect.get(k, 0) + 1
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# node2vec (p/q-biased second-order walks)
+# ---------------------------------------------------------------------------
+
+from dbpedia_spotlight_spark.operators.walks import (  # noqa: E402
+    _pq_weights, node2vec_walks)
+
+
+def _py_n2v(pairs, p, q, n_walks, walk_len, seed="n2v"):
+    wr, wi, wo = _pq_weights(p, q)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    adj = {v: sorted(ns) for v, ns in adj.items()}
+    nset = {v: set(ns) for v, ns in adj.items()}
+    out = []
+    for v in sorted(adj):
+        for k in range(n_walks):
+            wid, prev, cur, path = f"{v}#{k}", None, v, [v]
+            for t in range(1, walk_len):
+                ns = adj[cur]
+                h = _h60(f"{seed}:{wid}:{t}")
+                if prev is None:
+                    nxt = ns[h % len(ns)]
+                else:
+                    ws = [wr if x == prev
+                          else wi if x in nset[prev] else wo
+                          for x in ns]
+                    r = h % sum(ws)
+                    cum = 0
+                    for x, w in zip(ns, ws):
+                        cum += w
+                        if r < cum:
+                            nxt = x
+                            break
+                prev, cur = cur, nxt
+                path.append(cur)
+            out += [(wid, i, u) for i, u in enumerate(path)]
+    return sorted(out)
+
+
+def test_pq_weights_exact_integers():
+    assert _pq_weights(1.0, 1.0) == (1, 1, 1)
+    assert _pq_weights(2.0, 0.5) == (1, 2, 4)
+    assert _pq_weights(0.25, 4.0) == (16, 4, 1)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="p and q"):
+        _pq_weights(0.0, 1.0)
+
+
+def test_node2vec_matches_python_reference(spark):
+    rng = random.Random(7)
+    verts = [f"v{i}" for i in range(20)]
+    pairs = [p for p in itertools.combinations(verts, 2)
+             if rng.random() < 0.2]
+    for p, q in ((1.0, 1.0), (2.0, 0.5), (0.25, 4.0)):
+        got = sorted(map(tuple, node2vec_walks(
+            _edges(spark, pairs), p=p, q=q,
+            n_walks=2, walk_len=5).collect()))
+        assert got == _py_n2v(pairs, p, q, 2, 5), (p, q)
+
+
+def test_node2vec_bias_direction(spark):
+    """Strong return bias (tiny p) walks oscillate; strong outward
+    bias (tiny q) on a path graph keeps moving — the bias does what
+    the paper says, beyond just matching the twin."""
+    chain = [(f"n{i}", f"n{i+1}") for i in range(30)]
+    back = node2vec_walks(_edges(spark, chain), p=0.01, q=100.0,
+                          n_walks=1, walk_len=5).collect()
+    out = node2vec_walks(_edges(spark, chain), p=100.0, q=0.01,
+                         n_walks=1, walk_len=5).collect()
+
+    def revisit_rate(rows):
+        byw = {}
+        for r in rows:
+            byw.setdefault(r.walk_id, []).append((r.step, r.uri))
+        rev = tot = 0
+        for steps in byw.values():
+            us = [u for _, u in sorted(steps)]
+            rev += sum(1 for i in range(2, len(us))
+                       if us[i] == us[i - 2])
+            tot += len(us) - 2
+        return rev / tot
+    assert revisit_rate(back) > 0.9
+    assert revisit_rate(out) < 0.1
+    # layout independence
+    e = _edges(spark, chain).repartition(5, "uri_b")
+    again = node2vec_walks(e, p=0.01, q=100.0,
+                           n_walks=1, walk_len=5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, back))
