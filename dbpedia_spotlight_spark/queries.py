@@ -8043,9 +8043,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     swap) in; spot_unigram out (T1/T5, green since round 1 — tokenizer
     + case normalization stay exercised inside spot_fsa and every
     pipeline query, and the pair stays DuckDB-mirrored in
-    tests/test_rotated_queries.py)."""
+    tests/test_rotated_queries.py).
+    Round-5 seventeenth rotation: node2vec (p/q-biased second-order
+    walks — integer bias weights + md5-mod-cumsum selection,
+    operators/walks.py::node2vec_walks; oracle replays the weighted
+    pick via window cumsum + EXISTS probe, green at sf0.001 AND
+    sf0.01 before the swap) in; minhash_pairs out (green since round
+    2 — the MinHash+LSH banding machinery stays exercised inside the
+    registered jaccard_lsh_verified composition, and the pair stays
+    DuckDB-mirrored in tests/test_rotated_queries.py).
+    Round-5 eighteenth rotation: fact_allen (Allen interval algebra
+    over fact-validity episodes — triples.py::allen_relations, all 7
+    canonical relations planted incl. the live-episode +∞ lane;
+    oracle replays the pair expansion as a row-comparison self-join
+    + CASE ladder, green at sf0.001 AND sf0.01 before the swap) in;
+    sessionize out (green since round 3 — per-user window semantics
+    stay pinned by its pytests, the applyInPandasWithState streaming
+    twin, and the registered salted_user_topk window plumbing; the
+    pair stays DuckDB-mirrored in tests/test_rotated_queries.py)."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "node2vec": q_node2vec,
+        "fact_allen": q_fact_allen,
         "entity_summary": q_entity_summary,
         "type_prediction": q_type_prediction,
         "kg_transe": q_kg_transe,
@@ -8073,7 +8092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls": q_canonical_urls,
         "image_features": q_image_features,
         "salted_user_topk": q_salted_user_topk,
-        "sessionize": q_sessionize,
         "ann_ivf": q_ann_ivf,
         "dedup_components": q_dedup_components,
         "quality_gopher": q_quality_gopher,
@@ -8094,7 +8112,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data ops
         "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_lsh_verified": q_jaccard_lsh_verified,
-        "minhash_pairs": q_minhash_pairs,
         "winnowing": q_winnowing,
         "lang_id": q_lang_id,
         # similarity search
@@ -8107,6 +8124,8 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "node2vec": sql_node2vec(),
+        "fact_allen": sql_fact_allen(),
         "entity_summary": sql_entity_summary(),
         "type_prediction": sql_type_prediction(),
         "kg_transe": sql_kg_transe(),
@@ -8134,7 +8153,6 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": sql_canonical_urls(),
         "image_features": sql_image_features(),
         "salted_user_topk": sql_salted_user_topk(),
-        "sessionize": sql_sessionize(),
         "ann_ivf": sql_ann_ivf(),
         "dedup_components": sql_dedup_components(),
         "quality_gopher": sql_quality_gopher(),
@@ -8152,7 +8170,6 @@ def oracle_sql() -> dict[str, str]:
         "model_entities": sql_model_entities(),
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "jaccard_lsh_verified": sql_jaccard_lsh_verified(),
-        "minhash_pairs": sql_minhash_pairs(),
         "winnowing": sql_winnowing(),
         "lang_id": sql_lang_id(),
         "ann_topk": sql_ann_topk(),

@@ -42,10 +42,6 @@ ROTATED = [
     # round-5 addition: temporal fact versioning — the delta_log folded
     # into validity intervals (lead-over-fact-key window both engines)
     ("fact_episodes", Q.q_fact_episodes, Q.sql_fact_episodes),
-    # round-5 addition: Allen interval algebra over fact episodes —
-    # all 7 canonical relations planted, live-episode +∞ convention
-    # on the hash path, oracle replays the pair expansion + CASE
-    ("fact_allen", Q.q_fact_allen, Q.sql_fact_allen),
     # round-5 addition: final per-source reliability from the same
     # truth-discovery fixpoint the registered fused_truth runs
     ("fusion_trust", Q.q_fusion_trust, Q.sql_fusion_trust),
@@ -73,10 +69,12 @@ ROTATED = [
     # strongest-neighbor backbone of the co-mention graph — oracle is
     # a genuine WITH RECURSIVE BFS at the same hop budget
     ("shortest_paths", Q.q_shortest_paths, Q.sql_shortest_paths),
-    # round-5 addition: node2vec p/q-biased walks — integer bias
-    # weights, oracle replays the weighted pick via window cumsum in
-    # sorted-neighbor order + EXISTS probe of the prev edge set
-    ("node2vec", Q.q_node2vec, Q.sql_node2vec),
+    # round-5 seventeenth rotation OUT: MinHash+LSH banding (stays
+    # exercised inside the registered jaccard_lsh_verified)
+    ("minhash_pairs", Q.q_minhash_pairs, Q.sql_minhash_pairs),
+    # round-5 eighteenth rotation OUT: per-user session windows (own
+    # pytests + applyInPandasWithState streaming twin keep it pinned)
+    ("sessionize", Q.q_sessionize, Q.sql_sessionize),
     # round-5 addition: DistMult KG-embedding training — the bilinear
     # twin of the registered kg_transe, shared generated-CTE unroll
     # with quantized-product gradient lists
