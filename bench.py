@@ -170,6 +170,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     qs.setdefault("quality", Q.q_quality)  # rotated out r5 (8th rotation)
     qs.setdefault("entity_walks", Q.q_entity_walks)  # rotated pair (r5)
     qs.setdefault("annotate_prior", Q.q_annotate_prior)  # rotated out r5 (13th)
+    qs.setdefault("minhash_pairs", Q.q_minhash_pairs)  # rotated out r5 (17th)
     # warm up JVM + Python workers + compile/broadcast the static model so
     # per-query times measure the steady-state plan, not one-time setup
     Q._docs(spark, sf_dir).limit(8).mapInPandas(

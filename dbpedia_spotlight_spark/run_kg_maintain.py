@@ -131,6 +131,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--embed-steps", type=int, default=2)
     ap.add_argument("--embed-lr", type=float, default=0.1)
     ap.add_argument("--embed-min-docs", type=int, default=2)
+    ap.add_argument("--embed-model", default="transe",
+                    choices=("transe", "distmult"))
     ap.add_argument("--metrics-out", default="",
                     help="write the run stats JSON to this local path "
                          "as well as stdout")
@@ -283,7 +285,8 @@ def main(argv: list[str] | None = None,
         estore = EmbeddingStore(spark, args.embeddings)
         stats["embeddings"] = estore.catchup(
             rstore, dim=args.embed_dim, steps=args.embed_steps,
-            lr=args.embed_lr, min_docs=args.embed_min_docs)
+            lr=args.embed_lr, min_docs=args.embed_min_docs,
+            model=args.embed_model)
 
     if args.shapes:
         from dbpedia_spotlight_spark.operators.shapes import (

@@ -870,12 +870,14 @@ def maintain_kg_stream(spark: SparkSession, input_dir: str, model_bc,
 
 
 class EmbeddingStore(KGStore):
-    """Generation store for incrementally-maintained TransE embeddings
-    (operators/kgembed.py): per generation one ``embeddings`` frame
-    (kind, name, v) plus a one-row ``meta`` frame recording the model
-    config and the cumulative step count. Follows a :class:`RelationStore`
-    (the entity-to-entity triple state TransE trains on) the way the
-    relation store follows the KG delta log.
+    """Generation store for incrementally-maintained KG embeddings
+    (TransE or DistMult — ``model`` pinned in meta at first fold like
+    ``dim``; operators/kgembed.py): per generation one ``embeddings``
+    frame (kind, name, v) plus a one-row ``meta`` frame recording the
+    model config and the cumulative step count. Follows a
+    :class:`RelationStore` (the entity-to-entity triple state the
+    trainer consumes) the way the relation store follows the KG delta
+    log.
 
     ``catchup(rel_store, steps=K)`` warm-starts from the live
     embeddings (``resume_from`` + ``step_offset`` — bit-exact
@@ -895,7 +897,7 @@ class EmbeddingStore(KGStore):
 
     _EMB_DDL = "kind string, name string, v array<double>"
     _META_DDL = ("dim int, steps_done int, lr double, margin double, "
-                 "min_docs int")
+                 "min_docs int, model string")
 
     def read_embeddings(self) -> DataFrame:
         return self._read_state("embeddings", self._EMB_DDL)
@@ -910,15 +912,20 @@ class EmbeddingStore(KGStore):
 
     def catchup(self, rel_store: RelationStore, dim: int = 16,
                 steps: int = 2, lr: float = 0.1, margin: float = 1.0,
-                min_docs: int = 2) -> dict:
+                min_docs: int = 2, model: str = "transe") -> dict:
         """Refresh embeddings against ``rel_store``'s live generation.
         No-op when already caught up AND no steps are requested beyond
         what the pointer generation recorded; otherwise trains
         ``steps`` more steps (warm-started) and writes a generation
         named after the relation store's."""
-        from dbpedia_spotlight_spark.operators.kgembed import train_transe
+        from dbpedia_spotlight_spark.operators.kgembed import (
+            train_distmult, train_transe)
         from dbpedia_spotlight_spark.operators.relations import (
             relation_triples)
+        trainers = {"transe": train_transe, "distmult": train_distmult}
+        if model not in trainers:
+            raise ValueError(f"unknown model: {model}"
+                             " ('transe' | 'distmult')")
         rel_gen = rel_store.latest_gen()
         if rel_gen is None:
             raise ValueError("relation store has no live generation — "
@@ -928,6 +935,12 @@ class EmbeddingStore(KGStore):
             raise ValueError(
                 f"store was trained at dim={meta['dim']}; retraining at "
                 f"dim={dim} needs a fresh store root")
+        # stores created before the model column default to transe
+        if meta is not None and meta.get("model", "transe") != model:
+            raise ValueError(
+                f"store was trained with model={meta.get('model')}; "
+                f"switching to model={model} needs a fresh store root "
+                "(the geometries share nothing)")
         if meta is not None and self.latest_gen() == rel_gen:
             return {"gen": rel_gen, "steps_done": meta["steps_done"],
                     "trained": 0}
@@ -936,14 +949,14 @@ class EmbeddingStore(KGStore):
         trips = relation_triples(
             rel_store.read_relations(), min_docs=min_docs) \
             .select("subj", "pred", "obj")
-        emb = train_transe(trips, dim=dim, n_steps=steps, lr=lr,
-                           margin=margin, resume_from=prev,
-                           step_offset=offset)
+        emb = trainers[model](trips, dim=dim, n_steps=steps, lr=lr,
+                              margin=margin, resume_from=prev,
+                              step_offset=offset)
         gen_dir = self._gen_path(rel_gen)
         emb.write.mode("overwrite").parquet(f"{gen_dir}/embeddings")
         self.spark.createDataFrame(
             [(dim, offset + steps, float(lr), float(margin),
-              min_docs)], self._META_DDL) \
+              min_docs, model)], self._META_DDL) \
             .write.mode("overwrite").parquet(f"{gen_dir}/meta")
         prev_gen = self.latest_gen()
         self._write_pointer(rel_gen, -1)

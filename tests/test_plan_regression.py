@@ -59,6 +59,7 @@ def _headline_queries():
     qs.setdefault("quality", Q.q_quality)
     qs.setdefault("entity_walks", Q.q_entity_walks)
     qs.setdefault("annotate_prior", Q.q_annotate_prior)
+    qs.setdefault("minhash_pairs", Q.q_minhash_pairs)
     return [(name, qs[name]) for name in bench.HEADLINE]
 
 

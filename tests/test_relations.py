@@ -417,3 +417,46 @@ def test_embedding_store_follows_relation_store(spark, web_pages,
     with _pt.raises(ValueError, match="no live generation"):
         EmbeddingStore(spark, str(tmp_path / "emb2")).catchup(
             RelationStore(spark, str(tmp_path / "rel2")), dim=6)
+
+
+def test_embedding_store_distmult_model(spark, web_pages, model_bc,
+                                        tmp_path):
+    """model='distmult' trains the bilinear geometry (≠ the transe
+    vectors on the same triples), pins the model in meta, and refuses
+    a model switch on an existing store."""
+    import pytest as _pt
+
+    from dbpedia_spotlight_spark.operators.kgembed import train_distmult
+    from dbpedia_spotlight_spark.operators.relations import (
+        relation_triples)
+    from dbpedia_spotlight_spark.pipeline import PipelineConfig
+    from dbpedia_spotlight_spark.streaming.kg_stream import (
+        EmbeddingStore, KGStore, RelationStore, apply_pages_batch)
+
+    cfg = PipelineConfig(disambiguator="generative")
+    cols = ["url", "warc_ts", "text", "lang"]
+    rows = web_pages.select(*cols).orderBy("url").collect()
+    schema = web_pages.select(*cols).schema
+    kg = KGStore(spark, str(tmp_path / "kg"))
+    pages = spark.createDataFrame(rows[:30], schema)
+    apply_pages_batch(spark, pages, model_bc, kg, batch_id=0, cfg=cfg)
+    rstore = RelationStore(spark, str(tmp_path / "rel"))
+    rstore.catchup(kg, pages.select("url", "text"))
+
+    dm = EmbeddingStore(spark, str(tmp_path / "dm"))
+    s = dm.catchup(rstore, dim=6, steps=2, lr=0.05, min_docs=1,
+                   model="distmult")
+    assert s["trained"] == 2
+    assert dm.read_meta()["model"] == "distmult"
+    trips = relation_triples(rstore.read_relations(), min_docs=1) \
+        .select("subj", "pred", "obj")
+    want = {(r.kind, r.name): tuple(r.v)
+            for r in train_distmult(trips, dim=6, n_steps=2,
+                                    lr=0.05).collect()}
+    got = {(r.kind, r.name): tuple(r.v)
+           for r in dm.read_embeddings().collect()}
+    assert got == want
+    with _pt.raises(ValueError, match="model"):
+        dm.catchup(rstore, dim=6, steps=1, model="transe")
+    with _pt.raises(ValueError, match="model"):
+        dm.catchup(rstore, dim=6, steps=1, model="rotate")
