@@ -151,6 +151,8 @@ HEADLINE = [
                               # triples (round-5 fifteenth rotation)
     "kg_transe",              # distributed TransE embedding training
                               # (round-5 sixteenth rotation)
+    "node2vec",               # p/q-biased second-order walks
+                              # (round-5 seventeenth rotation)
 ]
 
 
