@@ -808,3 +808,129 @@ def harmonic_centrality(edges: DataFrame, sources: list[str],
             .select("uri", "n_reached",
                     (F.col("h_num") / F.lit(float(L)))
                     .alias("harmonic")))
+
+
+def ball_registers(edges: DataFrame, max_hops: int = 4,
+                   p: int = 8, directed: bool = False,
+                   checkpoint_dir: str | None = None) -> DataFrame:
+    """HyperBall register tables (Boldi–Vigna 2013): for every node v
+    and radius t ∈ [0, max_hops], the HyperLogLog registers of the
+    ball B(v, t) = {u : d(v, u) <= t}. Returns (uri, t, bucket, rho).
+
+    The whole algorithm is the sketches.py merge law applied per hop:
+    registers(B(v, t)) = max over {registers(B(v, t-1))} ∪
+    {registers(B(w, t-1)) : (v, w) ∈ E} — HLL registers of a set are
+    the item-wise max, so merging neighbor registers IS the ball
+    union, exactly (no approximation enters until the final
+    estimator). Each hop is therefore ONE edge-keyed join + ONE
+    (uri, bucket) max-combine — map-side combinable, idempotent under
+    re-delivered partitions, and the per-node state is <= 2^p register
+    rows regardless of graph size (the entire point of HyperBall:
+    neighborhood functions of billion-node graphs in O(|V|·2^p)
+    memory). Registers are MONOTONE (rows only appear, rho only
+    grows), so convergence is detected by the (count, sum(rho))
+    checksum pair going flat — saturated graphs stop early and later
+    radii reuse the converged frame. Lineage is cut per hop
+    (RoundCheckpointer, reliable-dir mode like pagerank/components).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    from dbpedia_spotlight_spark.operators.sketches import hll_sketch
+    spark = edges.sparkSession
+    out_edges = edges.select(F.col("uri_a").alias("src"),
+                             F.col("uri_b").alias("dst"))
+    if not directed:
+        out_edges = out_edges.unionByName(
+            edges.select(F.col("uri_b").alias("src"),
+                         F.col("uri_a").alias("dst")))
+    out_edges = out_edges.distinct().cache()
+    nodes = (out_edges.select(F.col("src").alias("uri"))
+             .unionByName(out_edges.select(F.col("dst").alias("uri")))
+             .distinct())
+    # t=0 ball is {v}: the single-item sketch of the node's own uri
+    reg = hll_sketch(nodes.withColumn("item", F.col("uri")),
+                     ["uri"], "item", p=p)
+
+    from dbpedia_spotlight_spark.operators.iterate import (
+        RoundCheckpointer)
+    ckpt = RoundCheckpointer(spark, checkpoint_dir, "hyperball")
+    reg = ckpt.cut(reg)
+    frames = [reg.withColumn("t", F.lit(0))]
+    check = reg.agg(F.count("*"), F.sum("rho")).first()
+    for t in range(1, max_hops + 1):
+        neigh = (out_edges.join(reg, out_edges["dst"] == reg["uri"])
+                 .select(F.col("src").alias("uri"), "bucket", "rho"))
+        reg = (reg.unionByName(neigh)
+               .groupBy("uri", "bucket")
+               .agg(F.max("rho").alias("rho")))
+        reg = ckpt.cut(reg)
+        frames.append(reg.withColumn("t", F.lit(t)))
+        nxt = reg.agg(F.count("*"), F.sum("rho")).first()
+        if nxt == check:          # monotone ⇒ flat checksum = converged:
+            # remaining radii are byte-identical; emit them from the
+            # converged frame without further joins
+            frames += [reg.withColumn("t", F.lit(r))
+                       for r in range(t + 1, max_hops + 1)]
+            break
+        check = nxt
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select("uri", "t", "bucket", "rho")
+
+
+def ball_sizes(edges: DataFrame, max_hops: int = 4, p: int = 8,
+               directed: bool = False,
+               checkpoint_dir: str | None = None) -> DataFrame:
+    """(uri, t, est) — estimated |B(v, t)| per node and radius, the
+    per-node read of :func:`ball_registers` through the sketches.py
+    integer-exact estimator (DECIMAL(38,0) register sum, ONE double
+    division, 4dp round — the cross-engine float contract, so a DuckDB
+    replay value-hashes identically)."""
+    from dbpedia_spotlight_spark.operators.sketches import hll_count
+    regs = ball_registers(edges, max_hops=max_hops, p=p,
+                          directed=directed,
+                          checkpoint_dir=checkpoint_dir)
+    return hll_count(regs, ["uri", "t"], p=p)
+
+
+def neighborhood_function(edges: DataFrame, max_hops: int = 4,
+                          p: int = 8, directed: bool = False,
+                          checkpoint_dir: str | None = None
+                          ) -> DataFrame:
+    """(t, nf) — the graph's neighborhood function N(t) = Σ_v |B(v,t)|
+    (estimated): the number of node pairs within distance t, the curve
+    HyperBall exists to compute. Distance distribution, average
+    distance, and effective diameter are all reads of this <=
+    (max_hops+1)-row frame."""
+    bs = ball_sizes(edges, max_hops=max_hops, p=p, directed=directed,
+                    checkpoint_dir=checkpoint_dir)
+    # est is 4dp-rounded, so summing as DECIMAL(38,4) is EXACT in any
+    # aggregation order (a double sum would drift at the ulp across
+    # layouts); one final cast back to double
+    return (bs.groupBy("t")
+            .agg(F.sum(F.col("est").cast("decimal(38,4)"))
+                 .cast("double").alias("nf"))
+            .orderBy("t"))
+
+
+def effective_diameter(edges: DataFrame, alpha: float = 0.9,
+                       max_hops: int = 8, p: int = 8,
+                       directed: bool = False,
+                       checkpoint_dir: str | None = None) -> float:
+    """Smallest t whose neighborhood function reaches ``alpha`` of its
+    max_hops plateau, with the standard linear interpolation between
+    the bracketing radii (Palmer et al. / HyperBall convention). One
+    bounded collect of <= max_hops+1 rows."""
+    rows = sorted(neighborhood_function(
+        edges, max_hops=max_hops, p=p, directed=directed,
+        checkpoint_dir=checkpoint_dir).collect())
+    target = alpha * rows[-1][1]
+    prev_t, prev_nf = rows[0]
+    if prev_nf >= target:
+        return float(prev_t)
+    for t, nf in rows[1:]:
+        if nf >= target:
+            return prev_t + (target - prev_nf) / (nf - prev_nf)
+        prev_t, prev_nf = t, nf
+    return float(rows[-1][0])

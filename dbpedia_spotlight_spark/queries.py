@@ -7640,13 +7640,17 @@ def _comention_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True))
 
 
-def _sql_bfs_prefix(n_sources: int) -> str:
+def _sql_bfs_prefix(n_sources: int, all_sources: bool = False) -> str:
     """Shared oracle prefix for the BFS family: backbone argmax replay
-    + WITH RECURSIVE BFS from the top-``n_sources`` landmarks, hop
-    budget ``_BFS_HOPS``. Ends with the ``bfs`` CTE open for the
-    caller's final SELECT."""
+    + WITH RECURSIVE BFS from the top-``n_sources`` landmarks (or, with
+    ``all_sources``, from EVERY backbone node — the all-pairs-distance
+    form the HyperBall oracle reads balls out of), hop budget
+    ``_BFS_HOPS``. Ends with the ``bfs`` CTE open for the caller's
+    final SELECT."""
     srcs = ", ".join(f"('{u}')" for u in sorted(
         _top_support_uris(n_sources)))
+    src_cte = ("SELECT DISTINCT s AS source FROM undbb" if all_sources
+               else f"SELECT * FROM (VALUES {srcs}) v(source)")
     return (
         "WITH RECURSIVE " + _sql_toks() + ", " + _SQL_SPOTS + ", "
         + _SQL_RANKED + _WALK_SQL_PREFIX.split(",\n  deg AS")[0] + f""",
@@ -7664,7 +7668,7 @@ def _sql_bfs_prefix(n_sources: int) -> str:
               OR (e2.uri_a = u.d AND e2.uri_b = u.s)) w) q
     WHERE r = 1),
   undbb AS (SELECT s, d FROM bb UNION SELECT d, s FROM bb),
-  srcs AS (SELECT * FROM (VALUES {srcs}) v(source)),
+  srcs AS ({src_cte}),
   bfs AS (
     SELECT source AS uri, source, 0 AS dist FROM srcs
     UNION
@@ -7707,6 +7711,68 @@ def sql_harmonic_centrality() -> str:
   FROM md WHERE dist > 0
   GROUP BY uri
   ORDER BY uri"""
+
+
+_HB_P = 8  # HyperBall register precision for the oracle pair
+
+
+def q_ball_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (operators/graph.py::
+    ball_sizes — Boldi–Vigna 2013): estimated |B(v, t)| for every
+    backbone node and radius t <= 6, via per-hop HLL register merges
+    (max over neighbors IS ball union — exact until the estimator).
+    The oracle computes the EXACT balls with an all-sources recursive
+    BFS, rebuilds each ball's registers from the same md5 hash, and
+    runs the same integer-exact estimator — certifying both the
+    register-merge law and the cross-engine 4dp estimate."""
+    from dbpedia_spotlight_spark.operators.graph import ball_sizes
+    out = ball_sizes(_comention_backbone(spark, sf_dir),
+                     max_hops=_BFS_HOPS, p=_HB_P)
+    return out.orderBy("uri", "t")
+
+
+def sql_ball_sizes() -> str:
+    from dbpedia_spotlight_spark.operators.sketches import (
+        HASH_BITS, _alpha)
+    p = _HB_P
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    num = _alpha(m) * m * m * float(1 << HASH_BITS)
+    return _sql_bfs_prefix(1, all_sources=True) + f""",
+  md AS (SELECT source AS v, uri AS u, min(dist) AS dist
+         FROM bfs GROUP BY 1, 2),
+  mem AS (SELECT v, CAST(r.t AS INTEGER) AS t, u
+          FROM md, range(0, {_BFS_HOPS + 1}) r(t)
+          WHERE md.dist <= r.t),
+  hh AS (SELECT v, t,
+                ('0x' || substr(md5(u), 1, 15))::BIGINT AS h60
+         FROM mem),
+  reg AS (SELECT v, t, (h60 >> {w_bits}) AS bucket,
+                 CASE WHEN (h60 & ((1::BIGINT << {w_bits}) - 1)) = 0
+                      THEN {w_bits + 1}
+                      ELSE {w_bits + 1}
+                           - length(bin(h60
+                                        & ((1::BIGINT << {w_bits})
+                                           - 1)))
+                 END AS rho
+          FROM hh),
+  regs AS (SELECT v, t, bucket, max(rho) AS rho
+           FROM reg GROUP BY 1, 2, 3),
+  agg AS (SELECT v, t, count(*) AS n_present,
+                 sum(1::HUGEINT << ({HASH_BITS} - rho))
+                   + ({m} - count(*))::HUGEINT
+                     * (1::HUGEINT << {HASH_BITS}) AS s_int
+          FROM regs GROUP BY 1, 2)
+  SELECT v AS uri, t,
+         round(CASE WHEN {num!r} / CAST(s_int AS DOUBLE) <= {2.5 * m!r}
+                         AND ({m} - n_present) > 0
+                    THEN {float(m)!r}
+                         * ln({float(m)!r}
+                              / CAST({m} - n_present AS DOUBLE))
+                    ELSE {num!r} / CAST(s_int AS DOUBLE)
+               END, 4) AS est
+  FROM agg
+  ORDER BY uri, t"""
 
 
 # ---------------------------------------------------------------------------

@@ -84,6 +84,11 @@ ROTATED = [
     # so the double `harmonic` is bit-identical across engines
     ("harmonic_centrality", Q.q_harmonic_centrality,
      Q.sql_harmonic_centrality),
+    # round-5 addition: HyperBall neighborhood function — per-(node,
+    # radius) HLL ball-size estimates over the backbone; oracle = exact
+    # balls from an all-sources recursive BFS + the same md5 register /
+    # integer-exact estimator replay
+    ("hyperball", Q.q_ball_sizes, Q.sql_ball_sizes),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
