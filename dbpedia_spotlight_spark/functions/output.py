@@ -290,3 +290,194 @@ def write_turtle(triples: DataFrame, path: str,
         rdd.map(lambda s: (s,)), "value string")
     df.write.mode("overwrite").option("compression", compression) \
         .text(path)
+
+
+# ---------------------------------------------------------------------------
+# N-Quads (named-graph wire format — the quad twin of ntriples_lines)
+# ---------------------------------------------------------------------------
+
+
+def nquads_lines(quads: DataFrame) -> DataFrame:
+    """Render a (subj, pred, obj[, graph]) table as W3C N-Quads lines.
+    A null (or absent) ``graph`` means the default graph — the line is
+    then a plain N-Triples statement, exactly the N-Quads grammar's
+    optional-fourth-term rule, so one writer serves both the triple
+    and the quad snapshots (``triples.as_quads``). Term rendering is
+    identical to :func:`ntriples_lines` (same predicate-IRI expansion,
+    same nif:anchorOf literal convention, same ECHAR / IRIREF escape
+    chains); everything is JVM-side replace/concat algebra."""
+    pred_iri = F.coalesce(
+        *[F.when(F.col("pred") == k, F.lit(v)) for k, v in
+          _PRED_IRIS.items()],
+        F.col("pred"))
+    obj_term = F.when(
+        F.col("pred") == "nif:anchorOf",
+        F.concat(F.lit('"'),
+                 _chain(F.col("obj"), _LITERAL_ESCAPES), F.lit('"')),
+    ).otherwise(
+        F.concat(F.lit("<"), _chain(F.col("obj"), _IRI_ESCAPES),
+                 F.lit(">")))
+    if "graph" in quads.columns:
+        graph_term = F.when(
+            F.col("graph").isNotNull(),
+            F.concat(F.lit(" <"), _chain(F.col("graph"), _IRI_ESCAPES),
+                     F.lit(">"))).otherwise(F.lit(""))
+    else:
+        graph_term = F.lit("")
+    line = F.concat(
+        F.lit("<"), _chain(F.col("subj"), _IRI_ESCAPES), F.lit("> <"),
+        pred_iri, F.lit("> "), obj_term, graph_term, F.lit(" ."))
+    return quads.select(line.alias("nquad"))
+
+
+def write_nquads(quads: DataFrame, path: str,
+                 compression: str = "gzip") -> None:
+    """Materialize as sharded .nq text (gzip default, one file per
+    partition — shard sizing is the caller's repartition decision,
+    same contract as :func:`write_ntriples`)."""
+    nquads_lines(quads).write.mode("overwrite") \
+        .option("compression", compression).text(path)
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD serializer (the S6 family's JSON graph shape: one compacted
+# node object per subject, shard-independent @context)
+# ---------------------------------------------------------------------------
+
+# JSON string escapes, backslash FIRST (the _LITERAL_ESCAPES rule);
+# the JSON grammar requires these five — control chars beyond \n\r\t
+# don't occur in this engine's term space
+_JSON_ESCAPES = (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                 ("\r", "\\r"), ("\t", "\\t"))
+
+
+def _jsonld_iri(col: F.Column, prefixes: dict[str, str]) -> F.Column:
+    """Prefix-compacted CURIE when the IRI sits in a declared
+    namespace with a grammar-safe local part, else the raw IRI string
+    (JSON-LD terms are JSON strings — no angle brackets, no percent
+    escaping; JSON escapes applied by the caller). Longest namespace
+    wins, mirroring the Turtle compactor."""
+    import re as _re
+    arms = []
+    for pfx, ns in sorted(prefixes.items(),
+                          key=lambda kv: (-len(kv[1]), kv[0])):
+        pat = "^" + _re.escape(ns) + _PN_LOCAL_RE + "$"
+        arms.append(F.when(
+            col.rlike(pat),
+            F.concat(F.lit(pfx + ":"),
+                     F.substring(col, len(ns) + 1, 1 << 20))))
+    return F.coalesce(*arms, col) if arms else col
+
+
+def jsonld_statements(triples: DataFrame,
+                      prefixes: dict[str, str] | None = None
+                      ) -> DataFrame:
+    """Render an RDF frame as compacted JSON-LD node objects — one row
+    (column ``jsonld``) per SUBJECT: ``{"@id":"dbr:X","pred":[v,…],…}``
+    with every value an expanded object (``{"@id":…}`` for IRIs,
+    ``{"@value":…[,"@language"|"@type":…]}`` for literals), keys in
+    deterministic sorted (pred, value) order and repeated predicates
+    folded into one array. Accepts the readers' 6-column shape
+    (subj, pred, obj, obj_kind, lang, datatype) or the bare
+    (subj, pred, obj) engine convention (nif:anchorOf literal, rest
+    IRIs — exactly ``ntriples_lines``).
+
+    Same plan shape as ``turtle_statements``: one subject-keyed
+    shuffle, strings built entirely JVM-side (replace chains + one
+    sorted ``aggregate`` fold per subject)."""
+    p = dict(TURTLE_PREFIXES if prefixes is None else prefixes)
+    pred_iri = F.coalesce(
+        *[F.when(F.col("pred") == k, F.lit(v)) for k, v in
+          _PRED_IRIS.items()],
+        F.col("pred"))
+    t = triples
+    if "obj_kind" not in t.columns:
+        t = (t.withColumn("obj_kind",
+                          F.when(F.col("pred") == "nif:anchorOf",
+                                 "literal").otherwise("iri"))
+             .withColumn("lang", F.lit(None).cast("string"))
+             .withColumn("datatype", F.lit(None).cast("string")))
+
+    def js(col):
+        return _chain(col, _JSON_ESCAPES)
+
+    lit_term = F.concat(
+        F.lit('{"@value":"'), js(F.col("obj")), F.lit('"'),
+        F.when(F.col("lang").isNotNull(),
+               F.concat(F.lit(',"@language":"'), js(F.col("lang")),
+                        F.lit('"')))
+        .when(F.col("datatype").isNotNull(),
+              F.concat(F.lit(',"@type":"'),
+                       js(_jsonld_iri(F.col("datatype"), p)),
+                       F.lit('"')))
+        .otherwise(F.lit("")),
+        F.lit("}"))
+    obj_term = (F.when(F.col("obj_kind") == "literal", lit_term)
+                .otherwise(F.concat(
+                    F.lit('{"@id":"'),
+                    js(_jsonld_iri(F.col("obj"), p)), F.lit('"}'))))
+    po = (t.select(js(_jsonld_iri(F.col("subj"), p)).alias("s"),
+                   js(_jsonld_iri(pred_iri, p)).alias("pt"),
+                   obj_term.alias("jt"))
+          .dropDuplicates()
+          .groupBy("s")
+          .agg(F.sort_array(F.collect_list(F.struct("pt", "jt")))
+               .alias("arr")))
+    body = F.aggregate(
+        F.col("arr"),
+        F.struct(F.lit("").alias("txt"),
+                 F.lit(None).cast("string").alias("prev")),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["txt"],
+                F.when(acc["prev"].isNull(),
+                       F.concat(F.lit('"'), x["pt"], F.lit('":[')))
+                .when(acc["prev"] == x["pt"], F.lit(","))
+                .otherwise(F.concat(F.lit('],"'), x["pt"],
+                                    F.lit('":['))),
+                x["jt"]).alias("txt"),
+            x["pt"].alias("prev")),
+        lambda acc: acc["txt"])
+    return po.select(
+        F.concat(F.lit('{"@id":"'), F.col("s"), F.lit('",'),
+                 body, F.lit("]}")).alias("jsonld"))
+
+
+def jsonld_context(prefixes: dict[str, str] | None = None) -> str:
+    """The ``@context`` JSON matching :func:`jsonld_statements`'s
+    compaction, sorted keys, compact separators — stable bytes."""
+    import json
+    p = TURTLE_PREFIXES if prefixes is None else prefixes
+    return json.dumps(dict(sorted(p.items())), separators=(",", ":"))
+
+
+def write_jsonld(triples: DataFrame, path: str,
+                 prefixes: dict[str, str] | None = None,
+                 compression: str = "gzip") -> None:
+    """Materialize as sharded ``.jsonld`` text: every non-empty shard
+    is an independently valid JSON-LD document
+    ``{"@context":…,"@graph":[node, …]}`` (the per-shard-header
+    convention of :func:`write_turtle` — no side-channel context
+    file). The header/comma wrapping is the one partition-imperative
+    step, so it runs as an RDD ``mapPartitions`` over already-rendered
+    node strings."""
+    ctx = jsonld_context(prefixes)
+    nodes = jsonld_statements(triples, prefixes)
+
+    def wrap(it):
+        first = True
+        for row in it:
+            if first:
+                yield '{"@context":' + ctx + ',"@graph":['
+                yield row[0]
+                first = False
+            else:
+                yield "," + row[0]
+        if not first:
+            yield "]}"
+
+    rdd = nodes.rdd.mapPartitions(wrap)
+    df = nodes.sparkSession.createDataFrame(
+        rdd.map(lambda s: (s,)), "value string")
+    df.write.mode("overwrite").option("compression", compression) \
+        .text(path)

@@ -4766,18 +4766,11 @@ def sql_ntriples_roundtrip() -> str:
   FROM base"""
 
 
-def q_turtle_render(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Turtle WRITER (functions/output.py::turtle_statements): planted
-    RDF per document — compactable dbr:/dbo: IRIs, an ECHAR-hazard
-    literal cycling lang / xsd:string datatype / plain, and a
-    non-compactable spaced IRI every 4th doc — rendered as
-    subject-grouped statement blocks (';'-joined preds, ','-joined
-    repeated objects, sorted (pred, obj) fold). The oracle rebuilds
-    the SAME blocks relationally: compact terms stated directly,
-    grouping via a lag-window separator + ordered string_agg — the
-    engines agree only if escaping, prefix compaction, dedup and the
-    fold order all replay byte-for-byte."""
-    from dbpedia_spotlight_spark.functions.output import turtle_statements
+def _render_rdf_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted RDF frame shared by the serializer WRITER pairs
+    (turtle_render, jsonld_render): compactable dbr:/dbo: IRIs, an
+    ECHAR-hazard literal cycling lang / xsd:string datatype / plain,
+    and a non-compactable spaced IRI every 4th doc."""
     d = _docs(spark, sf_dir)
     s = lambda c: c.cast("string")  # noqa: E731
     x = s(F.col("doc_id") % 40)
@@ -4810,10 +4803,74 @@ def q_turtle_render(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("iri").alias("obj_kind"),
                 ns.alias("lang"), ns.alias("datatype"))),
     ), lambda e: e.isNotNull())
-    t = (d.select(subj.alias("subj"), F.explode(rows).alias("r"))
-         .select("subj", "r.pred", "r.obj", "r.obj_kind", "r.lang",
-                 "r.datatype"))
-    return turtle_statements(t).orderBy("turtle")
+    return (d.select(subj.alias("subj"), F.explode(rows).alias("r"))
+            .select("subj", "r.pred", "r.obj", "r.obj_kind", "r.lang",
+                    "r.datatype"))
+
+
+def q_turtle_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle WRITER (functions/output.py::turtle_statements): the
+    planted serializer fixture (see _render_rdf_fixture) rendered as
+    subject-grouped statement blocks (';'-joined preds, ','-joined
+    repeated objects, sorted (pred, obj) fold). The oracle rebuilds
+    the SAME blocks relationally: compact terms stated directly,
+    grouping via a lag-window separator + ordered string_agg — the
+    engines agree only if escaping, prefix compaction, dedup and the
+    fold order all replay byte-for-byte."""
+    from dbpedia_spotlight_spark.functions.output import turtle_statements
+    return turtle_statements(
+        _render_rdf_fixture(spark, sf_dir)).orderBy("turtle")
+
+
+def q_jsonld_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD WRITER (functions/output.py::jsonld_statements) over
+    the SAME planted RDF as the Turtle pair: one compacted node object
+    per subject, sorted keys, repeated preds folded into arrays, JSON
+    escapes on every string, IRIs kept raw (JSON needs no
+    %-encoding). The oracle rebuilds the byte-exact node strings
+    relationally — lag-window separators + ordered string_agg, the
+    turtle_render device with the JSON grammar."""
+    from dbpedia_spotlight_spark.functions.output import (
+        jsonld_statements)
+    return jsonld_statements(
+        _render_rdf_fixture(spark, sf_dir)).orderBy("jsonld")
+
+
+def sql_jsonld_render() -> str:
+    r"""Relational replay of the JSON-LD rendering: compact CURIEs
+    stated directly, JSON escapes on the hazard literal, array
+    assembly via lag-window separators + ordered string_agg."""
+    return r"""
+  WITH base AS (
+    SELECT doc_id, doc_id % 40 AS x, doc_id % 5 AS ty, doc_id % 3 AS m3
+    FROM documents),
+  t AS (
+    SELECT 'dbr:Ent' || x AS s, 'rdf:type' AS pt,
+           '{"@id":"dbo:T' || ty || '"}' AS jt
+    FROM base
+    UNION
+    SELECT 'dbr:Ent' || x, 'rdfs:label',
+           '{"@value":"e\"' || x || '\n' || m3 || '"'
+             || CASE m3 WHEN 0 THEN ',"@language":"en"'
+                        WHEN 1 THEN ',"@type":"xsd:string"' ELSE '' END
+             || '}'
+    FROM base
+    UNION
+    SELECT 'dbr:Ent' || x, 'itsrdf:taIdentRef',
+           '{"@id":"http://other.example/x y"}'
+    FROM base WHERE doc_id % 4 = 0),
+  pieces AS (
+    SELECT s, pt, jt,
+           CASE WHEN lag(pt) OVER w IS NULL
+                THEN '"' || pt || '":['
+                WHEN lag(pt) OVER w = pt THEN ','
+                ELSE '],"' || pt || '":[' END AS sep
+    FROM t WINDOW w AS (PARTITION BY s ORDER BY pt, jt))
+  SELECT '{"@id":"' || s || '",'
+           || string_agg(sep || jt, '' ORDER BY pt, jt) || ']}'
+           AS jsonld
+  FROM pieces GROUP BY s
+  ORDER BY jsonld"""
 
 
 def sql_turtle_render() -> str:

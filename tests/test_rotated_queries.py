@@ -89,6 +89,9 @@ ROTATED = [
     # balls from an all-sources recursive BFS + the same md5 register /
     # integer-exact estimator replay
     ("hyperball", Q.q_ball_sizes, Q.sql_ball_sizes),
+    # round-5 addition: JSON-LD writer over the shared serializer
+    # fixture — byte-exact node objects replayed relationally
+    ("jsonld_render", Q.q_jsonld_render, Q.sql_jsonld_render),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
