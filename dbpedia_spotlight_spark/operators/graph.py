@@ -934,3 +934,123 @@ def effective_diameter(edges: DataFrame, alpha: float = 0.9,
             return prev_t + (target - prev_nf) / (nf - prev_nf)
         prev_t, prev_nf = t, nf
     return float(rows[-1][0])
+
+
+_DYAD = 1 << 30  # the repo-standard dyadic grid (operators/kgembed.py)
+
+
+def betweenness_centrality(edges: DataFrame, sources: list[str],
+                           max_hops: int = 6, directed: bool = False,
+                           checkpoint_dir: str | None = None
+                           ) -> DataFrame:
+    """(uri, betweenness) — Brandes betweenness from the given source
+    set (Brandes 2001; with a landmark sample this is the
+    Brandes–Pich 2007 estimator, with sources = all nodes it is exact;
+    undirected totals are halved per the standard convention).
+
+    Level-synchronous formulation, both passes bounded by the hop
+    budget: the FORWARD pass is the shortest_paths semi-naive BFS
+    carrying the path-count σ (an exact BIGINT — at hop h a fresh
+    node's σ is the sum of its hop-(h-1) neighbors' σ, one
+    frontier×edges join + one sum-combine per hop); the BACKWARD pass
+    walks levels deepest-first, at each level joining the level-(d+1)
+    dependency frame δ back across the predecessor edges:
+    δ(v) += Σ_w σ(v)/σ(w) · (1 + δ(w)).
+
+    Cross-engine / layout determinism: every per-edge backward term is
+    quantized to the dyadic 2^-30 grid (the kgembed device) BEFORE
+    summation — same-grid dyadic sums are exact in ANY aggregation
+    order, so the result is bit-identical across partitionings and
+    across a relational (DuckDB) replay of the same arithmetic.
+
+    Scale: rounds = min(diameter, max_hops) in each direction; state
+    is |reached|×|sources| rows (landmark counts are the user's
+    accuracy dial); per-level backward joins touch only that level's
+    predecessor edges. Lineage cut per round (RoundCheckpointer).
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    out_edges = edges.select(F.col("uri_a").alias("src"),
+                             F.col("uri_b").alias("dst"))
+    if not directed:
+        out_edges = out_edges.unionByName(
+            edges.select(F.col("uri_b").alias("src"),
+                         F.col("uri_a").alias("dst")))
+    out_edges = out_edges.distinct().cache()
+
+    from dbpedia_spotlight_spark.operators.iterate import (
+        RoundCheckpointer)
+    known_ckpt = RoundCheckpointer(spark, checkpoint_dir, "btw-known")
+    front_ckpt = RoundCheckpointer(spark, checkpoint_dir, "btw-front")
+    delta_ckpt = RoundCheckpointer(spark, checkpoint_dir, "btw-delta")
+
+    src_df = spark.createDataFrame(
+        [(s,) for s in sorted(set(sources))], "source string")
+    known = src_df.select(F.col("source").alias("uri"), "source",
+                          F.lit(0).alias("dist"),
+                          F.lit(1).cast("long").alias("sigma"))
+    frontier = known
+    deepest = 0
+    for hop in range(1, max_hops + 1):
+        reached = (frontier
+                   .join(out_edges,
+                         frontier["uri"] == out_edges["src"])
+                   .groupBy(F.col("dst").alias("uri"), "source")
+                   .agg(F.sum("sigma").alias("sigma"))
+                   .withColumn("dist", F.lit(hop)))
+        fresh = (reached.join(known.select("uri", "source"),
+                              ["uri", "source"], "left_anti")
+                 .select("uri", "source", "dist", "sigma"))
+        fresh = front_ckpt.cut(fresh)
+        if fresh.isEmpty():
+            break
+        deepest = hop
+        known = known_ckpt.cut(known.unionByName(fresh))
+        frontier = fresh
+
+    known = known.cache()
+    # backward: δ at the deepest level is 0; walk levels up, each step
+    # one predecessor-edge join (pred pair = edge (v,w) with
+    # dist(w) = dist(v)+1 under the same source)
+    q = lambda c: (F.floor(c * F.lit(float(_DYAD)))  # noqa: E731
+                   / F.lit(float(_DYAD)))
+    acc = None   # (uri, source, betw) accumulated dependency rows
+    delta = None  # δ frame for the CURRENT level d+1
+    for d in range(deepest - 1, -1, -1):
+        upper = known.filter(F.col("dist") == d + 1) \
+            .select(F.col("uri").alias("w"), "source",
+                    F.col("sigma").alias("sigma_w"))
+        if delta is not None:
+            upper = upper.join(
+                delta.select(F.col("uri").alias("w"), "source",
+                             F.col("delta").alias("d_w")),
+                ["w", "source"], "left") \
+                .withColumn("d_w", F.coalesce("d_w", F.lit(0.0)))
+        else:
+            upper = upper.withColumn("d_w", F.lit(0.0))
+        lower = known.filter(F.col("dist") == d) \
+            .select(F.col("uri").alias("v"), "source",
+                    F.col("sigma").alias("sigma_v"))
+        contrib = (lower
+                   .join(out_edges, lower["v"] == out_edges["src"])
+                   .join(upper, (F.col("dst") == upper["w"])
+                         & (lower["source"] == upper["source"]))
+                   .select(lower["v"], lower["source"],
+                           q((F.col("sigma_v").cast("double")
+                              / F.col("sigma_w"))
+                             * (F.lit(1.0) + F.col("d_w")))
+                           .alias("term")))
+        delta = (contrib.groupBy(F.col("v").alias("uri"), "source")
+                 .agg(F.sum("term").alias("delta")))
+        delta = delta_ckpt.cut(delta)
+        # Brandes accumulates delta_s(v) for v != s — per (source)
+        # pair, NOT v-not-any-source: a landmark t still collects
+        # dependency from the other sources' passes
+        lvl = delta.filter(F.col("uri") != F.col("source"))
+        acc = lvl if acc is None else acc.unionByName(lvl)
+    if acc is None:
+        return spark.createDataFrame([], "uri string, betweenness double")
+    scale = 2.0 if not directed else 1.0
+    return (acc.groupBy("uri")
+            .agg((F.sum("delta") / F.lit(scale)).alias("betweenness")))

@@ -7770,6 +7770,73 @@ def sql_harmonic_centrality() -> str:
   ORDER BY uri"""
 
 
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness (operators/graph.py::betweenness_centrality)
+    over the co-mention backbone, sources = ALL backbone nodes (the
+    exact form; landmark sampling is the same code with fewer
+    sources). Cross-engine device: every backward-pass dependency term
+    is quantized to the dyadic 2^-30 grid before summation (the
+    kgembed discipline) — grid sums are exact in any order, so the
+    oracle's generated per-level CTE replay (σ accumulation up,
+    δ accumulation down, same IEEE op order) is bit-identical."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        betweenness_centrality)
+    bb = _comention_backbone(spark, sf_dir)
+    srcs = sorted({r[0] for r in
+                   bb.select("uri_a").distinct().collect()}
+                  | {r[0] for r in
+                     bb.select("uri_b").distinct().collect()})
+    out = betweenness_centrality(bb, srcs, max_hops=_BFS_HOPS)
+    return out.orderBy("uri")
+
+
+def sql_betweenness() -> str:
+    H = _BFS_HOPS
+    Q = float(1 << 30)
+    sig = ["  sig0 AS (SELECT uri, source, sigma FROM (SELECT uri, "
+           "source, CAST(1 AS BIGINT) AS sigma FROM mdm WHERE dist = 0))"]
+    for h in range(1, H + 1):
+        sig.append(
+            f"""  sig{h} AS (
+    SELECT c.uri, c.source, sum(p.sigma) AS sigma
+    FROM mdm c JOIN ee e ON e.d = c.uri
+    JOIN sig{h - 1} p ON p.uri = e.s AND p.source = c.source
+    WHERE c.dist = {h}
+    GROUP BY c.uri, c.source)""")
+    msig = ("  msig AS MATERIALIZED (" + " UNION ALL ".join(
+        f"SELECT uri, source, {h} AS dist, sigma FROM sig{h}"
+        for h in range(H + 1)) + ")")
+    dels = []
+    for d in range(H - 1, -1, -1):
+        up = (f"LEFT JOIN del{d + 1} dw ON dw.uri = w.uri "
+              "AND dw.source = w.source"
+              if d < H - 1 else "")
+        dcol = "COALESCE(dw.delta, 0.0)" if d < H - 1 else "0.0"
+        dels.append(f"""  del{d} AS (
+    SELECT v.uri, v.source,
+           sum(floor((CAST(v.sigma AS DOUBLE) / w.sigma)
+                     * (1.0 + {dcol}) * {Q!r}) / {Q!r}) AS delta
+    FROM msig v JOIN ee e ON e.s = v.uri
+    JOIN msig w ON w.uri = e.d AND w.source = v.source
+                AND w.dist = {d + 1}
+    {up}
+    WHERE v.dist = {d}
+    GROUP BY v.uri, v.source)""")
+    alldel = ("  alldel AS (" + " UNION ALL ".join(
+        f"SELECT uri, source, delta FROM del{d}"
+        for d in range(H - 1, -1, -1)) + ")")
+    return (_sql_bfs_prefix(1, all_sources=True) + ",\n"
+            + "  mdm AS MATERIALIZED (SELECT uri, source, "
+              "min(dist) AS dist FROM bfs GROUP BY 1, 2),\n"
+            + "  ee AS MATERIALIZED (SELECT s, d FROM undbb),\n"
+            + ",\n".join(sig) + ",\n" + msig + ",\n"
+            + ",\n".join(dels) + ",\n" + alldel + """
+  SELECT uri, sum(delta) / 2.0 AS betweenness
+  FROM alldel WHERE uri <> source
+  GROUP BY uri
+  ORDER BY uri""")
+
+
 _HB_P = 8  # HyperBall register precision for the oracle pair
 
 

@@ -92,6 +92,11 @@ ROTATED = [
     # round-5 addition: JSON-LD writer over the shared serializer
     # fixture — byte-exact node objects replayed relationally
     ("jsonld_render", Q.q_jsonld_render, Q.sql_jsonld_render),
+    # round-5 addition: exact all-sources Brandes betweenness over the
+    # backbone — dyadic 2^-30-quantized backward terms make the double
+    # sums order-independent; oracle = generated per-level CTE replay
+    # (sigma up, delta down) over the shared recursive-BFS prefix
+    ("betweenness", Q.q_betweenness, Q.sql_betweenness),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
