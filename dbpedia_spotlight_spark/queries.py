@@ -8250,9 +8250,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sessionize out (green since round 3 — per-user window semantics
     stay pinned by its pytests, the applyInPandasWithState streaming
     twin, and the registered salted_user_topk window plumbing; the
-    pair stays DuckDB-mirrored in tests/test_rotated_queries.py)."""
+    pair stays DuckDB-mirrored in tests/test_rotated_queries.py)
+    Round-5 nineteenth + twentieth rotations: hyperball (HyperBall
+    neighborhood function — per-(node, radius) HLL ball sizes via
+    register max-merge, operators/graph.py::ball_sizes; oracle = exact
+    balls from an all-sources recursive BFS + the same md5-register /
+    integer-exact estimator replay) and betweenness (exact all-sources
+    Brandes over the backbone — dyadic 2^-30-quantized backward terms,
+    generated per-level sigma/delta CTE oracle), both green at
+    sf0.001 AND sf0.01 before the swap, in; lang_id (green r1-r4; the
+    n-gram profile pair stays DuckDB-mirrored in the rotated suite)
+    and ann_topk (green r1-r4; brute-force cosine top-k stays
+    exercised as the exact-verify shape inside the registered
+    near_dup_embeddings and the ann_ivf probe; pair DuckDB-mirrored)
+    out."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "hyperball": q_ball_sizes,
+        "betweenness": q_betweenness,
         "node2vec": q_node2vec,
         "fact_allen": q_fact_allen,
         "entity_summary": q_entity_summary,
@@ -8303,9 +8318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "jaccard_lsh_verified": q_jaccard_lsh_verified,
         "winnowing": q_winnowing,
-        "lang_id": q_lang_id,
         # similarity search
-        "ann_topk": q_ann_topk,
         "near_dup_embeddings": q_near_dup_embeddings,
     }
 
@@ -8314,6 +8327,8 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "hyperball": sql_ball_sizes(),
+        "betweenness": sql_betweenness(),
         "node2vec": sql_node2vec(),
         "fact_allen": sql_fact_allen(),
         "entity_summary": sql_entity_summary(),
@@ -8361,7 +8376,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs": sql_simhash_near_pairs(),
         "jaccard_lsh_verified": sql_jaccard_lsh_verified(),
         "winnowing": sql_winnowing(),
-        "lang_id": sql_lang_id(),
-        "ann_topk": sql_ann_topk(),
         "near_dup_embeddings": sql_near_dup_embeddings(),
     }

@@ -88,15 +88,16 @@ ROTATED = [
     # radius) HLL ball-size estimates over the backbone; oracle = exact
     # balls from an all-sources recursive BFS + the same md5 register /
     # integer-exact estimator replay
-    ("hyperball", Q.q_ball_sizes, Q.sql_ball_sizes),
     # round-5 addition: JSON-LD writer over the shared serializer
     # fixture — byte-exact node objects replayed relationally
     ("jsonld_render", Q.q_jsonld_render, Q.sql_jsonld_render),
-    # round-5 addition: exact all-sources Brandes betweenness over the
-    # backbone — dyadic 2^-30-quantized backward terms make the double
-    # sums order-independent; oracle = generated per-level CTE replay
-    # (sigma up, delta down) over the shared recursive-BFS prefix
-    ("betweenness", Q.q_betweenness, Q.sql_betweenness),
+    # round-5 nineteenth rotation OUT: n-gram language ID (green
+    # r1-r4; the profile scorer keeps its own pytests)
+    ("lang_id", Q.q_lang_id, Q.sql_lang_id),
+    # round-5 twentieth rotation OUT: brute-force cosine top-k (green
+    # r1-r4; the exact-verify shape stays inside near_dup_embeddings
+    # and the ann_ivf probe)
+    ("ann_topk", Q.q_ann_topk, Q.sql_ann_topk),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
