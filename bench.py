@@ -153,6 +153,11 @@ HEADLINE = [
                               # (round-5 sixteenth rotation)
     "node2vec",               # p/q-biased second-order walks
                               # (round-5 seventeenth rotation)
+    "hyperball",              # HyperBall neighborhood function over
+                              # the co-mention backbone (round-5,
+                              # nineteenth rotation)
+    "betweenness",            # exact all-sources Brandes betweenness
+                              # (round-5, twentieth rotation)
 ]
 
 
@@ -173,6 +178,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     qs.setdefault("entity_walks", Q.q_entity_walks)  # rotated pair (r5)
     qs.setdefault("annotate_prior", Q.q_annotate_prior)  # rotated out r5 (13th)
     qs.setdefault("minhash_pairs", Q.q_minhash_pairs)  # rotated out r5 (17th)
+    qs.setdefault("lang_id", Q.q_lang_id)  # rotated out r5 (19th)
+    qs.setdefault("ann_topk", Q.q_ann_topk)  # rotated out r5 (20th)
     # warm up JVM + Python workers + compile/broadcast the static model so
     # per-query times measure the steady-state plan, not one-time setup
     Q._docs(spark, sf_dir).limit(8).mapInPandas(

@@ -60,6 +60,8 @@ def _headline_queries():
     qs.setdefault("entity_walks", Q.q_entity_walks)
     qs.setdefault("annotate_prior", Q.q_annotate_prior)
     qs.setdefault("minhash_pairs", Q.q_minhash_pairs)
+    qs.setdefault("lang_id", Q.q_lang_id)
+    qs.setdefault("ann_topk", Q.q_ann_topk)
     return [(name, qs[name]) for name in bench.HEADLINE]
 
 
