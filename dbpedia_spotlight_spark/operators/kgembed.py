@@ -125,7 +125,10 @@ def _train(triples: DataFrame, model: str, dim: int, n_steps: int,
     geometry), ``model='distmult'`` by Σ_i q(E_h[i]·R_r[i]·E_t[i])
     (bilinear-diagonal geometry, Yang et al. ICLR 2015 — the q(·)
     per-component grid quantization is this engine's determinism
-    variant, see :func:`_qprod`); loss, corruption scheme, renorm,
+    variant, see :func:`_qprod`), ``model='complex'`` by
+    Re(<E_h, R_r, conj(E_t)>) (complex-bilinear geometry, Trouillon
+    et al. ICML 2016 — antisymmetry-capable; vectors are packed
+    [Re | Im] halves); loss, corruption scheme, renorm,
     checkpointing and the per-step dyadic quantization are shared.
 
     Per step, for each triple and its corrupted twin (tail replaced by
@@ -160,9 +163,12 @@ def _train(triples: DataFrame, model: str, dim: int, n_steps: int,
     or relations in the delta) get hash init; names present keep their
     trained vectors (dim must match — enforced).
     """
-    if model not in ("transe", "distmult"):
+    if model not in ("transe", "distmult", "complex"):
         raise ValueError(f"unknown model: {model}"
-                         " ('transe' | 'distmult')")
+                         " ('transe' | 'distmult' | 'complex')")
+    if model == "complex" and dim % 2:
+        raise ValueError("complex needs an even dim "
+                         "(first half Re, second half Im)")
     if n_steps < 0:
         raise ValueError("n_steps must be >= 0")
     spark = triples.sparkSession
@@ -233,7 +239,8 @@ def _train(triples: DataFrame, model: str, dim: int, n_steps: int,
             g_r = g_h
             g_t = rnd(dpos, lambda x: -2.0 * x)
             g_n = rnd(dneg, lambda x: 2.0 * x)
-        else:  # distmult: maximize s = Σ q(h·r·t) for true triples
+        elif model == "distmult":
+            # maximize s = Σ q(h·r·t) for true triples
             spos = F.aggregate(
                 _qprod3(F.col("hv"), F.col("rv"), F.col("tv")),
                 F.lit(0.0), lambda acc, x: acc + x)
@@ -250,6 +257,48 @@ def _train(triples: DataFrame, model: str, dim: int, n_steps: int,
                         _qprod(F.col("hv"), F.col("tv")))
             g_t = rnd(_qprod(F.col("hv"), F.col("rv")), lambda x: -x)
             g_n = _qprod(F.col("hv"), F.col("rv"))
+        else:  # complex: s = Re(<h, r, conj(t)>), Trouillon et al. 2016
+            half = dim // 2
+            re_ = lambda c: F.slice(c, 1, half)          # noqa: E731
+            im_ = lambda c: F.slice(c, half + 1, half)   # noqa: E731
+            h_re, h_im = re_(F.col("hv")), im_(F.col("hv"))
+            r_re, r_im = re_(F.col("rv")), im_(F.col("rv"))
+
+            def _cx_score(tv):
+                t_re, t_im = re_(tv), im_(tv)
+                s = lambda arr: F.aggregate(        # noqa: E731
+                    arr, F.lit(0.0), lambda acc, x: acc + x)
+                # four grid-exact sums, combined ((t1+t2)+t3)-t4 —
+                # all on the 2^-30 grid, so the combination is exact
+                return (s(_qprod3(h_re, r_re, t_re))
+                        + s(_qprod3(h_im, r_re, t_im))
+                        + s(_qprod3(h_re, r_im, t_im))
+                        - s(_qprod3(h_im, r_im, t_re)))
+
+            def _cx_gh(tv):    # ∂s/∂h = (r_re∘t_re + r_im∘t_im,
+                t_re, t_im = re_(tv), im_(tv)  # r_re∘t_im − r_im∘t_re)
+                return F.concat(
+                    _vadd(_qprod(r_re, t_re), _qprod(r_im, t_im)),
+                    _vsub(_qprod(r_re, t_im), _qprod(r_im, t_re)))
+
+            def _cx_gt(hv_re, hv_im):  # ∂s/∂t (conjugated slot)
+                return F.concat(
+                    _vsub(_qprod(r_re, hv_re), _qprod(r_im, hv_im)),
+                    _vadd(_qprod(r_re, hv_im), _qprod(r_im, hv_re)))
+
+            def _cx_gr(tv):    # ∂s/∂r
+                t_re, t_im = re_(tv), im_(tv)
+                return F.concat(
+                    _vadd(_qprod(h_re, t_re), _qprod(h_im, t_im)),
+                    _vsub(_qprod(h_re, t_im), _qprod(h_im, t_re)))
+
+            spos = _cx_score(F.col("tv"))
+            sneg = _cx_score(F.col("nv"))
+            active = (F.lit(margin) - spos + sneg) > 0
+            g_h = _vsub(_cx_gh(F.col("nv")), _cx_gh(F.col("tv")))
+            g_r = _vsub(_cx_gr(F.col("nv")), _cx_gr(F.col("tv")))
+            g_t = rnd(_cx_gt(h_re, h_im), lambda x: -x)
+            g_n = _cx_gt(h_re, h_im)
         act = batch.filter(active).select(
             "subj", "pred", "obj", "_nname",
             g_h.alias("_gh"), g_r.alias("_gr"),
@@ -325,6 +374,27 @@ def train_distmult(triples: DataFrame, dim: int = 16,
                   checkpoint_dir, resume_from, step_offset)
 
 
+def train_complex(triples: DataFrame, dim: int = 16,
+                  n_steps: int = 10, lr: float = 0.1,
+                  margin: float = 1.0,
+                  checkpoint_dir: str | None = None,
+                  resume_from: DataFrame | None = None,
+                  step_offset: int = 0) -> DataFrame:
+    """ComplEx training (Trouillon et al. ICML 2016) — the
+    complex-bilinear third geometry: v is a 2·(dim/2) real vector
+    (first half Re, second half Im) and the score is
+    Re(<E_h, R_r, conj(E_t)>), which — unlike DistMult — can model
+    ANTISYMMETRIC relations (swapping h and t flips the r_im term's
+    sign). Shares the corruption scheme, margin loss, unit-sphere
+    entity projection, per-step dyadic quantization and the
+    train(n) ≡ train(k)+resume(n−k) warm-start exactness of
+    :func:`_train`; every pairwise/triple product is grid-requantized
+    (:func:`_qprod`/:func:`_qprod3`) so training stays BIT-identical
+    across layouts, engines and the numpy twin."""
+    return _train(triples, "complex", dim, n_steps, lr, margin,
+                  checkpoint_dir, resume_from, step_offset)
+
+
 def score_triples(triples: DataFrame, embeddings: DataFrame,
                   round_digits: int = 9,
                   model: str = "transe") -> DataFrame:
@@ -337,9 +407,9 @@ def score_triples(triples: DataFrame, embeddings: DataFrame,
     definition). Read path of the trained model: rank candidate facts
     for completion, or flag implausible *asserted* facts as error
     candidates."""
-    if model not in ("transe", "distmult"):
+    if model not in ("transe", "distmult", "complex"):
         raise ValueError(f"unknown model: {model}"
-                         " ('transe' | 'distmult')")
+                         " ('transe' | 'distmult' | 'complex')")
     e = embeddings.filter(F.col("kind") == "entity").select("name", "v")
     r = embeddings.filter(F.col("kind") == "relation") \
         .select("name", "v")
@@ -353,9 +423,24 @@ def score_triples(triples: DataFrame, embeddings: DataFrame,
     if model == "transe":
         d = _sqnorm(_vsub(_vadd(F.col("hv"), F.col("rv")),
                           F.col("tv")))
-    else:
+    elif model == "distmult":
         d = F.aggregate(
             _qprod3(F.col("hv"), F.col("rv"), F.col("tv")),
             F.lit(0.0), lambda acc, x: acc + x)
+    else:  # complex — same 4-term grid-exact sum training used
+        # slice bounds come from size(col) so the caller needn't pass
+        # dim; arrays must be even-length (the train_complex contract)
+        sl = lambda c, a: F.expr(                      # noqa: E731
+            f"slice({c}, {a} * (size({c}) div 2) + 1,"
+            f" size({c}) div 2)")
+        h_re, h_im = sl("hv", 0), sl("hv", 1)
+        r_re, r_im = sl("rv", 0), sl("rv", 1)
+        t_re, t_im = sl("tv", 0), sl("tv", 1)
+        s = lambda arr: F.aggregate(                   # noqa: E731
+            arr, F.lit(0.0), lambda acc, x: acc + x)
+        d = (s(_qprod3(h_re, r_re, t_re))
+             + s(_qprod3(h_im, r_re, t_im))
+             + s(_qprod3(h_re, r_im, t_im))
+             - s(_qprod3(h_im, r_im, t_re)))
     return j.select("subj", "pred", "obj",
                     F.round(d, round_digits).alias("score"))

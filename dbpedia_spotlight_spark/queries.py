@@ -7530,7 +7530,8 @@ def _sql_kg_embed(model: str, dim: int, n_steps: int,
               i -> pow(hv[i] + rv[i] - tv[i], 2)))
           - list_sum(list_transform({idxs},
               i -> pow(hv[i] + rv[i] - nv[i], 2))) > 0"""
-    else:  # distmult: quantized-product gradients, (h*r)*t association
+    elif model == "distmult":
+        # quantized-product gradients, (h*r)*t association
         grads = f"""
            list_transform({idxs},
              i -> {q('rv[i] * nv[i]')} - {q('rv[i] * tv[i]')}) AS gh,
@@ -7546,6 +7547,53 @@ def _sql_kg_embed(model: str, dim: int, n_steps: int,
               i -> {q('(hv[i] * rv[i]) * tv[i]')}))
           + list_sum(list_transform({idxs},
               i -> {q('(hv[i] * rv[i]) * nv[i]')})) > 0"""
+    else:  # complex: packed [Re | Im] halves, score Re(<h,r,conj(t)>)
+        h = dim // 2
+        hidx = "[" + ", ".join(str(i) for i in range(1, h + 1)) + "]"
+
+        def _gh(t):
+            return (
+                f"list_concat(list_transform({hidx}, i -> "
+                f"({q(f'rv[i] * {t}[i]')} + {q(f'rv[i+{h}] * {t}[i+{h}]')})"
+                f"), list_transform({hidx}, i -> "
+                f"({q(f'rv[i] * {t}[i+{h}]')} - {q(f'rv[i+{h}] * {t}[i]')})"
+                f"))")
+
+        def _gr(t):
+            return (
+                f"list_concat(list_transform({hidx}, i -> "
+                f"({q(f'hv[i] * {t}[i]')} + {q(f'hv[i+{h}] * {t}[i+{h}]')})"
+                f"), list_transform({hidx}, i -> "
+                f"({q(f'hv[i] * {t}[i+{h}]')} - {q(f'hv[i+{h}] * {t}[i]')})"
+                f"))")
+
+        _gt = (
+            f"list_concat(list_transform({hidx}, i -> "
+            f"({q('rv[i] * hv[i]')} - {q(f'rv[i+{h}] * hv[i+{h}]')})"
+            f"), list_transform({hidx}, i -> "
+            f"({q(f'rv[i] * hv[i+{h}]')} + {q(f'rv[i+{h}] * hv[i]')})"
+            f"))")
+
+        def _score(t):
+            return (
+                f"((list_sum(list_transform({hidx}, i -> "
+                f"{q(f'(hv[i] * rv[i]) * {t}[i]')}))"
+                f" + list_sum(list_transform({hidx}, i -> "
+                f"{q(f'(hv[i+{h}] * rv[i]) * {t}[i+{h}]')})))"
+                f" + list_sum(list_transform({hidx}, i -> "
+                f"{q(f'(hv[i] * rv[i+{h}]) * {t}[i+{h}]')})))"
+                f" - list_sum(list_transform({hidx}, i -> "
+                f"{q(f'(hv[i+{h}] * rv[i+{h}]) * {t}[i]')}))")
+
+        grads = f"""
+           list_transform({idxs},
+             i -> {_gh('nv')}[i] - {_gh('tv')}[i]) AS gh,
+           list_transform({idxs},
+             i -> {_gr('nv')}[i] - {_gr('tv')}[i]) AS gr,
+           list_transform({idxs}, i -> -({_gt}[i])) AS gt,
+           list_transform({idxs}, i -> {_gt}[i]) AS gn"""
+        where = f"""
+    WHERE {margin!r} - ({_score('tv')}) + ({_score('nv')}) > 0"""
 
     steps_sql = []
     for t in range(n_steps):
@@ -7657,6 +7705,29 @@ def q_kg_distmult(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sql_kg_distmult() -> str:
     return _sql_kg_embed("distmult", _TRANSE_DIM, _TRANSE_STEPS,
+                         _TRANSE_LR, _TRANSE_MARGIN)
+
+
+def q_kg_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ComplEx training (operators/kgembed.py::
+    train_complex) over the same corroborated relation triples:
+    2 full-batch steps at dim 4 = 2 complex components (packed
+    [Re | Im] halves; score Re(<h, r, conj(t)>) — the
+    antisymmetry-capable third geometry). The oracle reuses the
+    shared generated-CTE unroll with the complex gradient lists
+    (half-index arithmetic, every pairwise product grid-requantized)
+    and the 4-term score in the active test."""
+    from dbpedia_spotlight_spark.operators.kgembed import train_complex
+    trip = _refine_triples(spark, sf_dir)
+    out = train_complex(trip, dim=_TRANSE_DIM, n_steps=_TRANSE_STEPS,
+                        lr=_TRANSE_LR, margin=_TRANSE_MARGIN)
+    return (out.select("kind", "name",
+                       F.posexplode("v").alias("i", "x"))
+            .orderBy("kind", "name", "i"))
+
+
+def sql_kg_complex() -> str:
+    return _sql_kg_embed("complex", _TRANSE_DIM, _TRANSE_STEPS,
                          _TRANSE_LR, _TRANSE_MARGIN)
 
 

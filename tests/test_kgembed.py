@@ -307,3 +307,129 @@ def test_distmult_resume_is_bit_exact(spark):
                               resume_from=half,
                               step_offset=2).collect()}
     assert resumed == full
+
+
+# ---------------------------------------------------------------------------
+# ComplEx (third geometry): packed [Re | Im] halves, score
+# Re(<h, r, conj(t)>) — the same bit-identity contract as the others
+# ---------------------------------------------------------------------------
+
+
+def _train_np_cx(triples, dim, n_steps, lr, margin):
+    """From-scratch ComplEx replicating the operator: association
+    order q((a*b)*c) per score component, pairwise products
+    grid-requantized in the gradients, combination ((t1+t2)+t3)-t4."""
+    half = dim // 2
+    tri = sorted(set(triples))
+    ents = sorted({s for s, _, _ in tri} | {o for _, _, o in tri})
+    rels = sorted({p for _, p, _ in tri})
+    E = {e: _quant_np(_init_np(e, dim)) for e in ents}
+    R = {r: _quant_np(_init_np(r, dim)) for r in rels}
+
+    def halves(v):
+        return v[:half], v[half:]
+
+    for step in range(n_steps):
+        ge = {e: np.zeros(dim) for e in ents}
+        gr = {r: np.zeros(dim) for r in rels}
+        for (s, p, o) in tri:
+            ni = _md5_long(f"{s}|{p}|{o}|{step}") % len(ents)
+            nname = ents[ni]
+            hre, him = halves(E[s])
+            rre, rim = halves(R[p])
+
+            def score(t):
+                tre, tim = halves(t)
+                t1 = float(_quant_np((hre * rre) * tre).sum())
+                t2 = float(_quant_np((him * rre) * tim).sum())
+                t3 = float(_quant_np((hre * rim) * tim).sum())
+                t4 = float(_quant_np((him * rim) * tre).sum())
+                return ((t1 + t2) + t3) - t4
+
+            def gh(t):
+                tre, tim = halves(t)
+                return np.concatenate([
+                    _quant_np(rre * tre) + _quant_np(rim * tim),
+                    _quant_np(rre * tim) - _quant_np(rim * tre)])
+
+            def gt():
+                return np.concatenate([
+                    _quant_np(rre * hre) - _quant_np(rim * him),
+                    _quant_np(rre * him) + _quant_np(rim * hre)])
+
+            def grad_r(t):
+                tre, tim = halves(t)
+                return np.concatenate([
+                    _quant_np(hre * tre) + _quant_np(him * tim),
+                    _quant_np(hre * tim) - _quant_np(him * tre)])
+
+            if margin - score(E[o]) + score(E[nname]) > 0:
+                ge[s] += gh(E[nname]) - gh(E[o])
+                gr[p] += grad_r(E[nname]) - grad_r(E[o])
+                ge[o] += -gt()
+                ge[nname] += gt()
+        for e in ents:
+            v = E[e] - lr * ge[e]
+            n = math.sqrt(float(v @ v))
+            if n > 0:
+                v = v / n
+            E[e] = _quant_np(v)
+        for r in rels:
+            R[r] = _quant_np(R[r] - lr * gr[r])
+    return E, R
+
+
+@pytest.mark.parametrize("n_steps", [0, 1, 4])
+def test_complex_matches_numpy_twin(spark, n_steps):
+    from dbpedia_spotlight_spark.operators.kgembed import train_complex
+    dim, lr, margin = 8, 0.05, 1.0
+    got = train_complex(_tri_df(spark), dim=dim, n_steps=n_steps,
+                        lr=lr, margin=margin).collect()
+    E, R = _train_np_cx(_TRIPLES, dim, n_steps, lr, margin)
+    want = {("entity", k): v for k, v in E.items()}
+    want.update({("relation", k): v for k, v in R.items()})
+    got_map = {(r.kind, r.name): np.array(r.v) for r in got}
+    assert set(got_map) == set(want)
+    for key in want:
+        assert np.array_equal(got_map[key], want[key]), key
+
+
+def test_complex_rejects_odd_dim(spark):
+    from dbpedia_spotlight_spark.operators.kgembed import train_complex
+    with pytest.raises(ValueError, match="even"):
+        train_complex(_tri_df(spark), dim=7, n_steps=1)
+
+
+def test_complex_models_antisymmetry(spark):
+    """The motivating property (Trouillon et al.): an antisymmetric
+    relation — (a,r,b) true, (b,r,a) false — must be scoreable apart.
+    DistMult structurally CANNOT (its score is h·r·t, symmetric in
+    h,t); ComplEx separates the pair via the imaginary part."""
+    from dbpedia_spotlight_spark.operators.kgembed import (
+        score_triples, train_complex, train_distmult)
+    rows = [("a", "before", "b"), ("b", "before", "c"),
+            ("a", "before", "c"), ("c", "after", "a")]
+    df = _tri_df(spark, rows)
+    probe = _tri_df(spark, [("a", "before", "b"),
+                            ("b", "before", "a")])
+    emb_cx = train_complex(df, dim=8, n_steps=8, lr=0.1)
+    sc = {(r.subj, r.obj): r.score for r in
+          score_triples(probe, emb_cx, model="complex").collect()}
+    assert sc[("a", "b")] != sc[("b", "a")]
+    emb_dm = train_distmult(df, dim=8, n_steps=8, lr=0.1)
+    sd = {(r.subj, r.obj): r.score for r in
+          score_triples(probe, emb_dm, model="distmult").collect()}
+    assert sd[("a", "b")] == sd[("b", "a")]  # structural symmetry
+
+
+def test_complex_resume_is_bit_exact(spark):
+    from dbpedia_spotlight_spark.operators.kgembed import train_complex
+    df = _tri_df(spark)
+    full = {(r.kind, r.name): r.v for r in
+            train_complex(df, dim=8, n_steps=4, lr=0.05).collect()}
+    part = train_complex(df, dim=8, n_steps=2, lr=0.05)
+    resumed = {(r.kind, r.name): r.v for r in
+               train_complex(df, dim=8, n_steps=2, lr=0.05,
+                             resume_from=part,
+                             step_offset=2).collect()}
+    assert full == resumed

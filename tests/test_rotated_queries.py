@@ -98,6 +98,11 @@ ROTATED = [
     # r1-r4; the exact-verify shape stays inside near_dup_embeddings
     # and the ann_ivf probe)
     ("ann_topk", Q.q_ann_topk, Q.sql_ann_topk),
+    # round-5 addition: ComplEx KG-embedding training — the
+    # antisymmetry-capable third geometry through the shared trainer;
+    # oracle = the shared generated-CTE unroll with half-index complex
+    # gradient lists
+    ("kg_complex", Q.q_kg_complex, Q.sql_kg_complex),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
