@@ -395,6 +395,45 @@ def sql_link_triples() -> str:
     )
 
 
+def q_kg_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot content digest (triples.py::triple_digest) of the REAL
+    link-triples output: one row (n_triples, digest) where digest is
+    the exact integer sum of 60-bit md5s over the distinct triple set
+    — order/layout-independent, mergeable, O(delta)-maintainable (the
+    KGStore integrity record). digest compares as a string (DECIMAL /
+    HUGEINT exceed doubles). The oracle replays hash → sum over the
+    same relational link-triples derivation."""
+    from dbpedia_spotlight_spark.triples import triple_digest
+    out = triple_digest(q_link_triples(spark, sf_dir))
+    return out.select("n_triples",
+                      F.col("digest").cast("string").alias("digest"))
+
+
+def sql_kg_digest() -> str:
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  ann AS (
+    SELECT r.*, d.source FROM ranked r
+    JOIN documents d ON r.doc_id = d.doc_id WHERE r.rank = 1
+  ),
+  trip AS (
+    SELECT source || '/' || CAST(doc_id AS VARCHAR) || '#char=' ||
+           CAST("begin" AS VARCHAR) || ',' || CAST("end" AS VARCHAR) AS subj,
+           'itsrdf:taIdentRef' AS pred, uri AS obj FROM ann
+    UNION ALL
+    SELECT source || '/' || CAST(doc_id AS VARCHAR) || '#char=' ||
+           CAST("begin" AS VARCHAR) || ',' || CAST("end" AS VARCHAR) AS subj,
+           'nif:anchorOf' AS pred, surface_form AS obj FROM ann
+  ),
+  dt AS (SELECT DISTINCT subj, pred, obj FROM trip)
+  SELECT CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(sum((('0x' || substr(md5(subj || chr(31) || pred
+                     || chr(31) || obj), 1, 15))::BIGINT)::HUGEINT)
+              AS VARCHAR) AS digest
+  FROM dt"""
+    )
+
+
 # --- offline model-build aggregations (M1–M3, M6; SURVEY §2.13) ---
 
 

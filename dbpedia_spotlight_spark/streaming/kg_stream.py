@@ -233,11 +233,32 @@ class KGStore:
                 url_watermarks: DataFrame | None = None) -> int:
         """Write the next generation (triples + url-watermark sidecar) +
         append the change log, flip the pointer, drop the previous
-        generation. Returns the new gen id."""
+        generation. Returns the new gen id.
+
+        Also maintains the generation's content digest INCREMENTALLY
+        (``triples.digest_shift`` over the delta — O(|Δ|), no snapshot
+        rescan; first generation / legacy upgrade pays one full
+        ``triple_digest``), written into the generation directory
+        before the pointer flip so it shares the crash discipline.
+        ``verify_snapshot`` compares it against a full recompute."""
+        from dbpedia_spotlight_spark.triples import (
+            digest_shift, triple_digest)
         prev = self.latest_gen()
         gen = 0 if prev is None else prev + 1
+        prev_dig = None if prev is None else self.read_digest(prev)
         triples.select("subj", "pred", "obj").write.mode(
             "overwrite").parquet(f"{self._gen_path(gen)}/triples")
+        if prev_dig is None:
+            # bootstrap (first generation, or a store created before
+            # digests existed): one full pass over the new snapshot
+            row = triple_digest(self.spark.read.parquet(
+                f"{self._gen_path(gen)}/triples")).first()
+            n_new, d_new = int(row[0]), int(row[1])
+        else:
+            row = digest_shift(delta).first()
+            n_new = prev_dig[0] + int(row[0])
+            d_new = prev_dig[1] + int(row[1])
+        self._write_digest(gen, n_new, d_new)
         if url_watermarks is not None:
             url_watermarks.select("url", "warc_ts").write.mode(
                 "overwrite").parquet(f"{self._gen_path(gen)}/urls")
@@ -263,6 +284,51 @@ class KGStore:
             if self._fs.exists(p):
                 self._fs.delete(p, True)
         return gen
+
+    def _write_digest(self, gen: int, n: int, digest: int) -> None:
+        out = self._fs.create(
+            self._fs_path(f"{self._gen_path(gen)}/_DIGEST"), True)
+        try:
+            out.write(bytearray(f"{n},{digest}".encode("utf-8")))
+        finally:
+            out.close()
+
+    def read_digest(self, gen: int | None = None) -> tuple[int, int] | None:
+        """(n_triples, digest) recorded for ``gen`` (default: live
+        generation), or None when absent (legacy store / pre-first
+        batch)."""
+        g = self.latest_gen() if gen is None else gen
+        if g is None:
+            return None
+        p = self._fs_path(f"{self._gen_path(g)}/_DIGEST")
+        if not self._fs.exists(p):
+            return None
+        stream = self._fs.open(p)
+        try:
+            raw = bytes(stream.readAllBytes()).decode("utf-8").strip()
+        finally:
+            stream.close()
+        n, d = raw.split(",", 1)
+        return int(n), int(d)
+
+    def verify_snapshot(self) -> dict:
+        """Integrity check: recompute the live snapshot's content
+        digest and compare against the incrementally-maintained one.
+        Returns {ok, n_expected, digest_expected, n_actual,
+        digest_actual}; ``ok`` False means the snapshot and the folded
+        change log have diverged (bit rot, lost partition, out-of-band
+        edit, double-applied batch) — rebuild or restore before
+        trusting reads. Raises on a store with no digest record."""
+        from dbpedia_spotlight_spark.triples import triple_digest
+        rec = self.read_digest()
+        if rec is None:
+            raise ValueError("no digest recorded for the live "
+                             "generation (empty or legacy store)")
+        row = triple_digest(self.read()).first()
+        n_act, d_act = int(row[0]), int(row[1])
+        return {"ok": (n_act, d_act) == rec,
+                "n_expected": rec[0], "digest_expected": rec[1],
+                "n_actual": n_act, "digest_actual": d_act}
 
     def read_asof(self, gen: int) -> DataFrame:
         """Time-travel read: the triple snapshot as of generation

@@ -103,6 +103,9 @@ ROTATED = [
     # oracle = the shared generated-CTE unroll with half-index complex
     # gradient lists
     ("kg_complex", Q.q_kg_complex, Q.sql_kg_complex),
+    # round-5 addition: snapshot content digest over the real link
+    # triples — exact integer md5 sum, the KGStore integrity record
+    ("kg_digest", Q.q_kg_digest, Q.sql_kg_digest),
     ("spot_multitoken", Q.q_spot_multitoken, Q.sql_spot_multitoken),
     ("quantized_uri_counts", Q.q_quantized_uri_counts,
      Q.sql_quantized_uri_counts),
