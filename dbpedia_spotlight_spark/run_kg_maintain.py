@@ -132,7 +132,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--embed-lr", type=float, default=0.1)
     ap.add_argument("--embed-min-docs", type=int, default=2)
     ap.add_argument("--embed-model", default="transe",
-                    choices=("transe", "distmult"))
+                    choices=("transe", "distmult", "complex"))
+    ap.add_argument("--verify", action="store_true",
+                    help="after the fold, recompute the live "
+                         "snapshot's content digest and compare with "
+                         "the incrementally-maintained record "
+                         "(KGStore.verify_snapshot); a mismatch "
+                         "raises — the snapshot and the folded log "
+                         "have diverged")
     ap.add_argument("--metrics-out", default="",
                     help="write the run stats JSON to this local path "
                          "as well as stdout")
@@ -199,6 +206,16 @@ def main(argv: list[str] | None = None,
         stats["n_changes"] = n_changes
         stats["n_added"] = m.get("n_added", 0)
         stats["n_removed"] = m.get("n_removed", 0)
+
+    if args.verify:
+        v = store.verify_snapshot()
+        stats["verify"] = v
+        if not v["ok"]:
+            raise RuntimeError(
+                "KG snapshot digest mismatch: expected "
+                f"({v['n_expected']}, {v['digest_expected']}), got "
+                f"({v['n_actual']}, {v['digest_actual']}) — the live "
+                "snapshot and the folded change log have diverged")
 
     if args.entail:
         from pyspark.sql import functions as F

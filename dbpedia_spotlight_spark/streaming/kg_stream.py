@@ -937,7 +937,7 @@ def maintain_kg_stream(spark: SparkSession, input_dir: str, model_bc,
 
 class EmbeddingStore(KGStore):
     """Generation store for incrementally-maintained KG embeddings
-    (TransE or DistMult — ``model`` pinned in meta at first fold like
+    (TransE, DistMult or ComplEx — ``model`` pinned in meta at first fold like
     ``dim``; operators/kgembed.py): per generation one ``embeddings``
     frame (kind, name, v) plus a one-row ``meta`` frame recording the
     model config and the cumulative step count. Follows a
@@ -988,10 +988,13 @@ class EmbeddingStore(KGStore):
             train_distmult, train_transe)
         from dbpedia_spotlight_spark.operators.relations import (
             relation_triples)
-        trainers = {"transe": train_transe, "distmult": train_distmult}
+        from dbpedia_spotlight_spark.operators.kgembed import (
+            train_complex)
+        trainers = {"transe": train_transe, "distmult": train_distmult,
+                    "complex": train_complex}
         if model not in trainers:
             raise ValueError(f"unknown model: {model}"
-                             " ('transe' | 'distmult')")
+                             " ('transe' | 'distmult' | 'complex')")
         rel_gen = rel_store.latest_gen()
         if rel_gen is None:
             raise ValueError("relation store has no live generation — "

@@ -876,10 +876,12 @@ def test_run_kg_maintain_main(spark, web_pages, lexicon, tmp_path):
     web_pages.write.mode("overwrite").parquet(pages_dir)
     write_lexicon(spark, lexicon, lex_dir)
 
-    s1 = main(["--pages", pages_dir, "--lexicon", lex_dir, "--kg", kg_dir],
+    s1 = main(["--pages", pages_dir, "--lexicon", lex_dir, "--kg", kg_dir,
+               "--verify"],
               spark=spark)
     assert s1["gen"] == 0 and s1["kg_rows"] > 0 and s1["n_changes"] > 0
     assert s1["n_added"] == s1["n_changes"] and s1["n_removed"] == 0
+    assert s1["verify"]["ok"] and s1["verify"]["n_actual"] == s1["kg_rows"]
 
     # same pages again, batch mode: empty delta keeps the generation
     s2 = main(["--pages", pages_dir, "--lexicon", lex_dir, "--kg", kg_dir],
@@ -901,9 +903,12 @@ def test_run_kg_maintain_main(spark, web_pages, lexicon, tmp_path):
     s3 = main(["--pages", pages2, "--lexicon", lex_dir, "--kg", kg_dir,
                "--stream", "--checkpoint", str(tmp_path / "ck"),
                "--metrics-out", str(tmp_path / "metrics.json"),
-               "--expire-log", "1"],
+               "--expire-log", "1", "--verify"],
               spark=spark)
     assert s3["gen"] == 1 and s3["kg_rows"] != s1["kg_rows"]
+    # gen-1 digest was maintained INCREMENTALLY (shift over the
+    # recrawl delta); verify recomputes from the snapshot and agrees
+    assert s3["verify"]["ok"]
     assert s3["n_changes"] > 0
     assert [b["gen"] for b in s3["batches"] if "gen" in b] == [1]
     assert s3["log_partitions_dropped"] == 1  # gen=0 slice expired
