@@ -1054,3 +1054,222 @@ def betweenness_centrality(edges: DataFrame, sources: list[str],
     scale = 2.0 if not directed else 1.0
     return (acc.groupBy("uri")
             .agg((F.sum("delta") / F.lit(scale)).alias("betweenness")))
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support (uri_a, uri_b, support) over the
+    undirected canonical (uri_a < uri_b) edge table — the edge-level
+    twin of :func:`triangle_counts`, and the inner aggregate of truss
+    decomposition. Edges in no triangle are omitted (join back with
+    ``coalesce(support, 0)`` for totals).
+
+    Same degree-ordered wedge enumeration as ``triangle_counts`` (each
+    triangle materializes exactly once, per-vertex out-degree bounded
+    by O(sqrt(|E|)) under the orientation), but the closing join is an
+    INNER join so each found triangle can be charged back to its three
+    canonical edges — one generate + one groupBy on the edge key, both
+    map-side combinable."""
+    e = edges.select("uri_a", "uri_b").distinct()
+    deg = degree_stats(e.withColumn("n_docs", F.lit(1))) \
+        .select("uri", F.format_string("%012d|%s", "degree", "uri")
+                .alias("rank"))
+    ranked = (
+        e.join(deg.withColumnRenamed("uri", "uri_a")
+               .withColumnRenamed("rank", "rank_a"), "uri_a")
+        .join(deg.withColumnRenamed("uri", "uri_b")
+              .withColumnRenamed("rank", "rank_b"), "uri_b"))
+    oriented = ranked.select(
+        F.when(F.col("rank_a") < F.col("rank_b"), F.col("uri_a"))
+        .otherwise(F.col("uri_b")).alias("src"),
+        F.when(F.col("rank_a") < F.col("rank_b"), F.col("uri_b"))
+        .otherwise(F.col("uri_a")).alias("dst"),
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closer = oriented.select(F.col("src").alias("a"),
+                             F.col("dst").alias("c"))
+    tris = wedges.join(closer, ["a", "c"])  # inner: keep the rows
+    sides = (
+        tris.select(F.least("a", "b").alias("uri_a"),
+                    F.greatest("a", "b").alias("uri_b"))
+        .unionByName(tris.select(F.least("b", "c").alias("uri_a"),
+                                 F.greatest("b", "c").alias("uri_b")))
+        .unionByName(tris.select(F.least("a", "c").alias("uri_a"),
+                                 F.greatest("a", "c").alias("uri_b"))))
+    return sides.groupBy("uri_a", "uri_b") \
+        .agg(F.count("*").cast("int").alias("support"))
+
+
+def k_truss(edges: DataFrame, k: int, max_rounds: int = 50,
+            checkpoint_dir: str | None = None) -> DataFrame:
+    """The k-truss of the undirected graph: the maximal subgraph in
+    which every edge participates in ≥ k−2 triangles (Cohen 2008) —
+    the edge-level strengthening of :func:`k_core` (every k-truss is
+    inside the (k−1)-core) and the standard "cohesive relation
+    backbone" extractor a KG pipeline runs to separate systematically
+    co-asserted entity pairs from incidental co-mentions.
+
+    Iterated peeling: recompute :func:`edge_support`, drop edges below
+    k−2, repeat until stable. Each round is the support enumeration
+    (two equi-join shuffles, skew-bounded by the degree orientation)
+    plus one semi-join filter; the edge frame only shrinks and lineage
+    is cut per round. Peeling needs at most |E| rounds; real graphs
+    converge in a handful. Returns the surviving canonical edge rows
+    with their final ``support``; ``k < 3`` returns the input with
+    support attached (every edge trivially satisfies support ≥ 0 —
+    same convention as the k-core guard)."""
+    from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+    ckpt = RoundCheckpointer(edges.sparkSession, checkpoint_dir, "ktruss")
+    cur = ckpt.cut(edges.select("uri_a", "uri_b").distinct()
+                   .filter(F.col("uri_a") != F.col("uri_b")))
+    if k < 3:
+        sup = edge_support(cur)
+        return (cur.join(sup, ["uri_a", "uri_b"], "left")
+                .select("uri_a", "uri_b",
+                        F.coalesce("support", F.lit(0)).cast("int")
+                        .alias("support")))
+    for _ in range(max_rounds):
+        sup = edge_support(cur).filter(F.col("support") >= k - 2)
+        n_keep = sup.count()
+        if n_keep == cur.count():
+            return ckpt.cut(sup)
+        cur = ckpt.cut(sup.select("uri_a", "uri_b"))
+        if n_keep == 0:
+            break
+    return (cur.join(edge_support(cur), ["uri_a", "uri_b"], "left")
+            .select("uri_a", "uri_b",
+                    F.coalesce("support", F.lit(0)).cast("int")
+                    .alias("support")))
+
+
+def coreness(edges: DataFrame, max_rounds: int = 50,
+             checkpoint_dir: str | None = None) -> DataFrame:
+    """Full core-number decomposition (uri, core) of the undirected
+    graph — every vertex's largest k such that it survives in the
+    k-core — via the distributed H-operator iteration (Lü, Zhou,
+    Zhang & Stanley 2016): start from c₀(v) = deg(v) and repeatedly
+    set c(v) to the H-index of its neighbors' current values; the
+    fixpoint is exactly the coreness vector. Monotone non-increasing
+    per vertex, so the loop stops at the first unchanged round.
+
+    Skew-shape: the per-vertex H-index is computed from the *histogram*
+    of neighbor values, not the neighbor list — counts per (uri, value)
+    first (map-side combinable, collapses a celebrity entity's millions
+    of neighbors into ≤ max-core distinct rows), then a running total
+    over values descending and H = max(min(cum, value)). The window
+    partition is bounded by the value range (≤ max degree after round
+    0, ≤ max core after round 1), never by degree, so no single key
+    can dominate a partition the way a neighbor-list sort would."""
+    from dbpedia_spotlight_spark.operators.iterate import RoundCheckpointer
+    ckpt = RoundCheckpointer(edges.sparkSession, checkpoint_dir, "coreness")
+    e = edges.select("uri_a", "uri_b").distinct() \
+        .filter(F.col("uri_a") != F.col("uri_b"))
+    directed = e.select(F.col("uri_a").alias("uri"),
+                        F.col("uri_b").alias("nbr")) \
+        .unionByName(e.select(F.col("uri_b").alias("uri"),
+                              F.col("uri_a").alias("nbr")))
+    directed = ckpt.cut(directed)
+    cur = ckpt.cut(directed.groupBy("uri")
+                   .agg(F.count("*").cast("int").alias("core")))
+    w = Window.partitionBy("uri").orderBy(F.col("core").desc())
+    for _ in range(max_rounds):
+        nv = directed.join(
+            cur.select(F.col("uri").alias("nbr"), "core"), "nbr")
+        hist = nv.groupBy("uri", "core").agg(F.count("*").alias("n"))
+        nxt = (hist.withColumn("cum", F.sum("n").over(w))
+               .groupBy("uri")
+               .agg(F.max(F.least(F.col("cum"), F.col("core").cast("long")))
+                    .cast("int").alias("core")))
+        nxt = ckpt.cut(nxt)
+        changed = (nxt.join(cur.withColumnRenamed("core", "prev"), "uri")
+                   .filter(F.col("core") != F.col("prev")).count())
+        cur = nxt
+        if changed == 0:
+            break
+    return cur
+
+
+def community_modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity contributions per community over the
+    undirected simple graph: Q_c = e_c/m − (d_c/2m)², where e_c =
+    intra-community edges, d_c = summed member degrees, m = |E|
+    (Newman & Girvan 2004) — the standard quality score a pipeline
+    attaches to :func:`label_propagation` output before trusting its
+    communities for entity grouping. Σ Q_c over the result is the
+    graph's modularity.
+
+    ``labels`` is (uri, label). Cost: two broadcast-scale joins of the
+    label table onto the edge list + two |V|-keyed aggregates — the
+    label table is node-sized, never corpus-sized. All inputs are
+    exact integers; per-community Q is two double divisions and one
+    multiply, rounded to the repo's 9dp contract."""
+    e = edges.select("uri_a", "uri_b").distinct() \
+        .filter(F.col("uri_a") != F.col("uri_b"))
+    m = e.count()
+    la = labels.select(F.col("uri").alias("uri_a"),
+                       F.col("label").alias("label_a"))
+    lb = labels.select(F.col("uri").alias("uri_b"),
+                       F.col("label").alias("label_b"))
+    tagged = e.join(F.broadcast(la), "uri_a").join(F.broadcast(lb), "uri_b")
+    internal = (tagged.filter(F.col("label_a") == F.col("label_b"))
+                .groupBy(F.col("label_a").alias("label"))
+                .agg(F.count("*").alias("n_internal")))
+    deg = degree_stats(e.withColumn("n_docs", F.lit(1)))
+    degs = (deg.join(F.broadcast(labels), "uri")
+            .groupBy("label")
+            .agg(F.sum("degree").alias("total_degree")))
+    dd = F.col("total_degree").cast("double")
+    md = float(m)
+    return (degs.join(internal, "label", "left")
+            .select("label",
+                    F.coalesce("n_internal", F.lit(0)).cast("long")
+                    .alias("n_internal"),
+                    F.col("total_degree").cast("long")
+                    .alias("total_degree"),
+                    F.round(
+                        F.coalesce("n_internal", F.lit(0)).cast("double")
+                        / F.lit(md)
+                        - (dd / F.lit(2.0 * md)) * (dd / F.lit(2.0 * md)),
+                        9).alias("q_contrib")))
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree-assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over every directed realization of
+    the undirected edge set — one row (n_pairs, assortativity).
+    Positive ⇒ hubs link to hubs (social-network shape), negative ⇒
+    hubs link to leaves (web/KG star shape); the KG-health metric that
+    says whether the co-mention graph grew celebrity-star structure.
+
+    Exactness device: degrees are integers, so all five correlation
+    sums (Σx, Σxy, Σx², and n) accumulate in DECIMAL(38,0) (HUGEINT in
+    the DuckDB oracle) — exact at any scale and aggregation order; the
+    final r is formed from THREE double casts and one division,
+    rounded 9dp. Symmetry makes Σx = Σy and Σx² = Σy², so the
+    denominator needs no sqrt — it IS the x-variance term."""
+    e = edges.select("uri_a", "uri_b").distinct() \
+        .filter(F.col("uri_a") != F.col("uri_b"))
+    deg = degree_stats(e.withColumn("n_docs", F.lit(1))) \
+        .select("uri", "degree")
+    both = (e.join(deg.withColumnRenamed("uri", "uri_a")
+                   .withColumnRenamed("degree", "deg_a"), "uri_a")
+            .join(deg.withColumnRenamed("uri", "uri_b")
+                  .withColumnRenamed("degree", "deg_b"), "uri_b"))
+    pairs = both.select(F.col("deg_a").alias("x"),
+                        F.col("deg_b").alias("y")) \
+        .unionByName(both.select(F.col("deg_b").alias("x"),
+                                 F.col("deg_a").alias("y")))
+    d38 = "decimal(38,0)"
+    agg = pairs.agg(
+        F.count("*").cast(d38).alias("n"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return agg.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num.cast("double") / den.cast("double"), 9)
+        .alias("assortativity"))

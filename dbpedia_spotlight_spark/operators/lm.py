@@ -146,3 +146,106 @@ def ppl_thresholds(scored: DataFrame, qs: tuple[float, float] = (1 / 3, 2 / 3),
         F.expr(f"percentile({ppl_col}, {qs[0]})").alias("a"),
         F.expr(f"percentile({ppl_col}, {qs[1]})").alias("b")).first()
     return float(row["a"]), float(row["b"])
+
+
+class KNBigramLM(NamedTuple):
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999's interpolated form) as count DataFrames + scalars —
+    the smoothing KenLM actually ships, and the reason a CCNet-style
+    gate prefers it to add-α: continuation probability ranks a token by
+    how many DISTINCT contexts it follows, so "Francisco" (frequent but
+    only after "San") stops outscoring genuinely versatile tokens.
+    Every frame is vocab-sized; broadcast at score time."""
+    unigrams: DataFrame   # (w, c)      — left-context totals C(w1 ·)
+    bigrams: DataFrame    # (w1, w2, c) — C(w1, w2)
+    fanout: DataFrame     # (w1, n1p)   — N1+(w1 ·) distinct successors
+    cont: DataFrame       # (w2, n1p)   — N1+(· w2) distinct contexts
+    n_bigram_types: int   # N1+(· ·)    — distinct bigram types
+    vocab_size: int       # distinct non-BOS tokens in training
+    discount: float       # absolute discount D ∈ (0, 1)
+
+
+def train_kn_bigram_lm(ref_docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       discount: float = 0.75) -> KNBigramLM:
+    """Count-train interpolated Kneser-Ney on a reference corpus. Four
+    aggregations over the same bigram stream — C(w1,w2), C(w1·),
+    N1+(w1·), N1+(·w2) — all map-side combinable, keyed on tokens /
+    token pairs (vocab-sized shuffle keys regardless of corpus size);
+    the only actions are the two scalar counts. D = 0.75 is the
+    Chen-Goodman fixed-discount default [PINNED: no reference mount to
+    read a value from]."""
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    bg = _bigram_stream(ref_docs, id_col, text_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    unigrams = (bg.groupBy(F.col("w1").alias("w"))
+                  .agg(F.count("*").alias("c")))
+    fanout = (bigrams.groupBy("w1")
+              .agg(F.count("*").alias("n1p")))
+    cont = (bigrams.groupBy("w2")
+            .agg(F.count("*").alias("n1p")))
+    n_types = bigrams.count()
+    vocab = (bg.filter(F.col("w2") != BOS)
+               .select(F.countDistinct("w2").alias("v")).first()["v"])
+    return KNBigramLM(unigrams=unigrams, bigrams=bigrams, fanout=fanout,
+                      cont=cont, n_bigram_types=int(n_types),
+                      vocab_size=int(vocab), discount=float(discount))
+
+
+def kn_doc_perplexity(docs: DataFrame, lm: KNBigramLM,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Score every doc under interpolated Kneser-Ney; same output
+    contract as :func:`doc_perplexity` (9dp mean-ln, ppl from the
+    rounded mean).
+
+        p_cont(w2)  = (N1+(·w2) + 1) / (N1+(··) + V + 1)
+        p(w2|w1)    = (max(C(w1,w2) − D, 0)
+                       + D · N1+(w1·) · p_cont(w2)) / C(w1·)
+        unseen w1   → p(w2|w1) = p_cont(w2)
+
+    The +1/(V+1) add-one on the continuation distribution is the
+    totality device (every token, OOV included, gets mass — the same
+    role the '+1 OOV' slot plays in the add-α path); the discounted
+    mass D·N1+(w1·)/C(w1·) is exactly what discounting max(c−D,0)
+    removed, so p(·|w1) sums to 1 over the (V+1)-point event space.
+    Scoring is four broadcast left joins (all vocab-sized) + one
+    per-doc aggregate — the corpus shuffles once, zero UDFs."""
+    d = float(lm.discount)
+    pc_denom = float(lm.n_bigram_types + lm.vocab_size + 1)
+    stream = _bigram_stream(docs, id_col, text_col)
+    pc = ((F.coalesce(F.col("c_cont"), F.lit(0)) + F.lit(1.0))
+          / F.lit(pc_denom))
+    # coalesce BEFORE greatest: engines disagree on greatest(NULL, x)
+    # (Spark skips NULLs, DuckDB propagates) — with the explicit 0 the
+    # expression is NULL-free in both
+    seen = ((F.greatest(F.coalesce(F.col("c_bg"), F.lit(0))
+                        .cast("double") - F.lit(d), F.lit(0.0))
+             + F.lit(d) * F.col("n1p_fan").cast("double") * pc)
+            / F.col("c_ug").cast("double"))
+    scored = (
+        stream
+        .join(F.broadcast(lm.bigrams.withColumnRenamed("c", "c_bg")),
+              ["w1", "w2"], "left")
+        .join(F.broadcast(lm.unigrams
+                          .withColumnRenamed("w", "w1")
+                          .withColumnRenamed("c", "c_ug")),
+              ["w1"], "left")
+        .join(F.broadcast(lm.fanout
+                          .withColumnRenamed("n1p", "n1p_fan")),
+              ["w1"], "left")
+        .join(F.broadcast(lm.cont
+                          .withColumnRenamed("n1p", "c_cont")),
+              ["w2"], "left")
+        .select(
+            "id",
+            F.log(F.when(F.col("c_ug").isNull(), pc)
+                  .otherwise(seen)).alias("lnp"),
+        )
+    )
+    return (scored.groupBy("id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg("lnp"), 9).alias("avg_lnp"))
+            .select(F.col("id").alias(id_col), "n_tokens", "avg_lnp",
+                    F.round(F.exp(-F.col("avg_lnp")), 6).alias("perplexity")))

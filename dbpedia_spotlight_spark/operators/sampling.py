@@ -224,3 +224,59 @@ def temperature_resample(df: DataFrame, key_col: str, id_col: str,
     return (df.join(F.broadcast(rates), key_col)
             .filter(_gate(id_col, salt) < F.col("_thresh"))
             .drop("_thresh"))
+
+
+def weighted_priority_sample(df: DataFrame, k: int, weight_col,
+                             id_col: str = "doc_id",
+                             strata_cols: list[str] | None = None,
+                             salt: str = "wps",
+                             max_weight: int = 64) -> DataFrame:
+    """Weighted k-sample WITHOUT replacement per stratum,
+    probability-proportional-to-weight, fully deterministic and
+    integer-exact — the corpus-mixing primitive "give me k docs per
+    language, long docs proportionally more likely, same answer on
+    every layout/engine/rerun".
+
+    Device: instead of Efraimidis-Szymkowiak-Spirakis float keys
+    u^(1/w) (whose ln/pow cross libm and can flip a selection by one
+    ulp), each item casts w integer-quantized VIRTUAL DRAWS — salted
+    md5 hashes of (id, draw#) — and its priority is the MINIMUM draw.
+    For the min of w iid uniforms, P(priority_i < priority_j) =
+    w_i/(w_i + w_j), exactly the ES tournament probability, so
+    ordering by priority ascending IS weighted sampling without
+    replacement — but every comparison is between 60-bit integers:
+    bit-identical in any engine, any order, forever.
+
+    Scale shape: the explode is bounded by ``max_weight`` (weights are
+    clamped to [1, max_weight] — the quantization cap plays the same
+    role as every bucket cap in the dedup family), the per-item min is
+    map-side combinable BEFORE the shuffle, and the final top-k is one
+    window over per-stratum candidates. Returns the sampled rows of
+    ``df`` plus (priority, draw_weight, rank)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if max_weight < 1:
+        raise ValueError("max_weight must be >= 1")
+    from pyspark.sql import Window
+
+    from dbpedia_spotlight_spark.operators.dedup import md5_long
+    strata_cols = strata_cols or []
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.greatest(
+        F.least(wcol.cast("long"), F.lit(max_weight)),
+        F.lit(1)).alias("_w")
+    drawn = (df.withColumn("_w", w)
+             .withColumn("_draw", F.explode(F.sequence(F.lit(1),
+                                                       F.col("_w")))))
+    pri = md5_long(F.concat_ws("#", F.col(id_col).cast("string"),
+                               F.lit(salt), F.col("_draw").cast("string")))
+    mins = (drawn.withColumn("_pri", pri)
+            .groupBy(*strata_cols, id_col, "_w")
+            .agg(F.min("_pri").alias("priority")))
+    win = Window.partitionBy(*strata_cols).orderBy("priority", id_col)
+    picked = (mins.withColumn("rank", F.row_number().over(win))
+              .filter(F.col("rank") <= k)
+              .select(*strata_cols, id_col, "priority",
+                      F.col("_w").alias("draw_weight"), "rank"))
+    return df.join(picked.drop(*strata_cols) if strata_cols else picked,
+                   id_col, "inner")

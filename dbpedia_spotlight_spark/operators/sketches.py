@@ -262,3 +262,81 @@ def cms_query(sketch: DataFrame, items: DataFrame, item_col: str,
         .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
     return (joined.groupBy(*key_cols, "item")
             .agg(F.min("cnt").alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et al.
+# 2007's unbiased (k−1)/U_(k) estimator). Complements HLL: same
+# "mergeable rows, no UDFs" shape, but the sketch IS a coordinated
+# uniform sample of the key's distinct items — so beyond cardinality it
+# supports distinct-item sampling and set-overlap estimation between
+# keys/days (identical hash ⇒ identical sample membership everywhere).
+# ---------------------------------------------------------------------------
+
+KMV_SALTS = 32  # first-pass salt fan-out; see kmv_sketch scale note
+
+
+def kmv_sketch(df: DataFrame, key_cols: list[str], item_col: str,
+               k: int = 256) -> DataFrame:
+    """Bottom-k sketch per key: the k smallest distinct 60-bit md5
+    hashes of ``item_col``, one row per (key…, item, h) — rows, not a
+    blob, so merge stays pure relational algebra and the item column
+    rides along as the uniform distinct-sample.
+
+    Scale shape: distinct-by-hash first (map-side combinable), then
+    bottom-k in TWO window passes — per (key, h % KMV_SALTS) salt
+    group, then per key over the surviving ≤ KMV_SALTS·k rows. The
+    salted first pass keeps any single sort partition at ~1/32 of a
+    mega-key's distinct mass (spill-bounded, same rationale as the
+    skew-salting utilities); the second pass touches a bounded row
+    count per key by construction. No collect_set state — a
+    billion-distinct key never materializes a billion-entry aggregate
+    buffer anywhere."""
+    h = md5_long(F.col(item_col).cast("string"))
+    d = (df.select(*key_cols, F.col(item_col).alias("item"),
+                   h.alias("h"))
+         .dropDuplicates([*key_cols, "h"]))
+    from pyspark.sql import Window
+    w1 = Window.partitionBy(*key_cols, (F.col("h") % KMV_SALTS)) \
+        .orderBy("h")
+    w2 = Window.partitionBy(*key_cols).orderBy("h")
+    return (d.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= k).drop("rn")
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
+def kmv_merge(*sketches: DataFrame, key_cols: list[str],
+              k: int = 256) -> DataFrame:
+    """Union + re-bottom-k: kmv(A ∪ B) ≡ kmv_merge(kmv(A), kmv(B))
+    row-for-row (the k smallest of a union are among each side's k
+    smallest; idempotent under re-delivery like every sketch here).
+    Input rows are ≤ k per key per side, so one window pass suffices."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    from pyspark.sql import Window
+    out = out.dropDuplicates([*key_cols, "h"])
+    w = Window.partitionBy(*key_cols).orderBy("h")
+    return (out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).drop("rn"))
+
+
+def kmv_count(sketch: DataFrame, key_cols: list[str],
+              k: int = 256) -> DataFrame:
+    """Distinct-count estimates (key…, est) from a bottom-k sketch.
+    Below k observed hashes the sketch holds EVERY distinct hash and
+    the count is exact; at capacity the Beyer et al. estimator
+    (k−1)·2^60 / h_(k) applies (h_(k) = the largest retained hash =
+    the k-th order statistic). Integer inputs, ONE double division,
+    round(4) — value-hash identical across engines, like the HLL
+    estimator contract."""
+    space = float(1 << HASH_BITS)
+    return (sketch.groupBy(*key_cols)
+            .agg(F.count("*").alias("n"), F.max("h").alias("hk"))
+            .select(*key_cols,
+                    F.round(
+                        F.when(F.col("n") < k, F.col("n").cast("double"))
+                        .otherwise(F.lit(float(k - 1)) * F.lit(space)
+                                   / F.col("hk").cast("double")),
+                        4).alias("est")))

@@ -8216,6 +8216,210 @@ def sql_type_prediction() -> str:
     )
 
 
+def q_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the entity co-mention graph (operators/graph.py::
+    k_truss): the maximal subgraph where every surviving edge closes
+    ≥ 2 triangles — the cohesive relation backbone a KG pipeline keeps
+    when incidental co-mentions must not become asserted structure.
+    Iterated peeling over :func:`edge_support` (degree-ordered wedge
+    enumeration, skew-bounded); the oracle unrolls the peel as
+    generated per-round CTE chains (id-ordered 3-way triangle join —
+    equivalent enumeration: each triangle counted once per edge) and
+    reads the support table at the fixpoint. Integer support counts —
+    no float contract needed."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, k_truss)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    return k_truss(edges, 4).orderBy("uri_a", "uri_b")
+
+
+_TRUSS_ROUNDS = 8  # oracle unroll depth; fixpoint is idempotent so any
+#                    depth >= the actual peel count replays exactly
+
+
+def sql_k_truss(k: int = 4, rounds: int = _TRUSS_ROUNDS) -> str:
+    rounds_sql = []
+    for i in range(rounds):
+        rounds_sql.append(f"""
+  t{i} AS (
+    SELECT e1.uri_a AS a, e1.uri_b AS b, e2.uri_b AS c
+    FROM e{i} e1
+    JOIN e{i} e2 ON e2.uri_a = e1.uri_b
+    JOIN e{i} e3 ON e3.uri_a = e1.uri_a AND e3.uri_b = e2.uri_b),
+  s{i} AS MATERIALIZED (
+    SELECT uri_a, uri_b, count(*) AS sup FROM (
+      SELECT a AS uri_a, b AS uri_b FROM t{i}
+      UNION ALL SELECT b AS uri_a, c AS uri_b FROM t{i}
+      UNION ALL SELECT a AS uri_a, c AS uri_b FROM t{i}) u
+    GROUP BY 1, 2),
+  e{i + 1} AS MATERIALIZED (
+    SELECT uri_a, uri_b FROM s{i} WHERE sup >= {k - 2})""")
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS MATERIALIZED (
+    SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  e0 AS MATERIALIZED (
+    SELECT x.uri AS uri_a, y.uri AS uri_b
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2),""" + ",".join(rounds_sql) + f"""
+  SELECT uri_a, uri_b, CAST(sup AS INTEGER) AS support
+  FROM s{rounds - 1} WHERE sup >= {k - 2}
+  ORDER BY uri_a, uri_b""")
+
+
+def q_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full core-number decomposition of the co-mention graph
+    (operators/graph.py::coreness — the Lü et al. 2016 H-operator
+    iteration from degrees to the coreness fixpoint, histogram-shaped
+    per round so no celebrity entity dominates a partition). The
+    oracle unrolls the same H-index rounds as generated CTEs (running
+    total over neighbor-value histogram descending, H = max(min(cum,
+    value))); the fixpoint is idempotent, so an unroll depth ≥ the
+    convergence round replays exactly. Integer core numbers."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, coreness)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    return coreness(edges).orderBy("uri")
+
+
+_CORE_ROUNDS = 12  # oracle unroll depth (idempotent past convergence)
+
+
+def sql_coreness(rounds: int = _CORE_ROUNDS) -> str:
+    rounds_sql = []
+    for i in range(rounds):
+        rounds_sql.append(f"""
+  c{i + 1} AS MATERIALIZED (
+    SELECT uri, CAST(max(least(cum, CAST(core AS BIGINT))) AS INTEGER)
+             AS core
+    FROM (
+      SELECT uri, core, sum(n) OVER (
+        PARTITION BY uri ORDER BY core DESC) AS cum
+      FROM (
+        SELECT d.uri, c.core, count(*) AS n
+        FROM directed d JOIN c{i} c ON c.uri = d.nbr
+        GROUP BY 1, 2) h) q
+    GROUP BY uri)""")
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS MATERIALIZED (
+    SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  e0 AS MATERIALIZED (
+    SELECT x.uri AS uri_a, y.uri AS uri_b
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2),
+  directed AS MATERIALIZED (
+    SELECT uri_a AS uri, uri_b AS nbr FROM e0
+    UNION ALL SELECT uri_b AS uri, uri_a AS nbr FROM e0),
+  c0 AS MATERIALIZED (
+    SELECT uri, CAST(count(*) AS INTEGER) AS core
+    FROM directed GROUP BY 1),""" + ",".join(rounds_sql) + f"""
+  SELECT uri, core FROM c{rounds} ORDER BY uri""")
+
+
+def q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney perplexity (operators/lm.py::
+    train_kn_bigram_lm + kn_doc_perplexity) — the smoothing KenLM
+    ships, trained on the doc_id ≡ 0 (mod 5) slice and scored over ALL
+    docs, so OOV tokens and unseen contexts exercise both backoff
+    branches. Four vocab-sized broadcast joins, zero UDFs; the oracle
+    replays counts → continuation distribution → discounted
+    interpolation with the identical float expression shape. 9dp
+    mean-ln contract."""
+    from dbpedia_spotlight_spark.operators.lm import (
+        kn_doc_perplexity, train_kn_bigram_lm,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_kn_bigram_lm(docs.filter(F.col("doc_id") % 5 == 0),
+                            discount=0.75)
+    return kn_doc_perplexity(docs, lm).orderBy("doc_id")
+
+
+def sql_kn_perplexity() -> str:
+    return f"""
+  WITH {_sql_decontam_norm()},
+  toks AS (
+    SELECT doc_id, list_prepend('<s>', string_split(t, ' ')) AS arr
+    FROM norm),
+  bg AS (
+    SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(arr))) AS u(i)),
+  ref AS (SELECT * FROM bg WHERE doc_id % 5 = 0),
+  ug AS (SELECT w1 AS w, count(*) AS c FROM ref GROUP BY 1),
+  bgc AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM ref GROUP BY 1, 2),
+  fan AS (SELECT w1, count(*) AS n1p FROM bgc GROUP BY 1),
+  cont AS (SELECT w2, count(*) AS n1p FROM bgc GROUP BY 1),
+  nbt AS (SELECT count(*) AS n FROM bgc),
+  v AS (SELECT count(DISTINCT w2) AS v FROM ref WHERE w2 <> '<s>'),
+  scored AS (
+    SELECT bg.doc_id,
+           ln(CASE WHEN ug.c IS NULL
+                THEN (coalesce(cont.n1p, 0) + 1.0)
+                     / CAST(nbt.n + v.v + 1 AS DOUBLE)
+                ELSE (greatest(CAST(coalesce(bgc.c, 0) AS DOUBLE) - 0.75,
+                               0.0)
+                      + 0.75 * CAST(fan.n1p AS DOUBLE)
+                        * ((coalesce(cont.n1p, 0) + 1.0)
+                           / CAST(nbt.n + v.v + 1 AS DOUBLE)))
+                     / CAST(ug.c AS DOUBLE)
+              END) AS lnp
+    FROM bg
+    LEFT JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+    LEFT JOIN ug ON ug.w = bg.w1
+    LEFT JOIN fan ON fan.w1 = bg.w1
+    LEFT JOIN cont ON cont.w2 = bg.w2
+    CROSS JOIN nbt CROSS JOIN v)
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(lnp), 9) AS avg_lnp,
+         round(exp(-round(avg(lnp), 9)), 6) AS perplexity
+  FROM scored
+  GROUP BY doc_id
+  ORDER BY doc_id"""
+
+
+def q_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) distinct sketch (operators/sketches.py::
+    kmv_sketch/kmv_count): approximate distinct user_id per event_type
+    at k=64 — below capacity the sketch holds every distinct hash and
+    the count is EXACT (sf0.001 exercises this branch), at capacity
+    the Beyer et al. (k−1)·2^60/h_(k) estimator applies (sf0.01).
+    Integer hashes, one double division, round(4) — value-hash
+    identical across engines; the oracle replays hash → bottom-k →
+    estimator with a row_number window."""
+    from dbpedia_spotlight_spark.operators.sketches import (
+        kmv_count, kmv_sketch,
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = kmv_sketch(events, ["event_type"], "user_id", k=64)
+    return kmv_count(sk, ["event_type"], k=64).orderBy("event_type")
+
+
+def sql_kmv_users(k: int = 64) -> str:
+    space = float(1 << 60)
+    return f"""
+  WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             AS h
+    FROM events),
+  bk AS (
+    SELECT event_type, h, row_number() OVER (
+      PARTITION BY event_type ORDER BY h) AS rn
+    FROM h),
+  agg AS (
+    SELECT event_type, count(*) AS n, max(h) AS hk
+    FROM bk WHERE rn <= {k} GROUP BY 1)
+  SELECT event_type,
+         round(CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+                    ELSE {float(k - 1)!r} * {space!r}
+                         / CAST(hk AS DOUBLE)
+               END, 4) AS est
+  FROM agg
+  ORDER BY event_type"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -196,3 +196,116 @@ def test_pack_sequences_budget_and_layout_independence(spark):
     assert a == b
     with pytest.raises(ValueError):
         pack_sequences(docs, budget=0)
+
+
+# --- interpolated Kneser-Ney (round-5 addition) -------------------------
+
+
+def _py_kn(ref_texts, probe, discount=0.75):
+    """From-scratch interpolated-KN twin (same formula, python floats)."""
+    import math
+    streams = [["<s>"] + t.split() for t in ref_texts]
+    pairs = [(s[i], s[i + 1]) for s in streams for i in range(len(s) - 1)]
+    c_bg, c_ug = {}, {}
+    for w1, w2 in pairs:
+        c_bg[(w1, w2)] = c_bg.get((w1, w2), 0) + 1
+        c_ug[w1] = c_ug.get(w1, 0) + 1
+    fan, cont = {}, {}
+    for w1, w2 in c_bg:
+        fan[w1] = fan.get(w1, 0) + 1
+        cont[w2] = cont.get(w2, 0) + 1
+    nbt = len(c_bg)
+    vocab = len({w2 for _, w2 in pairs if w2 != "<s>"})
+    d = discount
+
+    def pc(w2):
+        return (cont.get(w2, 0) + 1) / (nbt + vocab + 1)
+
+    def p(w1, w2):
+        if w1 not in c_ug:
+            return pc(w2)
+        return (max(c_bg.get((w1, w2), 0) - d, 0.0)
+                + d * fan[w1] * pc(w2)) / c_ug[w1]
+
+    s = ["<s>"] + probe.split()
+    lps = [math.log(p(s[i], s[i + 1])) for i in range(len(s) - 1)]
+    return round(sum(lps) / len(lps), 9)
+
+
+def test_kn_matches_python_twin(spark):
+    ref = ["the cat sat on the mat", "the dog sat on the rug",
+           "a cat and a dog ran", "san francisco is a city"]
+    model = lm.train_kn_bigram_lm(_docs(spark, ref))
+    probes = ["the cat ran", "san francisco dog", "zz qq unseen words"]
+    got = {r["doc_id"]: r["avg_lnp"]
+           for r in lm.kn_doc_perplexity(_docs(spark, probes), model)
+           .collect()}
+    for i, probe in enumerate(probes):
+        assert got[i] == pytest.approx(_py_kn(ref, probe), abs=1e-9), probe
+
+
+def test_kn_distribution_sums_to_one(spark):
+    """Σ_{w2 ∈ V ∪ {OOV}} p(w2|w1) = 1 for every seen context — the
+    discounted mass is exactly recycled through the continuation
+    distribution (python twin mirrors the operator formula)."""
+    ref = ["a b a c b a", "b c b a a"]
+    streams = [["<s>"] + t.split() for t in ref]
+    pairs = [(s[i], s[i + 1]) for s in streams for i in range(len(s) - 1)]
+    c_bg, c_ug, fan, cont = {}, {}, {}, {}
+    for w1, w2 in pairs:
+        c_bg[(w1, w2)] = c_bg.get((w1, w2), 0) + 1
+        c_ug[w1] = c_ug.get(w1, 0) + 1
+    for w1, w2 in c_bg:
+        fan[w1] = fan.get(w1, 0) + 1
+        cont[w2] = cont.get(w2, 0) + 1
+    nbt, d = len(c_bg), 0.75
+    vocab = sorted({w2 for _, w2 in pairs})
+    denom = nbt + len(vocab) + 1
+
+    for w1 in c_ug:
+        tot = 0.0
+        for w2 in vocab:  # every vocab token
+            tot += (max(c_bg.get((w1, w2), 0) - d, 0.0)
+                    + d * fan[w1] * (cont.get(w2, 0) + 1) / denom) \
+                / c_ug[w1]
+        tot += d * fan[w1] * (1 / denom) / c_ug[w1]  # the OOV slot
+        assert tot == pytest.approx(1.0, abs=1e-12), w1
+
+
+def test_kn_prefers_versatile_token_in_unseen_context(spark):
+    """The Kneser-Ney signature: 'francisco' is frequent but follows
+    ONLY 'san', while 'day' is no more frequent but follows many
+    contexts — after an unseen context, continuation probability must
+    rank 'day' above 'francisco' (add-α ranks by raw frequency and
+    gets this backwards)."""
+    ref = ["san francisco shines", "san francisco votes",
+           "san francisco sleeps", "san francisco grows",
+           "good day comes", "every day counts",
+           "one day ends", "market day opens"]
+    model = lm.train_kn_bigram_lm(_docs(spark, ref))
+    # both probes put the target after a context unseen in training
+    probes = ["probe francisco", "probe day"]
+    out = {r["doc_id"]: r["avg_lnp"]
+           for r in lm.kn_doc_perplexity(_docs(spark, probes), model)
+           .collect()}
+    assert out[1] > out[0]  # 'day' more probable → larger (less neg) lnp
+    add_a = lm.train_bigram_lm(_docs(spark, ref))
+    base = {r["doc_id"]: r["avg_lnp"]
+            for r in lm.doc_perplexity(_docs(spark, probes), add_a)
+            .collect()}
+    assert base[1] == pytest.approx(base[0], abs=1e-9)  # add-α is blind
+
+
+def test_kn_scoring_is_udf_free(spark):
+    model = lm.train_kn_bigram_lm(_docs(spark, ["a b c a b"]))
+    plan = lm.kn_doc_perplexity(_docs(spark, ["a b"]), model) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_kn_discount_range_validated(spark):
+    with pytest.raises(ValueError):
+        lm.train_kn_bigram_lm(_docs(spark, ["a b"]), discount=1.0)
+    with pytest.raises(ValueError):
+        lm.train_kn_bigram_lm(_docs(spark, ["a b"]), discount=0.0)

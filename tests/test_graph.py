@@ -795,3 +795,196 @@ def test_harmonic_centrality_semantics(spark):
     assert got2 == {"b"}
     with _pt.raises(ValueError, match="max_hops"):
         harmonic_centrality(df, ["a"], max_hops=0)
+
+
+def _py_edge_support(edges):
+    import itertools
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sup = {}
+    for a, b in edges:
+        sup[(a, b)] = len(adj[a] & adj[b])
+    return sup
+
+
+def _py_k_truss(edges, k):
+    cur = {tuple(sorted(e)) for e in edges}
+    while True:
+        sup = _py_edge_support(cur)
+        keep = {e for e in cur if sup[e] >= k - 2}
+        if keep == cur:
+            return {e: sup[e] for e in cur}
+        cur = keep
+
+
+def _py_coreness(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    core = dict(deg)
+    # textbook peeling (Batagelj–Zaversnik): repeatedly remove the
+    # minimum-degree vertex, its core number is the running max of the
+    # minimum degree seen so far
+    out = {}
+    cur = 0
+    live = dict(deg)
+    nbrs = {v: set(ns) for v, ns in adj.items()}
+    while live:
+        v = min(live, key=lambda x: (live[x], x))
+        cur = max(cur, live[v])
+        out[v] = cur
+        for u in nbrs[v]:
+            if u in live:
+                live[u] -= 1
+                nbrs[u].discard(v)
+        del live[v]
+    return out
+
+
+def test_edge_support_known_graphs(spark):
+    from dbpedia_spotlight_spark.operators.graph import edge_support
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"),
+          ("b", "c"), ("b", "d"), ("c", "d")]
+    got = {(r.uri_a, r.uri_b): r.support
+           for r in edge_support(_edge_df(spark, k4)).collect()}
+    assert got == {e: 2 for e in k4}  # each K4 edge closes 2 triangles
+    tri_tail = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+    got = {(r.uri_a, r.uri_b): r.support
+           for r in edge_support(_edge_df(spark, tri_tail)).collect()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+
+def test_k_truss_peels_to_fixpoint(spark):
+    from dbpedia_spotlight_spark.operators.graph import k_truss
+    # K4 with a pendant triangle chain: 4-truss = the K4 alone
+    edges = [("a", "b"), ("a", "c"), ("a", "d"),
+             ("b", "c"), ("b", "d"), ("c", "d"),
+             ("d", "e"), ("d", "f"), ("e", "f"),  # triangle d-e-f
+             ("f", "g")]                           # pendant edge
+    got = {(r.uri_a, r.uri_b): r.support
+           for r in k_truss(_edge_df(spark, edges), 4).collect()}
+    assert got == _py_k_truss(edges, 4)
+    assert set(got) == {("a", "b"), ("a", "c"), ("a", "d"),
+                        ("b", "c"), ("b", "d"), ("c", "d")}
+    # 3-truss keeps both triangles, drops the pendant edge
+    got3 = {(r.uri_a, r.uri_b): r.support
+            for r in k_truss(_edge_df(spark, edges), 3).collect()}
+    assert got3 == _py_k_truss(edges, 3)
+    # k<3: trivial truss returns every edge with its support attached
+    got2 = {(r.uri_a, r.uri_b): r.support
+            for r in k_truss(_edge_df(spark, edges), 2).collect()}
+    assert set(got2) == set(edges)
+    assert got2[("f", "g")] == 0
+    # 5-truss of this graph is empty
+    assert k_truss(_edge_df(spark, edges), 5).count() == 0
+
+
+def test_k_truss_matches_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+    from dbpedia_spotlight_spark.operators.graph import k_truss
+    rng = random.Random(13)
+    verts = [f"v{i}" for i in range(16)]
+    edges = sorted({tuple(sorted(p))
+                    for p in itertools.combinations(verts, 2)
+                    if rng.random() < 0.35})
+    for k in (3, 4, 5):
+        got = {(r.uri_a, r.uri_b): r.support
+               for r in k_truss(_edge_df(spark, edges), k).collect()}
+        assert got == _py_k_truss(edges, k), f"k={k}"
+
+
+def test_coreness_known_graphs(spark):
+    from dbpedia_spotlight_spark.operators.graph import coreness
+    # K4 + pendant path: K4 nodes core 3, path nodes core 1
+    edges = [("a", "b"), ("a", "c"), ("a", "d"),
+             ("b", "c"), ("b", "d"), ("c", "d"),
+             ("d", "e"), ("e", "f")]
+    got = {r.uri: r.core for r in coreness(_edge_df(spark, edges)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 1, "f": 1}
+    # cycle: everyone core 2
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    got = {r.uri: r.core for r in coreness(_edge_df(spark, cyc)).collect()}
+    assert got == {v: 2 for v in "abcd"}
+
+
+def test_coreness_matches_peeling_on_random_graph(spark):
+    import itertools
+    import random
+    from dbpedia_spotlight_spark.operators.graph import coreness, k_core
+    rng = random.Random(29)
+    verts = [f"v{i}" for i in range(20)]
+    edges = sorted({tuple(sorted(p))
+                    for p in itertools.combinations(verts, 2)
+                    if rng.random() < 0.25})
+    got = {r.uri: r.core for r in coreness(_edge_df(spark, edges)).collect()}
+    assert got == _py_coreness(edges)
+    # consistency with the k-core filter: vertices of the k-core are
+    # exactly those with coreness >= k
+    for k in (2, 3):
+        kc = k_core(_edge_df(spark, edges), k)
+        in_core = {r.uri_a for r in kc.collect()} \
+            | {r.uri_b for r in kc.collect()}
+        assert in_core == {v for v, c in got.items() if c >= k}
+
+
+def test_modularity_two_cliques_bridge(spark):
+    from dbpedia_spotlight_spark.operators.graph import (
+        community_modularity)
+    # two triangles joined by one bridge edge; labels = the two sides
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("x", "y"), ("y", "z"), ("x", "z"),
+             ("c", "x")]
+    labels = spark.createDataFrame(
+        [(u, "L" if u in "abc" else "R") for u in "abcxyz"],
+        "uri string, label string")
+    out = {r.label: r for r in
+           community_modularity(_edge_df(spark, edges), labels).collect()}
+    m = 7
+    for side in ("L", "R"):
+        assert out[side].n_internal == 3
+        assert out[side].total_degree == 7  # 2+2+3 per side
+        assert out[side].q_contrib == pytest.approx(
+            3 / m - (7 / (2 * m)) ** 2, abs=1e-9)
+    # whole-graph-in-one-community ⇒ Q = 0 exactly
+    one = spark.createDataFrame([(u, "all") for u in "abcxyz"],
+                                "uri string, label string")
+    total = community_modularity(_edge_df(spark, edges), one) \
+        .agg(F.sum("q_contrib")).first()[0]
+    assert total == pytest.approx(0.0, abs=1e-9)
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from dbpedia_spotlight_spark.operators.graph import (
+        degree_assortativity)
+    star = [("hub", f"s{i}") for i in range(5)]
+    row = degree_assortativity(_edge_df(spark, star)).first()
+    assert row.n_pairs == 10
+    assert row.assortativity == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_assortativity_matches_numpy_pearson(spark):
+    import itertools
+    import random
+
+    import numpy as np
+    from dbpedia_spotlight_spark.operators.graph import (
+        degree_assortativity)
+    rng = random.Random(5)
+    verts = [f"v{i}" for i in range(15)]
+    edges = sorted({tuple(sorted(p))
+                    for p in itertools.combinations(verts, 2)
+                    if rng.random() < 0.3})
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    expect = np.corrcoef(xs, ys)[0, 1]
+    row = degree_assortativity(_edge_df(spark, edges)).first()
+    assert row.assortativity == pytest.approx(expect, abs=1e-9)

@@ -1327,3 +1327,77 @@ def test_temperature_mix_semantics_and_layout_independence(spark):
     by = {r.lang: r.n for r in kept.groupBy("lang")
           .agg(F.count("*").alias("n")).collect()}
     assert by.get("small", 0) / 20 > by.get("big", 0) / 80
+
+
+# --- weighted priority sampling (round-5 addition) ----------------------
+
+
+def _py_priority(doc_id, w, salt="wps"):
+    import hashlib
+    return min(int(hashlib.md5(f"{doc_id}#{salt}#{r}".encode())
+                   .hexdigest()[:15], 16) for r in range(1, w + 1))
+
+
+def test_priority_sample_matches_md5_twin(spark):
+    from pyspark.sql import Row
+    from dbpedia_spotlight_spark.operators.sampling import (
+        weighted_priority_sample)
+    rows = [Row(doc_id=i, lang="en", n_chars=(i % 7) * 40 + 10)
+            for i in range(60)]
+    df = spark.createDataFrame(rows)
+    k = 10
+    out = weighted_priority_sample(
+        df, k, (F.col("n_chars") / 32).cast("int"), "doc_id",
+        strata_cols=["lang"])
+    got = {r.doc_id: r.priority for r in out.collect()}
+    ws = {i: max(1, min(((i % 7) * 40 + 10) // 32, 64)) for i in range(60)}
+    pris = sorted((_py_priority(i, w), i) for i, w in ws.items())[:k]
+    assert got == {i: p for p, i in pris}
+
+
+def test_priority_sample_is_weight_proportional(spark):
+    """k=1 tournament over two items: across many salts the heavy item
+    (w=4) must win ~4/5 of the time."""
+    from pyspark.sql import Row
+    from dbpedia_spotlight_spark.operators.sampling import (
+        weighted_priority_sample)
+    import hashlib
+
+    wins = 0
+    n_trials = 400
+    for t in range(n_trials):
+        pa = min(int(hashlib.md5(f"a#s{t}#{r}".encode())
+                     .hexdigest()[:15], 16) for r in range(1, 5))
+        pb = int(hashlib.md5(f"b#s{t}#1".encode()).hexdigest()[:15], 16)
+        wins += pa < pb
+    assert abs(wins / n_trials - 0.8) < 0.06  # 4/(4+1) ± 3σ
+
+    # and the Spark operator reproduces one of those trials exactly
+    df = spark.createDataFrame([Row(doc_id="a", w=4), Row(doc_id="b", w=1)])
+    got = weighted_priority_sample(df, 1, "w", "doc_id", salt="s0") \
+        .first()["doc_id"]
+    pa = min(int(hashlib.md5(f"a#s0#{r}".encode())
+                 .hexdigest()[:15], 16) for r in range(1, 5))
+    pb = int(hashlib.md5("b#s0#1".encode()).hexdigest()[:15], 16)
+    assert got == ("a" if pa < pb else "b")
+
+
+def test_priority_sample_layout_independent_and_capped(spark):
+    from pyspark.sql import Row
+    from dbpedia_spotlight_spark.operators.sampling import (
+        weighted_priority_sample)
+    rows = [Row(doc_id=i, w=10 ** 9 if i == 0 else 3) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    one = weighted_priority_sample(df.coalesce(1), 5, "w", "doc_id",
+                                   max_weight=16)
+    many = weighted_priority_sample(df.repartition(11), 5, "w", "doc_id",
+                                    max_weight=16)
+    assert sorted(r.doc_id for r in one.collect()) \
+        == sorted(r.doc_id for r in many.collect())
+    # k larger than the stratum returns everything, and the giant
+    # weight was clamped to max_weight, not exploded
+    everything = weighted_priority_sample(df, 100, "w", "doc_id",
+                                          max_weight=16)
+    assert everything.count() == 40
+    assert everything.filter(F.col("doc_id") == 0) \
+        .first()["draw_weight"] == 16

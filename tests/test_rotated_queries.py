@@ -319,6 +319,16 @@ ROTATED = [
     # TF-ICF by this pair)
     ("annotate_stemmed", Q.q_annotate_stemmed, Q.sql_annotate_stemmed),
     ("annotate_tficf", Q.q_annotate_tficf, Q.sql_annotate_tficf),
+    # round-5 continued-session additions: truss/coreness decomposition
+    # (edge- and vertex-level cohesion over the co-mention graph; both
+    # oracles unroll the peel/H-operator rounds past the fixpoint),
+    # interpolated Kneser-Ney perplexity (the KenLM smoothing, replayed
+    # relationally), and the KMV bottom-k distinct sketch (exact below
+    # capacity at sf0.001, Beyer estimator branch at sf0.01)
+    ("k_truss", Q.q_k_truss, Q.sql_k_truss),
+    ("coreness", Q.q_coreness, Q.sql_coreness),
+    ("kn_perplexity", Q.q_kn_perplexity, Q.sql_kn_perplexity),
+    ("kmv_users", Q.q_kmv_users, Q.sql_kmv_users),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
