@@ -8420,6 +8420,159 @@ def sql_kmv_users(k: int = 64) -> str:
   ORDER BY event_type"""
 
 
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity contributions (operators/graph.py::
+    community_modularity) over the 4-round LPA labels — the quality
+    gate a pipeline attaches to its communities before using them for
+    entity grouping; Σ q_contrib is Newman's Q. Oracle extends the
+    unrolled LPA replay with the e_c / d_c / m integer aggregates and
+    the same two-division float shape, 9dp contract."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        community_modularity, cooccurrence_edges, label_propagation)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    labels = label_propagation(edges, n_iter=4)
+    return community_modularity(edges, labels).orderBy("label")
+
+
+def sql_modularity() -> str:
+    # reuse the LPA oracle's full CTE chain up to l4, then fold the
+    # modularity aggregates on top of the same ed/und frames
+    base = sql_lpa_communities()
+    prefix = base[: base.rindex("SELECT uri, label")]
+    return prefix + """,
+  mem AS MATERIALIZED (SELECT uri, label FROM l4),
+  mm AS (SELECT count(*) AS m FROM ed),
+  internal AS (
+    SELECT la.label, count(*) AS e_c
+    FROM ed
+    JOIN mem la ON la.uri = ed.uri_a
+    JOIN mem lb ON lb.uri = ed.uri_b
+    WHERE lb.label = la.label
+    GROUP BY 1),
+  degs AS (
+    SELECT mem.label, count(*) AS d_c
+    FROM und u JOIN mem ON mem.uri = u.src
+    GROUP BY 1)
+  SELECT d.label,
+         CAST(coalesce(i.e_c, 0) AS BIGINT) AS n_internal,
+         CAST(d.d_c AS BIGINT) AS total_degree,
+         round(CAST(coalesce(i.e_c, 0) AS DOUBLE) / m.m
+               - (CAST(d.d_c AS DOUBLE) / (2.0 * m.m))
+                 * (CAST(d.d_c AS DOUBLE) / (2.0 * m.m)), 9) AS q_contrib
+  FROM degs d
+  LEFT JOIN internal i ON i.label = d.label
+  CROSS JOIN mm m
+  ORDER BY d.label"""
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-assortativity coefficient (operators/graph.py::
+    degree_assortativity) over the deterministic host-link lane (the
+    HITS fixture graph — h-hubs vs t-leaves give it real degree
+    variance; the co-mention fixture is degree-REGULAR at these SFs,
+    which makes r undefined by construction). One row (n_pairs,
+    assortativity); all correlation sums accumulate in DECIMAL(38,0)
+    (HUGEINT in the oracle) so the value is exact up to the final
+    double division, 9dp contract."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        degree_assortativity)
+    d = _docs(spark, sf_dir)
+    w = d.select("doc_id",
+                 F.posexplode(F.split("text", " ")).alias("i", "w")) \
+        .filter((F.col("i") % 5 == 0) & (F.col("w") != ""))
+    ln = F.length("w")
+    dst = F.concat(
+        F.when(ln % 3 == 0,
+               F.concat(F.lit("h"), (ln % 5).cast("string")))
+        .otherwise(F.concat(F.lit("t"), (ln % 7).cast("string"))),
+        F.lit(".example"))
+    src = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"),
+                   F.lit(".example"))
+    links = w.select(src.alias("a"), dst.alias("b")) \
+        .filter(F.col("a") != F.col("b"))
+    edges = links.select(F.least("a", "b").alias("uri_a"),
+                         F.greatest("a", "b").alias("uri_b")).distinct()
+    return degree_assortativity(edges)
+
+
+def sql_assortativity() -> str:
+    return (
+        """WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS i
+    FROM documents),
+  l AS (
+    SELECT 'h' || (doc_id % 5) || '.example' AS a,
+           (CASE WHEN length(w) % 3 = 0 THEN 'h' || (length(w) % 5)
+                 ELSE 't' || (length(w) % 7) END) || '.example' AS b
+    FROM w WHERE (i - 1) % 5 = 0 AND w <> ''),
+  ed AS MATERIALIZED (
+    SELECT least(a, b) AS uri_a, greatest(a, b) AS uri_b
+    FROM l WHERE a <> b GROUP BY 1, 2),
+  deg AS (
+    SELECT uri, count(*) AS degree FROM (
+      SELECT uri_a AS uri FROM ed UNION ALL SELECT uri_b AS uri FROM ed)
+    GROUP BY 1),
+  tagged AS (
+    SELECT da.degree AS x, db.degree AS y
+    FROM ed JOIN deg da ON da.uri = ed.uri_a
+            JOIN deg db ON db.uri = ed.uri_b),
+  pairs AS (
+    SELECT x, y FROM tagged UNION ALL SELECT y AS x, x AS y FROM tagged),
+  agg AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           sum(CAST(x AS HUGEINT)) AS sx,
+           sum(CAST(x * y AS HUGEINT)) AS sxy,
+           sum(CAST(x * x AS HUGEINT)) AS sxx
+    FROM pairs)
+  SELECT CAST(n AS BIGINT) AS n_pairs,
+         round(CAST(n * sxy - sx * sx AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 9) AS assortativity
+  FROM agg"""
+    )
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted k-sample without replacement (operators/sampling.py::
+    weighted_priority_sample): 20 docs per language, selection
+    probability proportional to the length-derived weight — the
+    corpus-mixing primitive, integer-exact via min-of-w virtual md5
+    draws (no float keys to cross libm), so both engines pick the
+    identical sample."""
+    from dbpedia_spotlight_spark.operators.sampling import (
+        weighted_priority_sample)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_priority_sample(
+        docs, 20, F.col("n_chars") / 100, "doc_id",
+        strata_cols=["lang"])
+    return out.select("lang", "doc_id", "draw_weight", "priority",
+                      "rank").orderBy("lang", "rank")
+
+
+def sql_priority_sample(k: int = 20) -> str:
+    return f"""
+  WITH w AS (
+    SELECT doc_id, lang,
+           greatest(least(CAST(n_chars // 100 AS BIGINT), 64), 1) AS w
+    FROM documents),
+  draws AS (
+    SELECT doc_id, lang, w, unnest(range(1, w + 1)) AS r FROM w),
+  pri AS (
+    SELECT doc_id, lang, w,
+           min(('0x' || substr(md5(doc_id || '#wps#' || r), 1, 15))::BIGINT)
+             AS priority
+    FROM draws GROUP BY 1, 2, 3),
+  rk AS (
+    SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY priority, doc_id) AS rank
+    FROM pri)
+  SELECT lang, doc_id, w AS draw_weight, priority,
+         CAST(rank AS INTEGER) AS rank
+  FROM rk WHERE rank <= {k}
+  ORDER BY lang, rank"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

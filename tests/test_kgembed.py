@@ -293,7 +293,9 @@ def test_distmult_score_read_path(spark):
         score_triples(df, emb, model="rotate")
     with pytest.raises(ValueError, match="model"):
         from dbpedia_spotlight_spark.operators.kgembed import _train
-        _train(df, "complex", 4, 1, 0.1, 1.0, None, None, 0)
+        # 'complex' graduated from unknown to implemented (round-5);
+        # 'rotate' stays the representative unknown geometry
+        _train(df, "rotate", 4, 1, 0.1, 1.0, None, None, 0)
 
 
 def test_distmult_resume_is_bit_exact(spark):

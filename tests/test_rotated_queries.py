@@ -329,6 +329,14 @@ ROTATED = [
     ("coreness", Q.q_coreness, Q.sql_coreness),
     ("kn_perplexity", Q.q_kn_perplexity, Q.sql_kn_perplexity),
     ("kmv_users", Q.q_kmv_users, Q.sql_kmv_users),
+    # round-5 continued-session additions: community-quality +
+    # graph-shape KG-health metrics (modularity over the LPA labels,
+    # degree assortativity with HUGEINT-exact correlation sums) and
+    # the integer-exact weighted priority sample (min-of-w virtual md5
+    # draws — both engines pick the identical sample, no float keys)
+    ("modularity", Q.q_modularity, Q.sql_modularity),
+    ("assortativity", Q.q_assortativity, Q.sql_assortativity),
+    ("priority_sample", Q.q_priority_sample, Q.sql_priority_sample),
 ]
 # session-8 note: decontam_overlap + ngram_perplexity rotated INTO the
 # 50-slot registry (fourth rotation) — covered by test_entry_contract's
