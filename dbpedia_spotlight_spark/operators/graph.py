@@ -1269,7 +1269,10 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx"))
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    # zero degree variance (regular graph) ⇒ r is undefined; return
+    # NULL rather than tripping ANSI division-by-zero
     return agg.select(
         F.col("n").cast("long").alias("n_pairs"),
-        F.round(num.cast("double") / den.cast("double"), 9)
+        F.when(den != 0,
+               F.round(num.cast("double") / den.cast("double"), 9))
         .alias("assortativity"))

@@ -988,3 +988,13 @@ def test_assortativity_matches_numpy_pearson(spark):
     expect = np.corrcoef(xs, ys)[0, 1]
     row = degree_assortativity(_edge_df(spark, edges)).first()
     assert row.assortativity == pytest.approx(expect, abs=1e-9)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from dbpedia_spotlight_spark.operators.graph import (
+        degree_assortativity)
+    # 4-cycle: every degree 2 → zero variance → r undefined → NULL
+    cyc = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")]
+    row = degree_assortativity(_edge_df(spark, cyc)).first()
+    assert row.n_pairs == 8
+    assert row.assortativity is None
