@@ -158,6 +158,10 @@ HEADLINE = [
                               # nineteenth rotation)
     "betweenness",            # exact all-sources Brandes betweenness
                               # (round-5, twentieth rotation)
+    "k_truss",                # 4-truss cohesion peeling (round-5,
+                              # rotation 21)
+    "coreness",               # H-operator core-number decomposition
+                              # (round-5, rotation 22)
 ]
 
 

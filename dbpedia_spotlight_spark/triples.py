@@ -286,6 +286,57 @@ def fact_conflicts(intervals: DataFrame,
                      & (F.col("obj_a") != F.col("obj_b")))
 
 
+def coalesce_intervals(intervals: DataFrame,
+                       key: tuple[str, ...] = ("subj", "pred", "obj"),
+                       max_gap: int = 0) -> DataFrame:
+    """Merge a fact's validity episodes into maximal continuous
+    windows (gaps-and-islands): two episodes of the same ``key`` fuse
+    when the later one starts within ``max_gap`` generations of the
+    earlier one's exclusive end (``max_gap=0`` fuses overlapping AND
+    half-open-adjacent episodes — a fact removed and re-added in the
+    same generation never shows a spurious gap). The temporal-QA
+    companion to :func:`allen_relations`: "when was this fact true,
+    ignoring recrawl flapping", with per-window evidence counts.
+
+    Output: (key…, valid_from, valid_to, n_episodes, n_sources) —
+    ``valid_to`` NULL when the merged window is still live,
+    ``n_sources`` = distinct asserting urls inside the window.
+
+    Scale: both window passes partition on the full fact ``key`` and
+    order by the episode tuple — per-partition size = that fact's
+    episode count (flap-bounded, never host-sized), ONE shuffle
+    (the second window reuses the first's partitioning). Integer
+    generations throughout — exact in any engine; the still-live
+    sentinel is the shared ``_GEN_INF``."""
+    if max_gap < 0:
+        raise ValueError("max_gap must be >= 0")
+    from pyspark.sql import Window
+    kc = list(key)
+    t = F.coalesce(F.col("valid_to"), F.lit(_GEN_INF))
+    w = Window.partitionBy(*kc).orderBy("valid_from", "_t", "url")
+    run_prev = F.max("_t").over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    ep = (intervals.withColumn("_t", t)
+          .withColumn("_new",
+                      F.when(run_prev.isNull()
+                             | (F.col("valid_from")
+                                > run_prev + F.lit(max_gap)),
+                             F.lit(1)).otherwise(F.lit(0)))
+          .withColumn("_island",
+                      F.sum("_new").over(
+                          w.rowsBetween(Window.unboundedPreceding, 0))))
+    out = (ep.groupBy(*kc, "_island")
+           .agg(F.min("valid_from").alias("valid_from"),
+                F.max("_t").alias("_end"),
+                F.count("*").alias("n_episodes"),
+                F.countDistinct("url").alias("n_sources")))
+    return out.select(
+        *kc, "valid_from",
+        F.when(F.col("_end") == _GEN_INF, F.lit(None).cast("long"))
+        .otherwise(F.col("_end")).alias("valid_to"),
+        "n_episodes", "n_sources")
+
+
 def triple_prf(emitted: DataFrame, golden: DataFrame) -> dict[str, float]:
     """Set precision/recall/F1 of (subj, pred, obj) vs a golden set —
     the BASELINE P/R≥0.95 gate, computed distributed (no collect of the

@@ -319,21 +319,23 @@ ROTATED = [
     # TF-ICF by this pair)
     ("annotate_stemmed", Q.q_annotate_stemmed, Q.sql_annotate_stemmed),
     ("annotate_tficf", Q.q_annotate_tficf, Q.sql_annotate_tficf),
-    # round-5 continued-session additions: truss/coreness decomposition
-    # (edge- and vertex-level cohesion over the co-mention graph; both
-    # oracles unroll the peel/H-operator rounds past the fixpoint),
-    # interpolated Kneser-Ney perplexity (the KenLM smoothing, replayed
-    # relationally), and the KMV bottom-k distinct sketch (exact below
-    # capacity at sf0.001, Beyer estimator branch at sf0.01)
-    ("k_truss", Q.q_k_truss, Q.sql_k_truss),
-    ("coreness", Q.q_coreness, Q.sql_coreness),
-    ("kn_perplexity", Q.q_kn_perplexity, Q.sql_kn_perplexity),
-    ("kmv_users", Q.q_kmv_users, Q.sql_kmv_users),
+    # round-5 rotations 21-24 OUT: recrawl dedup, URL canonicalization,
+    # the multimodal decode seam, and the two-phase salted agg keep
+    # their DuckDB mirrors here (k_truss / coreness / kn_perplexity /
+    # kmv_users took their registry slots and are covered by the
+    # registry mirror in test_entry_contract)
+    ("latest_capture", Q.q_latest_capture, Q.sql_latest_capture),
+    ("canonical_urls", Q.q_canonical_urls, Q.sql_canonical_urls),
+    ("image_features", Q.q_image_features, Q.sql_image_features),
+    ("salted_user_topk", Q.q_salted_user_topk, Q.sql_salted_user_topk),
     # round-5 continued-session additions: community-quality +
     # graph-shape KG-health metrics (modularity over the LPA labels,
     # degree assortativity with HUGEINT-exact correlation sums) and
     # the integer-exact weighted priority sample (min-of-w virtual md5
     # draws — both engines pick the identical sample, no float keys)
+    # round-5 addition: validity-window coalescing (gaps-and-islands
+    # over fact episodes — the temporal-QA companion to fact_allen)
+    ("fact_windows", Q.q_fact_windows, Q.sql_fact_windows),
     ("modularity", Q.q_modularity, Q.sql_modularity),
     ("assortativity", Q.q_assortativity, Q.sql_assortativity),
     ("priority_sample", Q.q_priority_sample, Q.sql_priority_sample),

@@ -961,3 +961,103 @@ def test_fact_conflicts_composes_with_fact_intervals(spark):
     got = [(r.subj, r.obj_a, r.obj_b, r.relation)
            for r in fact_conflicts(fact_intervals(log)).collect()]
     assert got == [("e1", "old", "new", "overlaps")]
+
+
+def _iv_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, url string, pred string, obj string, "
+              "valid_from long, valid_to long")
+
+
+def test_coalesce_intervals_islands(spark):
+    """Overlap and half-open adjacency fuse at max_gap=0; real gaps
+    split; live episodes keep the window live; evidence counts."""
+    from dbpedia_spotlight_spark.triples import coalesce_intervals
+    rows = [
+        # s0: [0,10) + [5,15) overlap, [15,20) adjacent -> [0,20);
+        #     [25,30) separate island
+        ("s0", "u1", "p", "v", 0, 10), ("s0", "u2", "p", "v", 5, 15),
+        ("s0", "u1", "p", "v", 15, 20), ("s0", "u1", "p", "v", 25, 30),
+        # s1: closed [0,5) then live [3,None) -> one live window
+        ("s1", "u1", "p", "v", 0, 5), ("s1", "u1", "p", "v", 3, None),
+        # s2: [0,2) then [4,6): gap of 2
+        ("s2", "u1", "p", "v", 0, 2), ("s2", "u1", "p", "v", 4, 6),
+    ]
+    out = {(r.subj, r.valid_from): r
+           for r in coalesce_intervals(_iv_df(spark, rows)).collect()}
+    assert len(out) == 5
+    w = out[("s0", 0)]
+    assert (w.valid_to, w.n_episodes, w.n_sources) == (20, 3, 2)
+    assert out[("s0", 25)].valid_to == 30
+    assert out[("s1", 0)].valid_to is None
+    assert out[("s1", 0)].n_episodes == 2
+    assert out[("s2", 0)].valid_to == 2
+    assert out[("s2", 4)].valid_to == 6
+    # max_gap=2 fuses s2's episodes
+    fused = coalesce_intervals(_iv_df(spark, rows), max_gap=2)
+    s2 = [r for r in fused.collect() if r.subj == "s2"]
+    assert [(r.valid_from, r.valid_to) for r in s2] == [(0, 6)]
+    with pytest.raises(ValueError):
+        coalesce_intervals(_iv_df(spark, rows), max_gap=-1)
+
+
+def test_coalesce_intervals_matches_python_twin_on_random_episodes(spark):
+    import random
+    from dbpedia_spotlight_spark.triples import coalesce_intervals
+    rng = random.Random(17)
+    rows = []
+    for s in range(12):
+        for _ in range(rng.randrange(1, 7)):
+            f = rng.randrange(0, 40)
+            t = None if rng.random() < 0.15 else f + rng.randrange(1, 10)
+            rows.append((f"s{s}", f"u{rng.randrange(3)}", "p", "v", f, t))
+    INF = 1 << 62
+
+    def twin(eps, gap):
+        eps = sorted((f, t if t is not None else INF, u)
+                     for (f, t, u) in eps)
+        islands, cur = [], None
+        for f, t, u in eps:
+            if cur is None or f > cur[1] + gap:
+                cur = [f, t, {u}, 1]
+                islands.append(cur)
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2].add(u)
+                cur[3] += 1
+        return [(f, None if t == INF else t, len(us), n)
+                for f, t, us, n in islands]
+
+    for gap in (0, 3):
+        got = {}
+        for r in coalesce_intervals(_iv_df(spark, rows),
+                                    max_gap=gap).collect():
+            got.setdefault(r.subj, []).append(
+                (r.valid_from, r.valid_to, r.n_sources, r.n_episodes))
+        for s in got:
+            got[s].sort()
+        expect = {}
+        for s, u, p, o, f, t in rows:
+            expect.setdefault(s, []).append((f, t, u))
+        expect = {s: twin(eps, gap) for s, eps in expect.items()}
+        assert got == expect, f"gap={gap}"
+
+
+def test_coalesce_composes_with_fact_intervals(spark):
+    """End-to-end: change log -> episodes -> merged windows. A fact
+    removed and re-added in the SAME generation shows no gap; one
+    re-added later shows the true gap."""
+    from dbpedia_spotlight_spark.triples import (
+        coalesce_intervals, fact_intervals)
+    log = spark.createDataFrame(
+        [("u", "s", "p", "o", "added", 0),
+         ("u", "s", "p", "o", "removed", 3),
+         ("u", "s", "p", "o", "added", 3),     # flap within gen 3
+         ("u", "s", "p", "o", "removed", 5),
+         ("u", "s", "p", "o", "added", 8)],    # true gap [5, 8)
+        "url string, subj string, pred string, obj string, "
+        "change string, gen long")
+    out = sorted((r.valid_from, r.valid_to, r.n_episodes)
+                 for r in coalesce_intervals(
+                     fact_intervals(log)).collect())
+    assert out == [(0, 5, 2), (8, None, 1)]
