@@ -78,3 +78,52 @@ def maintain_sketch_stream(stream: DataFrame, store: SketchStore,
     if trigger_available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+class KmvStore:
+    """Parquet-backed bottom-k (KMV) sketch store keyed (key…, item, h)
+    — the same fold discipline as :class:`SketchStore` with a different
+    merge law: union + re-bottom-k (idempotent — re-folding any subset
+    of already-present rows is a no-op, because dropDuplicates on
+    (key, h) + the k-smallest window absorb re-delivery). State is
+    ≤ keys × k rows forever, and unlike HLL registers the rows ARE a
+    coordinated uniform sample of each key's distinct items, so the
+    store doubles as an always-fresh per-key distinct-sample feed."""
+
+    def __init__(self, path: str, key_cols: list[str], item_col: str,
+                 k: int = 256):
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.item_col = item_col
+        self.k = k
+
+    def _read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return spark.read.parquet(self.path)
+
+    def fold(self, batch: DataFrame) -> None:
+        from ..operators.sketches import kmv_merge, kmv_sketch
+        spark = batch.sparkSession
+        delta = kmv_sketch(batch, self.key_cols, self.item_col, self.k)
+        cur = self._read(spark)
+        merged = delta if cur is None else kmv_merge(
+            cur, delta, key_cols=self.key_cols, k=self.k)
+        merged.localCheckpoint(eager=True).write.mode("overwrite") \
+            .parquet(self.path)
+
+    def counts(self, spark: SparkSession) -> DataFrame:
+        from ..operators.sketches import kmv_count
+        cur = self._read(spark)
+        if cur is None:
+            raise FileNotFoundError(f"no kmv store at {self.path}")
+        return kmv_count(cur, self.key_cols, self.k)
+
+    def sample(self, spark: SparkSession) -> DataFrame:
+        """The current bottom-k rows per key — a deterministic uniform
+        sample over each key's distinct items (coordinated: the same
+        item set any other engine/day computes from the same hashes)."""
+        cur = self._read(spark)
+        if cur is None:
+            raise FileNotFoundError(f"no kmv store at {self.path}")
+        return cur

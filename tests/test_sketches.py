@@ -279,3 +279,47 @@ def test_kmv_sketch_is_udf_free(spark):
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_kmv_store_stream_equals_batch(spark, tmp_path):
+    """KMV twin of the sketch-store contract: two streamed slices fold
+    to EXACTLY the one-shot batch sketch, re-folding is a no-op, and
+    the store's rows are the coordinated distinct sample."""
+    from dbpedia_spotlight_spark.streaming.sketch_stream import (
+        KmvStore, maintain_sketch_stream,
+    )
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "src")
+    ev.filter("event_id % 2 = 0").write.parquet(src)
+    store = KmvStore(str(tmp_path / "store"), ["event_type"],
+                     "user_id", k=8)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = maintain_sketch_stream(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    ev.filter("event_id % 2 = 1").write.mode("append").parquet(src)
+    q2 = maintain_sketch_stream(
+        spark.readStream.schema(ev.schema).parquet(src), store,
+        str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+
+    got = sorted((r["event_type"], r["h"])
+                 for r in store.sample(spark).collect())
+    want = sorted((r["event_type"], r["h"]) for r in
+                  sk.kmv_sketch(ev, ["event_type"], "user_id", k=8)
+                  .collect())
+    assert got == want
+
+    store.fold(ev.filter("event_id % 2 = 1"))  # idempotence
+    again = sorted((r["event_type"], r["h"])
+                   for r in store.sample(spark).collect())
+    assert again == want
+
+    # k=8 on ~15 distinct users per type: estimator branch is active
+    est = {r["event_type"]: r["est"]
+           for r in store.counts(spark).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for key in exact:
+        assert est[key] > 0
+        assert abs(est[key] - exact[key]) / exact[key] < 1.5  # k tiny
