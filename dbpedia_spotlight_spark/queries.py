@@ -8646,6 +8646,104 @@ def sql_fact_windows() -> str:
   FROM g ORDER BY subj, valid_from"""
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit over the documents word-frequency table
+    (operators/corpusstats.py::zipf_fit, top-500 head): one row
+    (n_ranks, slope, intercept, r2). Regression sums accumulate
+    round(ln·,9) values as DECIMAL — exact in any order — so both
+    engines divide identical numerators; the oracle replays rank →
+    fixed-point ln sums → OLS verbatim."""
+    from dbpedia_spotlight_spark.operators.corpusstats import zipf_fit
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs, top_n=500)
+
+
+def sql_zipf_fit(top_n: int = 500) -> str:
+    return f"""
+  WITH {_sql_decontam_norm()},
+  wf AS (
+    SELECT w AS word, count(*) AS n FROM (
+      SELECT unnest(string_split(t, ' ')) AS w FROM norm) q
+    WHERE w <> '' GROUP BY 1),
+  r AS (
+    SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rank
+    FROM wf),
+  pts AS (
+    SELECT CAST(round(ln(CAST(rank AS DOUBLE)), 9) AS DECIMAL(18,9)) AS x,
+           CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+    FROM r WHERE rank <= {top_n}),
+  agg AS (
+    SELECT count(*) AS m,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+           sum(CAST(x * x AS DECIMAL(38,18))) AS sxx,
+           sum(CAST(y * y AS DECIMAL(38,18))) AS syy
+    FROM pts)
+  SELECT CAST(m AS BIGINT) AS n_ranks,
+         round((m * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (m * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+           AS slope,
+         round((CAST(sy AS DOUBLE)
+                - ((m * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (m * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE)) / m, 9) AS intercept,
+         round((m * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               * (m * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / ((m * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (m * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+           AS r2
+  FROM agg"""
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary-growth curve over the documents table
+    (operators/corpusstats.py::vocab_growth): (checkpoint, cum_tokens,
+    cum_vocab) at 10 doc-id prefixes — all-integer output, exact in
+    both engines unconditionally."""
+    from dbpedia_spotlight_spark.operators.corpusstats import (
+        vocab_growth)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_growth(docs).orderBy("checkpoint")
+
+
+def sql_vocab_growth(n: int = 10) -> str:
+    return f"""
+  WITH {_sql_decontam_norm()},
+  toks AS (
+    SELECT doc_id AS id, w FROM (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm) q
+    WHERE w <> ''),
+  mx AS (SELECT max(id) + 1 AS span FROM toks),
+  pd AS (
+    SELECT CAST(floor(id * {n} / span) AS BIGINT) + 1 AS ck, w
+    FROM toks, mx),
+  tc AS (SELECT ck, count(*) AS t FROM pd GROUP BY 1),
+  fs AS (
+    SELECT ck, count(*) AS v FROM (
+      SELECT w, min(ck) AS ck FROM pd GROUP BY w) q
+    GROUP BY 1),
+  grid AS (SELECT unnest(range(1, {n} + 1)) AS ck)
+  SELECT CAST(grid.ck AS INTEGER) AS checkpoint,
+         CAST(sum(coalesce(tc.t, 0)) OVER (
+           ORDER BY grid.ck ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens,
+         CAST(sum(coalesce(fs.v, 0)) OVER (
+           ORDER BY grid.ck ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_vocab
+  FROM grid
+  LEFT JOIN tc ON tc.ck = grid.ck
+  LEFT JOIN fs ON fs.ck = grid.ck
+  ORDER BY checkpoint"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -336,6 +336,10 @@ ROTATED = [
     # round-5 addition: validity-window coalescing (gaps-and-islands
     # over fact episodes — the temporal-QA companion to fact_allen)
     ("fact_windows", Q.q_fact_windows, Q.sql_fact_windows),
+    # round-5 addition: corpus distributional diagnostics — Zipf OLS
+    # (fixed-point decimal regression sums) + all-integer Heaps curve
+    ("zipf_fit", Q.q_zipf_fit, Q.sql_zipf_fit),
+    ("vocab_growth", Q.q_vocab_growth, Q.sql_vocab_growth),
     ("modularity", Q.q_modularity, Q.sql_modularity),
     ("assortativity", Q.q_assortativity, Q.sql_assortativity),
     ("priority_sample", Q.q_priority_sample, Q.sql_priority_sample),
