@@ -1276,3 +1276,57 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.when(den != 0,
                F.round(num.cast("double") / den.cast("double"), 9))
         .alias("assortativity"))
+
+
+def wl_colors(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement over the
+    undirected graph — (uri, color) after ``rounds`` refinements, plus
+    the structural-role signature use: vertices sharing a color are
+    1-WL-equivalent (same degree, same multiset of neighbor roles,
+    recursively), the classic template/boilerplate-subgraph detector
+    and entity role-discovery primitive over a KG.
+
+    Skew-shape: the neighbor-multiset hash is an order-independent SUM
+    of neighbor color hashes mod 2^60 — map-side combinable, so a
+    celebrity node's million-neighbor multiset collapses before the
+    shuffle instead of materializing a sorted list (the textbook
+    sorted-concatenation form is O(degree log degree) per node per
+    round AND un-combinable). Each round is one join + one aggregate,
+    both keyed on uri; color₀ = md5(degree). Deterministic and
+    engine-replayable (md5 + integer arithmetic only)."""
+    from dbpedia_spotlight_spark.operators.dedup import md5_long
+    e = edges.select("uri_a", "uri_b").distinct() \
+        .filter(F.col("uri_a") != F.col("uri_b"))
+    directed = e.select(F.col("uri_a").alias("uri"),
+                        F.col("uri_b").alias("nbr")) \
+        .unionByName(e.select(F.col("uri_b").alias("uri"),
+                              F.col("uri_a").alias("nbr"))) \
+        .localCheckpoint(eager=True)
+    mod = F.lit(1 << 60).cast("decimal(38,0)")
+    cur = (directed.groupBy("uri").agg(F.count("*").alias("deg"))
+           .select("uri", md5_long(F.col("deg").cast("string"))
+                   .alias("color")))
+    for _ in range(rounds):
+        nb = directed.join(
+            cur.select(F.col("uri").alias("nbr"), "color"), "nbr")
+        ms = (nb.groupBy("uri")
+              .agg((F.sum(F.col("color").cast("decimal(38,0)")) % mod)
+                   .cast("long").alias("msum")))
+        cur = (cur.join(ms, "uri")
+               .select("uri",
+                       md5_long(F.concat_ws(
+                           "#", F.col("color").cast("string"),
+                           F.col("msum").cast("string")))
+                       .alias("color"))
+               .localCheckpoint(eager=True))
+    return cur
+
+
+def wl_signature(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Whole-graph 1-WL signature: the color histogram after
+    refinement, one row per color class (color, n). Two graphs with
+    different signatures are certifiably non-isomorphic; equal
+    signatures mean 1-WL cannot tell them apart. One extra |V|-keyed
+    count over :func:`wl_colors`."""
+    return (wl_colors(edges, rounds)
+            .groupBy("color").agg(F.count("*").alias("n")))

@@ -8744,6 +8744,105 @@ def sql_vocab_growth(n: int = 10) -> str:
   ORDER BY checkpoint"""
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types straight from
+    their bottom-k sketches (operators/sketches.py::kmv_jaccard — the
+    coordinated-sampling payoff: union bottom-k computable from the
+    sketches alone). All-integer until the single ratio division."""
+    from dbpedia_spotlight_spark.operators.sketches import (
+        kmv_jaccard, kmv_sketch,
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = kmv_sketch(events, ["event_type"], "user_id", k=64)
+    return (kmv_jaccard(sk, ["event_type"], k=64)
+            .orderBy("event_type_a", "event_type_b"))
+
+
+def sql_kmv_overlap(k: int = 64) -> str:
+    return f"""
+  WITH h AS (
+    SELECT DISTINCT event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+             AS h
+    FROM events),
+  bk AS (
+    SELECT event_type, h FROM (
+      SELECT event_type, h, row_number() OVER (
+        PARTITION BY event_type ORDER BY h) AS rn
+      FROM h) q WHERE rn <= {k}),
+  keys AS (SELECT DISTINCT event_type FROM bk),
+  pairs AS (
+    SELECT a.event_type AS ka, b.event_type AS kb
+    FROM keys a, keys b WHERE a.event_type < b.event_type),
+  u AS (
+    SELECT ka, kb, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+      SELECT p.ka, p.kb, s.h, 1 AS in_a, 0 AS in_b
+      FROM pairs p JOIN bk s ON s.event_type = p.ka
+      UNION ALL
+      SELECT p.ka, p.kb, s.h, 0, 1
+      FROM pairs p JOIN bk s ON s.event_type = p.kb) q
+    GROUP BY 1, 2, 3),
+  t AS (
+    SELECT *, row_number() OVER (PARTITION BY ka, kb ORDER BY h) AS rn
+    FROM u)
+  SELECT ka AS event_type_a, kb AS event_type_b,
+         CAST(count(*) AS BIGINT) AS union_k,
+         CAST(sum(in_a * in_b) AS BIGINT) AS both,
+         round(CAST(sum(in_a * in_b) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 9) AS jaccard_est
+  FROM t WHERE rn <= {k}
+  GROUP BY 1, 2
+  ORDER BY 1, 2"""
+
+
+def q_wl_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-WL color refinement over the co-mention graph
+    (operators/graph.py::wl_colors, 3 rounds): structural role
+    signatures per entity. The neighbor multiset hashes as an
+    order-independent SUM of color hashes mod 2^60 (map-side
+    combinable — the celebrity-safe form), so the oracle replays each
+    round exactly with HUGEINT arithmetic."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, wl_colors)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    return wl_colors(edges, rounds=3).orderBy("uri")
+
+
+def sql_wl_roles(rounds: int = 3) -> str:
+    rounds_sql = []
+    for i in range(rounds):
+        rounds_sql.append(f"""
+  ms{i} AS (
+    SELECT d.uri,
+           CAST(sum(CAST(c.color AS HUGEINT))
+                % (1::HUGEINT << 60) AS BIGINT) AS msum
+    FROM directed d JOIN c{i} c ON c.uri = d.nbr
+    GROUP BY 1),
+  c{i + 1} AS MATERIALIZED (
+    SELECT c.uri,
+           ('0x' || substr(md5(CAST(c.color AS VARCHAR) || '#'
+                               || CAST(m.msum AS VARCHAR)), 1, 15))::BIGINT
+             AS color
+    FROM c{i} c JOIN ms{i} m ON m.uri = c.uri)""")
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + """,
+  du AS MATERIALIZED (
+    SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  e0 AS MATERIALIZED (
+    SELECT x.uri AS uri_a, y.uri AS uri_b
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2),
+  directed AS MATERIALIZED (
+    SELECT uri_a AS uri, uri_b AS nbr FROM e0
+    UNION ALL SELECT uri_b AS uri, uri_a AS nbr FROM e0),
+  c0 AS MATERIALIZED (
+    SELECT uri, ('0x' || substr(md5(CAST(count(*) AS VARCHAR)),
+                                1, 15))::BIGINT AS color
+    FROM directed GROUP BY uri),""" + ",".join(rounds_sql) + f"""
+  SELECT uri, color FROM c{rounds} ORDER BY uri""")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -998,3 +998,48 @@ def test_assortativity_regular_graph_is_null(spark):
     row = degree_assortativity(_edge_df(spark, cyc)).first()
     assert row.n_pairs == 8
     assert row.assortativity is None
+
+
+def test_wl_colors_orbit_partition(spark):
+    from dbpedia_spotlight_spark.operators.graph import wl_colors
+    # path a-b-c-d: ends form one class, middles another
+    p4 = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = {r.uri: r.color for r in wl_colors(_edge_df(spark, p4)).collect()}
+    assert got["a"] == got["d"]
+    assert got["b"] == got["c"]
+    assert got["a"] != got["b"]
+    # star: hub separates from spokes
+    star = [("hub", f"s{i}") for i in range(4)]
+    got = {r.uri: r.color
+           for r in wl_colors(_edge_df(spark, star)).collect()}
+    assert len({got[f"s{i}"] for i in range(4)}) == 1
+    assert got["hub"] != got["s0"]
+
+
+def test_wl_signature_isomorphic_graphs_agree(spark):
+    from dbpedia_spotlight_spark.operators.graph import wl_signature
+    # two disjoint isomorphic copies inside ONE graph: every color
+    # class has even size
+    g = [("a1", "b1"), ("b1", "c1"), ("a1", "c1"), ("c1", "d1"),
+         ("a2", "b2"), ("b2", "c2"), ("a2", "c2"), ("c2", "d2")]
+    sizes = [r.n for r in wl_signature(_edge_df(spark, g)).collect()]
+    assert all(n % 2 == 0 for n in sizes)
+    # and a relabeled copy of a graph yields the identical signature
+    g1 = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")]
+    g2 = [("p", "q"), ("q", "r"), ("r", "s"), ("s", "p"), ("p", "r")]
+    s1 = sorted((r.color, r.n)
+                for r in wl_signature(_edge_df(spark, g1)).collect())
+    s2 = sorted((r.color, r.n)
+                for r in wl_signature(_edge_df(spark, g2)).collect())
+    assert s1 == s2
+
+
+def test_wl_distinguishes_path_from_star(spark):
+    from dbpedia_spotlight_spark.operators.graph import wl_signature
+    p4 = [("a", "b"), ("b", "c"), ("c", "d")]
+    star = [("a", "b"), ("a", "c"), ("a", "d")]
+    s1 = sorted((r.color, r.n)
+                for r in wl_signature(_edge_df(spark, p4)).collect())
+    s2 = sorted((r.color, r.n)
+                for r in wl_signature(_edge_df(spark, star)).collect())
+    assert s1 != s2

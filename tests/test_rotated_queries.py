@@ -338,6 +338,11 @@ ROTATED = [
     ("fact_windows", Q.q_fact_windows, Q.sql_fact_windows),
     # round-5 addition: corpus distributional diagnostics — Zipf OLS
     # (fixed-point decimal regression sums) + all-integer Heaps curve
+    # round-5 addition: coordinated-sample Jaccard between keys from
+    # bottom-k sketches, and 1-WL structural role colors (combinable
+    # multiset-sum hash, HUGEINT-replayed rounds)
+    ("kmv_overlap", Q.q_kmv_overlap, Q.sql_kmv_overlap),
+    ("wl_roles", Q.q_wl_roles, Q.sql_wl_roles),
     ("zipf_fit", Q.q_zipf_fit, Q.sql_zipf_fit),
     ("vocab_growth", Q.q_vocab_growth, Q.sql_vocab_growth),
     ("modularity", Q.q_modularity, Q.sql_modularity),

@@ -323,3 +323,41 @@ def test_kmv_store_stream_equals_batch(spark, tmp_path):
     for key in exact:
         assert est[key] > 0
         assert abs(est[key] - exact[key]) / exact[key] < 1.5  # k tiny
+
+
+def test_kmv_jaccard_tracks_exact_overlap(spark):
+    """Planted overlap: keys X and Y share half their items; the
+    sketch-only estimate tracks the exact Jaccard within the k-bound
+    error, and disjoint keys estimate ~0."""
+    rows = (
+        [Row(k="x", item=f"s{i}") for i in range(600)]        # shared
+        + [Row(k="x", item=f"x{i}") for i in range(300)]
+        + [Row(k="y", item=f"s{i}") for i in range(600)]
+        + [Row(k="y", item=f"y{i}") for i in range(300)]
+        + [Row(k="z", item=f"z{i}") for i in range(400)]
+    )
+    df = spark.createDataFrame(rows)
+    kk = 128
+    sk_df = sk.kmv_sketch(df, ["k"], "item", k=kk)
+    out = {(r.k_a, r.k_b): r for r in
+           sk.kmv_jaccard(sk_df, ["k"], k=kk).collect()}
+    exact_xy = 600 / 1200
+    est = out[("x", "y")]
+    assert abs(est.jaccard_est - exact_xy) < 4 / (kk ** 0.5)
+    assert est.both == int(est.jaccard_est * est.union_k + 0.5)
+    assert out[("x", "z")].jaccard_est < 0.05
+    assert out[("y", "z")].jaccard_est < 0.05
+
+
+def test_kmv_jaccard_exact_when_under_capacity(spark):
+    """Below sketch capacity the sketches hold EVERYTHING, so the
+    estimate is the exact Jaccard."""
+    rows = ([Row(k="a", item=f"s{i}") for i in range(20)]
+            + [Row(k="b", item=f"s{i}") for i in range(10, 40)])
+    df = spark.createDataFrame(rows)
+    sk_df = sk.kmv_sketch(df, ["k"], "item", k=256)
+    r = sk.kmv_jaccard(sk_df, ["k"], k=256).first()
+    assert (r.k_a, r.k_b) == ("a", "b")
+    assert r.union_k == 40
+    assert r.both == 10
+    assert r.jaccard_est == pytest.approx(10 / 40, abs=1e-12)
