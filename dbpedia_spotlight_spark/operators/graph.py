@@ -1330,3 +1330,50 @@ def wl_signature(edges: DataFrame, rounds: int = 3) -> DataFrame:
     count over :func:`wl_colors`."""
     return (wl_colors(edges, rounds)
             .groupBy("color").agg(F.count("*").alias("n")))
+
+
+def seeded_label_propagation(edges: DataFrame, seeds: DataFrame,
+                             n_iter: int = 4,
+                             weight_col: str = "n_docs") -> DataFrame:
+    """Semi-supervised label propagation with CLAMPED seeds (Zhu &
+    Ghahramani 2002) — the KG type-propagation primitive: a handful of
+    curated (uri, label) seeds diffuse over the weighted co-mention
+    graph, seeds re-clamp to probability 1 each round, and every
+    reachable node ends with a label distribution. Distinct from
+    :func:`label_propagation` (community detection, hard labels, no
+    clamping). Returns (uri, label, p, rank) — full distribution with
+    a deterministic argmax rank (p desc, label asc).
+
+    Cross-engine device: after each round's normalize, probabilities
+    re-quantize to the dyadic 2^-30 grid — products with integer edge
+    weights then land on the same grid and their sums are exact in any
+    order (the kgembed discipline), so an unrolled SQL replay is
+    value-identical. State is (reachable nodes × |labels|) rows; each
+    round is one edge join + two node-keyed aggregates."""
+    from pyspark.sql import Window
+    q = lambda c: F.floor(c * F.lit(float(1 << 30))  # noqa: E731
+                          + F.lit(0.5)) / F.lit(float(1 << 30))
+    e = edges.filter(F.col("uri_a") != F.col("uri_b")).select(
+        "uri_a", "uri_b", F.col(weight_col).cast("long").alias("w"))
+    und = e.select(F.col("uri_a").alias("src"),
+                   F.col("uri_b").alias("dst"), "w") \
+        .unionByName(e.select(F.col("uri_b").alias("src"),
+                              F.col("uri_a").alias("dst"), "w")) \
+        .localCheckpoint(eager=True)
+    sd = seeds.select("uri", "label",
+                      F.lit(1.0).alias("p")).localCheckpoint(eager=True)
+    state = sd
+    for _ in range(n_iter):
+        contrib = (und.join(state.withColumnRenamed("uri", "src"), "src")
+                   .groupBy(F.col("dst").alias("uri"), "label")
+                   .agg(F.sum(F.col("w") * F.col("p")).alias("s")))
+        tot = contrib.groupBy("uri").agg(F.sum("s").alias("t"))
+        diffused = (contrib.join(tot, "uri")
+                    .select("uri", "label",
+                            q(F.col("s") / F.col("t")).alias("p")))
+        state = (diffused.join(sd.select("uri"), "uri", "left_anti")
+                 .unionByName(sd)
+                 .localCheckpoint(eager=True))
+    w_rank = Window.partitionBy("uri").orderBy(F.col("p").desc(), "label")
+    return state.withColumn(
+        "rank", F.row_number().over(w_rank).cast("int"))

@@ -264,3 +264,44 @@ def gopher_quality(docs: DataFrame, text_col: str = "text",
         & (F.col("top_token_frac") <= max_top_token_frac)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac),
     )
+
+
+def subsample_frequent(docs: DataFrame, t: float = 1e-4,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       salt: str = "sub") -> DataFrame:
+    """Mikolov frequent-word subsampling (word2vec 2013): token i of
+    word w survives with p = min(1, sqrt(t / f(w))) where f is the
+    word's corpus frequency — the standard thinning that stops 'the'
+    from dominating every skip-gram window before embedding training.
+
+    Deterministic and layout-independent: the per-token coin is the
+    salted md5 of (doc, position, word) against a per-word threshold
+    floor(round(p, 9)·2^20) (round-then-floor: the temperature_resample
+    device — 9dp makes both engines agree on p across the sqrt, floor
+    because DuckDB casts round where Spark casts truncate). One
+    corpus-sized explode + a broadcast vocab-sized rate join; returns
+    the surviving (id, pos, word) stream."""
+    from dbpedia_spotlight_spark.operators.decontam import _norm
+    from dbpedia_spotlight_spark.operators.dedup import md5_long
+    if not 0.0 < t <= 1.0:
+        raise ValueError("t must be in (0, 1]")
+    toks = (docs.select(F.col(id_col).cast("long").alias("id"),
+                        F.posexplode(F.split(_norm(F.col(text_col)), " "))
+                        .alias("pos", "word"))
+            .filter(F.col("word") != ""))
+    freqs = toks.groupBy("word").agg(F.count("*").alias("c"))
+    total = freqs.agg(F.sum("c").alias("n"))
+    buckets = 1 << 20
+    rates = (freqs.crossJoin(F.broadcast(total))
+             .select("word",
+                     F.floor(F.round(
+                         F.least(F.lit(1.0),
+                                 F.sqrt(F.lit(t) * F.col("n")
+                                        / F.col("c"))), 9)
+                         * buckets).alias("_thresh")))
+    gate = md5_long(F.concat_ws(
+        "#", F.col("id").cast("string"), F.lit(salt),
+        F.col("pos").cast("string"), F.col("word"))) % buckets
+    return (toks.join(F.broadcast(rates), "word")
+            .filter(gate < F.col("_thresh"))
+            .select("id", "pos", "word"))

@@ -8843,6 +8843,108 @@ def sql_wl_roles(rounds: int = 3) -> str:
   SELECT uri, color FROM c{rounds} ORDER BY uri""")
 
 
+def _seed_labels(n: int = 6) -> list[tuple[str, str]]:
+    """Deterministic seed labeling shared by both engines: the n
+    top-support entities, alternating 'L'/'R' in sorted-uri order."""
+    uris = sorted(_top_support_uris(n))
+    return [(u, "L" if i % 2 == 0 else "R") for i, u in enumerate(uris)]
+
+
+def q_seeded_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised type propagation (operators/graph.py::
+    seeded_label_propagation — Zhu-Ghahramani with clamped seeds) over
+    the weighted co-mention graph, 3 rounds from 6 alternating seeds.
+    Per-round probabilities re-quantize to the dyadic 2^-30 grid, so
+    integer-weight products sum exactly in any order and the unrolled
+    SQL replay is value-identical."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        cooccurrence_edges, seeded_label_propagation)
+    edges = cooccurrence_edges(q_annotate_prior(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    seeds = spark.createDataFrame(_seed_labels(),
+                                  "uri string, label string")
+    return (seeded_label_propagation(edges, seeds, n_iter=3)
+            .orderBy("uri", "rank"))
+
+
+def sql_seeded_types(rounds: int = 3) -> str:
+    seeds = ", ".join(f"('{u}', '{l}')" for u, l in _seed_labels())
+    rounds_sql = []
+    for i in range(rounds):
+        rounds_sql.append(f"""
+  ct{i} AS (
+    SELECT u.dst AS uri, s.label, sum(u.w * s.p) AS sc
+    FROM und u JOIN s{i} s ON s.uri = u.src
+    GROUP BY 1, 2),
+  tt{i} AS (SELECT uri, sum(sc) AS t FROM ct{i} GROUP BY 1),
+  s{i + 1} AS MATERIALIZED (
+    SELECT c.uri, c.label,
+           floor((c.sc / t.t) * 1073741824.0 + 0.5) / 1073741824.0 AS p
+    FROM ct{i} c JOIN tt{i} t ON t.uri = c.uri
+    WHERE c.uri NOT IN (SELECT uri FROM seeds)
+    UNION ALL
+    SELECT uri, label, 1.0 AS p FROM seeds)""")
+    return (
+        "WITH " + _sql_toks() + ", " + _SQL_SPOTS + ", " + _SQL_RANKED + f""",
+  du AS MATERIALIZED (
+    SELECT DISTINCT doc_id, uri FROM ranked WHERE rank = 1),
+  ed AS MATERIALIZED (
+    SELECT x.uri AS uri_a, y.uri AS uri_b,
+           CAST(count(*) AS BIGINT) AS w
+    FROM du x JOIN du y ON x.doc_id = y.doc_id AND x.uri < y.uri
+    GROUP BY 1, 2),
+  und AS MATERIALIZED (
+    SELECT uri_a AS src, uri_b AS dst, w FROM ed
+    UNION ALL SELECT uri_b AS src, uri_a AS dst, w FROM ed),
+  seeds AS (SELECT * FROM (VALUES {seeds}) v(uri, label)),
+  s0 AS (SELECT uri, label, 1.0::DOUBLE AS p FROM seeds),"""
+        + ",".join(rounds_sql) + f"""
+  SELECT uri, label, p,
+         CAST(row_number() OVER (
+           PARTITION BY uri ORDER BY p DESC, label) AS INTEGER) AS rank
+  FROM s{rounds}
+  ORDER BY uri, rank""")
+
+
+def q_subsample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mikolov frequent-word subsampling (operators/textstats.py::
+    subsample_frequent, t=1e-3): per-word survivor counts over the
+    documents token stream. The per-token coin is a salted md5 gate
+    against a round-then-floor threshold (the temperature_resample
+    device), so both engines keep the identical token set."""
+    from dbpedia_spotlight_spark.operators.textstats import (
+        subsample_frequent)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = subsample_frequent(docs, t=1e-3)
+    return (kept.groupBy("word").agg(F.count("*").alias("n_kept"))
+            .orderBy("word"))
+
+
+def sql_subsample_tokens(t: float = 1e-3) -> str:
+    return f"""
+  WITH {_sql_decontam_norm()},
+  toks AS (
+    SELECT doc_id AS id,
+           generate_subscripts(string_split(t, ' '), 1) - 1 AS pos,
+           unnest(string_split(t, ' ')) AS word
+    FROM norm),
+  tk AS (SELECT * FROM toks WHERE word <> ''),
+  freqs AS (SELECT word, count(*) AS c FROM tk GROUP BY 1),
+  tot AS (SELECT sum(c) AS n FROM freqs),
+  rates AS (
+    SELECT word,
+           floor(round(least(1.0, sqrt({t!r} * n / c)), 9)
+                 * 1048576) AS thresh
+    FROM freqs, tot),
+  kept AS (
+    SELECT tk.word FROM tk JOIN rates ON rates.word = tk.word
+    WHERE ('0x' || substr(md5(tk.id || '#sub#' || tk.pos || '#'
+                              || tk.word), 1, 15))::BIGINT % 1048576
+          < rates.thresh)
+  SELECT word, CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1 ORDER BY 1"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -1043,3 +1043,50 @@ def test_wl_distinguishes_path_from_star(spark):
     s2 = sorted((r.color, r.n)
                 for r in wl_signature(_edge_df(spark, star)).collect())
     assert s1 != s2
+
+
+def test_seeded_lpa_clamps_and_diffuses(spark):
+    from dbpedia_spotlight_spark.operators.graph import (
+        seeded_label_propagation)
+    # barbell: L-clique and R-clique joined by a path; seeds at the
+    # extremes — each side adopts its near seed, seeds stay clamped
+    edges = [("l1", "l2"), ("l1", "l3"), ("l2", "l3"),
+             ("r1", "r2"), ("r1", "r3"), ("r2", "r3"),
+             ("l3", "m"), ("m", "r3")]
+    e = spark.createDataFrame(
+        [(a, b, 1) for a, b in edges],
+        "uri_a string, uri_b string, n_docs long")
+    seeds = spark.createDataFrame([("l1", "L"), ("r1", "R")],
+                                  "uri string, label string")
+    out = seeded_label_propagation(e, seeds, n_iter=6)
+    top = {r.uri: r.label for r in out.filter("rank = 1").collect()}
+    assert top["l1"] == "L" and top["r1"] == "R"      # clamped
+    assert top["l2"] == top["l3"] == "L"
+    assert top["r2"] == top["r3"] == "R"
+    p = {(r.uri, r.label): r.p for r in out.collect()}
+    assert p[("l1", "L")] == 1.0
+    # the bridge node sees both labels
+    assert ("m", "L") in p and ("m", "R") in p
+
+
+def test_seeded_lpa_layout_independent(spark):
+    import itertools
+    import random
+    from dbpedia_spotlight_spark.operators.graph import (
+        seeded_label_propagation)
+    rng = random.Random(11)
+    verts = [f"v{i}" for i in range(14)]
+    edges = sorted({tuple(sorted(pq))
+                    for pq in itertools.combinations(verts, 2)
+                    if rng.random() < 0.3})
+    e = spark.createDataFrame(
+        [(a, b, rng.randrange(1, 5)) for a, b in edges],
+        "uri_a string, uri_b string, n_docs long")
+    rng2 = random.Random(2)
+    seeds = spark.createDataFrame(
+        [(v, "A" if rng2.random() < 0.5 else "B")
+         for v in verts[:4]], "uri string, label string")
+    one = seeded_label_propagation(e.coalesce(1), seeds, n_iter=4)
+    many = seeded_label_propagation(e.repartition(9), seeds, n_iter=4)
+    assert sorted(map(tuple, one.collect())) \
+        == sorted(map(tuple, many.collect()))  # EXACT — grid device

@@ -1401,3 +1401,30 @@ def test_priority_sample_layout_independent_and_capped(spark):
     assert everything.count() == 40
     assert everything.filter(F.col("doc_id") == 0) \
         .first()["draw_weight"] == 16
+
+
+def test_subsample_frequent_thins_head_keeps_tail(spark):
+    from pyspark.sql import Row
+    from dbpedia_spotlight_spark.operators.textstats import (
+        subsample_frequent)
+    # 'the' floods the stream; rare words must all survive
+    rows = [Row(doc_id=i, text=" ".join(
+        (["the"] * 30) + [f"rare{i}_{j}" for j in range(3)]))
+        for i in range(40)]
+    df = spark.createDataFrame(rows)
+    kept = subsample_frequent(df, t=1e-3)
+    counts = {r.word: r.n for r in
+              kept.groupBy("word").agg(F.count("*").alias("n")).collect()}
+    n_the = counts.get("the", 0)
+    assert n_the < 1200 * 0.2         # head word heavily thinned
+    n_rare = sum(n for w, n in counts.items() if w.startswith("rare"))
+    assert n_rare == 120              # p=1 for rare words: all kept
+    # deterministic + layout-independent
+    a = sorted(map(tuple, subsample_frequent(
+        df.coalesce(1), t=1e-3).collect()))
+    b = sorted(map(tuple, subsample_frequent(
+        df.repartition(7), t=1e-3).collect()))
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        subsample_frequent(df, t=0.0)

@@ -341,6 +341,10 @@ ROTATED = [
     # round-5 addition: coordinated-sample Jaccard between keys from
     # bottom-k sketches, and 1-WL structural role colors (combinable
     # multiset-sum hash, HUGEINT-replayed rounds)
+    # round-5 addition: clamped-seed type propagation (grid-quantized
+    # rounds) + Mikolov frequent-word subsampling (md5-gate device)
+    ("seeded_types", Q.q_seeded_types, Q.sql_seeded_types),
+    ("subsample_tokens", Q.q_subsample_tokens, Q.sql_subsample_tokens),
     ("kmv_overlap", Q.q_kmv_overlap, Q.sql_kmv_overlap),
     ("wl_roles", Q.q_wl_roles, Q.sql_wl_roles),
     ("zipf_fit", Q.q_zipf_fit, Q.sql_zipf_fit),
