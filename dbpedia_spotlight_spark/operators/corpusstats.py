@@ -71,11 +71,17 @@ def zipf_fit(docs: DataFrame, text_col: str = "text",
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
     syy = F.col("syy").cast("double")
-    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
-    intercept = (sy - slope * sx) / m
-    # R² = explained/total via the standard computational form
-    r2 = ((m * sxy - sx * sy) * (m * sxy - sx * sy)
-          / ((m * sxx - sx * sx) * (m * syy - sy * sy)))
+    # zero x-variance (single rank) or zero y-variance (all freqs
+    # equal — e.g. a corpus of identical copies) make the fit
+    # undefined: NULL, not an ANSI divide-by-zero (the assortativity
+    # convention)
+    xvar = m * sxx - sx * sx
+    yvar = m * syy - sy * sy
+    slope = F.when(xvar != 0.0, (m * sxy - sx * sy) / xvar)
+    intercept = F.when(xvar != 0.0, (sy - slope * sx) / m)
+    r2 = F.when((xvar != 0.0) & (yvar != 0.0),
+                (m * sxy - sx * sy) * (m * sxy - sx * sy)
+                / (xvar * yvar))
     return agg.select(
         F.col("m").cast("long").alias("n_ranks"),
         F.round(slope, 9).alias("slope"),

@@ -8673,34 +8673,32 @@ def sql_zipf_fit(top_n: int = 500) -> str:
            CAST(round(ln(CAST(n AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
     FROM r WHERE rank <= {top_n}),
   agg AS (
-    SELECT count(*) AS m,
-           sum(x) AS sx, sum(y) AS sy,
-           sum(CAST(x * y AS DECIMAL(38,18))) AS sxy,
-           sum(CAST(x * x AS DECIMAL(38,18))) AS sxx,
-           sum(CAST(y * y AS DECIMAL(38,18))) AS syy
-    FROM pts)
-  SELECT CAST(m AS BIGINT) AS n_ranks,
-         round((m * CAST(sxy AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / (m * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
-           AS slope,
-         round((CAST(sy AS DOUBLE)
-                - ((m * CAST(sxy AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                   / (m * CAST(sxx AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                  * CAST(sx AS DOUBLE)) / m, 9) AS intercept,
-         round((m * CAST(sxy AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               * (m * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-               / ((m * CAST(sxx AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                  * (m * CAST(syy AS DOUBLE)
-                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
-           AS r2
-  FROM agg"""
+    SELECT count(*) AS m0,
+           sum(x) AS sx0, sum(y) AS sy0,
+           sum(CAST(x * y AS DECIMAL(38,18))) AS sxy0,
+           sum(CAST(x * x AS DECIMAL(38,18))) AS sxx0,
+           sum(CAST(y * y AS DECIMAL(38,18))) AS syy0
+    FROM pts),
+  v AS (
+    SELECT m0, CAST(m0 AS DOUBLE) AS m,
+           CAST(sx0 AS DOUBLE) AS sx, CAST(sy0 AS DOUBLE) AS sy,
+           CAST(sxy0 AS DOUBLE) AS sxy, CAST(sxx0 AS DOUBLE) AS sxx,
+           CAST(syy0 AS DOUBLE) AS syy
+    FROM agg),
+  d AS (
+    SELECT m0, m, sx, sy,
+           m * sxy - sx * sy AS cov,
+           m * sxx - sx * sx AS xvar,
+           m * syy - sy * sy AS yvar
+    FROM v)
+  SELECT CAST(m0 AS BIGINT) AS n_ranks,
+         round(CASE WHEN xvar <> 0 THEN cov / xvar END, 9) AS slope,
+         round(CASE WHEN xvar <> 0
+                    THEN (sy - (cov / xvar) * sx) / m END, 9)
+           AS intercept,
+         round(CASE WHEN xvar <> 0 AND yvar <> 0
+                    THEN cov * cov / (xvar * yvar) END, 9) AS r2
+  FROM d"""
 
 
 def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -102,3 +102,46 @@ def test_vocab_growth_duplicated_corpus_flattens(spark):
 def test_vocab_growth_checkpoint_validation(spark):
     with pytest.raises(ValueError):
         C.vocab_growth(_docs(spark, ["a b"]), n_checkpoints=0)
+
+
+def test_run_corpus_report_end_to_end(spark, tmp_path):
+    """The composed diagnostics job over the real sf0.001 documents
+    table: every section present, internally consistent, and written
+    to the --out JSON."""
+    import json
+    from dbpedia_spotlight_spark.run_corpus_report import main
+
+    out = str(tmp_path / "report.json")
+    rep = main(["--docs", "/root/testdata/sf0.001/documents.parquet",
+                "--out", out, "--top-n", "200"], spark=spark)
+    on_disk = json.load(open(out))
+    assert on_disk == rep
+    assert rep["n_docs"] == 500
+    assert rep["zipf"]["slope"] < 0 and 0 < rep["zipf"]["r2"] <= 1
+    assert rep["vocab_growth"][-1]["cum_tokens"] == rep["n_tokens"]
+    assert [r["checkpoint"] for r in rep["vocab_growth"]] \
+        == list(range(1, 11))
+    assert sum(rep["langs"].values()) == 500
+    assert 0 < rep["max_lang_share"] < 1
+    assert sum(rep["sources"].values()) == 500
+    assert rep["quality"]["n_scored"] == 500
+    assert 0 <= rep["quality"]["pass_rate"] <= 1
+    assert rep["exact_dup"]["dup_rate"] is not None
+
+
+def test_corpus_report_detects_planted_duplication(spark, tmp_path):
+    """A corpus that is one page copied 50x: dup_rate ~1 and the
+    vocabulary flatlines after the first checkpoint."""
+    from pyspark.sql import Row
+    from dbpedia_spotlight_spark.run_corpus_report import build_report
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same boilerplate page about nothing much",
+             lang="en", source="mirror.example") for i in range(50)])
+    p = str(tmp_path / "dup_docs")
+    docs.write.parquet(p)
+    rep = build_report(spark, p)
+    assert rep["exact_dup"]["dup_rate"] == pytest.approx(49 / 50)
+    growth = rep["vocab_growth"]
+    assert growth[-1]["cum_vocab"] == growth[0]["cum_vocab"]
+    assert rep["max_source_share"] == 1.0
