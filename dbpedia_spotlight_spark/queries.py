@@ -8943,6 +8943,105 @@ def sql_subsample_tokens(t: float = 1e-3) -> str:
   FROM kept GROUP BY 1 ORDER BY 1"""
 
 
+def _sd_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted structured-data pages derived from the documents table
+    (same device as the host-link fixtures): per doc an OpenGraph meta
+    head + one flat JSON-LD Article node. Both engines rebuild the
+    identical html strings."""
+    d = _docs(spark, sf_dir)
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="Doc '),
+        sid, F.lit('"/><meta name="inLanguage" content="'),
+        F.col("lang"),
+        F.lit('"/><script type="application/ld+json">{"@id": "ex:d'),
+        sid, F.lit('", "@type": "Article", "wordCount": '),
+        F.col("n_chars").cast("string"), F.lit(', "inLanguage": "'),
+        F.col("lang"), F.lit('"}</script></head><body></body></html>'))
+    return d.select(
+        F.concat(F.lit("https://h"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".example/p"), sid).alias("url"),
+        F.encode(html, "UTF-8").alias("html"))
+
+
+_SD_SQL_PAGES = """
+  pages AS (
+    SELECT 'https://h' || (doc_id % 5) || '.example/p' || doc_id AS url,
+           '<html><head><meta property="og:title" content="Doc '
+           || doc_id || '"/><meta name="inLanguage" content="' || lang
+           || '"/><script type="application/ld+json">{"@id": "ex:d'
+           || doc_id || '", "@type": "Article", "wordCount": '
+           || n_chars || ', "inLanguage": "' || lang
+           || '"}</script></head><body></body></html>' AS html
+    FROM documents)"""
+
+
+def q_meta_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph / meta-property extraction
+    (sources/structured_data.py::meta_property_triples): JVM-native
+    regexp parse of <meta property|name=… content=…> tags over the
+    planted pages — zero Python, zero shuffle before the final sort.
+    The oracle runs the same two-level regexp in DuckDB."""
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        meta_property_triples)
+    return (meta_property_triples(_sd_pages(spark, sf_dir))
+            .orderBy("url", "pred"))
+
+
+def sql_meta_triples() -> str:
+    return f"""
+  WITH {_SD_SQL_PAGES},
+  tags AS (
+    SELECT url, unnest(regexp_extract_all(html,
+             '(?i)<meta\\s[^>]*>', 0)) AS t
+    FROM pages)
+  SELECT url,
+         regexp_extract(t, '(?i)(?:property|name)\\s*=\\s*"([^"]+)"', 1)
+           AS pred,
+         regexp_extract(t, '(?i)content\\s*=\\s*"([^"]*)"', 1) AS obj
+  FROM tags
+  WHERE regexp_extract(t, '(?i)(?:property|name)\\s*=\\s*"([^"]+)"', 1)
+          <> ''
+    AND regexp_extract(t, '(?i)content\\s*=\\s*"([^"]*)"', 1) <> ''
+  ORDER BY url, pred"""
+
+
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded JSON-LD extraction (sources/structured_data.py::
+    jsonld_triples — the Web-Data-Commons KG source): Arrow-batched
+    stdlib-json parse of the planted Article nodes; the oracle
+    re-parses the same blocks with DuckDB's JSON functions, so BOTH
+    engines run a real JSON parser over the same bytes."""
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        jsonld_triples)
+    return (jsonld_triples(_sd_pages(spark, sf_dir))
+            .orderBy("url", "subj", "pred", "obj"))
+
+
+def sql_jsonld_extract() -> str:
+    return f"""
+  WITH {_SD_SQL_PAGES},
+  blocks AS (
+    SELECT url,
+           regexp_extract(html,
+             '(?is)<script[^>]*type\\s*=\\s*"application/ld\\+json"'
+             || '[^>]*>(.*?)</script>', 1) AS b
+    FROM pages),
+  node AS (
+    SELECT url, json_extract_string(b, '$."@id"') AS subj, b
+    FROM blocks WHERE b <> '')
+  SELECT url, subj, pred, obj FROM (
+    SELECT url, subj, 'rdf:type' AS pred,
+           json_extract_string(b, '$."@type"') AS obj FROM node
+    UNION ALL
+    SELECT url, subj, 'wordCount',
+           json_extract_string(b, '$.wordCount') FROM node
+    UNION ALL
+    SELECT url, subj, 'inLanguage',
+           json_extract_string(b, '$.inLanguage') FROM node) q
+  ORDER BY url, subj, pred, obj"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

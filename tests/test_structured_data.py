@@ -1,0 +1,86 @@
+"""JSON-LD + meta-property extraction from raw HTML (the Web-Data-
+Commons lane). Cross-engine parity lives in test_rotated_queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [Row(url=u, html=h.encode("utf-8")) for u, h in rows])
+
+
+def test_meta_property_triples(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        meta_property_triples)
+    html = ('<html><head>'
+            '<meta property="og:title" content="A Page" />'
+            '<meta name="description" content="about things">'
+            '<meta content="reversed-order" property="og:type">'
+            '<meta property="empty" content="">'
+            '<meta charset="utf-8">'
+            '</head><body>x</body></html>')
+    out = {(r.pred, r.obj) for r in meta_property_triples(
+        _pages(spark, [("u1", html)])).collect()}
+    assert out == {("og:title", "A Page"),
+                   ("description", "about things"),
+                   ("og:type", "reversed-order")}
+    plan = meta_property_triples(_pages(spark, [("u1", html)])) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_jsonld_flat_and_nested(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        jsonld_triples)
+    html = ('<html><head><script type="application/ld+json">'
+            '{"@id": "ex:bob", "@type": "Person", "name": "Bob",'
+            ' "age": 42, "knows": {"@id": "ex:alice", "name": "Alice"},'
+            ' "tags": ["x", "y"],'
+            ' "address": {"city": "Metropolis"}}'
+            '</script></head></html>')
+    got = {(r.subj, r.pred, r.obj) for r in jsonld_triples(
+        _pages(spark, [("u1", html)])).collect()}
+    assert ("ex:bob", "rdf:type", "Person") in got
+    assert ("ex:bob", "name", "Bob") in got
+    assert ("ex:bob", "age", "42") in got
+    assert ("ex:bob", "knows", "ex:alice") in got
+    assert ("ex:alice", "name", "Alice") in got
+    assert ("ex:bob", "tags", "x") in got and ("ex:bob", "tags", "y") in got
+    # nested object without @id gets the deterministic child id
+    assert ("ex:bob", "address", "ex:bob/address-0") in got
+    assert ("ex:bob/address-0", "city", "Metropolis") in got
+
+
+def test_jsonld_graph_array_and_malformed(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        jsonld_triples)
+    html = ('<script type="application/ld+json">'
+            '{"@graph": [{"name": "n0"}, {"name": "n1"}]}</script>'
+            '<script type="application/ld+json">{broken json</script>'
+            '<script type="application/ld+json">'
+            '[{"@type": "Thing"}]</script>')
+    got = sorted((r.subj, r.pred, r.obj) for r in jsonld_triples(
+        _pages(spark, [("u", html)])).collect())
+    # anonymous nodes numbered per page in document order
+    assert got == [("u#jsonld-0", "name", "n0"),
+                   ("u#jsonld-1", "name", "n1"),
+                   ("u#jsonld-2", "rdf:type", "Thing")]
+
+
+def test_jsonld_layout_independent(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        jsonld_triples)
+    rows = [(f"u{i}",
+             f'<script type="application/ld+json">{{"@id": "e{i}",'
+             f' "v": {i}}}</script>') for i in range(30)]
+    one = sorted(map(tuple, jsonld_triples(
+        _pages(spark, rows).coalesce(1)).collect()))
+    many = sorted(map(tuple, jsonld_triples(
+        _pages(spark, rows).repartition(7)).collect()))
+    assert one == many
+    assert len(one) == 30
