@@ -134,3 +134,117 @@ def jsonld_triples(pages: DataFrame, html_col: str = "html",
                                columns=["url", "subj", "pred", "obj"])
 
     return pages.select(url_col, html_col).mapInPandas(run, TRIPLE_SCHEMA)
+
+
+class _MicrodataParser:
+    """Minimal HTML5-microdata walker on the stdlib HTMLParser: an
+    ``itemscope`` opens a node (``itemtype`` → rdf:type; nested scopes
+    become edges to deterministic child ids), ``itemprop`` binds the
+    next value — an href/src/content attribute if present, else the
+    element's text content. Void elements and malformed nesting follow
+    the tolerant-parse convention of functions/extraction.py."""
+
+    VALUE_ATTRS = ("content", "href", "src", "datetime")
+    VOID = {"meta", "link", "img", "br", "hr", "input", "source",
+            "area", "base", "col", "embed", "track", "wbr"}
+
+    def __init__(self, url: str):
+        from html.parser import HTMLParser
+
+        self.url = url
+        self.rows: list[tuple[str, str, str, str]] = []
+        self._n = 0
+        # stacks: (node_id,) for open scopes; (node_id, prop, buf) for
+        # open text-valued itemprops
+        self._scopes: list[str] = []
+        self._props: list[list] = []
+
+        outer = self
+
+        class P(HTMLParser):
+            def handle_starttag(self, tag, attrs):
+                outer._start(tag, dict(attrs),
+                             self_closing=tag in outer.VOID)
+
+            def handle_startendtag(self, tag, attrs):
+                outer._start(tag, dict(attrs), self_closing=True)
+
+            def handle_endtag(self, tag):
+                outer._end(tag)
+
+            def handle_data(self, data):
+                for p in outer._props:
+                    p[2].append(data)
+
+            def error(self, message):  # pragma: no cover - py<3.10 hook
+                pass
+
+        self._parser = P(convert_charrefs=True)
+
+    def _new_id(self, attrs) -> str:
+        nid = attrs.get("itemid") or f"{self.url}#md-{self._n}"
+        self._n += 1
+        return nid
+
+    def _start(self, tag: str, attrs: dict, self_closing: bool) -> None:
+        is_scope = "itemscope" in attrs
+        prop = attrs.get("itemprop")
+        if is_scope:
+            nid = self._new_id(attrs)
+            if prop and self._scopes:
+                self.rows.append((self.url, self._scopes[-1], prop, nid))
+            for t in (attrs.get("itemtype") or "").split():
+                self.rows.append((self.url, nid, "rdf:type", t))
+            if not self_closing:
+                self._scopes.append(nid)
+            return
+        if prop and self._scopes:
+            for a in self.VALUE_ATTRS:
+                if attrs.get(a):
+                    self.rows.append(
+                        (self.url, self._scopes[-1], prop, attrs[a]))
+                    return
+            if not self_closing:
+                self._props.append([self._scopes[-1], prop, []])
+
+    def _end(self, tag: str) -> None:
+        # close the innermost pending text prop on ANY end tag (the
+        # stdlib parser doesn't pair tags for us; single-level text
+        # props are the overwhelmingly common real-world shape)
+        if self._props:
+            nid, prop, buf = self._props.pop()
+            text = " ".join("".join(buf).split())
+            if text:
+                self.rows.append((self.url, nid, prop, text))
+        elif self._scopes and tag in ("div", "span", "section",
+                                      "article", "li"):
+            self._scopes.pop()
+
+    def parse(self, html: str):
+        try:
+            self._parser.feed(html)
+            self._parser.close()
+        except Exception:
+            pass
+        return self.rows
+
+
+def microdata_triples(pages: DataFrame, html_col: str = "html",
+                      url_col: str = "url") -> DataFrame:
+    """(url, subj, pred, obj) from HTML5 microdata (itemscope /
+    itemprop / itemtype) — the third structured-data lane beside
+    JSON-LD and meta properties. One Arrow-batched pass per page, no
+    shuffle; anonymous scopes get deterministic ``url#md-<i>`` ids."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows: list = []
+            for url, html in zip(b[url_col], b[html_col]):
+                if html is None:
+                    continue
+                text = (bytes(html).decode("utf-8", "replace")
+                        if not isinstance(html, str) else html)
+                rows.extend(_MicrodataParser(url).parse(text))
+            yield pd.DataFrame(rows,
+                               columns=["url", "subj", "pred", "obj"])
+
+    return pages.select(url_col, html_col).mapInPandas(run, TRIPLE_SCHEMA)

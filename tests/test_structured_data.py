@@ -84,3 +84,43 @@ def test_jsonld_layout_independent(spark):
         _pages(spark, rows).repartition(7)).collect()))
     assert one == many
     assert len(one) == 30
+
+
+def test_microdata_flat_item(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        microdata_triples)
+    html = ('<div itemscope itemtype="https://schema.org/Person">'
+            '<span itemprop="name">Jane  Doe</span>'
+            '<a itemprop="url" href="https://jane.example/">home</a>'
+            '<meta itemprop="birthDate" content="1980-01-01">'
+            '</div>')
+    got = {(r.subj, r.pred, r.obj) for r in microdata_triples(
+        _pages(spark, [("u", html)])).collect()}
+    assert ("u#md-0", "rdf:type", "https://schema.org/Person") in got
+    assert ("u#md-0", "name", "Jane Doe") in got          # ws collapsed
+    assert ("u#md-0", "url", "https://jane.example/") in got
+    assert ("u#md-0", "birthDate", "1980-01-01") in got
+
+
+def test_microdata_nested_and_itemid(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        microdata_triples)
+    html = ('<div itemscope itemid="ex:book">'
+            '<span itemprop="title">Moby Dick</span>'
+            '<div itemprop="author" itemscope>'
+            '<span itemprop="name">Melville</span></div>'
+            '</div>')
+    got = {(r.subj, r.pred, r.obj) for r in microdata_triples(
+        _pages(spark, [("u", html)])).collect()}
+    assert ("ex:book", "title", "Moby Dick") in got
+    assert ("ex:book", "author", "u#md-1") in got
+    assert ("u#md-1", "name", "Melville") in got
+
+
+def test_microdata_malformed_tolerant(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        microdata_triples)
+    html = '<div itemscope><span itemprop="x">v</span>'  # never closed
+    got = {(r.pred, r.obj) for r in microdata_triples(
+        _pages(spark, [("u", html)])).collect()}
+    assert ("x", "v") in got
