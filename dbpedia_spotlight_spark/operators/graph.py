@@ -1129,12 +1129,18 @@ def k_truss(edges: DataFrame, k: int, max_rounds: int = 50,
                 .select("uri_a", "uri_b",
                         F.coalesce("support", F.lit(0)).cast("int")
                         .alias("support")))
+    prev = cur.count()
     for _ in range(max_rounds):
-        sup = edge_support(cur).filter(F.col("support") >= k - 2)
+        # cut BEFORE counting: the checkpoint materializes the wedge
+        # enumeration once, so the count and the next round both read
+        # the stored frame instead of re-running the triangle joins
+        sup = ckpt.cut(edge_support(cur).filter(F.col("support")
+                                                >= k - 2))
         n_keep = sup.count()
-        if n_keep == cur.count():
-            return ckpt.cut(sup)
-        cur = ckpt.cut(sup.select("uri_a", "uri_b"))
+        if n_keep == prev:
+            return sup
+        cur = sup.select("uri_a", "uri_b")
+        prev = n_keep
         if n_keep == 0:
             break
     return (cur.join(edge_support(cur), ["uri_a", "uri_b"], "left")
@@ -1353,8 +1359,14 @@ def seeded_label_propagation(edges: DataFrame, seeds: DataFrame,
     from pyspark.sql import Window
     q = lambda c: F.floor(c * F.lit(float(1 << 30))  # noqa: E731
                           + F.lit(0.5)) / F.lit(float(1 << 30))
+    # weights stay double (a fractional-similarity weight column —
+    # pmi/npmi — must not truncate to 0); each w·p product re-quantizes
+    # to the grid BEFORE summation (the kgembed product discipline), so
+    # sums remain exact in any order for integer AND fractional weights
+    # (for integer w the product is already on the grid — quant is the
+    # identity, keeping the unrolled oracle unchanged)
     e = edges.filter(F.col("uri_a") != F.col("uri_b")).select(
-        "uri_a", "uri_b", F.col(weight_col).cast("long").alias("w"))
+        "uri_a", "uri_b", F.col(weight_col).cast("double").alias("w"))
     und = e.select(F.col("uri_a").alias("src"),
                    F.col("uri_b").alias("dst"), "w") \
         .unionByName(e.select(F.col("uri_b").alias("src"),
@@ -1366,7 +1378,7 @@ def seeded_label_propagation(edges: DataFrame, seeds: DataFrame,
     for _ in range(n_iter):
         contrib = (und.join(state.withColumnRenamed("uri", "src"), "src")
                    .groupBy(F.col("dst").alias("uri"), "label")
-                   .agg(F.sum(F.col("w") * F.col("p")).alias("s")))
+                   .agg(F.sum(q(F.col("w") * F.col("p"))).alias("s")))
         tot = contrib.groupBy("uri").agg(F.sum("s").alias("t"))
         diffused = (contrib.join(tot, "uri")
                     .select("uri", "label",

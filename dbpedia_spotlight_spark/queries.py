@@ -8871,7 +8871,9 @@ def sql_seeded_types(rounds: int = 3) -> str:
     for i in range(rounds):
         rounds_sql.append(f"""
   ct{i} AS (
-    SELECT u.dst AS uri, s.label, sum(u.w * s.p) AS sc
+    SELECT u.dst AS uri, s.label,
+           sum(floor((u.w * s.p) * 1073741824.0 + 0.5)
+               / 1073741824.0) AS sc
     FROM und u JOIN s{i} s ON s.uri = u.src
     GROUP BY 1, 2),
   tt{i} AS (SELECT uri, sum(sc) AS t FROM ct{i} GROUP BY 1),
@@ -8996,13 +8998,17 @@ def sql_meta_triples() -> str:
              '(?i)<meta\\s[^>]*>', 0)) AS t
     FROM pages)
   SELECT url,
-         regexp_extract(t, '(?i)(?:property|name)\\s*=\\s*"([^"]+)"', 1)
+         regexp_extract(t,
+           '(?i)(?:^|[\\s"''])(?:property|name)\\s*=\\s*"([^"]+)"', 1)
            AS pred,
-         regexp_extract(t, '(?i)content\\s*=\\s*"([^"]*)"', 1) AS obj
+         regexp_extract(t,
+           '(?i)(?:^|[\\s"''])content\\s*=\\s*"([^"]*)"', 1) AS obj
   FROM tags
-  WHERE regexp_extract(t, '(?i)(?:property|name)\\s*=\\s*"([^"]+)"', 1)
+  WHERE regexp_extract(t,
+          '(?i)(?:^|[\\s"''])(?:property|name)\\s*=\\s*"([^"]+)"', 1)
           <> ''
-    AND regexp_extract(t, '(?i)content\\s*=\\s*"([^"]*)"', 1) <> ''
+    AND regexp_extract(t,
+          '(?i)(?:^|[\\s"''])content\\s*=\\s*"([^"]*)"', 1) <> ''
   ORDER BY url, pred"""
 
 

@@ -40,8 +40,11 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 META_TAG_RE = r"(?i)<meta\s[^>]*>"
-_PROP_RE = r'(?i)(?:property|name)\s*=\s*"([^"]+)"'
-_CONTENT_RE = r'(?i)content\s*=\s*"([^"]*)"'
+# the (?:^|[\s"']) boundary stops data-name=/data-content= style
+# attributes from matching as substrings; RE2-compatible (no
+# lookbehind) because the DuckDB oracle must run the SAME pattern
+_PROP_RE = r'(?i)(?:^|[\s"\'])(?:property|name)\s*=\s*"([^"]+)"'
+_CONTENT_RE = r'(?i)(?:^|[\s"\'])content\s*=\s*"([^"]*)"'
 
 JSONLD_BLOCK_RE = (r'(?is)<script[^>]*type\s*=\s*"application/ld\+json"'
                    r"[^>]*>(.*?)</script>")
@@ -97,8 +100,13 @@ def _flatten_node(url: str, node, idx: int, out: list,
             else:
                 if isinstance(v, bool):
                     v = "true" if v else "false"
-                elif isinstance(v, float) and v == int(v):
-                    v = int(v)
+                elif isinstance(v, float):
+                    # stdlib json accepts Infinity/NaN — int(v) would
+                    # raise; non-finite numbers are invalid JSON, skip
+                    if v != v or v in (float("inf"), float("-inf")):
+                        continue
+                    if v == int(v):
+                        v = int(v)
                 out.append((url, nid, pred, str(v)))
 
 
@@ -137,12 +145,17 @@ def jsonld_triples(pages: DataFrame, html_col: str = "html",
 
 
 class _MicrodataParser:
-    """Minimal HTML5-microdata walker on the stdlib HTMLParser: an
-    ``itemscope`` opens a node (``itemtype`` → rdf:type; nested scopes
-    become edges to deterministic child ids), ``itemprop`` binds the
-    next value — an href/src/content attribute if present, else the
-    element's text content. Void elements and malformed nesting follow
-    the tolerant-parse convention of functions/extraction.py."""
+    """HTML5-microdata walker on the stdlib HTMLParser with a real
+    element stack: an ``itemscope`` opens a node (``itemtype`` →
+    rdf:type; nested scopes become edges to deterministic child ids),
+    ``itemprop`` binds the next value — an href/src/content attribute
+    if present, else the element's text content. An end tag pops the
+    stack to its matching open tag (popping any frames the markup left
+    open — tolerant recovery); a stray end tag is ignored; frames
+    still open at EOF are flushed, so never-closed markup keeps its
+    triples. Inline formatting inside a text prop (``<b>``, ``<i>``…)
+    pushes a plain frame and cannot close the prop or a scope — the
+    defect class a tag-name-whitelist close heuristic has."""
 
     VALUE_ATTRS = ("content", "href", "src", "datetime")
     VOID = {"meta", "link", "img", "br", "hr", "input", "source",
@@ -154,10 +167,10 @@ class _MicrodataParser:
         self.url = url
         self.rows: list[tuple[str, str, str, str]] = []
         self._n = 0
-        # stacks: (node_id,) for open scopes; (node_id, prop, buf) for
-        # open text-valued itemprops
         self._scopes: list[str] = []
-        self._props: list[list] = []
+        # element stack: (tag, kind, payload); kind 'scope' | 'prop'
+        # (payload = [nid, prop, buf]) | 'plain'
+        self._stack: list[tuple] = []
 
         outer = self
 
@@ -173,11 +186,11 @@ class _MicrodataParser:
                 outer._end(tag)
 
             def handle_data(self, data):
-                for p in outer._props:
-                    p[2].append(data)
-
-            def error(self, message):  # pragma: no cover - py<3.10 hook
-                pass
+                # innermost open text prop collects the data
+                for frame in reversed(outer._stack):
+                    if frame[1] == "prop":
+                        frame[2][2].append(data)
+                        break
 
         self._parser = P(convert_charrefs=True)
 
@@ -197,28 +210,44 @@ class _MicrodataParser:
                 self.rows.append((self.url, nid, "rdf:type", t))
             if not self_closing:
                 self._scopes.append(nid)
+                self._stack.append((tag, "scope", None))
             return
         if prop and self._scopes:
             for a in self.VALUE_ATTRS:
                 if attrs.get(a):
                     self.rows.append(
                         (self.url, self._scopes[-1], prop, attrs[a]))
+                    break
+            else:
+                if not self_closing:
+                    self._stack.append(
+                        (tag, "prop", [self._scopes[-1], prop, []]))
                     return
             if not self_closing:
-                self._props.append([self._scopes[-1], prop, []])
+                self._stack.append((tag, "plain", None))
+            return
+        if not self_closing:
+            self._stack.append((tag, "plain", None))
 
-    def _end(self, tag: str) -> None:
-        # close the innermost pending text prop on ANY end tag (the
-        # stdlib parser doesn't pair tags for us; single-level text
-        # props are the overwhelmingly common real-world shape)
-        if self._props:
-            nid, prop, buf = self._props.pop()
+    def _close_frame(self, frame) -> None:
+        _tag, kind, payload = frame
+        if kind == "scope":
+            if self._scopes:
+                self._scopes.pop()
+        elif kind == "prop":
+            nid, prop, buf = payload
             text = " ".join("".join(buf).split())
             if text:
                 self.rows.append((self.url, nid, prop, text))
-        elif self._scopes and tag in ("div", "span", "section",
-                                      "article", "li"):
-            self._scopes.pop()
+
+    def _end(self, tag: str) -> None:
+        if not any(f[0] == tag for f in self._stack):
+            return  # stray end tag — ignore (tolerant convention)
+        while self._stack:
+            frame = self._stack.pop()
+            self._close_frame(frame)
+            if frame[0] == tag:
+                break
 
     def parse(self, html: str):
         try:
@@ -226,6 +255,8 @@ class _MicrodataParser:
             self._parser.close()
         except Exception:
             pass
+        while self._stack:         # flush never-closed markup at EOF
+            self._close_frame(self._stack.pop())
         return self.rows
 
 

@@ -1090,3 +1090,24 @@ def test_seeded_lpa_layout_independent(spark):
     many = seeded_label_propagation(e.repartition(9), seeds, n_iter=4)
     assert sorted(map(tuple, one.collect())) \
         == sorted(map(tuple, many.collect()))  # EXACT — grid device
+
+
+def test_seeded_lpa_accepts_fractional_weights(spark):
+    """Review-finding regression: similarity weights in (0,1) must not
+    truncate to zero (the old long cast made every contribution 0/0)."""
+    from dbpedia_spotlight_spark.operators.graph import (
+        seeded_label_propagation)
+    e = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.2), ("c", "d", 0.8)],
+        "uri_a string, uri_b string, n_docs double")
+    seeds = spark.createDataFrame([("a", "L"), ("d", "R")],
+                                  "uri string, label string")
+    out = seeded_label_propagation(e, seeds, n_iter=5)
+    top = {r.uri: r.label for r in out.filter("rank = 1").collect()}
+    assert top["b"] == "L" and top["c"] == "R"  # strong ties win
+    # layout-independent with fractional weights too (grid products)
+    a = sorted(map(tuple, seeded_label_propagation(
+        e.coalesce(1), seeds, n_iter=5).collect()))
+    b = sorted(map(tuple, seeded_label_propagation(
+        e.repartition(5), seeds, n_iter=5).collect()))
+    assert a == b

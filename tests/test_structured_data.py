@@ -124,3 +124,51 @@ def test_microdata_malformed_tolerant(spark):
     got = {(r.pred, r.obj) for r in microdata_triples(
         _pages(spark, [("u", html)])).collect()}
     assert ("x", "v") in got
+
+
+# --- review-finding regressions ----------------------------------------
+
+
+def test_microdata_inline_formatting_inside_prop(spark):
+    """Inline <b> inside a text prop must not close the prop or pop
+    the scope (review finding: later sibling props were dropped)."""
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        microdata_triples)
+    html = ('<div itemscope><span itemprop="x">v<b>w</b></span>'
+            '<span itemprop="y">z</span></div>')
+    got = {(r.pred, r.obj) for r in microdata_triples(
+        _pages(spark, [("u", html)])).collect()}
+    assert got == {("x", "vw"), ("y", "z")}
+
+
+def test_microdata_scope_on_unusual_tag_closes(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        microdata_triples)
+    # itemscope on <p> (not in any whitelist) closes properly, so the
+    # sibling scope's prop attributes to the right node
+    html = ('<p itemscope itemid="a"><span itemprop="x">1</span></p>'
+            '<p itemscope itemid="b"><span itemprop="x">2</span></p>')
+    got = {(r.subj, r.obj) for r in microdata_triples(
+        _pages(spark, [("u", html)])).collect()}
+    assert got == {("a", "1"), ("b", "2")}
+
+
+def test_jsonld_nonfinite_numbers_do_not_crash(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        jsonld_triples)
+    html = ('<script type="application/ld+json">'
+            '{"@id": "x", "bad": Infinity, "worse": NaN, "ok": 1.5}'
+            '</script>')
+    got = {(r.pred, r.obj) for r in jsonld_triples(
+        _pages(spark, [("u", html)])).collect()}
+    assert got == {("ok", "1.5")}  # finite value kept, non-finite skipped
+
+
+def test_meta_data_name_attributes_do_not_match(spark):
+    from dbpedia_spotlight_spark.sources.structured_data import (
+        meta_property_triples)
+    html = ('<meta data-name="author-widget" content="z">'
+            '<meta data-name="y" name="x" content="c">')
+    got = {(r.pred, r.obj) for r in meta_property_triples(
+        _pages(spark, [("u", html)])).collect()}
+    assert got == {("x", "c")}  # data-name never matches; real name wins
