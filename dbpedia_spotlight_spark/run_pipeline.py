@@ -32,7 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="dir of lexicon parquet tables (model plane)")
     ap.add_argument("--out", required=True, help="output table root")
     ap.add_argument("--mode", default="annotate",
-                    choices=["annotate", "candidates", "spot", "disambiguate"])
+                    choices=["annotate", "candidates", "spot", "disambiguate",
+                             "structured"])
     ap.add_argument("--xml-col", default="xml")
     ap.add_argument("--confidence", type=float, default=0.0)
     ap.add_argument("--support", type=int, default=0)
@@ -102,11 +103,25 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         lang=args.lang or None,
         coreference=args.coreference,
     )
-    model = load_model(spark, args.lexicon, stemmer=args.stemmer)
-    bc = spark.sparkContext.broadcast(model)
     corpus = spark.read.parquet(args.corpus)
+    if args.mode != "structured":
+        # the structured lane reads raw pages only — no model plane
+        model = load_model(spark, args.lexicon, stemmer=args.stemmer)
+        bc = spark.sparkContext.broadcast(model)
 
-    if args.mode == "annotate":
+    if args.mode == "structured":
+        from dbpedia_spotlight_spark.sources.structured_data import (
+            jsonld_triples, meta_property_triples, microdata_triples,
+        )
+        meta = meta_property_triples(corpus).select(
+            "url", F.col("url").alias("subj"), "pred", "obj",
+            F.lit("meta").alias("lane"))
+        out_df = (jsonld_triples(corpus)
+                  .withColumn("lane", F.lit("jsonld"))
+                  .unionByName(microdata_triples(corpus)
+                               .withColumn("lane", F.lit("microdata")))
+                  .unionByName(meta))
+    elif args.mode == "annotate":
         out_df = annotate(spark, corpus, bc, cfg)
     elif args.mode == "candidates":
         out_df = candidates(spark, corpus, bc, cfg)

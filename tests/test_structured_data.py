@@ -172,3 +172,33 @@ def test_meta_data_name_attributes_do_not_match(spark):
     got = {(r.pred, r.obj) for r in meta_property_triples(
         _pages(spark, [("u", html)])).collect()}
     assert got == {("x", "c")}  # data-name never matches; real name wins
+
+
+def test_run_pipeline_structured_mode(spark, tmp_path):
+    """spark-submit entrypoint: --mode structured extracts all three
+    lanes from raw pages into the resumable catalog — no model plane
+    touched (no --lexicon content needed)."""
+    from pyspark.sql import Row
+    from dbpedia_spotlight_spark.run_pipeline import main
+
+    pages = spark.createDataFrame([Row(
+        url=f"https://h.example/p{i}",
+        html=(f'<html><head>'
+              f'<meta property="og:title" content="T{i}"/>'
+              f'<script type="application/ld+json">'
+              f'{{"@id": "ex:n{i}", "@type": "Thing"}}</script>'
+              f'</head><body><div itemscope itemid="ex:m{i}">'
+              f'<span itemprop="name">N{i}</span></div>'
+              f'</body></html>').encode())
+        for i in range(6)])
+    corpus = str(tmp_path / "pages")
+    pages.write.parquet(corpus)
+
+    stats = main(["--corpus", corpus, "--lexicon", str(tmp_path),
+                  "--out", str(tmp_path / "out"),
+                  "--mode", "structured"], spark=spark)
+    assert stats["rows"] == 18  # 3 triples per page, 3 lanes
+    out = spark.read.parquet(str(tmp_path / "out" / "structured_output"))
+    lanes = {r["lane"] for r in out.select("lane").distinct().collect()}
+    assert lanes == {"meta", "jsonld", "microdata"}
+    assert out.filter("lane = 'meta' AND subj = url").count() == 6
