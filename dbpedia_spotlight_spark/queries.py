@@ -9206,6 +9206,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     exercised as the exact-verify shape inside the registered
     near_dup_embeddings and the ann_ivf probe; pair DuckDB-mirrored)
     out.
+    Round-5 rotations 25-26 (continued session): meta_triples +
+    jsonld_extract in (the structured-data extraction lane — the most
+    on-brief new surface: KG triples from raw Common-Crawl-style HTML;
+    both green vs DuckDB at sf0.001 AND sf0.01 first, and the JSON-LD
+    oracle runs a REAL JSON parser in BOTH engines); spot_npchunk +
+    quality_gopher out (green since round 2 — NP-chunk spotting stays
+    pinned by the pipeline pytests and its rotated pair, the Gopher
+    gates by tests/test_plans_scale.py's single-scan pin, the
+    quality_logreg oracle's verbatim feature recompute, and the
+    rotated pair).
     Round-5 rotations 21-24 (continued session): k_truss (4-truss
     peeling over the co-mention graph — edge-level cohesion,
     operators/graph.py::k_truss; oracle unrolls the peel past the
@@ -9225,6 +9235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     DuckDB-mirrored) out."""
     return {
         # --- queries with no prior external CORRECTNESS row run FIRST ---
+        "meta_triples": q_meta_triples,
+        "jsonld_extract": q_jsonld_extract,
         "k_truss": q_k_truss,
         "coreness": q_coreness,
         "kn_perplexity": q_kn_perplexity,
@@ -9258,8 +9270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_delta": q_triple_delta,
         "ann_ivf": q_ann_ivf,
         "dedup_components": q_dedup_components,
-        "quality_gopher": q_quality_gopher,
-        "spot_npchunk": q_spot_npchunk,
         # Spotlight pipeline — relational slice (SQL-checked)
         "annotate_confident": q_annotate_confident,
         "candidates_topk": q_candidates_topk,
@@ -9286,6 +9296,8 @@ def oracle_sql() -> dict[str, str]:
     """Key order MATCHES queries() exactly (positional and key-based
     consumers agree — the driver checks the first 50 in order)."""
     return {
+        "meta_triples": sql_meta_triples(),
+        "jsonld_extract": sql_jsonld_extract(),
         "k_truss": sql_k_truss(),
         "coreness": sql_coreness(),
         "kn_perplexity": sql_kn_perplexity(),
@@ -9319,8 +9331,6 @@ def oracle_sql() -> dict[str, str]:
         "triple_delta": sql_triple_delta(),
         "ann_ivf": sql_ann_ivf(),
         "dedup_components": sql_dedup_components(),
-        "quality_gopher": sql_quality_gopher(),
-        "spot_npchunk": sql_spot_npchunk(),
         "annotate_confident": sql_annotate_confident(),
         "candidates_topk": sql_candidates_topk(),
         "link_triples": sql_link_triples(),

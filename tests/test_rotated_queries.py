@@ -343,11 +343,11 @@ ROTATED = [
     # multiset-sum hash, HUGEINT-replayed rounds)
     # round-5 addition: clamped-seed type propagation (grid-quantized
     # rounds) + Mikolov frequent-word subsampling (md5-gate device)
-    # round-5 addition: structured-data extraction from raw HTML —
-    # the Web-Data-Commons KG source lane (JVM-regexp meta properties;
-    # real JSON parsers in BOTH engines for the JSON-LD blocks)
-    ("meta_triples", Q.q_meta_triples, Q.sql_meta_triples),
-    ("jsonld_extract", Q.q_jsonld_extract, Q.sql_jsonld_extract),
+    # round-5 rotations 25-26 OUT: NP-chunk spotting + Gopher gates
+    # keep their DuckDB mirrors here (meta_triples / jsonld_extract —
+    # the structured-data lane — took their registry slots)
+    ("spot_npchunk", Q.q_spot_npchunk, Q.sql_spot_npchunk),
+    ("quality_gopher", Q.q_quality_gopher, Q.sql_quality_gopher),
     ("seeded_types", Q.q_seeded_types, Q.sql_seeded_types),
     ("subsample_tokens", Q.q_subsample_tokens, Q.sql_subsample_tokens),
     ("kmv_overlap", Q.q_kmv_overlap, Q.sql_kmv_overlap),
